@@ -1,0 +1,91 @@
+"""Shared utilities: deterministic hashing, atomic file commits, small I/O.
+
+Design notes (scale):
+- ``stable_hash_*`` must be deterministic ACROSS PROCESSES AND NODES — Python's
+  builtin ``hash`` is salted per process and must never be used for
+  partitioning.  We use pandas' ``hash_pandas_object`` (SipHash with a fixed
+  key, vectorized in C, stable across processes/versions in practice) applied
+  to the *dictionary* of a string column, so the per-batch cost is
+  O(uniques + rows) rather than O(total string bytes).
+- Atomic commits are plain ``write tmp -> os.replace``: POSIX rename is atomic
+  on one filesystem, which is the exactly-once building block for partition
+  flushes and lineage records (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# Mixing constant for combining a string-key hash with an int key
+# (splitmix64 / golden-ratio constant, public domain).
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def stable_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
+    """Deterministic uint64 hash of a string column, vectorized.
+
+    Hashes only the unique values (via Arrow dictionary-encode) then gathers,
+    so repeated keys (the common case for CDC logs: many events per conv_id)
+    cost one lookup each.
+    """
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        dict_arr = arr
+    else:
+        dict_arr = arr.dictionary_encode()
+    uniq = dict_arr.dictionary.to_pandas()
+    uniq_h = pd.util.hash_pandas_object(uniq, index=False).to_numpy(dtype=np.uint64)
+    indices = dict_arr.indices.to_numpy(zero_copy_only=False)
+    # Null keys hash to 0 (callers route null keys to dirty before hashing).
+    out = np.zeros(len(arr), dtype=np.uint64)
+    valid = indices >= 0 if indices.dtype.kind == "i" else np.ones(len(arr), bool)
+    if dict_arr.indices.null_count:
+        valid = ~np.asarray(dict_arr.indices.is_null())
+    out[valid] = uniq_h[indices[valid]]
+    return out
+
+
+def mix_hash(h: np.ndarray, ints: np.ndarray) -> np.ndarray:
+    """Combine a uint64 hash with an integer column (e.g. turn_idx) -> uint64."""
+    x = (h ^ (ints.astype(np.uint64) + _MIX)) * _MIX
+    return x ^ (x >> np.uint64(29))
+
+
+def atomic_write_bytes(path: str, data: bytes) -> None:
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_write_json(path: str, obj: Any) -> None:
+    atomic_write_bytes(path, json.dumps(obj, sort_keys=True, default=str).encode())
+
+
+def atomic_write_parquet(path: str, table: pa.Table, **kwargs) -> None:
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    pq.write_table(table, tmp, **kwargs)
+    os.replace(tmp, path)
+
+
+def read_json(path: str) -> Any:
+    with open(path) as f:
+        return json.load(f)
+
+
+def new_token() -> str:
+    return uuid.uuid4().hex
