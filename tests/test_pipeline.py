@@ -1,0 +1,201 @@
+"""End-to-end CDC pipeline tests through Ray Data (the north-rule gate:
+golden end-state equality under stable (conv_id, turn_idx) ordering)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tg_data_connector_ray.cdc.config import CdcConfig
+from tg_data_connector_ray.cdc.pipeline import (
+    ErrorLimitExceeded,
+    apply_cdc,
+    compute_run_id,
+    detect_hot_keys,
+    read_final_table,
+)
+from tg_data_connector_ray.fixtures import (
+    TIERS,
+    make_dirty_log,
+    write_fixture,
+)
+
+
+def final_table_sorted(cfg) -> pa.Table:
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def assert_converged(cfg, expected: pa.Table):
+    got = final_table_sorted(cfg)
+    assert got.num_rows == expected.num_rows
+    # the north-rule invariant: per-turn text equality under stable ordering
+    assert got["text"].equals(expected["text"])
+    assert got.equals(expected)
+
+
+def test_replay_t1_converges(t1, tmp_path):
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=8)
+    summary = apply_cdc(t1["cdc_log"], cfg)
+    exp = pq.read_table(t1["transcripts"])
+    assert summary["rows_live"] == exp.num_rows
+    assert summary["dups_dropped"] > 0  # fixture bakes in redeliveries
+    assert_converged(cfg, exp)
+
+
+def test_replay_is_idempotent_rerun(t1, tmp_path):
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+    s1 = apply_cdc(t1["cdc_log"], cfg)
+    # same inputs, same run_id -> every partition short-circuits via lineage
+    s2 = apply_cdc(t1["cdc_log"], cfg)
+    assert s2["run_id"] == s1["run_id"]
+    assert s2["partitions_skipped"] == s2["partitions"]
+    # forced re-apply under a NEW run id must also be a no-op state change
+    s3 = apply_cdc(t1["cdc_log"], cfg, run_id="forced-replay")
+    assert s3["partitions_applied"] == s3["partitions"]
+    assert_converged(cfg, pq.read_table(t1["transcripts"]))
+
+
+def test_snapshot_bootstrap_then_incremental(t1, tmp_path):
+    """Bootstrap from the snapshot (lsn=0 inserts), then replay the full
+    log incrementally — converges to the same state as log-only replay."""
+    cfg = CdcConfig(out_dir=str(tmp_path / "boot"), num_partitions=4)
+    apply_cdc(None, cfg, snapshot_path=t1["transcripts"])
+    exp = pq.read_table(t1["transcripts"])
+    assert_converged(cfg, exp)  # snapshot alone == final table
+    # now replay the whole log on top; all events have lsn >= 1 > 0
+    apply_cdc(t1["cdc_log"], cfg)
+    assert_converged(cfg, exp)
+
+
+def test_resume_after_partial_crash(t1, tmp_path):
+    """Simulate a crash after some partitions committed: pre-commit a few
+    partitions by running the job, then delete OTHER partitions' lineage +
+    state and re-run with the same run_id.  Converges identically and the
+    pre-committed partitions are skipped."""
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=8)
+    files = sorted(
+        os.path.join(t1["cdc_log"], f) for f in os.listdir(t1["cdc_log"])
+    )
+    run_id = compute_run_id(files)
+    apply_cdc(files, cfg)
+    # "crash": nuke half the partitions' outputs entirely
+    import shutil
+
+    for p in range(4, 8):
+        for d in (cfg.state_dir(p), cfg.table_dir(p), cfg.lineage_dir(p)):
+            shutil.rmtree(d, ignore_errors=True)
+    s = apply_cdc(files, cfg, run_id=run_id)
+    assert s["partitions_skipped"] == 4
+    assert s["partitions_applied"] == 4
+    assert_converged(cfg, pq.read_table(t1["transcripts"]))
+    # lineage checksums stable across the two attempts
+    for p in range(8):
+        lat = json.load(open(os.path.join(cfg.lineage_dir(p), "_latest.json")))
+        assert lat["run_id"] == run_id
+
+
+def test_incremental_file_batches(t2, tmp_path):
+    """Consume the log as three successive file batches (the streaming-tail
+    model) — converges to the same final state as one-shot replay."""
+    cfg = CdcConfig(out_dir=str(tmp_path / "inc"), num_partitions=8)
+    files = sorted(
+        os.path.join(t2["cdc_log"], f) for f in os.listdir(t2["cdc_log"])
+    )
+    k = len(files) // 3
+    for batch in (files[:k], files[k : 2 * k], files[2 * k :]):
+        apply_cdc(batch, cfg)
+    assert_converged(cfg, pq.read_table(t2["transcripts"]))
+
+
+def test_schema_evolution_through_read_path(fixture_root, tmp_path):
+    """F3: early files lack `tool` and use int16/dictionary — the real
+    read path (schema-group scan + normalize) must reconcile."""
+    fx = write_fixture(fixture_root, "t2evo")
+    cfg = CdcConfig(out_dir=str(tmp_path / "evo"), num_partitions=8)
+    apply_cdc(fx["cdc_log"], cfg)
+    exp = pq.read_table(fx["transcripts"])
+    assert_converged(cfg, exp)
+    got = final_table_sorted(cfg)
+    assert got.schema.field("turn_idx").type == pa.int32()
+    assert got.schema.field("tool").type == pa.string()
+
+
+def test_skew_salting_converges(fixture_root, tmp_path):
+    fx = write_fixture(fixture_root, "t2skew")
+    hot = detect_hot_keys(fx["cdc_log"], threshold_frac=0.05)
+    assert hot == ["conv_hot00000000"]
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "skew"), num_partitions=8, hot_keys=tuple(hot)
+    )
+    s = apply_cdc(fx["cdc_log"], cfg)
+    assert_converged(cfg, pq.read_table(fx["transcripts"]))
+    # the hot conversation's events really did spread across partitions
+    lin = [
+        json.load(open(os.path.join(cfg.lineage_dir(p), "_latest.json")))
+        for p in range(8)
+        if os.path.isdir(cfg.lineage_dir(p))
+    ]
+    assert len(lin) == 8
+
+
+def test_dirty_routing_and_error_limits(tmp_path):
+    d = tmp_path / "dirtylog"
+    os.makedirs(d)
+    t = make_dirty_log()
+    pq.write_table(t, str(d / "evt-0000.parquet"))
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "out"),
+        num_partitions=2,
+        null_format="\\N",
+        error_limit_records=100,
+    )
+    s = apply_cdc(str(d), cfg)
+    assert s["dirty_records"] == 6
+    # reasons recorded
+    import pyarrow.dataset as pads
+
+    dirty = pads.dataset(cfg.dirty_dir(s["run_id"])).to_table()
+    reasons = set(dirty["_reason"].to_pylist())
+    assert reasons == {
+        "bad_op",
+        "negative_turn_idx",
+        "null_conv_id",
+        "null_text_insert",
+        "uncastable_ts",
+        "null_turn_idx",
+    }
+    # record limit takes priority (reference ErrorRecordChecker semantics)
+    cfg2 = CdcConfig(
+        out_dir=str(tmp_path / "out2"),
+        num_partitions=2,
+        null_format="\\N",
+        error_limit_records=3,
+        error_limit_pct=0.99,
+    )
+    with pytest.raises(ErrorLimitExceeded, match="dirty records"):
+        apply_cdc(str(d), cfg2)
+    cfg3 = CdcConfig(
+        out_dir=str(tmp_path / "out3"),
+        num_partitions=2,
+        null_format="\\N",
+        error_limit_pct=0.01,
+    )
+    with pytest.raises(ErrorLimitExceeded, match="dirty ratio"):
+        apply_cdc(str(d), cfg3)
+
+
+def test_read_final_table_dataset(t1, tmp_path):
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    ds = read_final_table(cfg, sort=True)
+    exp = pq.read_table(t1["transcripts"])
+    got = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    assert got.num_rows == exp.num_rows
+    assert got.column("text").to_pylist() == exp.column("text").to_pylist()

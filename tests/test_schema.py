@@ -1,0 +1,49 @@
+"""Schema reconciliation unit tests (cdc/schema.py). No Ray needed."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tg_data_connector_ray.cdc.schema import promote, scan_schemas, unify_schemas
+
+
+def test_promote_int_widening():
+    assert promote(pa.int16(), pa.int32()) == pa.int32()
+    assert promote(pa.int64(), pa.int8()) == pa.int64()
+    assert promote(pa.int32(), pa.float32()) == pa.float64()
+
+
+def test_promote_dictionary_and_string():
+    assert promote(pa.dictionary(pa.int32(), pa.string()), pa.string()) == pa.string()
+    assert promote(pa.string(), pa.large_string()) == pa.large_string()
+    # string vs typed: typed wins (normalize casts per-row with dirty routing)
+    assert promote(pa.string(), pa.timestamp("us")) == pa.timestamp("us")
+    assert promote(pa.int64(), pa.string()) == pa.int64()
+
+
+def test_promote_timestamps_unify_to_us():
+    assert promote(pa.timestamp("ms"), pa.timestamp("us")) == pa.timestamp("us")
+
+
+def test_unify_adds_missing_columns_nullable():
+    s1 = pa.schema([("a", pa.int16()), ("b", pa.string())])
+    s2 = pa.schema([("a", pa.int32()), ("c", pa.float64())])
+    u = unify_schemas([s1, s2])
+    assert u.names == ["a", "b", "c"]
+    assert u.field("a").type == pa.int32()
+    assert all(f.nullable for f in u)
+
+
+def test_scan_schemas_groups_by_fingerprint(tmp_path):
+    t1 = pa.table({"a": pa.array([1], pa.int16())})
+    t2 = pa.table({"a": pa.array([2], pa.int32()), "b": pa.array(["x"])})
+    p1, p2, p3 = (str(tmp_path / f"f{i}.parquet") for i in range(3))
+    pq.write_table(t1, p1)
+    pq.write_table(t2, p2)
+    pq.write_table(t1, p3)
+    groups, unified = scan_schemas([p1, p2, p3])
+    assert len(groups) == 2
+    sizes = sorted(len(v) for v in groups.values())
+    assert sizes == [1, 2]
+    assert unified.field("a").type == pa.int32()
+    assert "b" in unified.names

@@ -1,0 +1,167 @@
+"""Normalize stage: cast every CDC batch to the target schema, validate,
+route dirty rows to a side-output, and assign merge partitions.
+
+Runs as a stateless ``map_batches`` stage over zero-copy Arrow batches.
+Vectorized throughout (pyarrow.compute + numpy); the only per-row work is
+the multi-format timestamp fallback for *string* ts columns, which touches
+only rows the primary format failed to parse (mirrors the reference's
+config-driven fallback parse, ColumnCast.java:87-117).
+
+Dirty semantics mirror the reference's transformer-chain dirty collection
+(TransformerExchanger.java:85-95, StdoutPluginCollector): a bad row is
+dropped from the main stream and recorded with a reason.  Dirty rows are
+written directly from the stage task (all columns stringified + `_reason`),
+one uniquely-named file per flushing task, so the side-output streams at
+scale instead of funneling through the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import atomic_write_parquet, mix_hash, new_token, stable_hash_strings
+from .config import CdcConfig
+
+CDC_COLUMNS = ("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+_TARGET_TYPES = {
+    "lsn": pa.int64(),
+    "op": pa.string(),
+    "conv_id": pa.string(),
+    "turn_idx": pa.int32(),
+    "role": pa.string(),
+    "text": pa.string(),
+    "tool": pa.string(),
+    "ts": pa.timestamp("us"),
+}
+
+
+def _parse_ts_multi(arr: pa.ChunkedArray, formats) -> "tuple[pa.Array, np.ndarray]":
+    """String -> timestamp[us] with multi-format fallback.
+
+    Returns (values, bad_mask); bad = non-null input that no format parsed.
+    """
+    s = arr.to_pandas()
+    out = pd.to_datetime(s, format=formats[0], errors="coerce")
+    for fmt in formats[1:]:
+        miss = out.isna() & s.notna()
+        if not miss.any():
+            break
+        out[miss] = pd.to_datetime(s[miss], format=fmt, errors="coerce")
+    bad = (out.isna() & s.notna()).to_numpy()
+    return pa.Array.from_pandas(out, type=pa.timestamp("us")), bad
+
+
+def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table:
+    """Cast to the CDC schema, validate, split dirty, add `part`."""
+    n = batch.num_rows
+    if n == 0:
+        return _empty_clean()
+
+    cols: dict = {}
+    bad_ts = np.zeros(n, dtype=bool)
+    for name in CDC_COLUMNS:
+        tgt = _TARGET_TYPES[name]
+        if name not in batch.column_names:
+            cols[name] = pa.nulls(n, type=tgt)  # schema evolution: null backfill
+            continue
+        col = batch[name]
+        if pa.types.is_dictionary(col.type):
+            col = col.cast(col.type.value_type)
+        if col.type.equals(tgt):
+            cols[name] = col
+        elif name == "ts" and (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ):
+            vals, bad = _parse_ts_multi(col, cfg.ts_formats)
+            cols[name] = vals
+            bad_ts |= bad
+        else:
+            cols[name] = col.cast(tgt)  # int widening etc.
+
+    # nullFormat: exact string equality -> null (reference
+    # UnstructuredStorageReaderUtil.java:352-353, equals not ignore-case).
+    if cfg.null_format is not None:
+        for name in ("role", "text", "tool"):
+            m = pc.fill_null(pc.equal(cols[name], cfg.null_format), False)
+            cols[name] = pc.if_else(m, pa.scalar(None, type=pa.string()), cols[name])
+
+    op = cols["op"]
+    reasons = np.full(n, None, dtype=object)
+
+    def _np(b) -> np.ndarray:
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return b.to_numpy(zero_copy_only=False).astype(bool)
+
+    def flag(mask: np.ndarray, reason: str):
+        reasons[(reasons == None) & mask] = reason  # noqa: E711
+
+    flag(~_np(pc.fill_null(pc.is_in(op, value_set=pa.array(["I", "U", "D"])), False)), "bad_op")
+    flag(_np(pc.is_null(cols["conv_id"])), "null_conv_id")
+    flag(_np(pc.is_null(cols["turn_idx"])), "null_turn_idx")
+    flag(_np(pc.fill_null(pc.less(cols["turn_idx"], 0), False)), "negative_turn_idx")
+    flag(_np(pc.is_null(cols["lsn"])), "null_lsn")
+    flag(bad_ts, "uncastable_ts")
+    # an insert whose text is null (e.g. after nullFormat) carries no payload
+    flag(
+        _np(pc.fill_null(pc.equal(op, "I"), False)) & _np(pc.is_null(cols["text"])),
+        "null_text_insert",
+    )
+
+    dirty_mask = reasons != None  # noqa: E711
+    if dirty_mask.any():
+        _write_dirty(batch, reasons, dirty_mask, cfg, run_id)
+
+    keep = pa.array(~dirty_mask)
+    clean = pa.table({k: v.filter(keep) for k, v in cols.items()})
+
+    # partition assignment (deterministic cross-process hash; salted for hot keys)
+    h = stable_hash_strings(clean["conv_id"])
+    if cfg.hot_keys:
+        hot = np.asarray(
+            pc.fill_null(pc.is_in(clean["conv_id"], value_set=pa.array(list(cfg.hot_keys))), False)
+        )
+        turn = clean["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        salted = mix_hash(h, turn.astype(np.int64))
+        h = np.where(hot, salted, h)
+    part = (h % np.uint64(cfg.num_partitions)).astype(np.int32)
+    return clean.append_column("part", pa.array(part, type=pa.int32()))
+
+
+def _empty_clean() -> pa.Table:
+    cols = {k: pa.array([], type=t) for k, t in _TARGET_TYPES.items()}
+    cols["part"] = pa.array([], type=pa.int32())
+    return pa.table(cols)
+
+
+def _write_dirty(batch: pa.Table, reasons, mask, cfg: CdcConfig, run_id: str) -> None:
+    idx = pa.array(mask)
+    cols = {}
+    for name in batch.column_names:
+        c = batch[name]
+        if pa.types.is_dictionary(c.type):
+            c = c.cast(c.type.value_type)
+        cols[name] = c.filter(idx).cast(pa.string())
+    cols["_reason"] = pa.array(reasons[mask], type=pa.string())
+    d = cfg.dirty_dir(run_id)
+    os.makedirs(d, exist_ok=True)
+    atomic_write_parquet(os.path.join(d, f"dirty-{new_token()}.parquet"), pa.table(cols))
+
+
+def count_dirty(cfg: CdcConfig, run_id: str) -> int:
+    """Row count of the run's dirty side-output (footer metadata only)."""
+    import pyarrow.parquet as pq
+
+    d = cfg.dirty_dir(run_id)
+    if not os.path.isdir(d):
+        return 0
+    return sum(
+        pq.ParquetFile(os.path.join(d, f)).metadata.num_rows
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )

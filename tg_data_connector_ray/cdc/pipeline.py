@@ -1,0 +1,215 @@
+"""CDC job orchestration: the Ray Data pipeline around normalize + merge.
+
+Dataflow (all lazy, streaming, backpressured — no driver-side row loops):
+
+    read_parquet(log files, grouped by schema fingerprint)
+      -> map_batches(normalize)          stateless, zero-copy Arrow
+      [union snapshot -> map_batches(as I-events at lsn=0)]
+      -> groupby("part")                  THE shuffle: hash by conv_id
+      -> map_groups(MergeApply)           stateful commit, one task/partition
+      -> lineage rows (tiny) collected on the driver
+
+The only all-to-all exchange is the groupby on `part` (an int32 of
+cardinality `num_partitions`), which Ray executes as a sort-based shuffle;
+event payloads cross the object store exactly once.  Everything else is
+embarrassingly parallel.  At 100 TB the same plan holds: more log files ->
+more read tasks; `num_partitions` sized so each partition's state stays
+~0.5-2 GB; MergeApply commits are per-partition and independent, so a
+failed run resumes by re-running the job with the same run_id (committed
+partitions short-circuit via lineage).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..util import atomic_write_json, stable_hash_strings
+from .config import CdcConfig
+from .merge import MergeApply
+from .normalize import count_dirty, normalize_batch
+from .schema import scan_schemas
+
+
+class ErrorLimitExceeded(RuntimeError):
+    pass
+
+
+def _expand(paths) -> "list[str]":
+    if isinstance(paths, str):
+        paths = [paths]
+    out = []
+    for p in paths:
+        if os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def compute_run_id(files: "list[str]", snapshot: "str | None" = None) -> str:
+    """Deterministic run identity = the set of inputs consumed.  Re-running
+    the same inputs (crash recovery) reuses the id and skips committed
+    partitions; a new file batch gets a new id."""
+    h = hashlib.sha256()
+    for f in sorted(files):
+        h.update(f.encode())
+        h.update(str(os.path.getsize(f)).encode())
+    if snapshot:
+        h.update(b"snap:" + snapshot.encode())
+    return h.hexdigest()[:16]
+
+
+def _snapshot_to_events(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "lsn": pa.array(np.zeros(n, dtype=np.int64)),
+            "op": pa.array(["I"] * n, type=pa.string()),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"].cast(pa.int32()),
+            "role": batch["role"],
+            "text": batch["text"],
+            "tool": batch["tool"],
+            "ts": batch["ts"].cast(pa.timestamp("us")),
+        }
+    )
+
+
+def build_events_dataset(
+    event_paths, cfg: CdcConfig, run_id: str, snapshot_path: "str | None" = None
+) -> "ray.data.Dataset":
+    """Lazy Dataset of normalized, partition-tagged CDC events."""
+    files = _expand(event_paths)
+    datasets = []
+    if files:
+        groups, _unified = scan_schemas(files)
+        for _fp, grp_files in sorted(groups.items()):
+            ds = ray.data.read_parquet(grp_files)
+            datasets.append(
+                ds.map_batches(
+                    partial(normalize_batch, cfg=cfg, run_id=run_id),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+    if snapshot_path is not None:
+        snap = ray.data.read_parquet(snapshot_path).map_batches(
+            _snapshot_to_events, batch_format="pyarrow", zero_copy_batch=True
+        )
+        datasets.append(
+            snap.map_batches(
+                partial(normalize_batch, cfg=cfg, run_id=run_id),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    if not datasets:
+        raise ValueError("no input files")
+    ds = datasets[0]
+    if len(datasets) > 1:
+        ds = ds.union(*datasets[1:])
+    return ds
+
+
+def detect_hot_keys(event_paths, threshold_frac: float = 0.05) -> "list[str]":
+    """Pre-pass: conv_ids carrying more than `threshold_frac` of all events.
+
+    Reads ONLY the conv_id column (columnar prune), pre-aggregates counts
+    per batch (combiner), then does a tiny groupby over (conv_id, partial
+    count) rows — the shuffle moves one row per unique conv per batch, not
+    one per event.
+    """
+    files = _expand(event_paths)
+    ds = ray.data.read_parquet(files, columns=["conv_id"])
+    total = ds.count()
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        vc = t["conv_id"].combine_chunks().value_counts()
+        return pa.table(
+            {"conv_id": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .sum("n")
+    )
+    cut = counts.filter(lambda r: r["sum(n)"] >= threshold_frac * total)
+    return sorted(r["conv_id"] for r in cut.take_all())
+
+
+def apply_cdc(
+    event_paths,
+    cfg: CdcConfig,
+    snapshot_path: "str | None" = None,
+    run_id: "str | None" = None,
+) -> dict:
+    """Run one CDC apply job; returns the run summary (also written as
+    `_manifest-<run_id>.json` under out_dir).  Idempotent per run_id."""
+    files = _expand(event_paths) if event_paths else []
+    run_id = run_id or compute_run_id(files, snapshot_path)
+    os.makedirs(cfg.out_dir, exist_ok=True)
+
+    ds = build_events_dataset(files, cfg, run_id, snapshot_path)
+    import ray
+
+    # MergeApply actor-pool size: capped by partition count, and leaving
+    # CPUs free for the read/normalize/shuffle stages — a pool that reserves
+    # every CPU starves its own upstream and the pipeline deadlocks.
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    concurrency = cfg.merge_concurrency or max(1, min(cfg.num_partitions, cpus - 2))
+    lineage = ds.groupby("part").map_groups(
+        MergeApply,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
+        concurrency=concurrency,
+    )
+    lin = lineage.to_pandas()  # one row per partition — tiny
+
+    n_dirty = count_dirty(cfg, run_id)
+    events_in = int(lin["events_in"].sum()) if len(lin) else 0
+    summary = {
+        "run_id": run_id,
+        "partitions": int(len(lin)),
+        "partitions_applied": int((lin["status"] == "applied").sum()) if len(lin) else 0,
+        "partitions_skipped": int((lin["status"] == "skipped").sum()) if len(lin) else 0,
+        "events_in": events_in,
+        "events_prefiltered": int(lin["events_prefiltered"].sum()) if len(lin) else 0,
+        "dups_dropped": int(lin["dups_dropped"].sum()) if len(lin) else 0,
+        "orphan_updates": int(lin["orphan_updates"].sum()) if len(lin) else 0,
+        "rows_live": int(lin["rows_live"].sum()) if len(lin) else 0,
+        "rows_tombstone": int(lin["rows_tombstone"].sum()) if len(lin) else 0,
+        "dirty_records": n_dirty,
+        "input_files": len(files),
+    }
+    atomic_write_json(os.path.join(cfg.out_dir, f"_manifest-{run_id}.json"), summary)
+
+    # reference ErrorRecordChecker.java:25-81 — record limit first, then pct
+    if cfg.error_limit_records is not None and n_dirty > cfg.error_limit_records:
+        raise ErrorLimitExceeded(
+            f"dirty records {n_dirty} > limit {cfg.error_limit_records}"
+        )
+    if cfg.error_limit_pct is not None:
+        total = events_in + n_dirty
+        if total and n_dirty / total > cfg.error_limit_pct:
+            raise ErrorLimitExceeded(
+                f"dirty ratio {n_dirty / total:.4f} > limit {cfg.error_limit_pct}"
+            )
+    return summary
+
+
+def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":
+    """The converged, compacted user-facing table as a Dataset."""
+    ds = ray.data.read_parquet(os.path.join(cfg.out_dir, "table"))
+    if sort:
+        ds = ds.sort(["conv_id", "turn_idx"])
+    return ds

@@ -1,0 +1,93 @@
+"""Arrow-schema reconciliation for heterogeneous CDC log files (M3).
+
+The reference establishes schema per-source at the edges and carries none
+with the data (SURVEY.md §1.3); schema *evolution* has no reference
+implementation.  Here evolution is handled in two layers:
+
+1. ``scan_schemas`` — a footer-metadata-only pass over the log files that
+   groups them by exact schema fingerprint, so each ``read_parquet`` call
+   sees a homogeneous file set (heterogeneous sets break block concat).
+   Footer reads are O(KB) per file regardless of file size, so this scales
+   to 100 TB logs; for very large file counts the loop can be sharded into
+   Ray tasks, but even 100k footers read in seconds.
+2. ``unify_schemas`` — deterministic promotion rules producing the target
+   schema every batch is normalized to:
+   missing column -> nullable + null backfill; integer widening
+   (int8<int16<int32<int64); int+float -> float64; dictionary<V> -> V;
+   string -> large_string when mixed; timestamps unify to microseconds;
+   a string column vs a non-string column -> the non-string type (the
+   normalize stage performs the per-row cast and routes uncastable rows to
+   the dirty side-output, mirroring the reference's cast-matrix dirty
+   semantics, StringColumn.java:34-96 / ColumnCast.java:87-117).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_INT_ORDER = {
+    pa.int8(): 0, pa.int16(): 1, pa.int32(): 2, pa.int64(): 3,
+    pa.uint8(): 0, pa.uint16(): 1, pa.uint32(): 2, pa.uint64(): 3,
+}
+
+
+def _strip(t: pa.DataType) -> pa.DataType:
+    if pa.types.is_dictionary(t):
+        return t.value_type
+    return t
+
+
+def promote(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+    """Deterministic pairwise type promotion (commutative)."""
+    a, b = _strip(a), _strip(b)
+    if a.equals(b):
+        return a
+    if pa.types.is_integer(a) and pa.types.is_integer(b):
+        return a if _INT_ORDER[a] >= _INT_ORDER[b] else b
+    if (pa.types.is_integer(a) or pa.types.is_floating(a)) and (
+        pa.types.is_integer(b) or pa.types.is_floating(b)
+    ):
+        return pa.float64()
+    if {a, b} == {pa.string(), pa.large_string()}:
+        return pa.large_string()
+    if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
+        return pa.timestamp("us")
+    # string vs anything castable: the typed side wins; normalize() casts
+    # per-row with dirty routing for failures.
+    if pa.types.is_string(a) or pa.types.is_large_string(a):
+        return b
+    if pa.types.is_string(b) or pa.types.is_large_string(b):
+        return a
+    raise TypeError(f"no promotion rule for {a} vs {b}")
+
+
+def unify_schemas(schemas: "list[pa.Schema]") -> pa.Schema:
+    """Union of fields across schemas with promotion; field order = first
+    appearance. All fields become nullable (null backfill for adds)."""
+    order: list[str] = []
+    types: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for f in s:
+            if f.name not in types:
+                order.append(f.name)
+                types[f.name] = _strip(f.type)
+            else:
+                types[f.name] = promote(types[f.name], f.type)
+    return pa.schema([pa.field(n, types[n], nullable=True) for n in order])
+
+
+def scan_schemas(paths: "list[str]") -> "tuple[dict[str, list[str]], pa.Schema]":
+    """Group files by schema fingerprint (footer metadata only) and return
+    (groups, unified_schema)."""
+    groups: dict[str, list[str]] = defaultdict(list)
+    reps: dict[str, pa.Schema] = {}
+    for p in paths:
+        s = pq.read_schema(p)
+        key = str(s.remove_metadata())
+        groups[key].append(p)
+        reps.setdefault(key, s)
+    unified = unify_schemas(list(reps.values()))
+    return dict(groups), unified

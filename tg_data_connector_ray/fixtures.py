@@ -128,11 +128,9 @@ def make_fixture(spec: FixtureSpec) -> Fixture:
     nt = np.clip(
         np.exp(rng.normal(np.log(8), 0.8, size=n_convs)).astype(np.int64), 1, 200
     )
-    conv_names = np.array([f"conv{i:08d}" for i in range(n_convs)])
-    if spec.hot_convs:
-        conv_names = conv_names.copy()
-        for h in range(spec.hot_convs):
-            conv_names[h] = f"conv_hot{h:08d}"
+    conv_names = np.array([f"conv{i:08d}" for i in range(n_convs)], dtype=object)
+    for h in range(spec.hot_convs):
+        conv_names[h] = f"conv_hot{h:08d}"
 
     n_final = int(nt.sum())
     f_conv = np.repeat(np.arange(n_convs), nt)  # conv index per final key

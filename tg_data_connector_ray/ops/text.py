@@ -1,0 +1,128 @@
+"""Text analysis over a documents table: token counting, quality metrics,
+language ID, fingerprinting.
+
+All stages are vectorized ``map_batches`` transforms over Arrow batches;
+regexes are compiled once per actor/task via module-level caching.  The
+token regex is deliberately simple (``[A-Za-z0-9_]+``) so the DuckDB oracle
+(`regexp_extract_all(text, '[A-Za-z0-9_]+')`) computes the identical count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,!?;:]"
+
+# tiny per-language stopword lists for the n-gram/stopword language heuristic
+_LANG_STOPS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "sich"},
+    "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une", "pour"},
+    "es": {"el", "la", "de", "que", "y", "los", "en", "un", "por", "con"},
+}
+
+
+def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Adds `n_tokens` (regex word count) and `n_chars` (codepoints)."""
+    toks = pc.extract_regex_span_list = None  # placeholder avoidance
+    counts = pc.list_value_length(pc.extract_regex(batch[col], TOKEN_RE)) if False else None
+    # count_substring_regex counts non-overlapping matches — exactly the
+    # length of regexp_extract_all in DuckDB
+    n_tok = pc.count_substring_regex(batch[col], TOKEN_RE)
+    n_chars = pc.utf8_length(batch[col])
+    out = batch.append_column("n_tokens", n_tok.cast(pa.int64()))
+    return out.append_column("n_chars_m", n_chars.cast(pa.int64()))
+
+
+def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Quality metrics: token/punct/digit counts and ratios."""
+    s = batch[col]
+    n_chars = pc.utf8_length(s).cast(pa.int64())
+    n_tok = pc.count_substring_regex(s, TOKEN_RE).cast(pa.int64())
+    n_punct = pc.count_substring_regex(s, PUNCT_RE).cast(pa.int64())
+    n_digit = pc.count_substring_regex(s, r"[0-9]").cast(pa.int64())
+    denom = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+    punct_ratio = pc.divide(n_punct.cast(pa.float64()), denom.cast(pa.float64()))
+    digit_ratio = pc.divide(n_digit.cast(pa.float64()), denom.cast(pa.float64()))
+    out = batch
+    for name, arr in [
+        ("n_chars_m", n_chars),
+        ("n_tokens", n_tok),
+        ("n_punct", n_punct),
+        ("punct_ratio", punct_ratio),
+        ("digit_ratio", digit_ratio),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+class LangId:
+    """Stopword + script heuristic language ID — a stateful actor stage
+    (wordlists/regexes built once per actor in __init__)."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Z]+")
+        self.cjk_re = re.compile(r"[一-鿿぀-ヿ가-힯]")
+        self.stops = {lang: frozenset(ws) for lang, ws in _LANG_STOPS.items()}
+
+    def label(self, text: str) -> str:
+        if text is None or not text:
+            return "unknown"
+        cjk = len(self.cjk_re.findall(text))
+        if cjk * 2 >= max(1, len(text) // 8):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)[:200]]
+        if not words:
+            return "unknown"
+        best, best_hits = "unknown", 0
+        for lang in sorted(self.stops):
+            hits = sum(w in self.stops[lang] for w in words)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        return best if best_hits >= 1 else "unknown"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return batch.append_column(
+            "lang_pred", pa.array([self.label(t) for t in texts], type=pa.string())
+        )
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased text.
+
+    md5 (not a python hash) so the DuckDB oracle
+    ``md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))`` reproduces it.
+    """
+    lowered = pc.utf8_lower(batch[col])
+    norm = pc.replace_substring_regex(lowered, r"\s+", " ")
+    fps = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else None
+        for t in norm.to_pylist()
+    ]
+    return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
+
+
+def simhash64(tokens: "list[str]") -> int:
+    """64-bit SimHash over token md5s (deterministic across processes)."""
+    if not tokens:
+        return 0
+    v = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "little")
+        bits = (h >> np.arange(64)) & 1
+        v += 2 * bits.astype(np.int64) - 1
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
