@@ -1,0 +1,210 @@
+"""Tests for training-data ops (dedup, text, similarity, multimodal) over
+the driver-provided sf0.001 tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_dedup_matches_duckdb(docs):
+    import duckdb
+
+    from tg_data_connector_ray.ops.dedup import exact_dedup_ids
+
+    got = sorted(r["doc_id"] for r in exact_dedup_ids(docs).take_all())
+    exp = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT min(doc_id) AS doc_id FROM '{SF}/documents.parquet' "
+            "GROUP BY text ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == exp
+
+
+def test_minhash_dedup_keeps_exact_dups_together():
+    from tg_data_connector_ray.ops.dedup import minhash_dedup_ids
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    texts = [base, base + "extra tail", "completely different content here " * 8]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "text": pa.array(texts)})
+    )
+    kept = sorted(r["doc_id"] for r in minhash_dedup_ids(ds, threshold=0.7).take_all())
+    assert kept == [1, 3]  # 2 is a near-dup of 1; representative = min id
+
+
+def test_simhash_dedup():
+    from tg_data_connector_ray.ops.dedup import SimHashStage, simhash_dedup_ids
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([10, 11, 12], pa.int64()),
+                # exact duplicate text -> hamming 0; third doc unrelated
+                "text": pa.array([base, base, "unrelated words only " * 9]),
+            }
+        )
+    )
+    kept = sorted(r["doc_id"] for r in simhash_dedup_ids(ds, max_hamming=3).take_all())
+    assert kept == [10, 12]
+    # a one-token edit lands within a looser hamming budget, far from unrelated
+    s = SimHashStage()
+    d_edit = bin(s.simhash(base) ^ s.simhash(base + " iota")).count("1")
+    d_diff = bin(s.simhash(base) ^ s.simhash("unrelated words only " * 9)).count("1")
+    assert d_edit < d_diff and d_edit <= 16
+
+
+def test_ngram_jaccard_pairs():
+    from tg_data_connector_ray.ops.dedup import jaccard, ngram_jaccard_pairs
+
+    a = "one two three four five six seven eight nine ten " * 5
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([a, a + " eleven twelve", "zzz yyy xxx www " * 10]),
+            }
+        )
+    )
+    t = ngram_jaccard_pairs(ds, threshold=0.5)
+    pairs = list(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    assert pairs == [(1, 2)]
+    assert t["jac"][0].as_py() == pytest.approx(jaccard(a, a + " eleven twelve"))
+
+
+def test_embedding_near_dup_pairs(embs):
+    from tg_data_connector_ray.ops.dedup import embedding_near_dup_pairs
+
+    # duplicate a few vectors to guarantee hits
+    t = embs.take_all()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in t[:20]] + [10_000 + i for i in range(3)], pa.int64()),
+            "embedding": pa.array(
+                [list(r["embedding"]) for r in t[:20]] + [list(t[i]["embedding"]) for i in range(3)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(ds, threshold=0.999).take_all()}
+    for i in range(3):
+        assert (t[i]["vec_id"], 10_000 + i) in pairs
+
+
+def test_brute_force_topk_matches_numpy(embs):
+    from tg_data_connector_ray.ops.similarity import brute_force_topk
+
+    all_rows = embs.take_all()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
+    ids = np.array([r["vec_id"] for r in all_rows])
+    q = mat[:3]
+    got = brute_force_topk(embs, q, k=5)
+    matn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    sims = matn @ qn.T
+    for qi in range(3):
+        srt = sorted(zip(-sims[:, qi], ids))
+        exp_top = [int(v) for _, v in srt[:5]]
+        sub = got.filter(pa.compute.equal(got["query_id"], qi))
+        assert sub["vec_id"].to_pylist() == exp_top
+
+
+def test_ivf_recall(embs):
+    from tg_data_connector_ray.ops.similarity import IvfIndex, brute_force_topk
+
+    all_rows = embs.take_all()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
+    q = mat[5:8]
+    idx = IvfIndex(n_centroids=8, iters=5).fit(embs)
+    assigned = idx.assign(embs)
+    got = idx.search(assigned, q, k=5, nprobe=4)
+    exact = brute_force_topk(embs, q, k=5)
+    # recall@5 with half the centroids probed should be high on 500 vecs
+    inter = 0
+    for qi in range(3):
+        g = set(got.filter(pa.compute.equal(got["query_id"], qi))["vec_id"].to_pylist())
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], qi))["vec_id"].to_pylist())
+        inter += len(g & e)
+    assert inter >= 10  # >= 2/3 average recall
+
+
+def test_text_ops_match_duckdb(docs):
+    import duckdb
+
+    from tg_data_connector_ray.ops.text import fingerprint_batch, quality_batch
+
+    got = (
+        docs.map_batches(quality_batch, batch_format="pyarrow")
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_chars_m", "n_tokens", "n_punct", "fingerprint"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        SELECT doc_id, length(text) AS n_chars_m,
+               length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+               length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+               md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+        FROM '{SF}/documents.parquet' ORDER BY doc_id
+        """
+    ).df()
+    assert got["n_chars_m"].tolist() == exp["n_chars_m"].tolist()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+    assert got["n_punct"].tolist() == exp["n_punct"].tolist()
+    assert got["fingerprint"].tolist() == exp["fingerprint"].tolist()
+
+
+def test_langid_heuristic(docs):
+    from tg_data_connector_ray.ops.text import LangId
+
+    out = docs.map_batches(LangId, batch_format="pyarrow", concurrency=1).take_all()
+    langs = {r["lang_pred"] for r in out}
+    assert langs <= {"en", "de", "fr", "es", "zh", "unknown"}
+    assert len(out) == docs.count()
+
+
+def test_multimodal_plumbing():
+    from tg_data_connector_ray.ops.multimodal import (
+        FrameSampleStage,
+        make_fake_media_table,
+        media_features,
+    )
+
+    tbl = make_fake_media_table(32)
+    ds = ray.data.from_arrow(tbl)
+    feats = media_features(ds, codec="fake", feature_dim=16).take_all()
+    assert len(feats) == 32
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic: same payload -> same features
+    f2 = media_features(ray.data.from_arrow(tbl), codec="fake", feature_dim=16).take_all()
+    assert feats[0]["features"] == f2[0]["features"]
+    frames = ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=1,
+        fn_constructor_kwargs={"n_frames": 4},
+    ).take_all()
+    assert len(frames) == 32 * 4
+
+
+def test_real_codec_raises():
+    from tg_data_connector_ray.ops.multimodal import get_codec
+
+    with pytest.raises(NotImplementedError):
+        get_codec("pil")

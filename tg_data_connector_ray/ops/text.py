@@ -30,8 +30,6 @@ _LANG_STOPS = {
 
 def token_count_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Adds `n_tokens` (regex word count) and `n_chars` (codepoints)."""
-    toks = pc.extract_regex_span_list = None  # placeholder avoidance
-    counts = pc.list_value_length(pc.extract_regex(batch[col], TOKEN_RE)) if False else None
     # count_substring_regex counts non-overlapping matches — exactly the
     # length of regexp_extract_all in DuckDB
     n_tok = pc.count_substring_regex(batch[col], TOKEN_RE)

@@ -89,3 +89,16 @@ def read_json(path: str) -> Any:
 
 def new_token() -> str:
     return uuid.uuid4().hex
+
+
+def default_pool_size(cap: int = 16) -> int:
+    """Actor-pool size that leaves CPUs for upstream read/shuffle stages —
+    a pool reserving every CPU starves its own input and deadlocks the
+    streaming executor."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return max(1, min(cap, cpus - 2))
