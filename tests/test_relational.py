@@ -1,0 +1,110 @@
+"""Relational pipeline demos vs DuckDB oracles at sf0.001."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def ddb(sql):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "customer", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.sql(sql).df()
+
+
+def test_q1_matches_duckdb():
+    from tg_data_connector_ray.pipelines.relational import q1_pricing_summary
+
+    got = q1_pricing_summary(SF)
+    exp = ddb(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_base_price,
+               sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+               sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    assert got[["l_returnflag", "l_linestatus"]].values.tolist() == exp[
+        ["l_returnflag", "l_linestatus"]
+    ].values.tolist()
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        assert np.allclose(got[c].to_numpy(), exp[c].to_numpy())
+    assert got["count_order"].tolist() == exp["count_order"].tolist()
+
+
+def test_broadcast_join_matches_duckdb():
+    from tg_data_connector_ray.pipelines.relational import revenue_by_mktsegment
+
+    got = revenue_by_mktsegment(SF)
+    exp = ddb(
+        """
+        SELECT c_mktsegment, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+    assert got["c_mktsegment"].tolist() == exp["c_mktsegment"].tolist()
+    assert np.allclose(got["revenue"].to_numpy(), exp["revenue"].to_numpy())
+    assert got["n_orders"].tolist() == exp["n_orders"].tolist()
+
+
+def test_hash_join_topk_matches_duckdb():
+    from tg_data_connector_ray.pipelines.relational import top_orders_by_revenue
+
+    got = top_orders_by_revenue(SF, k=10)
+    exp = ddb(
+        """
+        SELECT o_orderkey, sum(l_extendedprice*(1-l_discount)) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """
+    )
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert np.allclose(got["revenue"].to_numpy(), exp["revenue"].to_numpy())
+
+
+def test_sort_topk_and_distinct():
+    from tg_data_connector_ray.pipelines.relational import (
+        distinct_event_types,
+        top_customers_by_balance,
+    )
+
+    got = top_customers_by_balance(SF, k=5)
+    exp = ddb("SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_acctbal DESC LIMIT 5")
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    t = distinct_event_types(SF)
+    exp2 = ddb("SELECT DISTINCT event_type FROM events ORDER BY 1")
+    assert t["event_type"].to_pylist() == exp2["event_type"].tolist()
+
+
+def test_window_and_cdc_merge_events():
+    from tg_data_connector_ray.pipelines.relational import cdc_merge_events, events_hourly_window
+
+    got = events_hourly_window(SF)
+    exp = ddb(
+        """
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+               sum(value) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    assert len(got) == len(exp)
+    assert np.allclose(got["sum_value"].to_numpy(), exp["sum_value"].to_numpy())
+    assert got["n"].tolist() == exp["n"].tolist()
+
+    m = cdc_merge_events(SF)
+    exp2 = ddb(
+        """
+        SELECT user_id, event_type, event_id, value, ts FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY event_id DESC) AS rn
+          FROM events) WHERE rn = 1 ORDER BY user_id, event_type
+        """
+    )
+    assert m["event_id"].tolist() == exp2["event_id"].tolist()
+    assert np.allclose(m["value"].to_numpy(), exp2["value"].to_numpy())

@@ -1,0 +1,223 @@
+"""CSV source (reference semantics), file sinks (writeMode), cast matrix,
+and the config-driven job runner."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from tg_data_connector_ray.sinks.files import WriteModeError, prepare_output_dir, write_delimited
+from tg_data_connector_ray.sources.csv import ColumnSpec, read_csv_source
+from tg_data_connector_ray.stages.casts import (
+    cast_string_to_bool,
+    cast_string_to_date,
+    cast_string_to_double,
+    cast_string_to_long,
+)
+
+
+# ---- cast matrix ------------------------------------------------------------
+
+def S(*vals):
+    return pa.array(list(vals), type=pa.string())
+
+
+def test_cast_long_truncates_and_rejects():
+    vals, bad = cast_string_to_long(S("42", "  7 ", "123.99", "-3.7", "x", "NaN", "Infinity", None))
+    assert vals.to_pylist() == [42, 7, 123, -3, None, None, None, None]
+    assert bad.tolist() == [False, False, False, False, True, True, True, False]
+
+
+def test_cast_double_accepts_nan_infinity():
+    vals, bad = cast_string_to_double(S("1.5", "NaN", "Infinity", "-Infinity", "zz", None))
+    got = vals.to_pylist()
+    assert got[0] == 1.5
+    assert got[1] != got[1]  # NaN
+    assert got[2] == float("inf") and got[3] == float("-inf")
+    assert bad.tolist() == [False, False, False, False, True, False]
+
+
+def test_cast_bool_strict():
+    vals, bad = cast_string_to_bool(S("true", "FALSE", "True", "1", "yes", None))
+    assert vals.to_pylist() == [True, False, True, None, None, None]
+    assert bad.tolist() == [False, False, False, True, True, False]
+
+
+def test_cast_date_multiformat():
+    vals, bad = cast_string_to_date(S("2026-01-02 03:04:05", "2026-01-02", "xx", None))
+    assert bad.tolist() == [False, False, True, False]
+    assert str(vals[0]) == "2026-01-02 03:04:05"
+    assert str(vals[1]) == "2026-01-02 00:00:00"
+
+
+# ---- CSV source -------------------------------------------------------------
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    p = tmp_path / "in"
+    os.makedirs(p)
+    (p / "a.csv").write_text(
+        "id,name,score,flag,when\n"
+        "1,alice,3.5,true,2026-01-01 10:00:00\n"
+        "2,\\N,7.25,false,2026-01-02 11:30:00\n"
+        "3,carol,bad,true,2026-01-03 12:00:00\n"
+    )
+    return str(p)
+
+
+def test_csv_all_strings_default(csv_dir):
+    ds = read_csv_source(csv_dir, skip_header=True)
+    rows = ds.take_all()
+    assert rows[0] == {"f0": "1", "f1": "alice", "f2": "3.5", "f3": "true", "f4": "2026-01-01 10:00:00"}
+    assert all(isinstance(v, str) for v in rows[1].values())
+
+
+def test_csv_column_spec_cast_and_constants(csv_dir, tmp_path):
+    dirty = str(tmp_path / "dirty")
+    ds = read_csv_source(
+        csv_dir,
+        skip_header=True,
+        null_format="\\N",
+        dirty_dir=dirty,
+        columns=[
+            ColumnSpec(index=0, type="long", name="id"),
+            ColumnSpec(index=1, type="string", name="name"),
+            ColumnSpec(index=2, type="double", name="score"),
+            ColumnSpec(index=3, type="boolean", name="flag"),
+            ColumnSpec(index=4, type="date", name="when"),
+            ColumnSpec(value="fixed", type="string", name="const"),
+        ],
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    # row 3 has score="bad" -> dirty, dropped
+    assert [r["id"] for r in rows] == [1, 2]
+    assert rows[1]["name"] is None  # nullFormat applied
+    assert rows[0]["score"] == 3.5 and rows[0]["flag"] is True
+    assert rows[0]["const"] == "fixed"
+    assert str(rows[0]["when"]) == "2026-01-01 10:00:00"
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(dirty).to_table().num_rows == 1
+
+
+def test_csv_out_of_bounds_index_is_dirty(csv_dir):
+    ds = read_csv_source(
+        csv_dir, skip_header=True, columns=[ColumnSpec(index=99, type="string", name="x")]
+    )
+    assert ds.count() == 0
+
+
+# ---- sinks ------------------------------------------------------------------
+
+def test_write_modes(tmp_path):
+    out = str(tmp_path / "out")
+    prepare_output_dir(out, "truncate")
+    open(os.path.join(out, "leftover.txt"), "w").write("x")
+    prepare_output_dir(out, "truncate")
+    assert os.listdir(out) == []
+    open(os.path.join(out, "keep.txt"), "w").write("x")
+    prepare_output_dir(out, "append")
+    assert os.listdir(out) == ["keep.txt"]
+    with pytest.raises(WriteModeError):
+        prepare_output_dir(out, "nonConflict")
+
+
+def test_write_delimited_nullformat_dateformat(tmp_path):
+    out = str(tmp_path / "csvout")
+    t = pa.table(
+        {
+            "a": pa.array([1, 2], pa.int64()),
+            "b": pa.array(["x", None], pa.string()),
+            "ts": pa.array([0, 3_600_000_000], pa.timestamp("us")),
+        }
+    )
+    write_delimited(
+        ray.data.from_arrow(t), out, delimiter="|", null_format="\\N",
+        date_format="%Y-%m-%d %H:%M:%S",
+    )
+    content = "".join(
+        open(os.path.join(out, f)).read() for f in sorted(os.listdir(out))
+    )
+    lines = sorted(l for l in content.splitlines() if l)
+    # every value serialized as string; arrow CSV quotes strings
+    assert lines == ['"1"|"x"|"1970-01-01 00:00:00"', '"2"|"\\N"|"1970-01-01 01:00:00"']
+
+
+# ---- job runner -------------------------------------------------------------
+
+def test_run_job_end_to_end(tmp_path, csv_dir):
+    from tg_data_connector_ray.pipelines.runner import run_job
+
+    outdir = str(tmp_path / "jobout")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "csv",
+                        "parameter": {
+                            "path": csv_dir,
+                            "skipHeader": True,
+                            "nullFormat": "\\N",
+                            "column": [
+                                {"index": 0, "type": "long", "name": "id"},
+                                {"index": 1, "type": "string", "name": "name"},
+                                {"index": 3, "type": "boolean", "name": "flag"},
+                            ],
+                        },
+                    },
+                    "transformer": [
+                        {"name": "dx_filter", "parameter": {"column": "flag", "op": "=", "value": "false"}}
+                    ],
+                    "writer": {"name": "parquet", "parameter": {"path": outdir}},
+                }
+            ],
+            "setting": {"errorLimit": {"record": 10}},
+        }
+    }
+    metrics = run_job(cfg)
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(outdir).to_table().sort_by("id")
+    # flag=false row dropped by the inverted filter
+    assert got["id"].to_pylist() == [1, 3]
+    assert metrics["read_records"] == 3
+    assert metrics["filtered_records"] == 1
+
+
+def test_run_job_dry_run_and_error_limit(tmp_path, csv_dir):
+    from tg_data_connector_ray.pipelines.runner import JobErrorLimit, run_job
+
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "csv", "parameter": {"path": csv_dir, "password": "secret"}},
+                    "writer": {"name": "stream", "parameter": {}},
+                }
+            ],
+            "setting": {"dryRun": True},
+        }
+    }
+    res = run_job(cfg)
+    assert res["dry_run"] is True
+    assert res["config"]["job"]["content"][0]["reader"]["parameter"]["password"] == "******"
+
+    cfg2 = {
+        "job": {
+            "content": [
+                {
+                    "reader": {"name": "parquet", "parameter": {"path": "/root/testdata/sf0.001/documents.parquet"}},
+                    "transformer": [
+                        {"name": "dx_substr", "parameter": {"column": "text", "start": 100000, "length": 1}}
+                    ],
+                    "writer": {"name": "parquet", "parameter": {"path": str(tmp_path / "o2")}},
+                }
+            ],
+            "setting": {"errorLimit": {"record": 1}},
+        }
+    }
+    with pytest.raises(JobErrorLimit):
+        run_job(cfg2)

@@ -1,0 +1,241 @@
+"""Config-driven job runner — the analogue of the reference's job JSON +
+Engine/JobContainer lifecycle (README.md:72-108; JobContainer.java:95-186),
+re-expressed as ONE lazy Ray Data pipeline instead of channelized
+reader/writer thread pairs.
+
+Job shape (JSON-compatible dict):
+
+    {"job": {"content": [{
+        "reader":      {"name": "parquet"|"csv", "parameter": {...}},
+        "transformer": [{"name": "dx_substr", "parameter": {...}}, ...],
+        "writer":      {"name": "parquet"|"csv"|"stream", "parameter": {...}}
+     }],
+     "setting": {"errorLimit": {"record": N, "percentage": P},
+                 "dryRun": false}}}
+
+Lifecycle parity:
+- dryRun validates config + input existence + output-mode without moving
+  data (reference preCheck, JobContainer.java:188-198);
+- errorLimit enforced at job end, record-limit priority
+  (ErrorRecordChecker.java:25-81);
+- metrics mirror read/write/transformer counters (CommunicationTool.java)
+  gathered by a small counter actor (the analogue of the reference's
+  Communication tree — the one shared-mutable-state actor in the engine);
+- readers/writers/transformers are looked up in registries keyed by
+  config `name` (the plugin-SPI analogue, SURVEY.md §2.7);
+- post-run hooks: callables invoked with the metrics dict
+  (Hook SPI, HookInvoker.java:42-89).
+- sensitive config values (*password*, *accessKey*) are masked in logs
+  (Engine.java:110-120).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sinks.files import prepare_output_dir, write_delimited, write_parquet_sink
+from ..sources.csv import ColumnSpec, read_csv_source
+from ..stages.transforms import TransformSpec, apply_chain
+
+
+class JobConfigError(ValueError):
+    pass
+
+
+class JobErrorLimit(RuntimeError):
+    pass
+
+
+@ray.remote(num_cpus=0)
+class _Counters:
+    """Job-wide metric accumulator (read/write/filter/dirty records)."""
+
+    def __init__(self):
+        self.c = {}
+
+    def add(self, **kv):
+        for k, v in kv.items():
+            self.c[k] = self.c.get(k, 0) + v
+
+    def get(self):
+        return dict(self.c)
+
+
+def mask_sensitive(cfg: dict) -> dict:
+    def walk(x):
+        if isinstance(x, dict):
+            return {
+                k: ("******" if any(s in k.lower() for s in ("password", "accesskey")) else walk(v))
+                for k, v in x.items()
+            }
+        if isinstance(x, list):
+            return [walk(v) for v in x]
+        return x
+
+    return walk(cfg)
+
+
+# --- reader registry --------------------------------------------------------
+
+def _read_parquet(param: dict) -> "ray.data.Dataset":
+    kwargs = {}
+    if param.get("columns"):
+        kwargs["columns"] = list(param["columns"])
+    return ray.data.read_parquet(param["path"], **kwargs)
+
+
+def _read_csv(param: dict) -> "ray.data.Dataset":
+    columns = None
+    if param.get("column"):
+        columns = [
+            ColumnSpec(
+                index=c.get("index"),
+                value=c.get("value"),
+                type=c.get("type", "string"),
+                format=c.get("format"),
+                name=c.get("name"),
+            )
+            for c in param["column"]
+        ]
+    return read_csv_source(
+        param["path"],
+        delimiter=param.get("fieldDelimiter", ","),
+        skip_header=param.get("skipHeader", False),
+        null_format=param.get("nullFormat"),
+        columns=columns,
+        encoding=param.get("encoding", "utf-8"),
+        dirty_dir=param.get("dirtyDir"),
+    )
+
+
+READERS = {"parquet": _read_parquet, "csv": _read_csv}
+
+
+# --- writer registry --------------------------------------------------------
+
+def _write_parquet(ds, param: dict):
+    write_parquet_sink(
+        ds,
+        param["path"],
+        write_mode=param.get("writeMode", "truncate"),
+        partition_cols=param.get("partitionCols"),
+    )
+
+
+def _write_csv(ds, param: dict):
+    write_delimited(
+        ds,
+        param["path"],
+        delimiter=param.get("fieldDelimiter", ","),
+        null_format=param.get("nullFormat", "\\N"),
+        date_format=param.get("dateFormat"),
+        write_mode=param.get("writeMode", "truncate"),
+        header=param.get("header", False),
+    )
+
+
+def _write_stream(ds, param: dict):
+    # debug sink (reference streamwriter): print first rows
+    n = int(param.get("limit", 20))
+    for row in ds.take(n):
+        print(json.dumps(row, default=str))
+
+
+WRITERS = {"parquet": _write_parquet, "csv": _write_csv, "stream": _write_stream}
+
+POST_HOOKS: list = []
+
+
+def register_reader(name, fn):
+    READERS[name] = fn
+
+
+def register_writer(name, fn):
+    WRITERS[name] = fn
+
+
+def register_hook(fn):
+    POST_HOOKS.append(fn)
+
+
+def _chain_with_metrics(batch: pa.Table, specs, counters, dirty_dir) -> pa.Table:
+    res = apply_chain(batch, specs)
+    counters.add.remote(
+        read_records=batch.num_rows,
+        filtered_records=res.filtered,
+        dirty_records=res.dirty,
+        written_records=res.table.num_rows,
+    )
+    if res.dirty_rows is not None and dirty_dir:
+        from ..util import atomic_write_parquet, new_token
+
+        os.makedirs(dirty_dir, exist_ok=True)
+        atomic_write_parquet(
+            os.path.join(dirty_dir, f"dirty-{new_token()}.parquet"), res.dirty_rows
+        )
+    return res.table
+
+
+def run_job(config: dict) -> dict:
+    """Execute one job config; returns the metrics dict."""
+    try:
+        content = config["job"]["content"][0]
+        reader = content["reader"]
+        writer = content["writer"]
+    except (KeyError, IndexError) as e:
+        raise JobConfigError(f"malformed job config: {e}") from e
+    setting = config["job"].get("setting", {})
+    transformers = content.get("transformer", [])
+
+    if reader["name"] not in READERS:
+        raise JobConfigError(f"unknown reader {reader['name']!r}")
+    if writer["name"] not in WRITERS:
+        raise JobConfigError(f"unknown writer {writer['name']!r}")
+    specs = [
+        TransformSpec(
+            name=t["name"],
+            col=t.get("parameter", {}).get("columnIndex", t.get("parameter", {}).get("column")),
+            params={k: v for k, v in t.get("parameter", {}).items() if k not in ("columnIndex", "column")},
+        )
+        for t in transformers
+    ]
+
+    if setting.get("dryRun"):
+        # preCheck: inputs exist, writer dir viable, transformer names known
+        p = reader["parameter"].get("path")
+        if p and not os.path.exists(p):
+            raise JobConfigError(f"reader path missing: {p}")
+        for s in specs:
+            if s.name not in ("dx_substr", "dx_pad", "dx_replace", "dx_filter", "dx_udf"):
+                raise JobConfigError(f"unknown transformer {s.name}")
+        return {"dry_run": True, "config": mask_sensitive(config)}
+
+    counters = _Counters.remote()
+    ds = READERS[reader["name"]](reader.get("parameter", {}))
+    dirty_dir = writer.get("parameter", {}).get("dirtyDir")
+    ds = ds.map_batches(
+        partial(_chain_with_metrics, specs=specs, counters=counters, dirty_dir=dirty_dir),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    WRITERS[writer["name"]](ds, writer.get("parameter", {}))
+
+    metrics = ray.get(counters.get.remote())
+    # reference ErrorRecordChecker: record limit first, then percentage
+    el = setting.get("errorLimit", {})
+    dirty = metrics.get("dirty_records", 0)
+    total = metrics.get("read_records", 0)
+    if el.get("record") is not None and dirty > el["record"]:
+        raise JobErrorLimit(f"dirty records {dirty} > limit {el['record']}")
+    if el.get("percentage") is not None and total and dirty / total > el["percentage"]:
+        raise JobErrorLimit(f"dirty ratio {dirty/total:.4f} > {el['percentage']}")
+    for hook in POST_HOOKS:
+        hook(dict(metrics))
+    return metrics
