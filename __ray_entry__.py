@@ -1,44 +1,375 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay on a deterministic fixture;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (CDC core, transformer parity, relational breadth, dedup,
+similarity, text analysis); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible query (same column names).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE import: nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+_FIXTURE_CACHE = "/tmp/graft_fixture_cache"
+_CDC_OUT = "/tmp/graft_cdc_out"
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base if base.startswith("sf") else "sf0.01"
+
+
+def _cdc_tier(sf_dir: str) -> str:
+    return {"sf0.001": "t1", "sf0.01": "t2", "sf0.1": "t2"}.get(_sf_of(sf_dir), "t2")
+
+
+def _run_cdc(sf_dir: str):
+    """Flagship: deterministic transcript CDC fixture -> full replay ->
+    converged table (sorted, the north-rule invariant ordering)."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    tier = _cdc_tier(sf_dir)
+    fx = write_fixture(_FIXTURE_CACHE, tier)
+    out = os.path.join(_CDC_OUT, tier)
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)  # idempotent: same run_id -> skip
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out, "table")).to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _run_cdc("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+
+def _docs(sf_dir):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tf_substr(sf_dir):
+    from tg_data_connector_ray.stages.transforms import TransformSpec, chain_stage
+
+    ds = _docs(sf_dir).map_batches(
+        chain_stage([TransformSpec("dx_substr", "text", {"start": 5, "length": 40})]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "text"])
+
+
+def _tf_pad(sf_dir):
+    from tg_data_connector_ray.stages.transforms import TransformSpec, chain_stage
+
+    ds = _docs(sf_dir).map_batches(
+        chain_stage(
+            [TransformSpec("dx_pad", "source", {"pad_type": "l", "length": 8, "pad_string": "xy"})]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "source"])
+
+
+def _tf_replace(sf_dir):
+    from tg_data_connector_ray.stages.transforms import TransformSpec, chain_stage
+
+    ds = _docs(sf_dir).map_batches(
+        chain_stage(
+            [TransformSpec("dx_replace", "source", {"start": 2, "length": 2, "replace": "XY"})]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return ds.select_columns(["doc_id", "source"])
+
+
+def _tf_filter(sf_dir):
+    from tg_data_connector_ray.stages.transforms import TransformSpec, chain_stage
+
+    specs = [
+        TransformSpec("dx_filter", "lang", {"op": "=", "value": "en"}),  # drops en
+        TransformSpec("dx_filter", "n_chars", {"op": "<", "value": "50"}),  # drops tiny
+    ]
+    ds = _docs(sf_dir).map_batches(
+        chain_stage(specs), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _events_filter_project(sf_dir):
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def f(t):
+        keep = pc.and_(pc.equal(t["event_type"], "purchase"), pc.greater(t["value"], 100.0))
+        return t.filter(keep).select(["event_id", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _dedup_exact(sf_dir):
+    from tg_data_connector_ray.ops.dedup import exact_dedup_ids
+
+    return exact_dedup_ids(_docs(sf_dir))
+
+
+def _dedup_minhash(sf_dir):
+    from tg_data_connector_ray.ops.dedup import minhash_dedup_ids
+
+    return minhash_dedup_ids(_docs(sf_dir), threshold=0.8)
+
+
+def _dedup_simhash(sf_dir):
+    from tg_data_connector_ray.ops.dedup import simhash_dedup_ids
+
+    return simhash_dedup_ids(_docs(sf_dir), max_hamming=3)
+
+
+def _ngram_jaccard(sf_dir):
+    from tg_data_connector_ray.ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8)
+
+
+def _embedding_near_dup(sf_dir):
+    import ray.data
+
+    from tg_data_connector_ray.ops.dedup import embedding_near_dup_pairs
+
+    embs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(embs, threshold=0.99)
+
+
+def _ann_topk(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tg_data_connector_ray.ops.similarity import brute_force_topk
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path).slice(0, 3)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    embs = ray.data.read_parquet(path)
+    out = brute_force_topk(embs, q, k=5)
+    return out.select(["query_id", "vec_id"])
+
+
+def _ivf_ann(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tg_data_connector_ray.ops.similarity import IvfIndex
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path).slice(0, 3)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    embs = ray.data.read_parquet(path)
+    idx = IvfIndex(n_centroids=16, iters=5).fit(embs)
+    return idx.search(idx.assign(embs), q, k=5, nprobe=6).select(["query_id", "vec_id"])
+
+
+def _text_quality(sf_dir):
+    from tg_data_connector_ray.ops.text import quality_batch
+
+    ds = _docs(sf_dir).map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(
+        ["doc_id", "n_chars_m", "n_tokens", "n_punct", "punct_ratio", "digit_ratio"]
+    )
+
+
+def _text_fingerprint(sf_dir):
+    from tg_data_connector_ray.ops.text import fingerprint_batch
+
+    ds = _docs(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(["doc_id", "fingerprint"])
+
+
+def _text_langid(sf_dir):
+    from tg_data_connector_ray.ops.text import LangId
+    from tg_data_connector_ray.util import default_pool_size
+
+    ds = _docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", concurrency=default_pool_size()
+    )
+    return ds.select_columns(["doc_id", "lang_pred"])
+
+
+def _csv_roundtrip(sf_dir):
+    """documents -> delimited text (our sink) -> CSV source (our reader,
+    column-spec casts) -> identity; proves CSV read/write parity."""
+    import ray.data
+
+    from tg_data_connector_ray.sinks.files import write_delimited
+    from tg_data_connector_ray.sources.csv import ColumnSpec, read_csv_source
+
+    tmp = os.path.join("/tmp/graft_csv_roundtrip", _sf_of(sf_dir))
+    ds = _docs(sf_dir).select_columns(["doc_id", "lang", "source", "n_chars"])
+    write_delimited(ds, tmp, delimiter="|", null_format="\\N", write_mode="truncate")
+    return read_csv_source(
+        tmp,
+        delimiter="|",
+        null_format="\\N",
+        columns=[
+            ColumnSpec(index=0, type="long", name="doc_id"),
+            ColumnSpec(index=1, type="string", name="lang"),
+            ColumnSpec(index=2, type="string", name="source"),
+            ColumnSpec(index=3, type="long", name="n_chars"),
+        ],
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from tg_data_connector_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDC core (fixtures; conformance in pytest, rows-check here) ---
+        "cdc_replay": _run_cdc,
+        # --- CDC-flavored merge + stream windows over the events table ---
+        "cdc_merge_events": R.cdc_merge_events,
+        "events_hourly_window": R.events_hourly_window,
+        "events_filter_project": _events_filter_project,
+        # --- relational breadth ---
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "revenue_by_mktsegment": R.revenue_by_mktsegment,
+        "top_orders_by_revenue": R.top_orders_by_revenue,
+        "top_customers_by_balance": R.top_customers_by_balance,
+        "distinct_event_types": R.distinct_event_types,
+        # --- transformer-chain parity (reference dx_*) ---
+        "tf_substr": _tf_substr,
+        "tf_pad": _tf_pad,
+        "tf_replace": _tf_replace,
+        "tf_filter": _tf_filter,
+        # --- dedup family ---
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ngram_jaccard": _ngram_jaccard,
+        "embedding_near_dup": _embedding_near_dup,
+        # --- similarity search ---
+        "ann_topk": _ann_topk,
+        "ivf_ann": _ivf_ann,
+        # --- text analysis ---
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "text_langid": _text_langid,
+        # --- CSV source/sink parity ---
+        "csv_roundtrip": _csv_roundtrip,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_merge_events": """
+            SELECT user_id, event_type, event_id, value, ts FROM (
+              SELECT event_id, user_id, event_type, value, ts,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY event_id DESC) AS rn
+              FROM events) t WHERE rn = 1
+        """,
+        "events_hourly_window": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_filter_project": """
+            SELECT event_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+                   count(*) AS count_order,
+                   round(sum(l_quantity)/count(*), 2) AS avg_qty,
+                   round(sum(l_extendedprice)/count(*), 2) AS avg_price,
+                   round(sum(l_discount)/count(*), 2) AS avg_disc
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY 1, 2
+        """,
+        "revenue_by_mktsegment": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        """,
+        "top_orders_by_revenue": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+                   any_value(o_custkey) AS o_custkey,
+                   any_value(o_orderdate) AS o_orderdate
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, o_orderkey LIMIT 10
+        """,
+        "top_customers_by_balance": """
+            SELECT c_custkey, c_name, c_acctbal FROM customer
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+        """,
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "tf_substr": """
+            SELECT doc_id, substr(text, 6, 40) AS text FROM documents
+            WHERE length(text) >= 5
+        """,
+        "tf_pad": "SELECT doc_id, lpad(source, 8, 'xy') AS source FROM documents",
+        "tf_replace": """
+            SELECT doc_id,
+                   substr(source, 1, 2) || 'XY' || substr(source, 5) AS source
+            FROM documents WHERE length(source) >= 2
+        """,
+        "tf_filter": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE NOT (lang = 'en') AND NOT (n_chars < 50)
+        """,
+        "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "ann_topk": """
+            SELECT query_id, vec_id FROM (
+              SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
+                     row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e2.embedding, e.embedding) DESC,
+                                 e2.vec_id) AS rn
+              FROM embeddings e CROSS JOIN embeddings e2
+              WHERE e.vec_id < 3) t
+            WHERE rn <= 5
+        """,
+        "text_quality": """
+            SELECT doc_id, length(text) AS n_chars_m,
+                   length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+                   length(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+                   CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+                     / greatest(length(text), 1) AS punct_ratio,
+                   CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                     / greatest(length(text), 1) AS digit_ratio
+            FROM documents
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "csv_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
+    }

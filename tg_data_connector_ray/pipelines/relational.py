@@ -71,9 +71,13 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
         Sum("count_order", alias_name="count_order"),
     )
     df = out.to_pandas()
-    df["avg_qty"] = df["sum_qty"] / df["count_order"]
-    df["avg_price"] = df["sum_base_price"] / df["count_order"]
-    df["avg_disc"] = df["sum_disc"] / df["count_order"]
+    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(2)
+    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(2)
+    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(2)
+    # float sums are rounded to 2dp: distributed summation order differs
+    # from any single-pass oracle in the last ulps
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
+        df[c] = df[c].round(2)
     df = df.drop(columns=["sum_disc"])
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -110,7 +114,9 @@ def revenue_by_mktsegment(sf_dir: str):
         .groupby("c_mktsegment")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
-    return out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(2)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -180,7 +186,9 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     joined = hash_join(li_rev, orders, on="o_orderkey", num_buckets=16)
     top = joined.sort("revenue", descending=True).limit(k)
     df = top.to_pandas()
-    return df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
+    df["revenue"] = df["revenue"].round(2)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -224,7 +232,9 @@ def events_hourly_window(sf_dir: str):
         .groupby(["event_type", "hour"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     )
-    return out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    df = out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
+    df["sum_value"] = df["sum_value"].round(2)
+    return df
 
 
 def cdc_merge_events(sf_dir: str):
