@@ -1,0 +1,188 @@
+"""Benchmark harness.
+
+Headline: the flagship CDC replay — a deterministic ~2M-event transcript
+change log (FIXTURES.md bench tier, cached under /tmp) replayed end-to-end
+into converged partitioned Parquet.  Metric: wall seconds (and derived
+events/sec) — the BASELINE.json target metric.
+
+Also times a breadth sample of queries() over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
+   "events_per_sec": N, "queries": {...}, "sf": ..., "num_cpus": N}
+
+`--scaling`: runs the headline job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 on the SAME input (page cache warmed) and reports
+throughput at both plus scaling efficiency — the sandbox evidence for the
+north rule's two-cluster-size criterion.
+
+Env knobs: GRAFT_SF_DIR, RAY_GRAFT_CPUS, GRAFT_BENCH_CONVS (default
+120_000 -> ~1.9M events), GRAFT_BENCH_PARTITIONS (default 96).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "120000"))
+BENCH_PARTS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "96"))
+FIXTURE_CACHE = os.environ.get("GRAFT_FIXTURE_CACHE", "/tmp/graft_fixture_cache")
+
+
+def ensure_bench_fixture() -> dict:
+    from tg_data_connector_ray.fixtures import FixtureSpec, write_fixture
+
+    spec = FixtureSpec(n_convs=BENCH_CONVS, n_files=64)
+    return write_fixture(FIXTURE_CACHE, f"bench{BENCH_CONVS}", spec)
+
+
+def warm_page_cache(paths: "list[str]") -> None:
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+
+def run_cdc_bench() -> dict:
+    import ray.data
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+
+    fx = ensure_bench_fixture()
+    log_dir = fx["cdc_log"]
+    files = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))]
+    warm_page_cache(files)
+    # warmup: force Ray worker spawn + library imports in every worker so
+    # the timed section measures the pipeline, not session cold-start
+    import tg_data_connector_ray.cdc.merge  # noqa: F401
+
+    def _touch(b):
+        import tg_data_connector_ray.cdc.merge  # noqa: F401
+        return b
+
+    ray.data.read_parquet(files).map_batches(
+        _touch, batch_format="pyarrow", zero_copy_batch=True
+    ).count()
+
+    out = f"/tmp/graft_bench_out/cdc-{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = CdcConfig(out_dir=out, num_partitions=BENCH_PARTS)
+    t0 = time.monotonic()
+    summary = apply_cdc(files, cfg)
+    wall = time.monotonic() - t0
+    events = summary["events_in"]
+    return {"sec": wall, "events": events, "events_per_sec": events / wall}
+
+
+def run_query_bench() -> dict:
+    import __ray_entry__ as E
+
+    qs = E.queries()
+    sample = [
+        "q1_pricing_summary",
+        "revenue_by_mktsegment",
+        "top_orders_by_revenue",
+        "events_hourly_window",
+        "dedup_exact",
+        "ann_topk",
+        "text_fingerprint",
+    ]
+    out = {}
+    for name in sample:
+        t0 = time.monotonic()
+        res = qs[name](SF_DIR)
+        # consume lazily-built Datasets so the pipeline actually runs
+        if type(res).__module__.startswith("ray.data"):
+            res.to_pandas()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main_single() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    cdc = run_cdc_bench()
+    queries = {} if os.environ.get("GRAFT_BENCH_CDC_ONLY") else run_query_bench()
+    result = {
+        "metric": "cdc_replay_sec",
+        "value": round(cdc["sec"], 3),
+        "unit": "sec",
+        "events": cdc["events"],
+        "events_per_sec": round(cdc["events_per_sec"], 1),
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_convs": BENCH_CONVS,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_subprocess(ncpu: int, cdc_only: bool = True) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if cdc_only:
+        env["GRAFT_BENCH_CDC_ONLY"] = "1"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        # same input, two fresh processes; fixture generated+cached first
+        ensure_bench_fixture()
+        lo_cpus, hi_cpus = 8, 32
+        lo = run_subprocess(lo_cpus)
+        hi = run_subprocess(hi_cpus)
+        t_lo, t_hi = lo["value"], hi["value"]
+        eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
+        print(
+            json.dumps(
+                {
+                    "metric": "cdc_scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": t_lo,
+                    "sec_32": t_hi,
+                    "events_per_sec_8": lo["events_per_sec"],
+                    "events_per_sec_32": hi["events_per_sec"],
+                    "events": hi["events"],
+                    "cpus": [lo_cpus, hi_cpus],
+                }
+            )
+        )
+        return
+    result = main_single()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""SQL source (JDBC-reader analogue) tests using stdlib sqlite3."""
+
+import os
+import sqlite3
+
+import pytest
+
+from tg_data_connector_ray.sources.sql import (
+    SqlSourceConfig,
+    build_query,
+    expand_table_pattern,
+    filter_paths_regex,
+    read_sql_source,
+)
+
+
+@pytest.fixture(scope="module")
+def db_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("db") / "t.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE items (id INTEGER, name TEXT, qty INTEGER)")
+    con.executemany(
+        "INSERT INTO items VALUES (?, ?, ?)",
+        [(i, f"item{i}", i * 10) for i in range(1, 51)] + [(None, "nullpk", 999)],
+    )
+    con.commit()
+    con.close()
+    return p
+
+
+def test_build_query_modes():
+    assert build_query(SqlSourceConfig(table="t")) == "SELECT * FROM t"
+    assert (
+        build_query(SqlSourceConfig(table="t", columns=("a", "b"), where="a > 1"))
+        == "SELECT a, b FROM t WHERE a > 1"
+    )
+    # querySql wins (reference join pushdown path)
+    assert build_query(SqlSourceConfig(table="t", query_sql="SELECT 1")) == "SELECT 1"
+
+
+def test_read_sql_table_mode(db_path):
+    ds = read_sql_source(
+        lambda: sqlite3.connect(db_path),
+        SqlSourceConfig(table="items", columns=("id", "qty"), where="qty >= 100"),
+    )
+    rows = sorted(ds.take_all(), key=lambda r: (r["id"] is None, r["id"]))
+    assert len(rows) == 42  # ids 10..50 plus the null-pk row (qty 999)
+    assert rows[0] == {"id": 10, "qty": 100}
+
+
+def test_read_sql_pk_split_includes_null_tail(db_path):
+    ds = read_sql_source(
+        lambda: sqlite3.connect(db_path),
+        SqlSourceConfig(table="items", split_pk="id", num_splits=4),
+    )
+    rows = ds.take_all()
+    assert len(rows) == 51  # all rows, no dup/loss across range splits
+    assert sum(1 for r in rows if r["id"] is None) == 1
+
+
+def test_expand_table_pattern():
+    assert expand_table_pattern("tbl[1-3]") == ["tbl1", "tbl2", "tbl3"]
+    assert expand_table_pattern("t[09-11]_x") == ["t09_x", "t10_x", "t11_x"]
+    assert expand_table_pattern("plain") == ["plain"]
+
+
+def test_filter_paths_regex():
+    paths = ["/a/part-1.csv", "/a/part-2.csv", "/a/readme.md", "/a/part-1.csv"]
+    assert filter_paths_regex(paths, [r"part-\d+\.csv$"]) == [
+        "/a/part-1.csv",
+        "/a/part-2.csv",
+    ]

@@ -334,27 +334,56 @@ class MergeApply:
         self.run_id = run_id
         self.policy = policy or cfg.orphan_updates
 
-    def __call__(self, group: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Two input shapes:
+        - spool descriptors (column `part_dir`): read each partition's
+          spooled events and merge it — the default exchange path;
+        - an event group (column `part`): direct groupby path.
+        """
+        if "part_dir" in batch.column_names:
+            outs = [self.apply_spool_dir(d) for d in batch["part_dir"].to_pylist()]
+            return pa.concat_tables(outs)
+        return self.apply_events(int(batch["part"][0].as_py()), batch.drop_columns(["part"]))
+
+    def apply_spool_dir(self, part_dir: str) -> pa.Table:
+        import pyarrow.dataset as pads
+
+        # hive dir name: .../part=NNNNN
+        part = int(os.path.basename(part_dir.rstrip("/")).split("=")[1])
+        skipped = self._skipped_lineage(part)
+        if skipped is not None:  # committed in a prior attempt of this run
+            return skipped
+        events = pads.dataset(part_dir).to_table(
+            columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        return self.apply_events(part, events)
+
+    def _skipped_lineage(self, part: int) -> "pa.Table | None":
+        run_path = os.path.join(self.cfg.lineage_dir(part), f"{self.run_id}.json")
+        if not os.path.exists(run_path):
+            return None
+        rec = read_json(run_path)
+        rec["status"] = "skipped"
+        return _lineage_table(rec)
+
+    def apply_events(self, part: int, group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         cfg = self.cfg
-        part = group["part"][0].as_py()
         events_in = group.num_rows
 
         ldir = cfg.lineage_dir(part)
         run_path = os.path.join(ldir, f"{self.run_id}.json")
-        if os.path.exists(run_path):
+        skipped = self._skipped_lineage(part)
+        if skipped is not None:
             # resume: this (partition, run) already committed — exactly-once
-            rec = read_json(run_path)
-            rec["status"] = "skipped"
-            rec["wall_s"] = time.monotonic() - t0
-            return _lineage_table(rec)
+            return skipped
 
         latest_path = os.path.join(ldir, "_latest.json")
         watermark = -1
         if os.path.exists(latest_path):
             watermark = read_json(latest_path).get("watermark", -1)
 
-        events = group.drop_columns(["part"])
+        events = group
         prefiltered = 0
         if cfg.prefilter_watermark and watermark >= 0 and events.num_rows:
             m = pa.compute.greater(events["lsn"], watermark)

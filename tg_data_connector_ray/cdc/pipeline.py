@@ -41,6 +41,106 @@ class ErrorLimitExceeded(RuntimeError):
     pass
 
 
+def _merge_task(group, *, cfg: CdcConfig, run_id: str):
+    """Task-mode wrapper: MergeApply constructed per call (stateless init)."""
+    return MergeApply(cfg, run_id)(group)
+
+
+def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
+    """The partition exchange + per-partition merge.
+
+    Default exchange = SPOOL: the normalized event stream is written once
+    as hive-partitioned Parquet (`spool/<run_id>/part=N/`) by the streaming
+    executor — each write task appends only to the partitions present in
+    its batch, so co-location costs ONE parallel write + ONE parallel read
+    with no all-to-all through the object store.  Measured on 1.9M events
+    / 774 MB single-node: spool 4.8 s at 32 CPUs vs 21-41 s for Ray's
+    in-memory groupby shuffle (which also anti-scaled 8->32 CPUs here);
+    on a multi-node cluster the spool lives on shared storage and doubles
+    as a resume point (phase A is skipped when its _SPOOL_DONE marker
+    exists).  `exchange="groupby"` keeps the in-memory path for
+    comparison.
+
+    Phase B maps MergeApply over the partition directories — actor pool
+    (`merge_mode="actors"`) or plain tasks (default) — each call owning
+    one partition end-to-end (read spool + state, fold, atomic commit).
+    """
+    import shutil
+
+    import pandas as pd
+    import ray
+    from ray.data import DataContext
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+
+    if cfg.exchange == "groupby":
+        ds = build_events_dataset(files, cfg, run_id, snapshot_path)
+        ctx = DataContext.get_current()
+        prev = getattr(ctx, "shuffle_strategy", None)
+        if cfg.shuffle_strategy:
+            ctx.shuffle_strategy = cfg.shuffle_strategy
+        try:
+            if cfg.merge_mode == "actors":
+                conc = cfg.merge_concurrency or max(1, min(cfg.num_partitions, cpus - 2))
+                lineage = ds.groupby("part").map_groups(
+                    MergeApply,
+                    batch_format="pyarrow",
+                    fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
+                    concurrency=conc,
+                )
+            else:
+                lineage = ds.groupby("part").map_groups(
+                    partial(_merge_task, cfg=cfg, run_id=run_id),
+                    batch_format="pyarrow",
+                )
+            return lineage.to_pandas()
+        finally:
+            if cfg.shuffle_strategy and prev is not None:
+                ctx.shuffle_strategy = prev
+
+    # --- spool exchange ----------------------------------------------------
+    spool = os.path.join(cfg.out_dir, "spool", run_id)
+    marker = os.path.join(spool, "_SPOOL_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(spool, ignore_errors=True)
+        os.makedirs(spool, exist_ok=True)
+        ds = build_events_dataset(files, cfg, run_id, snapshot_path)
+        ds.write_parquet(spool, partition_cols=["part"])
+        with open(marker, "w") as f:
+            f.write(run_id)
+
+    part_dirs = sorted(
+        os.path.join(spool, d) for d in os.listdir(spool) if d.startswith("part=")
+    )
+    if not part_dirs:
+        from .merge import LINEAGE_SCHEMA
+
+        return pa.table(
+            {f.name: pa.array([], f.type) for f in LINEAGE_SCHEMA}
+        ).to_pandas()
+
+    pds = ray.data.from_items([{"part_dir": d} for d in part_dirs])
+    if cfg.merge_mode == "actors":
+        conc = cfg.merge_concurrency or max(1, min(len(part_dirs), cpus))
+        lineage = pds.map_batches(
+            MergeApply,
+            batch_format="pyarrow",
+            batch_size=1,
+            fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
+            concurrency=conc,
+        )
+    else:
+        lineage = pds.map_batches(
+            partial(_merge_task, cfg=cfg, run_id=run_id),
+            batch_format="pyarrow",
+            batch_size=1,
+        )
+    lin = lineage.to_pandas()
+    if cfg.drop_spool_after_merge:
+        shutil.rmtree(spool, ignore_errors=True)
+    return lin
+
+
 def _expand(paths) -> "list[str]":
     if isinstance(paths, str):
         paths = [paths]
@@ -159,21 +259,9 @@ def apply_cdc(
     run_id = run_id or compute_run_id(files, snapshot_path)
     os.makedirs(cfg.out_dir, exist_ok=True)
 
-    ds = build_events_dataset(files, cfg, run_id, snapshot_path)
     import ray
 
-    # MergeApply actor-pool size: capped by partition count, and leaving
-    # CPUs free for the read/normalize/shuffle stages — a pool that reserves
-    # every CPU starves its own upstream and the pipeline deadlocks.
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    concurrency = cfg.merge_concurrency or max(1, min(cfg.num_partitions, cpus - 2))
-    lineage = ds.groupby("part").map_groups(
-        MergeApply,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
-        concurrency=concurrency,
-    )
-    lin = lineage.to_pandas()  # one row per partition — tiny
+    lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
 
     n_dirty = count_dirty(cfg, run_id)
     events_in = int(lin["events_in"].sum()) if len(lin) else 0

@@ -167,11 +167,15 @@ def register_hook(fn):
 
 def _chain_with_metrics(batch: pa.Table, specs, counters, dirty_dir) -> pa.Table:
     res = apply_chain(batch, specs)
-    counters.add.remote(
-        read_records=batch.num_rows,
-        filtered_records=res.filtered,
-        dirty_records=res.dirty,
-        written_records=res.table.num_rows,
+    # synchronous add: the job reads the counters right after the sink
+    # finishes, so a fire-and-forget add could still be in flight
+    ray.get(
+        counters.add.remote(
+            read_records=batch.num_rows,
+            filtered_records=res.filtered,
+            dirty_records=res.dirty,
+            written_records=res.table.num_rows,
+        )
     )
     if res.dirty_rows is not None and dirty_dir:
         from ..util import atomic_write_parquet, new_token
