@@ -76,7 +76,7 @@ def run_cdc_bench() -> dict:
         _touch, batch_format="pyarrow", zero_copy_batch=True
     ).count()
 
-    out = f"/tmp/graft_bench_out/cdc-{NUM_CPUS}"
+    out = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/graft_bench_out") + f"/cdc-{NUM_CPUS}"
     shutil.rmtree(out, ignore_errors=True)
     cfg = CdcConfig(out_dir=out, num_partitions=BENCH_PARTS)
     t0 = time.monotonic()

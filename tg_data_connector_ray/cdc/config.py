@@ -46,6 +46,11 @@ class CdcConfig:
     # multi-format timestamp parse fallback for string ts columns
     # (reference ColumnCast.java:87-117 datetime->date->time->extra).
     ts_formats: tuple = ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%H:%M:%S")
+    # target bytes per read block: sized so read tasks ~= CPUs on small
+    # inputs while keeping blocks near the Parquet row-group sweet spot on
+    # big ones (spool file count = write tasks x partitions, so fewer,
+    # larger blocks also keep the spool from fragmenting)
+    target_read_block_bytes: int = 128 << 20
     # Partition exchange: "spool" (default) writes the normalized stream
     # once as hive-partitioned Parquet and merges each partition from its
     # directory — one parallel write + one parallel read, no object-store

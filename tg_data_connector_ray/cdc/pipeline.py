@@ -191,9 +191,24 @@ def build_events_dataset(
     files = _expand(event_paths)
     datasets = []
     if files:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        sizes = {f: os.path.getsize(f) for f in files}
+        total_bytes = max(1, sum(sizes.values()))
         groups, _unified = scan_schemas(files)
         for _fp, grp_files in sorted(groups.items()):
-            ds = ray.data.read_parquet(grp_files)
+            gb = sum(sizes[f] for f in grp_files)
+            # block count: enough to keep every CPU busy, but no smaller
+            # than ~target_read_block_bytes per block — too many blocks
+            # multiply spool files (write tasks x partitions) and phase-B
+            # fragment opens
+            nb = max(
+                1,
+                round(cpus * gb / total_bytes),
+                -(-gb // cfg.target_read_block_bytes),
+            )
+            ds = ray.data.read_parquet(grp_files, override_num_blocks=nb)
             datasets.append(
                 ds.map_batches(
                     partial(normalize_batch, cfg=cfg, run_id=run_id),
