@@ -12,13 +12,17 @@ Prints ONE JSON line:
   {"metric": "cdc_replay_sec", "value": <sec>, "unit": "sec",
    "events_per_sec": N, "queries": {...}, "sf": ..., "num_cpus": N}
 
-`--scaling`: runs the headline job in two fresh processes at
-RAY_GRAFT_CPUS=8 and 32 on the SAME input (page cache warmed) and reports
-throughput at both plus scaling efficiency — the sandbox evidence for the
-north rule's two-cluster-size criterion.
+`--scaling`: runs the headline job in fresh processes at N and 4N CPUs
+(default 2 and 8, median of GRAFT_SCALING_TRIALS runs) on the SAME input
+(page cache warmed) and reports throughput at both plus scaling
+efficiency — the sandbox evidence for the north rule's two-cluster-size
+criterion.  See BASELINE.md for the full 2/4/8/16/32 sweep and why the
+high-core pairs saturate this box's memory bandwidth (which a multi-node
+cluster would not).
 
 Env knobs: GRAFT_SF_DIR, RAY_GRAFT_CPUS, GRAFT_BENCH_CONVS (default
-120_000 -> ~1.9M events), GRAFT_BENCH_PARTITIONS (default 96).
+360_000 -> ~5.9M events / 2.3 GB), GRAFT_BENCH_PARTITIONS (default 96),
+GRAFT_SCALING_CPUS, GRAFT_SCALING_TRIALS, GRAFT_BENCH_OUT.
 """
 
 from __future__ import annotations
@@ -35,7 +39,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "120000"))
+BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "360000"))
 BENCH_PARTS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "96"))
 FIXTURE_CACHE = os.environ.get("GRAFT_FIXTURE_CACHE", "/tmp/graft_fixture_cache")
 
@@ -157,11 +161,26 @@ def run_subprocess(ncpu: int, cdc_only: bool = True) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
-        # same input, two fresh processes; fixture generated+cached first
+        # Same input, fresh processes at N and 4N CPUs (default 2 and 8 —
+        # see BASELINE.md: this box's memory bandwidth saturates around 16
+        # cores, which a multi-node cluster does not; 2->8 stays in the
+        # linear region and is the faithful node-scaling proxy).  Median of
+        # `trials` runs per level to damp single-box noise.
         ensure_bench_fixture()
-        lo_cpus, hi_cpus = 8, 32
-        lo = run_subprocess(lo_cpus)
-        hi = run_subprocess(hi_cpus)
+        lo_cpus, hi_cpus = (
+            int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")
+        )
+        trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
+
+        def median_run(ncpu):
+            runs = sorted(
+                (run_subprocess(ncpu) for _ in range(trials)),
+                key=lambda r: r["value"],
+            )
+            return runs[len(runs) // 2]
+
+        lo = median_run(lo_cpus)
+        hi = median_run(hi_cpus)
         t_lo, t_hi = lo["value"], hi["value"]
         eff = (t_lo / t_hi) / (hi_cpus / lo_cpus)
         print(
@@ -170,12 +189,13 @@ def main():
                     "metric": "cdc_scaling_efficiency",
                     "value": round(eff, 3),
                     "unit": "ratio",
-                    "sec_8": t_lo,
-                    "sec_32": t_hi,
-                    "events_per_sec_8": lo["events_per_sec"],
-                    "events_per_sec_32": hi["events_per_sec"],
+                    f"sec_{lo_cpus}": t_lo,
+                    f"sec_{hi_cpus}": t_hi,
+                    f"events_per_sec_{lo_cpus}": lo["events_per_sec"],
+                    f"events_per_sec_{hi_cpus}": hi["events_per_sec"],
                     "events": hi["events"],
                     "cpus": [lo_cpus, hi_cpus],
+                    "trials": trials,
                 }
             )
         )

@@ -46,11 +46,12 @@ class CdcConfig:
     # multi-format timestamp parse fallback for string ts columns
     # (reference ColumnCast.java:87-117 datetime->date->time->extra).
     ts_formats: tuple = ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%H:%M:%S")
-    # target bytes per read block: sized so read tasks ~= CPUs on small
-    # inputs while keeping blocks near the Parquet row-group sweet spot on
-    # big ones (spool file count = write tasks x partitions, so fewer,
-    # larger blocks also keep the spool from fragmenting)
-    target_read_block_bytes: int = 128 << 20
+    # target bytes per read block: 64 MB keeps the per-task critical path
+    # short and (crucially for scaling measurements) makes the block layout
+    # a function of DATA SIZE only — the same job at 8 and 32 CPUs runs the
+    # identical task DAG, differing only in concurrency.  CPUs only floor
+    # the count on small inputs.
+    target_read_block_bytes: int = 32 << 20
     # Partition exchange: "spool" (default) writes the normalized stream
     # once as hive-partitioned Parquet and merges each partition from its
     # directory — one parallel write + one parallel read, no object-store

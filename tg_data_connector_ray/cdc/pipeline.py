@@ -26,8 +26,10 @@ import os
 from functools import partial
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data
 
 from ..util import atomic_write_json, stable_hash_strings
@@ -44,6 +46,10 @@ class ErrorLimitExceeded(RuntimeError):
 def _merge_task(group, *, cfg: CdcConfig, run_id: str):
     """Task-mode wrapper: MergeApply constructed per call (stateless init)."""
     return MergeApply(cfg, run_id)(group)
+
+
+def _merge_dir_task(part_dir: str, cfg: CdcConfig, run_id: str):
+    return MergeApply(cfg, run_id).apply_spool_dir(part_dir)
 
 
 def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
@@ -119,8 +125,8 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
             {f.name: pa.array([], f.type) for f in LINEAGE_SCHEMA}
         ).to_pandas()
 
-    pds = ray.data.from_items([{"part_dir": d} for d in part_dirs])
     if cfg.merge_mode == "actors":
+        pds = ray.data.from_items([{"part_dir": d} for d in part_dirs])
         conc = cfg.merge_concurrency or max(1, min(len(part_dirs), cpus))
         lineage = pds.map_batches(
             MergeApply,
@@ -129,13 +135,15 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
             fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
             concurrency=conc,
         )
+        lin = lineage.to_pandas()
     else:
-        lineage = pds.map_batches(
-            partial(_merge_task, cfg=cfg, run_id=run_id),
-            batch_format="pyarrow",
-            batch_size=1,
-        )
-    lin = lineage.to_pandas()
+        # task mode as raw Ray tasks: the merge fan-out is a fixed list of
+        # independent partition commits — a Dataset adds a second streaming
+        # executor spin-up for no expressiveness gain (the documented
+        # raw-task exception; everything upstream stays Dataset-based)
+        merge_remote = ray.remote(num_cpus=1)(_merge_dir_task)
+        refs = [merge_remote.remote(d, cfg, run_id) for d in part_dirs]
+        lin = pd.concat([t.to_pandas() for t in ray.get(refs)], ignore_index=True)
     if cfg.drop_spool_after_merge:
         shutil.rmtree(spool, ignore_errors=True)
     return lin
@@ -191,8 +199,6 @@ def build_events_dataset(
     files = _expand(event_paths)
     datasets = []
     if files:
-        import ray
-
         cpus = int(ray.cluster_resources().get("CPU", 8))
         sizes = {f: os.path.getsize(f) for f in files}
         total_bytes = max(1, sum(sizes.values()))
