@@ -1,0 +1,65 @@
+"""Alternate execution modes converge identically: groupby exchange vs
+spool, actor-pool merge vs tasks, and compaction invariants."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from tg_data_connector_ray.cdc.config import CdcConfig
+from tg_data_connector_ray.cdc.pipeline import apply_cdc
+
+
+def final_table(cfg):
+    return (
+        pads.dataset(os.path.join(cfg.out_dir, "table"))
+        .to_table(columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+
+
+def test_groupby_exchange_and_actor_merge_converge(t1, tmp_path):
+    exp = pq.read_table(t1["transcripts"])
+    outs = []
+    for name, kw in [
+        ("spool_tasks", dict(exchange="spool", merge_mode="tasks")),
+        ("spool_actors", dict(exchange="spool", merge_mode="actors", merge_concurrency=2)),
+        ("groupby_tasks", dict(exchange="groupby", merge_mode="tasks")),
+        ("groupby_actors", dict(exchange="groupby", merge_mode="actors", merge_concurrency=2)),
+    ]:
+        cfg = CdcConfig(out_dir=str(tmp_path / name), num_partitions=4, **kw)
+        s = apply_cdc(t1["cdc_log"], cfg)
+        assert s["rows_live"] == exp.num_rows, name
+        got = final_table(cfg)
+        assert got.equals(exp), name
+        outs.append(got)
+
+
+def test_state_keeps_tombstones_table_compacted(t1, tmp_path):
+    cfg = CdcConfig(out_dir=str(tmp_path / "o"), num_partitions=4)
+    s = apply_cdc(t1["cdc_log"], cfg)
+    assert s["rows_tombstone"] > 0
+    state = pads.dataset(os.path.join(cfg.out_dir, "state")).to_table()
+    table = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table()
+    n_tomb = state.filter(pa.compute.equal(state["_deleted"], True)).num_rows
+    assert n_tomb == s["rows_tombstone"]
+    assert table.num_rows == state.num_rows - n_tomb
+    # compacted table carries no internal columns
+    assert set(table.column_names) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    # per-key watermarks present in state
+    assert {"_lsn", "_lsn_full", "_lsn_role", "_lsn_text", "_lsn_tool", "_lsn_ts"} <= set(
+        state.column_names
+    )
+
+
+def test_spool_cleanup_and_marker(t1, tmp_path):
+    cfg = CdcConfig(out_dir=str(tmp_path / "o"), num_partitions=4, drop_spool_after_merge=True)
+    apply_cdc(t1["cdc_log"], cfg)
+    assert not os.path.exists(os.path.join(cfg.out_dir, "spool")) or not os.listdir(
+        os.path.join(cfg.out_dir, "spool")
+    )
+    cfg2 = CdcConfig(out_dir=str(tmp_path / "o2"), num_partitions=4, drop_spool_after_merge=False)
+    s = apply_cdc(t1["cdc_log"], cfg2)
+    spool = os.path.join(cfg2.out_dir, "spool", s["run_id"])
+    assert os.path.exists(os.path.join(spool, "_SPOOL_DONE"))
