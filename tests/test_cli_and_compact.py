@@ -1,0 +1,122 @@
+"""CLI (python -m tg_data_connector_ray), CDC job form, compaction GC."""
+
+import json
+import os
+
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from tg_data_connector_ray.cdc.config import CdcConfig
+from tg_data_connector_ray.cdc.pipeline import apply_cdc, compact
+from tg_data_connector_ray.pipelines.runner import run_job
+
+
+def test_cdc_job_form(t1, tmp_path):
+    out = str(tmp_path / "cdcjob")
+    summary = run_job(
+        {
+            "job": {
+                "cdc": {
+                    "events": t1["cdc_log"],
+                    "out": out,
+                    "numPartitions": 4,
+                    "errorLimit": {"record": 10},
+                }
+            }
+        }
+    )
+    exp = pq.read_table(t1["transcripts"])
+    assert summary["rows_live"] == exp.num_rows
+    got = pads.dataset(os.path.join(out, "table")).to_table()
+    assert got.num_rows == exp.num_rows
+
+
+def test_compact_drops_old_tombstones(t1, tmp_path):
+    cfg = CdcConfig(out_dir=str(tmp_path / "o"), num_partitions=4)
+    s = apply_cdc(t1["cdc_log"], cfg)
+    assert s["rows_tombstone"] > 0
+    # retention 0: every tombstone at/below its partition watermark goes
+    res = compact(cfg, tombstone_retention_lsn=0)
+    assert res["tombstones_dropped"] == s["rows_tombstone"]
+    assert res["rows_live"] == s["rows_live"]
+    state = pads.dataset(os.path.join(cfg.out_dir, "state")).to_table()
+    assert state.num_rows == s["rows_live"]
+    # idempotent
+    res2 = compact(cfg, tombstone_retention_lsn=0)
+    assert res2["tombstones_dropped"] == 0
+
+
+def test_inline_tombstone_gc_during_flush(t1, tmp_path):
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "gc"), num_partitions=4, tombstone_retention_lsn=0
+    )
+    s = apply_cdc(t1["cdc_log"], cfg)
+    # flush-time GC: tombstones at the watermark survive (strictly-older only)
+    state = pads.dataset(os.path.join(cfg.out_dir, "state")).to_table()
+    assert state.num_rows <= s["rows_live"] + s["rows_tombstone"]
+    exp = pq.read_table(t1["transcripts"])
+    table = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table()
+    assert table.num_rows == exp.num_rows
+
+
+def test_cli_cdc_and_compact(t1, tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cliout")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "cdc",
+            "--events", t1["cdc_log"], "--out", out, "--partitions", "4",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows_live"] == pq.read_table(t1["transcripts"]).num_rows
+
+    r2 = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "compact",
+            "--out", out, "--retention", "0",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    res = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert res["tombstones_dropped"] == summary["rows_tombstone"]
+
+
+def test_cli_run_job_dry_run(tmp_path):
+    import subprocess
+    import sys
+
+    cfgp = tmp_path / "job.json"
+    cfgp.write_text(
+        json.dumps(
+            {
+                "job": {
+                    "content": [
+                        {
+                            "reader": {"name": "parquet", "parameter": {"path": "/root/testdata/sf0.001/documents.parquet"}},
+                            "writer": {"name": "stream", "parameter": {}},
+                        }
+                    ]
+                }
+            }
+        )
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "tg_data_connector_ray", "run", str(cfgp), "--dry-run"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert json.loads(r.stdout.strip().splitlines()[-1])["dry_run"] is True

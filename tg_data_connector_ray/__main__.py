@@ -1,0 +1,89 @@
+"""CLI entry — the `datax.py` analogue (core/src/main/bin/datax.py launches
+the reference's Engine; here the engine is the Ray session + job runner).
+
+    python -m tg_data_connector_ray run job.json [--dry-run]
+    python -m tg_data_connector_ray cdc --events DIR --out DIR
+           [--snapshot P] [--partitions N] [--detect-hot-keys]
+    python -m tg_data_connector_ray compact --out DIR [--retention N]
+
+The CLI owns the Ray session (guarded init; shutdown at exit) — library
+code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="tg_data_connector_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="run a job-JSON config")
+    runp.add_argument("config")
+    runp.add_argument("--dry-run", action="store_true")
+
+    cdcp = sub.add_parser("cdc", help="apply a CDC log")
+    cdcp.add_argument("--events", required=True)
+    cdcp.add_argument("--out", required=True)
+    cdcp.add_argument("--snapshot")
+    cdcp.add_argument("--partitions", type=int, default=64)
+    cdcp.add_argument("--detect-hot-keys", action="store_true")
+    cdcp.add_argument("--orphan-updates", default="upsert", choices=["upsert", "drop"])
+
+    comp = sub.add_parser("compact", help="compact partitions (tombstone GC)")
+    comp.add_argument("--out", required=True)
+    comp.add_argument("--partitions", type=int, default=64)
+    comp.add_argument("--retention", type=int, default=0)
+
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+
+        if args.cmd == "run":
+            from .pipelines.runner import run_job
+
+            with open(args.config) as f:
+                cfg = json.load(f)
+            if args.dry_run:
+                cfg.setdefault("job", {}).setdefault("setting", {})["dryRun"] = True
+            out = run_job(cfg)
+        elif args.cmd == "cdc":
+            cdc = {
+                "events": args.events,
+                "out": args.out,
+                "numPartitions": args.partitions,
+                "orphanUpdates": args.orphan_updates,
+            }
+            if args.snapshot:
+                cdc["snapshot"] = args.snapshot
+            if args.detect_hot_keys:
+                cdc["detectHotKeys"] = True
+            from .pipelines.runner import run_job
+
+            out = run_job({"job": {"cdc": cdc}})
+        else:
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import compact
+
+            out = compact(
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions),
+                tombstone_retention_lsn=args.retention,
+            )
+        print(json.dumps(out, default=str))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

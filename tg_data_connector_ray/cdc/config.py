@@ -72,6 +72,12 @@ class CdcConfig:
     # actor pool size for merge_mode="actors"; None = CPUs-2 capped by
     # partition count.
     merge_concurrency: "int | None" = None
+    # tombstone GC: during a flush, tombstones whose `_lsn` is at or below
+    # (partition watermark - retention) are dropped from the state — safe
+    # once no event older than the retention window can still arrive (the
+    # source's max replay lag).  None = keep all tombstones (bounded by
+    # deleted-key count).
+    tombstone_retention_lsn: "int | None" = None
     # Ray Data shuffle strategy override for the partition groupby.
     # Measured (1.9M events / 774 MB, 32 CPUs): sort-based pull shuffle 9s
     # vs HASH_SHUFFLE 26s — the hash-shuffle aggregator parallelism loses

@@ -403,6 +403,21 @@ class MergeApply:
 
         state, stats = fold(combined, policy=self.policy)
 
+        # tombstone GC: drop tombstones older than the retention horizon
+        # (watermark - retention); a late event below the horizon can no
+        # longer arrive by the operator's contract, so the guard they
+        # provide is no longer needed and the state stays bounded
+        if cfg.tombstone_retention_lsn is not None and state.num_rows:
+            wm_max = int(
+                pa.compute.max(state["_lsn"]).as_py() or 0
+            )
+            horizon = wm_max - cfg.tombstone_retention_lsn
+            keep = pa.compute.or_(
+                pa.compute.equal(state["_deleted"], False),
+                pa.compute.greater(state["_lsn"], horizon),
+            )
+            state = state.filter(keep)
+
         live = state.filter(pa.compute.equal(state["_deleted"], False))
         table_out = live.select(
             ["conv_id", "turn_idx", "role", "text", "tool", "ts"]

@@ -264,8 +264,15 @@ def detect_hot_keys(event_paths, threshold_frac: float = 0.05) -> "list[str]":
         .groupby("conv_id")
         .sum("n")
     )
-    cut = counts.filter(lambda r: r["sum(n)"] >= threshold_frac * total)
-    return sorted(r["conv_id"] for r in cut.take_all())
+    cutoff = threshold_frac * total
+
+    def over(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["sum(n)"], cutoff))
+
+    hot = counts.map_batches(over, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted(r["conv_id"] for r in hot.take_all())
 
 
 def apply_cdc(
@@ -314,6 +321,51 @@ def apply_cdc(
                 f"dirty ratio {n_dirty / total:.4f} > limit {cfg.error_limit_pct}"
             )
     return summary
+
+
+def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
+    """Maintenance compaction: rewrite every partition's state dropping
+    tombstones older than (partition watermark - retention), and refresh
+    the compacted table files.  Independent per-partition Ray tasks;
+    atomic rewrites; safe to re-run."""
+    import pyarrow.parquet as pq
+
+    from ..util import atomic_write_parquet
+
+    state_root = os.path.join(cfg.out_dir, "state")
+    parts = sorted(
+        int(d.split("=")[1]) for d in os.listdir(state_root) if d.startswith("part=")
+    ) if os.path.isdir(state_root) else []
+
+    @ray.remote(num_cpus=1)
+    def _compact(part: int) -> "tuple[int, int]":
+        sp = cfg.state_path(part)
+        state = pq.read_table(sp)
+        if state.num_rows == 0:
+            return (0, 0)
+        wm = int(pa.compute.max(state["_lsn"]).as_py() or 0)
+        horizon = wm - tombstone_retention_lsn
+        keep = pa.compute.or_(
+            pa.compute.equal(state["_deleted"], False),
+            pa.compute.greater(state["_lsn"], horizon),
+        )
+        new_state = state.filter(keep)
+        dropped = state.num_rows - new_state.num_rows
+        if dropped:
+            atomic_write_parquet(sp, new_state)
+        live = new_state.filter(pa.compute.equal(new_state["_deleted"], False))
+        atomic_write_parquet(
+            cfg.table_path(part),
+            live.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        )
+        return (dropped, live.num_rows)
+
+    results = ray.get([_compact.remote(p) for p in parts])
+    return {
+        "partitions": len(parts),
+        "tombstones_dropped": sum(d for d, _ in results),
+        "rows_live": sum(l for _, l in results),
+    }
 
 
 def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":

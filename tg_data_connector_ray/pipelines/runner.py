@@ -187,8 +187,45 @@ def _chain_with_metrics(batch: pa.Table, specs, counters, dirty_dir) -> pa.Table
     return res.table
 
 
+def run_cdc_job(config: dict) -> dict:
+    """CDC job form — the engine's flagship as a config-driven job:
+
+        {"job": {"cdc": {"events": <dir|files>, "out": <dir>,
+                         "snapshot": <path?>, "numPartitions": N,
+                         "hotKeys": [...], "detectHotKeys": bool,
+                         "orphanUpdates": "upsert"|"drop",
+                         "nullFormat": str?, "tombstoneRetentionLsn": int?,
+                         "errorLimit": {"record": N, "percentage": P}}}}
+    """
+    from ..cdc.config import CdcConfig
+    from ..cdc.pipeline import apply_cdc, detect_hot_keys
+
+    c = config["job"]["cdc"]
+    el = c.get("errorLimit", {})
+    hot = tuple(c.get("hotKeys", ()))
+    if not hot and c.get("detectHotKeys"):
+        hot = tuple(detect_hot_keys(c["events"]))
+    cfg = CdcConfig(
+        out_dir=c["out"],
+        num_partitions=int(c.get("numPartitions", 64)),
+        orphan_updates=c.get("orphanUpdates", "upsert"),
+        null_format=c.get("nullFormat"),
+        hot_keys=hot,
+        tombstone_retention_lsn=c.get("tombstoneRetentionLsn"),
+        error_limit_records=el.get("record"),
+        error_limit_pct=el.get("percentage"),
+    )
+    summary = apply_cdc(c["events"], cfg, snapshot_path=c.get("snapshot"))
+    summary["hot_keys"] = list(hot)
+    for hook in POST_HOOKS:
+        hook(dict(summary))
+    return summary
+
+
 def run_job(config: dict) -> dict:
     """Execute one job config; returns the metrics dict."""
+    if "cdc" in config.get("job", {}):
+        return run_cdc_job(config)
     try:
         content = config["job"]["content"][0]
         reader = content["reader"]
