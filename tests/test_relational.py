@@ -108,3 +108,26 @@ def test_window_and_cdc_merge_events():
     )
     assert m["event_id"].tolist() == exp2["event_id"].tolist()
     assert np.allclose(m["value"].to_numpy(), exp2["value"].to_numpy())
+
+
+def test_explicit_bucketed_hash_join_matches_native():
+    """The portable bucketed hash_join pattern itself (used when
+    Dataset.join is unavailable) must agree with DuckDB."""
+    import ray.data as rd
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    lineitem = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    li = lineitem.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_quantity"]), batch_format="pyarrow"
+    )
+    joined = hash_join(li, orders, on="o_orderkey", num_buckets=8)
+    got = joined.to_pandas().groupby("o_custkey")["l_quantity"].sum().sort_index()
+    exp = ddb(
+        """
+        SELECT o_custkey, sum(l_quantity) AS q FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey GROUP BY 1 ORDER BY 1
+        """
+    ).set_index("o_custkey")["q"]
+    assert np.allclose(got.to_numpy(), exp.to_numpy())
