@@ -112,6 +112,22 @@ def _tf_filter(sf_dir):
     return ds.select_columns(["doc_id", "lang", "n_chars"])
 
 
+def _tf_chain(sf_dir):
+    """Chained transformer pipeline (the reference's transformer[] list):
+    substr -> rpad -> inverted filter, in order."""
+    from tg_data_connector_ray.stages.transforms import TransformSpec, chain_stage
+
+    specs = [
+        TransformSpec("dx_substr", "source", {"start": 0, "length": 4}),
+        TransformSpec("dx_pad", "source", {"pad_type": "r", "length": 6, "pad_string": "_"}),
+        TransformSpec("dx_filter", "lang", {"op": "like", "value": "z.*"}),
+    ]
+    ds = _docs(sf_dir).map_batches(
+        chain_stage(specs), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.select_columns(["doc_id", "source", "lang"])
+
+
 def _events_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data
@@ -259,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_event_types": R.distinct_event_types,
         # --- transformer-chain parity (reference dx_*) ---
         "tf_substr": _tf_substr,
+        "tf_chain": _tf_chain,
         "tf_pad": _tf_pad,
         "tf_replace": _tf_replace,
         "tf_filter": _tf_filter,
@@ -335,6 +352,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(text) >= 5
         """,
         "tf_pad": "SELECT doc_id, lpad(source, 8, 'xy') AS source FROM documents",
+        "tf_chain": """
+            SELECT doc_id, rpad(substr(source, 1, 4), 6, '_') AS source, lang
+            FROM documents WHERE NOT regexp_full_match(lang, 'z.*')
+        """,
         "tf_replace": """
             SELECT doc_id,
                    substr(source, 1, 2) || 'XY' || substr(source, 5) AS source

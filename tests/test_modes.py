@@ -63,3 +63,28 @@ def test_spool_cleanup_and_marker(t1, tmp_path):
     s = apply_cdc(t1["cdc_log"], cfg2)
     spool = os.path.join(cfg2.out_dir, "spool", s["run_id"])
     assert os.path.exists(os.path.join(spool, "_SPOOL_DONE"))
+
+
+def test_resume_after_phase_a_crash(t1, tmp_path):
+    """Crash between spool write and merge: the _SPOOL_DONE marker is
+    absent, so a re-run rebuilds the spool and applies; a crash AFTER the
+    marker re-uses the spool and lineage-skips committed partitions."""
+    import shutil
+
+    from tg_data_connector_ray.cdc.pipeline import _expand, build_events_dataset, compute_run_id
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "o"), num_partitions=4, drop_spool_after_merge=False
+    )
+    files = _expand(t1["cdc_log"])
+    run_id = compute_run_id(files)
+    # simulate a phase-A-only crash: write a PARTIAL spool without marker
+    spool = os.path.join(cfg.out_dir, "spool", run_id)
+    os.makedirs(spool, exist_ok=True)
+    ds = build_events_dataset(files[:2], cfg, run_id)
+    ds.write_parquet(spool, partition_cols=["part"])  # partial! no marker
+    # full run with the same run_id must rebuild the spool from ALL files
+    s = apply_cdc(t1["cdc_log"], cfg, run_id=run_id)
+    exp = pq.read_table(t1["transcripts"])
+    assert s["rows_live"] == exp.num_rows
+    assert final_table(cfg).equals(exp)
