@@ -16,8 +16,12 @@ import os
 from collections.abc import Callable
 from typing import Any
 
-_FIXTURE_CACHE = "/tmp/graft_fixture_cache"
-_CDC_OUT = "/tmp/graft_cdc_out"
+# caches keyed by engine version: stale fixtures/outputs from an older
+# code revision must never satisfy a newer driver run
+from tg_data_connector_ray import __version__ as _ENGINE_VERSION
+
+_FIXTURE_CACHE = f"/tmp/graft_fixture_cache_v{_ENGINE_VERSION}"
+_CDC_OUT = f"/tmp/graft_cdc_out_v{_ENGINE_VERSION}"
 
 
 def _sf_of(sf_dir: str) -> str:
@@ -41,6 +45,26 @@ def _run_cdc(sf_dir: str):
     out = os.path.join(_CDC_OUT, tier)
     cfg = CdcConfig(out_dir=out, num_partitions=16)
     apply_cdc(fx["cdc_log"], cfg)  # idempotent: same run_id -> skip
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out, "table")).to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _run_cdc_skew(sf_dir: str):
+    """Skew path: hot-key detection + salting, through the full pipeline."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, detect_hot_keys
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2skew")
+    hot = detect_hot_keys(fx["cdc_log"], threshold_frac=0.05)
+    out = os.path.join(_CDC_OUT, "t2skew")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, hot_keys=tuple(hot))
+    apply_cdc(fx["cdc_log"], cfg)
 
     import pyarrow.dataset as pads
 
@@ -263,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- CDC core (fixtures; conformance in pytest, rows-check here) ---
         "cdc_replay": _run_cdc,
+        "cdc_replay_skew": _run_cdc_skew,
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,

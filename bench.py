@@ -41,7 +41,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_CONVS = int(os.environ.get("GRAFT_BENCH_CONVS", "360000"))
 BENCH_PARTS = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "96"))
-FIXTURE_CACHE = os.environ.get("GRAFT_FIXTURE_CACHE", "/tmp/graft_fixture_cache")
+def _default_fixture_cache() -> str:
+    from tg_data_connector_ray import __version__
+
+    return f"/tmp/graft_fixture_cache_v{__version__}"
+
+
+FIXTURE_CACHE = os.environ.get("GRAFT_FIXTURE_CACHE") or _default_fixture_cache()
 
 
 def ensure_bench_fixture() -> dict:

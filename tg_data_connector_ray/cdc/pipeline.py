@@ -1,22 +1,23 @@
 """CDC job orchestration: the Ray Data pipeline around normalize + merge.
 
-Dataflow (all lazy, streaming, backpressured — no driver-side row loops):
+Dataflow (phase A lazy/streaming/backpressured; no driver-side row loops):
 
-    read_parquet(log files, grouped by schema fingerprint)
-      -> map_batches(normalize)          stateless, zero-copy Arrow
+    read_parquet(log files, grouped by schema fingerprint, sized blocks)
+      -> map_batches(normalize)            stateless, zero-copy Arrow
       [union snapshot -> map_batches(as I-events at lsn=0)]
-      -> groupby("part")                  THE shuffle: hash by conv_id
-      -> map_groups(MergeApply)           stateful commit, one task/partition
+      -> write_parquet(partition_cols=["part"])     THE exchange (spool)
+    then, per partition directory (independent, resumable):
+      MergeApply: read spool + state -> fold -> atomic commit
       -> lineage rows (tiny) collected on the driver
 
-The only all-to-all exchange is the groupby on `part` (an int32 of
-cardinality `num_partitions`), which Ray executes as a sort-based shuffle;
-event payloads cross the object store exactly once.  Everything else is
+Co-location by `part` costs one parallel partitioned write + one parallel
+read — no object-store all-to-all (see _run_exchange_and_merge for the
+measurements that motivated this over groupby).  Everything else is
 embarrassingly parallel.  At 100 TB the same plan holds: more log files ->
-more read tasks; `num_partitions` sized so each partition's state stays
-~0.5-2 GB; MergeApply commits are per-partition and independent, so a
-failed run resumes by re-running the job with the same run_id (committed
-partitions short-circuit via lineage).
+more read tasks; the spool lives on shared storage; `num_partitions` sized
+so each partition's state stays ~0.5-2 GB; MergeApply commits are
+per-partition and independent, so a failed run resumes by re-running the
+job with the same run_id (committed partitions short-circuit via lineage).
 """
 
 from __future__ import annotations
@@ -73,8 +74,6 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
     """
     import shutil
 
-    import pandas as pd
-    import ray
     from ray.data import DataContext
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -286,8 +285,6 @@ def apply_cdc(
     files = _expand(event_paths) if event_paths else []
     run_id = run_id or compute_run_id(files, snapshot_path)
     os.makedirs(cfg.out_dir, exist_ok=True)
-
-    import ray
 
     lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
 
