@@ -221,3 +221,16 @@ def test_run_job_dry_run_and_error_limit(tmp_path, csv_dir):
     }
     with pytest.raises(JobErrorLimit):
         run_job(cfg2)
+
+
+def test_csv_gzip_compression(tmp_path):
+    """Compressed CSV decode (reference codec zoo handled by Arrow)."""
+    import gzip
+
+    p = tmp_path / "gz"
+    os.makedirs(p)
+    with gzip.open(p / "a.csv.gz", "wt") as f:
+        f.write("1,x\n2,y\n")
+    ds = read_csv_source(str(p))
+    rows = sorted(ds.take_all(), key=lambda r: r["f0"])
+    assert rows == [{"f0": "1", "f1": "x"}, {"f0": "2", "f1": "y"}]

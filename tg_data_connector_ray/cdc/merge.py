@@ -156,20 +156,23 @@ def fold(table: pa.Table, policy: str = "upsert") -> "tuple[pa.Table, dict]":
 
     # payload resolution: per column, value + LSN of the latest setter in
     # the final segment of each key (the "grouped ffill", evaluated only at
-    # the last row of each key)
+    # the last row of each key).  Only BOOLEAN null-masks are reordered to
+    # sorted space (numpy gather); the payload values themselves are
+    # gathered once, directly from the ORIGINAL arrays at the winning
+    # per-key indices — large text columns are never rewritten wholesale.
     out_cols: dict = {}
     col_lsns: dict = {}
     last_idx = idx[last_of_key]
     for name in PAYLOAD_COLS:
-        col = _col_np(table, name).take(pa.array(order))
-        valid = ~np.asarray(col.is_null())
-        set_mask = full | valid
+        col = _col_np(table, name)
+        valid_sorted = ~np.asarray(col.is_null()).astype(bool)[order]
+        set_mask = full | valid_sorted
         src = _grouped_last_setter(set_mask, seg_start)[last_idx]
         ok = src >= 0
         gather = np.where(ok, src, 0)
-        vals = col.take(pa.array(gather))
+        vals = col.take(pa.array(order[gather]))
         # null out rows with no setter, or whose setter stored a null
-        null_mask = ~(ok & valid[gather])
+        null_mask = ~(ok & valid_sorted[gather])
         if null_mask.any():
             vals = pa.compute.if_else(
                 pa.array(null_mask), pa.scalar(None, type=vals.type), vals
