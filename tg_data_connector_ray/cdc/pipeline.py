@@ -110,7 +110,9 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
         shutil.rmtree(spool, ignore_errors=True)
         os.makedirs(spool, exist_ok=True)
         ds = build_events_dataset(files, cfg, run_id, snapshot_path)
-        ds.write_parquet(spool, partition_cols=["part"])
+        ds.write_parquet(
+            spool, partition_cols=["part"], compression=cfg.spool_compression
+        )
         with open(marker, "w") as f:
             f.write(run_id)
 
