@@ -291,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
+        "events_sessionize": R.events_sessionize,
         "events_filter_project": _events_filter_project,
         # --- relational breadth ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -335,6 +336,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH gaps AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+              SELECT user_id, ts, value,
+                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+              FROM gaps
+            )
+            SELECT user_id, sess_id, count(*) AS n_events,
+                   min(ts) AS sess_start, max(ts) AS sess_end,
+                   round(sum(value), 2) AS sum_value
+            FROM sess GROUP BY 1, 2
         """,
         "events_filter_project": """
             SELECT event_id, value FROM events

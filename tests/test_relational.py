@@ -131,3 +131,32 @@ def test_explicit_bucketed_hash_join_matches_native():
         """
     ).set_index("o_custkey")["q"]
     assert np.allclose(got.to_numpy(), exp.to_numpy())
+
+
+def test_events_sessionize_matches_duckdb():
+    from tg_data_connector_ray.pipelines.relational import events_sessionize
+
+    got = events_sessionize(SF)
+    exp = ddb(
+        """
+        WITH gaps AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts, value,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM gaps
+        )
+        SELECT user_id, sess_id, count(*) AS n_events,
+               min(ts) AS sess_start, max(ts) AS sess_end,
+               round(sum(value), 2) AS sum_value
+        FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    )
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    assert got["sess_start"].tolist() == exp["sess_start"].tolist()
+    assert np.allclose(got["sum_value"].to_numpy(), exp["sum_value"].to_numpy())

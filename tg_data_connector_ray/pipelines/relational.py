@@ -264,3 +264,39 @@ def cdc_merge_events(sf_dir: str):
         .sort_values(["user_id", "event_type"])
         .reset_index(drop=True)[["user_id", "event_type", "event_id", "value", "ts"]]
     )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Session windows per user (gap > `gap_minutes` opens a new session):
+    the stream-shaped workload Ray Data lacks natively, expressed as
+    partition-by-key + ordered windowing inside map_groups (ordering
+    established by the in-group sort, not arrival order)."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
+    )
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        new_sess = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["sess_id"] = new_sess.cumsum().astype("int64")
+        out = (
+            g.groupby("sess_id", sort=True)
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("ts", "size"),
+                sess_start=("ts", "min"),
+                sess_end=("ts", "max"),
+                sum_value=("value", "sum"),
+            )
+            .reset_index()
+        )
+        out["sum_value"] = out["sum_value"].round(2)
+        return out[["user_id", "sess_id", "n_events", "sess_start", "sess_end", "sum_value"]]
+
+    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return (
+        out.to_pandas()
+        .sort_values(["user_id", "sess_id"])
+        .reset_index(drop=True)
+    )
