@@ -108,6 +108,9 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
     marker = os.path.join(spool, "_SPOOL_DONE")
     if not os.path.exists(marker):
         shutil.rmtree(spool, ignore_errors=True)
+        # rebuilding the spool re-runs normalize: reset this run's dirty
+        # side-output so redelivered dirty rows aren't double-counted
+        shutil.rmtree(cfg.dirty_dir(run_id), ignore_errors=True)
         os.makedirs(spool, exist_ok=True)
         ds = build_events_dataset(files, cfg, run_id, snapshot_path)
         ds.write_parquet(

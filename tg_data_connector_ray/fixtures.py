@@ -128,9 +128,16 @@ def make_fixture(spec: FixtureSpec) -> Fixture:
     nt = np.clip(
         np.exp(rng.normal(np.log(8), 0.8, size=n_convs)).astype(np.int64), 1, 200
     )
+    if spec.hot_convs:
+        # hot conversations get a floor on turn count so their configured
+        # event share is stable regardless of the lognormal draw
+        nt[n_convs - spec.hot_convs :] = np.maximum(nt[n_convs - spec.hot_convs :], 10)
+    # hot convs take the HIGHEST indices: "conv_hot*" sorts after every
+    # "conv0..." name ('_' > digits), so generation order == (conv_id,
+    # turn_idx) sort order and no >2GB sort_by/take is ever needed
     conv_names = np.array([f"conv{i:08d}" for i in range(n_convs)], dtype=object)
     for h in range(spec.hot_convs):
-        conv_names[h] = f"conv_hot{h:08d}"
+        conv_names[n_convs - spec.hot_convs + h] = f"conv_hot{h:08d}"
 
     n_final = int(nt.sum())
     f_conv = np.repeat(np.arange(n_convs), nt)  # conv index per final key
@@ -158,7 +165,7 @@ def make_fixture(spec: FixtureSpec) -> Fixture:
             "ts": pa.array(f_ts, type=pa.timestamp("us")),
         },
         schema=TRANSCRIPT_SCHEMA,
-    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
 
     # ---- F2: event history per key ---------------------------------------
     # Three key kinds, each laid out key-contiguous in pos order:
@@ -167,7 +174,7 @@ def make_fixture(spec: FixtureSpec) -> Fixture:
     #   B: doomed keys (appended turns):  I, U*u, D
     u_edits = rng.geometric(1.0 / (1.0 + spec.mean_u_edits), size=n_final) - 1
     if spec.hot_convs:
-        hot_final = f_conv < spec.hot_convs
+        hot_final = f_conv >= n_convs - spec.hot_convs
         u_edits[hot_final] = u_edits[hot_final] * spec.hot_factor + spec.hot_factor
 
     is_c = rng.random(n_final) < spec.resurrect_frac
