@@ -240,6 +240,15 @@ def _text_quality(sf_dir):
     )
 
 
+def _text_tokens_ext(sf_dir):
+    from tg_data_connector_ray.ops.text import token_stats_batch
+
+    ds = _docs(sf_dir).map_batches(token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(
+        ["doc_id", "n_tokens", "n_stopwords", "stop_ratio", "n_tokens_bpe"]
+    )
+
+
 def _text_fingerprint(sf_dir):
     from tg_data_connector_ray.ops.text import fingerprint_batch
 
@@ -316,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _ivf_ann,
         # --- text analysis ---
         "text_quality": _text_quality,
+        "text_tokens_ext": _text_tokens_ext,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         # --- CSV source/sink parity ---
@@ -430,6 +440,20 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(length(text), 1) AS punct_ratio,
                    CAST(length(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
                      / greatest(length(text), 1) AS digit_ratio
+            FROM documents
+        """,
+        "text_tokens_ext": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+                   length(regexp_extract_all(lower(text),
+                          '\\b(the|and|of|a|to|in|is|it)\\b')) AS n_stopwords,
+                   CAST(length(regexp_extract_all(lower(text),
+                          '\\b(the|and|of|a|to|in|is|it)\\b')) AS DOUBLE)
+                     / greatest(length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1)
+                     AS stop_ratio,
+                   length(regexp_extract_all(text,
+                          '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                     AS n_tokens_bpe
             FROM documents
         """,
         "text_fingerprint": """

@@ -124,3 +124,32 @@ def simhash64(tokens: "list[str]") -> int:
         if v[i] > 0:
             out |= 1 << i
     return out
+
+
+STOPWORD_RE = r"\b(the|and|of|a|to|in|is|it)\b"
+# GPT2-flavoured pre-tokenizer shape (contractions, letter runs, digit
+# runs, punctuation runs) restricted to RE2 syntax so the DuckDB oracle
+# computes the identical count
+BPE_ISH_RE = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def token_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Stopword counts/ratio + BPE-ish token count (brief: whitespace + a
+    BPE-ish regex; stopword ratio for quality scoring)."""
+    s = batch[col]
+    n_tok = pc.count_substring_regex(s, TOKEN_RE).cast(pa.int64())
+    n_stop = pc.count_substring_regex(pc.utf8_lower(s), STOPWORD_RE).cast(pa.int64())
+    n_bpe = pc.count_substring_regex(s, BPE_ISH_RE).cast(pa.int64())
+    n_ws = pc.list_value_length(pc.split_pattern_regex(s, r"\s+")).cast(pa.int64())
+    denom = pc.max_element_wise(n_tok, pa.scalar(1, pa.int64()))
+    ratio = pc.divide(n_stop.cast(pa.float64()), denom.cast(pa.float64()))
+    out = batch
+    for name, arr in [
+        ("n_tokens", n_tok),
+        ("n_stopwords", n_stop),
+        ("stop_ratio", ratio),
+        ("n_tokens_bpe", n_bpe),
+        ("n_tokens_ws", n_ws),
+    ]:
+        out = out.append_column(name, arr)
+    return out
