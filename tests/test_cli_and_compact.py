@@ -120,3 +120,19 @@ def test_cli_run_job_dry_run(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["dry_run"] is True
+
+
+def test_verify_against(t1, tmp_path):
+    from tg_data_connector_ray.cdc.pipeline import verify_against
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "v"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    res = verify_against(cfg, t1["transcripts"])
+    assert res["ok"] and res["text_equal"] and res["full_equal"]
+    # a truncated expected table mismatches cleanly
+    import pyarrow.parquet as pq2
+
+    trunc = str(tmp_path / "trunc.parquet")
+    pq2.write_table(pq2.read_table(t1["transcripts"]).slice(0, 10), trunc)
+    res2 = verify_against(cfg, trunc)
+    assert not res2["ok"] and not res2["rows_equal"]

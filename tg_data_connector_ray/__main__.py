@@ -38,6 +38,10 @@ def main(argv=None) -> int:
     comp.add_argument("--partitions", type=int, default=64)
     comp.add_argument("--retention", type=int, default=0)
 
+    ver = sub.add_parser("verify", help="verify converged table vs expected parquet")
+    ver.add_argument("--out", required=True)
+    ver.add_argument("--expected", required=True)
+
     args = p.parse_args(argv)
 
     import ray
@@ -71,7 +75,7 @@ def main(argv=None) -> int:
             from .pipelines.runner import run_job
 
             out = run_job({"job": {"cdc": cdc}})
-        else:
+        elif args.cmd == "compact":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import compact
 
@@ -79,6 +83,11 @@ def main(argv=None) -> int:
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
                 tombstone_retention_lsn=args.retention,
             )
+        else:
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import verify_against
+
+            out = verify_against(CdcConfig(out_dir=args.out), args.expected)
         print(json.dumps(out, default=str))
         return 0
     finally:

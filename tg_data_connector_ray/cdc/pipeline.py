@@ -370,6 +370,38 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     }
 
 
+def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
+    """The north-rule invariant as an engine operation: compare the
+    converged table against an expected transcripts Parquet under stable
+    (conv_id, turn_idx) ordering — per-turn text equality plus full-row
+    equality and row counts."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    got = (
+        pads.dataset(os.path.join(cfg.out_dir, "table"))
+        .to_table(columns=cols)
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    exp = (
+        pq.read_table(expected_path, columns=cols)
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    res = {
+        "rows": got.num_rows,
+        "rows_expected": exp.num_rows,
+        "rows_equal": got.num_rows == exp.num_rows,
+        "text_equal": False,
+        "full_equal": False,
+    }
+    if res["rows_equal"]:
+        res["text_equal"] = got["text"].equals(exp["text"])
+        res["full_equal"] = got.equals(exp)
+    res["ok"] = res["rows_equal"] and res["text_equal"] and res["full_equal"]
+    return res
+
+
 def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":
     """The converged, compacted user-facing table as a Dataset."""
     ds = ray.data.read_parquet(os.path.join(cfg.out_dir, "table"))
