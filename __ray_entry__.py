@@ -343,8 +343,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events) t WHERE rn = 1
         """,
         "events_hourly_window": """
-            SELECT event_type, date_trunc('hour', ts) AS hour,
-                   count(*) AS n, round(sum(value), 2) AS sum_value
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
@@ -371,31 +371,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type = 'purchase' AND value > 100.0
         """,
         "q1_pricing_summary": """
+            WITH u AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(round(l_quantity*1e6) AS BIGINT) AS qty_u,
+                     CAST(round(l_extendedprice*1e6) AS BIGINT) AS price_u,
+                     CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT) AS disc_u,
+                     CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1e6) AS BIGINT) AS charge_u,
+                     CAST(round(l_discount*1e6) AS BIGINT) AS d_u
+              FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice*(1-l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)), 2) AS sum_charge,
+                   CAST(floor((sum(qty_u)+5000)/10000) AS BIGINT)/100.0 AS sum_qty,
+                   CAST(floor((sum(price_u)+5000)/10000) AS BIGINT)/100.0 AS sum_base_price,
+                   CAST(floor((sum(disc_u)+5000)/10000) AS BIGINT)/100.0 AS sum_disc_price,
+                   CAST(floor((sum(charge_u)+5000)/10000) AS BIGINT)/100.0 AS sum_charge,
                    count(*) AS count_order,
-                   round(sum(l_quantity)/count(*), 2) AS avg_qty,
-                   round(sum(l_extendedprice)/count(*), 2) AS avg_price,
-                   round(sum(l_discount)/count(*), 2) AS avg_disc
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY 1, 2
+                   round(sum(qty_u)/1e6/count(*), 2) AS avg_qty,
+                   round(sum(price_u)/1e6/count(*), 2) AS avg_price,
+                   round(sum(d_u)/1e6/count(*), 2) AS avg_disc
+            FROM u GROUP BY 1, 2
         """,
         "revenue_by_mktsegment": """
-            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+            SELECT c_mktsegment,
+                   CAST(floor((sum(CAST(round(o_totalprice*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
         "top_orders_by_revenue": """
             SELECT o_orderkey,
-                   round(sum(l_extendedprice*(1-l_discount)), 2) AS revenue,
+                   CAST(floor((sum(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0
+                     AS revenue,
                    any_value(o_custkey) AS o_custkey,
                    any_value(o_orderdate) AS o_orderdate
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY o_orderkey ORDER BY sum(l_extendedprice*(1-l_discount)) DESC, o_orderkey LIMIT 10
+            GROUP BY o_orderkey
+            ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT)) DESC,
+                     o_orderkey LIMIT 10
         """,
         "top_customers_by_balance": """
             SELECT c_custkey, c_name, c_acctbal FROM customer

@@ -34,6 +34,17 @@ def _t(sf_dir: str, name: str) -> str:
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary with the combiner pattern
 
+
+def _round2_from_micro(s):
+    """Exact 2dp rounding of integer micro-unit sums (half away from zero),
+    done in integer space so no float-representation half-case can make
+    engines disagree."""
+    import numpy as np
+
+    s = np.asarray(s, dtype=np.int64)
+    return np.where(s >= 0, (s + 5000) // 10000, -((-s + 5000) // 10000)) / 100.0
+
+
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
     ds = ray.data.read_parquet(
         _t(sf_dir, "lineitem"),
@@ -47,15 +58,24 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
     def partial_agg(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff_ts))
         df = t.to_pandas()
-        df["disc_price"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        df["charge"] = df["disc_price"] * (1 + df["l_tax"])
+        # sums in integer micro-units: exact, summation-order-independent,
+        # and bit-identical to any SQL oracle using the same integerization
+        df["disc_price"] = np.round(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 1e6
+        ).astype("int64")
+        df["charge"] = np.round(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]) * 1e6
+        ).astype("int64")
+        df["qty_u"] = np.round(df["l_quantity"] * 1e6).astype("int64")
+        df["price_u"] = np.round(df["l_extendedprice"] * 1e6).astype("int64")
+        df["disc_u"] = np.round(df["l_discount"] * 1e6).astype("int64")
         g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
+            sum_qty=("qty_u", "sum"),
+            sum_base_price=("price_u", "sum"),
             sum_disc_price=("disc_price", "sum"),
             sum_charge=("charge", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
+            sum_disc=("disc_u", "sum"),
+            count_order=("qty_u", "size"),
         ).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -71,13 +91,11 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
         Sum("count_order", alias_name="count_order"),
     )
     df = out.to_pandas()
-    df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(2)
-    df["avg_price"] = (df["sum_base_price"] / df["count_order"]).round(2)
-    df["avg_disc"] = (df["sum_disc"] / df["count_order"]).round(2)
-    # float sums are rounded to 2dp: distributed summation order differs
-    # from any single-pass oracle in the last ulps
+    df["avg_qty"] = (df["sum_qty"] / 1e6 / df["count_order"]).round(2)
+    df["avg_price"] = (df["sum_base_price"] / 1e6 / df["count_order"]).round(2)
+    df["avg_disc"] = (df["sum_disc"] / 1e6 / df["count_order"]).round(2)
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge"):
-        df[c] = df[c].round(2)
+        df[c] = _round2_from_micro(df[c])
     df = df.drop(columns=["sum_disc"])
     return df.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
@@ -101,9 +119,14 @@ def revenue_by_mktsegment(sf_dir: str):
         m = ray.get(seg_by_key)
         segs = pd.Series(t["o_custkey"].to_pylist()).map(m)
         df = pd.DataFrame(
-            {"c_mktsegment": segs, "o_totalprice": t["o_totalprice"].to_pylist()}
+            {
+                "c_mktsegment": segs,
+                "rev_u": np.round(
+                    np.asarray(t["o_totalprice"].to_pylist()) * 1e6
+                ).astype("int64"),
+            }
         )
-        g = df.groupby("c_mktsegment", sort=False)["o_totalprice"].agg(["sum", "size"]).reset_index()
+        g = df.groupby("c_mktsegment", sort=False)["rev_u"].agg(["sum", "size"]).reset_index()
         g.columns = ["c_mktsegment", "revenue", "n_orders"]
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -115,7 +138,7 @@ def revenue_by_mktsegment(sf_dir: str):
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
     df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _round2_from_micro(df["revenue"])
     return df
 
 
@@ -169,7 +192,8 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        out = pa.table({"o_orderkey": t["l_orderkey"], "rev": r})
+        r_u = pc.cast(pc.round(pc.multiply(r, pa.scalar(1e6))), pa.int64())
+        out = pa.table({"o_orderkey": t["l_orderkey"], "rev": r_u})
         df = out.to_pandas().groupby("o_orderkey", sort=False)["rev"].sum().reset_index()
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -195,7 +219,7 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     top = joined.sort("revenue", descending=True).limit(k)
     df = top.to_pandas()
     df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
-    df["revenue"] = df["revenue"].round(2)
+    df["revenue"] = _round2_from_micro(df["revenue"])
     return df
 
 
@@ -226,7 +250,9 @@ def events_hourly_window(sf_dir: str):
             {
                 "event_type": t["event_type"].to_pylist(),
                 "hour": hour.to_pandas(),
-                "value": t["value"].to_pylist(),
+                "value": np.round(
+                    np.asarray(t["value"].to_pylist()) * 1e6
+                ).astype("int64"),
             }
         )
         g = df.groupby(["event_type", "hour"], sort=False)["value"].agg(["size", "sum"]).reset_index()
@@ -241,7 +267,7 @@ def events_hourly_window(sf_dir: str):
         .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     )
     df = out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
-    df["sum_value"] = df["sum_value"].round(2)
+    df["sum_value"] = _round2_from_micro(df["sum_value"])
     return df
 
 
