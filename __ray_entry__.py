@@ -363,7 +363,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sess_id, count(*) AS n_events,
                    min(ts) AS sess_start, max(ts) AS sess_end,
-                   round(sum(value), 2) AS sum_value
+                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
         "events_filter_project": """

@@ -36,13 +36,16 @@ def _t(sf_dir: str, name: str) -> str:
 
 
 def _round2_from_micro(s):
-    """Exact 2dp rounding of integer micro-unit sums (half away from zero),
-    done in integer space so no float-representation half-case can make
-    engines disagree."""
+    """Exact 2dp rounding of integer micro-unit sums, done in integer space
+    so no float-representation half-case can make engines disagree.
+
+    Uses the identical formula as every paired DuckDB oracle —
+    ``floor((s + 5000) / 10000)`` — so negative half-cases (-15000 ->
+    -0.01) round the same way on both sides (half-up, not half-away)."""
     import numpy as np
 
     s = np.asarray(s, dtype=np.int64)
-    return np.where(s >= 0, (s + 5000) // 10000, -((-s + 5000) // 10000)) / 100.0
+    return np.floor_divide(s + 5000, 10000) / 100.0
 
 
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
@@ -56,28 +59,52 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
     cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
 
     def partial_agg(t: pa.Table) -> pa.Table:
+        # all-Arrow combiner: filter + kernel math + pa.Table.group_by, no
+        # pandas conversion in the hottest per-batch stage.  Sums are
+        # integer micro-units: exact, summation-order-independent, and
+        # bit-identical to any SQL oracle using the same integerization.
         t = t.filter(pc.less_equal(t["l_shipdate"], cutoff_ts))
-        df = t.to_pandas()
-        # sums in integer micro-units: exact, summation-order-independent,
-        # and bit-identical to any SQL oracle using the same integerization
-        df["disc_price"] = np.round(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 1e6
-        ).astype("int64")
-        df["charge"] = np.round(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * (1 + df["l_tax"]) * 1e6
-        ).astype("int64")
-        df["qty_u"] = np.round(df["l_quantity"] * 1e6).astype("int64")
-        df["price_u"] = np.round(df["l_extendedprice"] * 1e6).astype("int64")
-        df["disc_u"] = np.round(df["l_discount"] * 1e6).astype("int64")
-        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
-            sum_qty=("qty_u", "sum"),
-            sum_base_price=("price_u", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_charge=("charge", "sum"),
-            sum_disc=("disc_u", "sum"),
-            count_order=("qty_u", "size"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+
+        def u(col):
+            return pc.cast(pc.round(pc.multiply(col, pa.scalar(1e6))), pa.int64())
+
+        tt = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": u(t["l_quantity"]),
+                "sum_base_price": u(t["l_extendedprice"]),
+                "sum_disc_price": u(disc_price),
+                "sum_charge": u(charge),
+                "sum_disc": u(t["l_discount"]),
+            }
+        )
+        g = tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_base_price", "sum"),
+                ("sum_disc_price", "sum"),
+                ("sum_charge", "sum"),
+                ("sum_disc", "sum"),
+                ("sum_qty", "count"),
+            ]
+        )
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "sum_charge",
+                "sum_disc",
+                "count_order",
+            ]
+        )
 
     partials = ds.map_batches(partial_agg, batch_format="pyarrow", zero_copy_batch=True)
     from ray.data.aggregate import Sum
@@ -103,37 +130,59 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
 # ---------------------------------------------------------------------------
 # broadcast join (small dimension side)
 
+class BroadcastLookup:
+    """Broadcast-join actor stage: each actor reads the small dimension
+    table ONCE from storage in ``__init__`` (no driver broadcast, no
+    per-batch deserialize — at 256 nodes every actor pulls the same small
+    parquet from shared storage, the standard broadcast-join shape) and
+    joins per batch with vectorized ``pc.index_in`` + ``take``."""
+
+    def __init__(self, dim_path: str, key: str, value: str):
+        import pyarrow.parquet as pq
+
+        dim = pq.read_table(dim_path, columns=[key, value])
+        self.keys = dim[key].combine_chunks()
+        self.vals = dim[value].combine_chunks()
+        self.value_name = value
+
+    def lookup(self, arr) -> pa.Array:
+        idx = pc.index_in(arr, value_set=self.keys)
+        return self.vals.take(idx)
+
+
+class _SegmentRevenue(BroadcastLookup):
+    def __call__(self, t: pa.Table) -> pa.Table:
+        seg = self.lookup(t["o_custkey"])
+        rev_u = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table({"c_mktsegment": seg, "revenue": rev_u})
+            .group_by("c_mktsegment")
+            .aggregate([("revenue", "sum"), ("revenue", "count")])
+        )
+        return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+
+
 def revenue_by_mktsegment(sf_dir: str):
     """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment."""
-    import pyarrow.parquet as pq
+    from ..util import default_pool_size
 
-    cust = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    seg_by_key = ray.put(
-        dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
-    )
     orders = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
-
-    def attach(t: pa.Table) -> pa.Table:
-        m = ray.get(seg_by_key)
-        segs = pd.Series(t["o_custkey"].to_pylist()).map(m)
-        df = pd.DataFrame(
-            {
-                "c_mktsegment": segs,
-                "rev_u": np.round(
-                    np.asarray(t["o_totalprice"].to_pylist()) * 1e6
-                ).astype("int64"),
-            }
-        )
-        g = df.groupby("c_mktsegment", sort=False)["rev_u"].agg(["sum", "size"]).reset_index()
-        g.columns = ["c_mktsegment", "revenue", "n_orders"]
-        return pa.Table.from_pandas(g, preserve_index=False)
-
     from ray.data.aggregate import Sum
 
     out = (
-        orders.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+        orders.map_batches(
+            _SegmentRevenue,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=default_pool_size(),
+            fn_constructor_kwargs={
+                "dim_path": _t(sf_dir, "customer"),
+                "key": "c_custkey",
+                "value": "c_mktsegment",
+            },
+        )
         .groupby("c_mktsegment")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
@@ -184,8 +233,12 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
 
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
-    """lineitem JOIN orders (partitioned hash join) -> top-k orders by
-    summed line revenue."""
+    """Top-k orders by summed line revenue.
+
+    Scale shape: (1) Arrow-native per-batch combiner, (2) ONE thin-column
+    groupby shuffle to finish the per-order sums, (3) per-block top-k +
+    tiny driver merge — no global sort — and (4) the orders "join" reduced
+    to a k-key broadcast filter (k rows), not a table-vs-table shuffle."""
     li = ray.data.read_parquet(
         _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
@@ -193,9 +246,12 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         r_u = pc.cast(pc.round(pc.multiply(r, pa.scalar(1e6))), pa.int64())
-        out = pa.table({"o_orderkey": t["l_orderkey"], "rev": r_u})
-        df = out.to_pandas().groupby("o_orderkey", sort=False)["rev"].sum().reset_index()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        g = (
+            pa.table({"o_orderkey": t["l_orderkey"], "rev": r_u})
+            .group_by("o_orderkey")
+            .aggregate([("rev", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "rev"])
 
     from ray.data.aggregate import Sum
 
@@ -204,23 +260,40 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
-    orders = ray.data.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    # prefer Ray's native hash-partitioned join when this version ships it
-    # (2.49 does; ~2x faster than the portable bucketed pattern here);
-    # hash_join() remains the explicit, version-independent fallback
-    if hasattr(li_rev, "join"):
-        joined = li_rev.join(
-            orders, join_type="inner", num_partitions=16, on=("o_orderkey",)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        order = np.lexsort(
+            (
+                t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False),
+                -t["revenue"].combine_chunks().to_numpy(zero_copy_only=False),
+            )
+        )[:k]
+        return t.take(pa.array(order))
+
+    # <= k rows per block reach the driver; final merge is k*n_blocks rows
+    partials = li_rev.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(
+        ["revenue", "o_orderkey"], ascending=[False, True]
+    ).head(k)
+
+    top_keys = pa.array(top["o_orderkey"].to_numpy(), pa.int64())
+    detail = (
+        ray.data.read_parquet(
+            _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
         )
-    else:
-        joined = hash_join(li_rev, orders, on="o_orderkey", num_buckets=16)
-    top = joined.sort("revenue", descending=True).limit(k)
-    df = top.to_pandas()
+        .map_batches(
+            lambda b: b.filter(pc.is_in(b["o_orderkey"], value_set=top_keys)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    df = top.merge(detail, on="o_orderkey", how="left")
     df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).reset_index(drop=True)
     df["revenue"] = _round2_from_micro(df["revenue"])
-    return df
+    return df[["o_orderkey", "revenue", "o_custkey", "o_orderdate"]]
 
 
 # ---------------------------------------------------------------------------
@@ -245,19 +318,15 @@ def events_hourly_window(sf_dir: str):
     ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
+        # all-Arrow combiner: no pandas conversion in the per-batch stage
         hour = pc.floor_temporal(t["ts"], unit="hour")
-        df = pd.DataFrame(
-            {
-                "event_type": t["event_type"].to_pylist(),
-                "hour": hour.to_pandas(),
-                "value": np.round(
-                    np.asarray(t["value"].to_pylist()) * 1e6
-                ).astype("int64"),
-            }
+        val_u = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "hour": hour, "sum_value": val_u})
+            .group_by(["event_type", "hour"])
+            .aggregate([("sum_value", "count"), ("sum_value", "sum")])
         )
-        g = df.groupby(["event_type", "hour"], sort=False)["value"].agg(["size", "sum"]).reset_index()
-        g.columns = ["event_type", "hour", "n", "sum_value"]
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(["event_type", "hour", "n", "sum_value"])
 
     from ray.data.aggregate import Sum
 
@@ -279,11 +348,22 @@ def cdc_merge_events(sf_dir: str):
         _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value", "ts"]
     )
 
+    def last_in_block(t: pa.Table) -> pa.Table:
+        # combiner: keep only each key's max-event_id row per block, so the
+        # groupby shuffle moves one row per (key, block) instead of the log.
+        # event_id is the unique LSN, so max-per-key identifies whole rows.
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_id", "max")])
+        return t.filter(
+            pc.is_in(t["event_id"], value_set=g["event_id_max"].combine_chunks())
+        )
+
     def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("event_id").tail(1)
 
-    out = ds.groupby(["user_id", "event_type"]).map_groups(
-        last_per_key, batch_format="pandas"
+    out = (
+        ds.map_batches(last_in_block, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .map_groups(last_per_key, batch_format="pandas")
     )
     return (
         out.to_pandas()
@@ -304,6 +384,9 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
 
     def sessionize(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", kind="mergesort")
+        # integer micro-unit sums + integer-space 2dp rounding: exact,
+        # summation-order-independent, identical to the DuckDB oracle
+        g["value_u"] = np.round(g["value"].to_numpy() * 1e6).astype("int64")
         new_sess = (g["ts"].diff() > gap) | g["ts"].diff().isna()
         g["sess_id"] = new_sess.cumsum().astype("int64")
         out = (
@@ -313,11 +396,11 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
                 n_events=("ts", "size"),
                 sess_start=("ts", "min"),
                 sess_end=("ts", "max"),
-                sum_value=("value", "sum"),
+                sum_value=("value_u", "sum"),
             )
             .reset_index()
         )
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = _round2_from_micro(out["sum_value"])
         return out[["user_id", "sess_id", "n_events", "sess_start", "sess_end", "sum_value"]]
 
     out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
