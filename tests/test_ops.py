@@ -125,6 +125,25 @@ def test_brute_force_topk_matches_numpy(embs):
         assert sub["vec_id"].to_pylist() == exp_top
 
 
+def test_topk_scorer_tie_break_deterministic():
+    """Duplicate embeddings tied at the k-th boundary keep the LOWER
+    vec_id within a batch — the (sim desc, vec_id asc) order the driver
+    reduce and the SQL oracle's row_number apply."""
+    from tg_data_connector_ray.ops.similarity import TopKScorer
+
+    v = np.array([1.0, 0.0, 0.0])
+    batch = pa.table(
+        {
+            # vec 9 and vec 2 are identical (sim=1 with the query); k=2 must
+            # keep {2, 9}-by-id-order, never discard 2 for 9
+            "vec_id": pa.array([9, 5, 2], pa.int64()),
+            "embedding": pa.array([v.tolist(), [0.0, 1.0, 0.0], v.tolist()]),
+        }
+    )
+    out = TopKScorer(queries_ref=v[None, :], k=2)(batch)
+    assert out["vec_id"].to_pylist() == [2, 9]
+
+
 def test_ivf_recall(embs):
     from tg_data_connector_ray.ops.similarity import IvfIndex, brute_force_topk
 

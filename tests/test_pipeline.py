@@ -191,6 +191,36 @@ def test_dirty_routing_and_error_limits(tmp_path):
         apply_cdc(str(d), cfg3)
 
 
+def test_string_lsn_turn_idx_cast_per_row_dirty(tmp_path):
+    """Schema-evolution promotion: a STRING lsn/turn_idx column is cast
+    per-row; uncastable rows go to the dirty side-output instead of
+    failing the batch (ArrowInvalid)."""
+    d = tmp_path / "strlog"
+    os.makedirs(d)
+    t = pa.table(
+        {
+            "lsn": pa.array(["1", "2", "oops", "4"], pa.string()),
+            "op": pa.array(["I"] * 4),
+            "conv_id": pa.array(["c1", "c2", "c3", "c4"]),
+            "turn_idx": pa.array(["0", "bad", "0", "0"], pa.string()),
+            "role": pa.array(["user"] * 4),
+            "text": pa.array(["a", "b", "c", "d"]),
+            "tool": pa.array([None] * 4, pa.string()),
+            "ts": pa.array([1] * 4, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(d / "evt-0000.parquet"))
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=2)
+    s = apply_cdc(str(d), cfg)
+    assert s["dirty_records"] == 2
+    import pyarrow.dataset as pads
+
+    dirty = pads.dataset(cfg.dirty_dir(s["run_id"])).to_table()
+    assert set(dirty["_reason"].to_pylist()) == {"uncastable_lsn", "uncastable_turn_idx"}
+    table = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table()
+    assert sorted(table["conv_id"].to_pylist()) == ["c1", "c4"]
+
+
 def test_read_final_table_dataset(t1, tmp_path):
     cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
     apply_cdc(t1["cdc_log"], cfg)

@@ -30,6 +30,25 @@ def test_cast_long_truncates_and_rejects():
     assert bad.tolist() == [False, False, False, False, True, True, True, False]
 
 
+def test_cast_long_exact_beyond_2_53():
+    # BigDecimal->BigInteger parity: no float64 round-trip for integral
+    # strings — 64-bit IDs survive bit-perfect; overflow is dirty, not wrap
+    vals, bad = cast_string_to_long(
+        S(
+            "9007199254740993",        # 2^53+1: float64 would round to ...992
+            "9223372036854775807",     # int64 max: float path would wrap
+            "-9223372036854775808",    # int64 min
+            "9223372036854775808",     # int64 max + 1: overflow -> dirty
+            "-9223372036854775809",    # int64 min - 1: overflow -> dirty
+            "1e3",                     # scientific form still parses (Decimal)
+        )
+    )
+    assert vals.to_pylist() == [
+        9007199254740993, 9223372036854775807, -9223372036854775808, None, None, 1000
+    ]
+    assert bad.tolist() == [False, False, False, True, True, False]
+
+
 def test_cast_double_accepts_nan_infinity():
     vals, bad = cast_string_to_double(S("1.5", "NaN", "Infinity", "-Infinity", "zz", None))
     got = vals.to_pylist()
@@ -53,6 +72,22 @@ def test_cast_date_multiformat():
 
 
 # ---- CSV source -------------------------------------------------------------
+
+def test_sniff_columns_quoted_delimiter_and_newline(tmp_path):
+    """A quoted first-row field containing the delimiter or an embedded
+    newline must not skew the sniffed column count (RFC 4180 quoting)."""
+    from tg_data_connector_ray.sources.csv import _sniff_num_columns
+
+    p = tmp_path / "q.csv"
+    p.write_text('"a,with,commas","line\nbreak",plain\n"x","y","z"\n')
+    assert _sniff_num_columns(str(p), ",") == 3
+
+    import bz2 as _bz2
+
+    pb = tmp_path / "q.csv.bz2"
+    pb.write_bytes(_bz2.compress(b"a|b|c\n1|2|3\n"))
+    assert _sniff_num_columns(str(pb), "|") == 3
+
 
 @pytest.fixture()
 def csv_dir(tmp_path):

@@ -64,6 +64,7 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
 
     cols: dict = {}
     bad_ts = np.zeros(n, dtype=bool)
+    bad_casts: list = []  # (mask, reason) per uncastable string column
     for name in CDC_COLUMNS:
         tgt = _TARGET_TYPES[name]
         if name not in batch.column_names:
@@ -72,14 +73,25 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
         col = batch[name]
         if pa.types.is_dictionary(col.type):
             col = col.cast(col.type.value_type)
+        is_str_col = pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
         if col.type.equals(tgt):
             cols[name] = col
-        elif name == "ts" and (
-            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
-        ):
+        elif name == "ts" and is_str_col:
             vals, bad = _parse_ts_multi(col, cfg.ts_formats)
             cols[name] = vals
             bad_ts |= bad
+        elif is_str_col and pa.types.is_integer(tgt):
+            # schema-evolution promotion rule (schema.py): string -> typed
+            # is cast per-row, uncastable rows route to the dirty
+            # side-output instead of failing the whole batch
+            s = col.to_pandas()
+            num = pd.to_numeric(s.str.strip(), errors="coerce")
+            bad = (num.isna() & s.notna()).to_numpy()
+            f = num.to_numpy(dtype=np.float64, na_value=np.nan)
+            vals = np.where(np.isfinite(f), np.trunc(f), 0)
+            mask = s.isna().to_numpy() | bad
+            cols[name] = pa.array(vals.astype(np.int64), type=tgt, mask=mask)
+            bad_casts.append((bad, f"uncastable_{name}"))
         else:
             cols[name] = col.cast(tgt)  # int widening etc.
 
@@ -101,6 +113,10 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
     def flag(mask: np.ndarray, reason: str):
         reasons[(reasons == None) & mask] = reason  # noqa: E711
 
+    # cast failures first, so an uncastable lsn/turn_idx reads as
+    # "uncastable_*", not as the null_* its masked value would imply
+    for mask, reason in bad_casts:
+        flag(mask, reason)
     flag(~_np(pc.fill_null(pc.is_in(op, value_set=pa.array(["I", "U", "D"])), False)), "bad_op")
     flag(_np(pc.is_null(cols["conv_id"])), "null_conv_id")
     flag(_np(pc.is_null(cols["turn_idx"])), "null_turn_idx")

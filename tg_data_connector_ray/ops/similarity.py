@@ -31,8 +31,10 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
 
 
 class TopKScorer:
-    """Actor stage: queries normalized ONCE per actor (broadcast via
-    ray.put object ref, zero-copy reads from the object store)."""
+    """Actor stage: queries normalized ONCE per actor.  The query matrix is
+    passed by value in the constructor kwargs (it is q x dim floats — tiny
+    next to the data), so actor restarts never depend on a borrowed
+    object-store ref (ray issue #53727)."""
 
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
@@ -44,10 +46,12 @@ class TopKScorer:
         ids = batch["vec_id"].to_numpy(zero_copy_only=False)
         sims = emb @ self.q.T  # (n, q)
         k = min(self.k, len(ids))
-        top = np.argpartition(-sims, kth=k - 1, axis=0)[:k]  # (k, q)
         qn, out_q, out_id, out_sim = self.q.shape[0], [], [], []
         for qi in range(qn):
-            rows = top[:, qi]
+            # deterministic per-batch selection: (sim desc, vec_id asc), so
+            # duplicate embeddings tied at the k-th boundary keep the lower
+            # vec_id — same order the driver reduce and the oracle apply
+            rows = np.lexsort((ids, -sims[:, qi]))[:k]
             out_q.extend([qi] * len(rows))
             out_id.extend(ids[rows].tolist())
             out_sim.extend(sims[rows, qi].tolist())
@@ -63,20 +67,19 @@ class TopKScorer:
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     """Exact cosine top-k for each query row; returns (query_id, vec_id,
     sim) sorted by (query_id, -sim, vec_id)."""
-    ref = ray.put(np.asarray(queries, dtype=np.float64))
     from ..util import default_pool_size
 
     partials = ds.map_batches(
         TopKScorer,
         batch_format="pyarrow",
         concurrency=default_pool_size(),
-        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        fn_constructor_kwargs={
+            "queries_ref": np.asarray(queries, dtype=np.float64),
+            "k": k,
+        },
     )
-    t = pa.Table.from_pandas(partials.to_pandas(), preserve_index=False)
     # driver-side final reduce over n_blocks*k*q partial rows (tiny)
-    import pandas as pd
-
-    df = t.to_pandas()
+    df = partials.to_pandas()
     df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
     out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -114,10 +117,9 @@ class IvfIndex:
 
     def assign(self, ds):
         """Adds a `centroid` column (nearest-centroid id) to the dataset."""
-        cref = ray.put(self.centroids)
+        c = self.centroids  # small (n_centroids x dim): ships with the fn
 
         def _assign(batch: pa.Table) -> pa.Table:
-            c = ray.get(cref)
             emb = _normalize(_emb_matrix(batch))
             a = np.argmax(emb @ c.T, axis=1).astype(np.int32)
             return batch.append_column("centroid", pa.array(a))

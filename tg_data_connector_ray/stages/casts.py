@@ -37,15 +37,54 @@ def apply_null_format(arr: pa.Array, null_format: "str | None") -> pa.Array:
 
 
 def cast_string_to_long(arr) -> "tuple[pa.Array, np.ndarray]":
+    """Exact numeric parse, mirroring the reference's BigDecimal ->
+    BigInteger path (StringColumn.java:34-140): integral strings parse
+    exactly (no float64 round-trip, so 64-bit IDs survive bit-perfect);
+    decimal/scientific forms truncate toward zero via Decimal; overflow,
+    NaN/Infinity and garbage are dirty.
+
+    Fast path: the whole integral subset casts via Arrow's exact
+    string->int64 kernel in one shot; only batches containing an
+    overflowing integral value fall back to per-row Python ints, and only
+    non-integral forms (rare in LONG columns) go through per-row Decimal.
+    """
     s = arr.to_pandas() if not isinstance(arr, pd.Series) else arr
-    num = pd.to_numeric(s.str.strip(), errors="coerce")
-    nn = s.notna()
-    bad = (num.isna() & nn) | (np.isinf(num) & nn)
-    f = num.to_numpy(dtype=np.float64, na_value=np.nan)
-    over = nn.to_numpy() & ~bad.to_numpy() & ((f > _I64_MAX) | (f < _I64_MIN))
-    bad = bad.to_numpy() | over
-    vals = np.where(np.isfinite(f) & ~over, np.trunc(f), 0).astype(np.int64)
-    mask = ~nn.to_numpy() | bad
+    st = s.str.strip()
+    nn = st.notna().to_numpy()
+    n = len(st)
+    vals = np.zeros(n, dtype=np.int64)
+    bad = np.zeros(n, dtype=bool)
+
+    int_form = st.str.fullmatch(r"[+-]?[0-9]+").fillna(False).to_numpy()
+    int_idx = np.nonzero(int_form)[0]
+    if len(int_idx):
+        sub = pa.array(st.to_numpy(dtype=object)[int_idx], type=pa.string())
+        try:
+            vals[int_idx] = sub.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        except pa.ArrowInvalid:
+            # at least one integral value overflows int64: exact per-row
+            for i in int_idx:
+                v = int(st.iloc[i])
+                if -(2**63) <= v < 2**63:
+                    vals[i] = v
+                else:
+                    bad[i] = True
+    other_idx = np.nonzero(nn & ~int_form)[0]
+    if len(other_idx):
+        from decimal import Decimal, InvalidOperation
+
+        for i in other_idx:
+            try:
+                v = int(Decimal(st.iloc[i]))  # truncates toward zero
+            except (InvalidOperation, OverflowError, ValueError):
+                bad[i] = True
+                continue
+            if -(2**63) <= v < 2**63:
+                vals[i] = v
+            else:
+                bad[i] = True
+
+    mask = ~nn | bad
     return pa.array(vals, type=pa.int64(), mask=mask), bad
 
 
