@@ -333,8 +333,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _cdc_oracle_sql(tier: str) -> str:
+    """Independent DuckDB reconstruction of the CDC merge contract, straight
+    from the event-log parquet (no engine code in the loop):
+
+    per (conv_id, turn_idx), in increasing lsn: duplicate (key, lsn) rows
+    apply once; the key is live iff its LAST event is not a D; each payload
+    column takes the value of its latest setter within the final segment
+    (segment = at/after the last full I/D event; a full event always sets,
+    a U sets only columns it carries non-null); orphan U-only keys survive
+    with partial columns (policy "upsert").
+
+    The driver's correctness check runs at sf0.01 only, so the SQL is
+    pinned to that tier's deterministic fixture (written here if absent —
+    the oracle must not depend on the engine having run first).
+    """
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, tier)
+    glob = os.path.join(fx["cdc_log"], "*.parquet")
+    return f"""
+        WITH raw AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, lsn) AS rdup
+          FROM read_parquet('{glob}')
+        ), ev AS (
+          SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
+          FROM raw WHERE rdup = 1
+        ), keyinfo AS (
+          SELECT conv_id, turn_idx,
+                 arg_max(op, lsn) AS last_op,
+                 coalesce(max(CASE WHEN op IN ('I','D') THEN lsn END), -1) AS seg_lsn
+          FROM ev GROUP BY conv_id, turn_idx
+        ), win AS (
+          SELECT e.conv_id, e.turn_idx,
+                 max(CASE WHEN e.op IN ('I','D') OR e.role IS NOT NULL THEN e.lsn END) AS l_role,
+                 max(CASE WHEN e.op IN ('I','D') OR e.text IS NOT NULL THEN e.lsn END) AS l_text,
+                 max(CASE WHEN e.op IN ('I','D') OR e.tool IS NOT NULL THEN e.lsn END) AS l_tool,
+                 max(CASE WHEN e.op IN ('I','D') OR e.ts   IS NOT NULL THEN e.lsn END) AS l_ts
+          FROM ev e JOIN keyinfo k USING (conv_id, turn_idx)
+          WHERE e.lsn >= k.seg_lsn
+          GROUP BY e.conv_id, e.turn_idx
+        )
+        SELECT k.conv_id, k.turn_idx,
+               er.role AS role, et.text AS text, eo.tool AS tool, es.ts AS ts
+        FROM keyinfo k
+        JOIN win w ON w.conv_id = k.conv_id AND w.turn_idx = k.turn_idx
+        LEFT JOIN ev er ON er.conv_id = k.conv_id AND er.turn_idx = k.turn_idx AND er.lsn = w.l_role
+        LEFT JOIN ev et ON et.conv_id = k.conv_id AND et.turn_idx = k.turn_idx AND et.lsn = w.l_text
+        LEFT JOIN ev eo ON eo.conv_id = k.conv_id AND eo.turn_idx = k.turn_idx AND eo.lsn = w.l_tool
+        LEFT JOIN ev es ON es.conv_id = k.conv_id AND es.turn_idx = k.turn_idx AND es.lsn = w.l_ts
+        WHERE k.last_op <> 'D'
+        ORDER BY k.conv_id, k.turn_idx
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        # flagship: full replay vs an independent window-SQL reconstruction
+        # of the merge contract over the same deterministic event log
+        "cdc_replay": _cdc_oracle_sql("t2"),
+        "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
         "cdc_merge_events": """
             SELECT user_id, event_type, event_id, value, ts FROM (
               SELECT event_id, user_id, event_type, value, ts,
