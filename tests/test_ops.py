@@ -81,10 +81,10 @@ def test_ngram_jaccard_pairs():
             }
         )
     )
-    t = ngram_jaccard_pairs(ds, threshold=0.5)
-    pairs = list(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    rows = ngram_jaccard_pairs(ds, threshold=0.5).take_all()
+    pairs = [(r["a"], r["b"]) for r in rows]
     assert pairs == [(1, 2)]
-    assert t["jac"][0].as_py() == pytest.approx(jaccard(a, a + " eleven twelve"))
+    assert rows[0]["jac"] == pytest.approx(jaccard(a, a + " eleven twelve"))
 
 
 def test_embedding_near_dup_pairs(embs):

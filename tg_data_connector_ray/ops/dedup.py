@@ -3,18 +3,21 @@ SimHash, n-gram Jaccard, embedding-cosine near-dup.
 
 Scale design notes (100 TB):
 - Exact dedup NEVER shuffles document bodies: a map_batches stage reduces
-  each row to (content_hash, doc_id) — two thin columns — and only those
-  shuffle through the groupby.  Representatives are min(doc_id) per hash.
-- MinHash/SimHash emit fixed-size signature rows (bands), so the LSH
-  shuffle volume is O(n_docs * n_bands), independent of document length.
-- Candidate-pair verification is bounded: bucket membership is capped
-  (`max_bucket`) and logged when clipped, so a degenerate bucket (e.g. the
-  empty document) cannot go quadratic.
-- Union-find over verified pairs runs on the driver ONLY because the pair
-  set is provably small (candidates after banding + verification); the
-  cluster count, not the corpus size, bounds it.  For corpora where that
-  fails, the same pairs feed a few rounds of min-label propagation via
-  groupby — noted where relevant.
+  each row to (hash128, doc_id) — thin columns — and only those shuffle
+  through the groupby.  Representatives are min(doc_id) per hash.
+- MinHash/SimHash signatures are fully vectorized: tokens are hashed once
+  per UNIQUE token per batch (md5 for process stability), k-gram shingles
+  combine token hashes with positional splitmix64 mixing, and per-doc
+  minima run as one `np.minimum.reduceat` — no per-row/per-shingle Python.
+- LSH buckets emit fixed-size rows, so the shuffle volume is
+  O(n_docs * n_bands), independent of document length; bucket membership
+  is capped (`max_bucket`) so a degenerate bucket cannot go quadratic.
+- Candidate-pair VERIFICATION is distributed: texts attach to pairs via
+  two hash joins (`Dataset.join`), exact Jaccard runs inside map_batches —
+  candidate pairs never funnel through the driver.
+- Clustering is distributed min-label propagation (`min_label_clusters`):
+  edges + labels datasets, one join + groupby-min per round, O(component
+  diameter) rounds — no driver union-find.  Kept ids are an anti-join.
 """
 
 from __future__ import annotations
@@ -27,8 +30,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
-
-_MERSENNE = (1 << 61) - 1
 
 
 def _md5_u64(s: str) -> int:
@@ -43,13 +44,167 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 lacks bitwise_count)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _segmented_arange(counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    return np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+
+
+def _i64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _nonempty(ds):
+    """Materialize and drop empty blocks.
+
+    Ray Data's map stages emit ZERO-SCHEMA blocks for empty inputs, and the
+    hash-join aggregator then fails with "no match for key field" when such
+    a block reaches either join side.  Every dataset this module feeds into
+    `Dataset.join` is a thin pair/label set (already bounded by banding),
+    so the materialize here is cheap and usually already done.
+    """
+    import ray
+    import ray.data
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        schema = mat.schema()
+        empty = pa.table(
+            {name: pa.array([], type=t) for name, t in zip(schema.names, schema.types)}
+        )
+        return ray.data.from_arrow(empty)
+    return ray.data.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
+# vectorized token + shingle hashing (shared by minhash / ngram-jaccard)
+
+def _token_hashes_flat(texts: "list[str | None]") -> "tuple[np.ndarray, np.ndarray]":
+    """All docs' token hashes as one flat uint64 array + doc offsets.
+
+    md5 runs once per UNIQUE token in the batch (process-stable identity);
+    everything else is numpy.  Tokens keep duplicates and order.
+    """
+    toks_per_doc = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
+    counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    flat = [tok for toks in toks_per_doc for tok in toks]
+    if flat:
+        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+        uhash = np.array([_md5_u64(u) for u in uniq], dtype=np.uint64)
+        h = uhash[inv]
+    else:
+        h = np.empty(0, dtype=np.uint64)
+    return h, offsets
+
+
+_EMPTY_SENTINEL = np.uint64(0xE111_7E57_0000_0001)
+
+
+def _pos_consts(k: int) -> np.ndarray:
+    """Odd positional mixing constants so k-grams are order-sensitive."""
+    return _mix64(
+        np.arange(1, k + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    ) | np.uint64(1)
+
+
+def _shingle_hashes_flat(
+    h: np.ndarray, offsets: np.ndarray, k: int = 3
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Flat word-k-gram shingle hashes + per-doc offsets (with duplicates).
+
+    Docs with >=k tokens emit one shingle per window; docs with 1..k-1
+    tokens emit ONE shingle combining all their tokens; empty docs emit
+    the sentinel — mirroring the per-doc reference semantics exactly.
+    """
+    counts = np.diff(offsets).astype(np.int64)
+    D = len(counts)
+    n_sh = np.where(counts >= k, counts - k + 1, 1)
+    sh_off = np.concatenate([[0], np.cumsum(n_sh)])
+    out = np.full(int(sh_off[-1]), _EMPTY_SENTINEL, dtype=np.uint64)
+    P = _pos_consts(k)
+    n = len(h)
+
+    if n >= k:  # all full windows in one vectorized pass (cross-doc
+        # windows computed then discarded — cheaper than masking first)
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc += h[j : n - k + 1 + j] * P[j]
+        acc = _mix64(acc)
+        big = counts >= k
+        if big.any():
+            nwin = n_sh[big]
+            win_start = np.repeat(offsets[:-1][big], nwin) + _segmented_arange(nwin)
+            dst = np.repeat(sh_off[:-1][big], nwin) + _segmented_arange(nwin)
+            out[dst] = acc[win_start]
+
+    for L in range(1, k):  # short docs: one shingle over all L tokens
+        sel = counts == L
+        if not sel.any():
+            continue
+        starts = offsets[:-1][sel]
+        acc = np.zeros(int(sel.sum()), dtype=np.uint64)
+        for j in range(L):
+            acc += h[starts + j] * P[j]
+        out[sh_off[:-1][sel]] = _mix64(acc)
+
+    return out, sh_off
+
+
+def _shingle_hashes(text: "str | None", k: int = 3) -> np.ndarray:
+    """Per-doc unique shingle hash set (the verification-side identity)."""
+    h, offs = _token_hashes_flat([text])
+    sh, _ = _shingle_hashes_flat(h, offs, k)
+    return np.unique(sh)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
 def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    """(doc_id, h) rows: md5 of the exact text — the exact-dedup reduction."""
-    fps = [
-        hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else ""
-        for t in batch[col].to_pylist()
-    ]
-    return pa.table({"doc_id": batch["doc_id"], "h": pa.array(fps, type=pa.string())})
+    """(doc_id, h1, h2) rows: 128 bits of vectorized content hash — the
+    exact-dedup reduction.  Two independent 64-bit hashes (polars/aHash,
+    fixed seeds: process-stable) make collisions negligible at 10^10 docs
+    where a single 64-bit key would already expect birthday collisions."""
+    import polars as pl
+
+    s = pl.from_arrow(
+        batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
+    )
+    h1 = s.hash(seed=0x51AB).to_numpy()
+    h2 = s.hash(seed=0xD00D).to_numpy()
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "h1": pa.array(h1, type=pa.uint64()),
+            "h2": pa.array(h2, type=pa.uint64()),
+        }
+    )
 
 
 def exact_dedup_ids(ds, col: str = "text"):
@@ -58,69 +213,68 @@ def exact_dedup_ids(ds, col: str = "text"):
     thin = ds.map_batches(
         lambda b: content_hash_batch(b, col), batch_format="pyarrow", zero_copy_batch=True
     )
-    reps = thin.groupby("h").min("doc_id")
+    reps = thin.groupby(["h1", "h2"]).min("doc_id")
     return reps.select_columns(["min(doc_id)"]).rename_columns(["doc_id"])
 
 
 # ---------------------------------------------------------------------------
-# shingles + MinHash
-
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    """uint64 hashes of word k-grams (md5-based: process-stable)."""
-    toks = _TOKEN_RE.findall(text.lower()) if text else []
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return np.unique(np.array([_md5_u64(g) for g in grams], dtype=np.uint64))
-
+# MinHash + LSH
 
 class MinHasher:
-    """Stateful minhash stage: permutation parameters built once per actor."""
+    """Stateful minhash stage: permutation parameters built once per actor.
+
+    __call__ is one vectorized pass: flat token hashes -> flat shingles ->
+    (num_perm x n_shingles) xor-mix matrix -> per-doc np.minimum.reduceat
+    -> positional band fold.  No Python loop over rows or shingles.
+    """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 7):
         rng = np.random.default_rng(seed)
-        # xor-mix minhash family: sig_i = min_x mix64(x ^ c_i) — all-uint64
-        # vectorized (no Python bigints); standard LSH practice
         self.c = rng.integers(0, np.iinfo(np.uint64).max, size=num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows = num_perm // bands
         self.k = shingle_k
+        self.band_consts = _pos_consts(self.rows)
 
-    def signature(self, text: str) -> np.ndarray:
-        x = _shingle_hashes(text, self.k)
-        vals = _mix64(x[None, :] ^ self.c[:, None])
-        return np.min(vals, axis=1)
+    def signatures(self, texts: "list[str | None]") -> np.ndarray:
+        """(num_perm, n_docs) minhash signature matrix."""
+        h, offs = _token_hashes_flat(texts)
+        sh, sh_off = _shingle_hashes_flat(h, offs, self.k)
+        vals = _mix64(sh[None, :] ^ self.c[:, None])  # (P, S)
+        return np.minimum.reduceat(vals, sh_off[:-1], axis=1)  # (P, D)
+
+    def signature(self, text: "str | None") -> np.ndarray:
+        return self.signatures([text])[:, 0]
+
+    def band_hashes(self, sig: np.ndarray) -> np.ndarray:
+        """(bands, n_docs) positional fold of each band's signature rows."""
+        s = sig.reshape(self.bands, self.rows, -1)
+        acc = np.zeros((self.bands, s.shape[2]), dtype=np.uint64)
+        for r in range(self.rows):
+            acc += s[:, r, :] * self.band_consts[r]
+        return _mix64(acc)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """doc rows -> (band, band_hash, doc_id) LSH bucket rows."""
-        ids, bands_out, hashes_out = [], [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sig = self.signature(text or "")
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                bh = hashlib.md5(chunk.tobytes()).hexdigest()[:16]
-                ids.append(doc_id)
-                bands_out.append(bi)
-                hashes_out.append(bh)
+        """doc rows -> (band, bh, doc_id) LSH bucket rows."""
+        ids = _i64(batch["doc_id"])
+        bh = self.band_hashes(self.signatures(batch["text"].to_pylist()))
+        D = len(ids)
         return pa.table(
             {
-                "band": pa.array(bands_out, type=pa.int32()),
-                "bh": pa.array(hashes_out, type=pa.string()),
-                "doc_id": pa.array(ids, type=pa.int64()),
+                "band": pa.array(np.repeat(np.arange(self.bands, dtype=np.int32), D)),
+                "bh": pa.array(bh.reshape(-1), type=pa.uint64()),
+                "doc_id": pa.array(np.tile(ids, self.bands), type=pa.int64()),
             }
         )
 
 
 def _bucket_pairs_table(group: pa.Table, max_bucket: int = 64) -> pa.Table:
-    ids = sorted(group["doc_id"].to_pylist())[:max_bucket]
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    ids = np.sort(_i64(group["doc_id"]))[:max_bucket]
+    ai, bi = np.triu_indices(len(ids), k=1)
+    return pa.table(
+        {"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())}
+    )
 
 
 def lsh_candidate_pairs(ds, hasher_kwargs: "dict | None" = None, max_bucket: int = 64):
@@ -144,73 +298,147 @@ def lsh_candidate_pairs(ds, hasher_kwargs: "dict | None" = None, max_bucket: int
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
 
 
-def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / max(1, len(sa | sb))
+# ---------------------------------------------------------------------------
+# distributed verification + clustering (shared by all near-dup families)
+
+def attach_pair_texts(pairs, docs, num_partitions: int = 8):
+    """(a, b) pairs + documents -> (a, b, text_a, text_b) via two hash
+    joins — candidate texts co-locate with their pairs without ever
+    funneling through the driver."""
+    def _as_side(key: str, text: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["doc_id"], text: t["text"]})
+
+        return _f
+
+    da = docs.map_batches(_as_side("a", "text_a"), batch_format="pyarrow")
+    db = docs.map_batches(_as_side("b", "text_b"), batch_format="pyarrow")
+    pairs = _nonempty(pairs)
+    j = pairs.join(da, join_type="inner", num_partitions=num_partitions, on=("a",))
+    return j.join(db, join_type="inner", num_partitions=num_partitions, on=("b",))
 
 
-def _clusters_from_pairs(pairs: "list[tuple[int, int]]") -> dict:
-    """Union-find -> {doc_id: representative}. Driver-side: pair count is
-    bounded by LSH banding + verification, not corpus size."""
-    parent: dict = {}
+def verified_jaccard_pairs(
+    ds, cand, threshold: float, shingle_k: int = 3, num_partitions: int = 8
+):
+    """Exact-Jaccard verification of candidate pairs, distributed.
+    Returns a Dataset (a, b, jac) with jac >= threshold."""
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    def _verify(t: pa.Table) -> pa.Table:
+        ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+        jac = np.array(
+            [jaccard(x, y, shingle_k) for x, y in zip(ta, tb)], dtype=np.float64
+        )
+        keep = jac >= threshold
+        out = t.select(["a", "b"]).filter(pa.array(keep))
+        return out.append_column("jac", pa.array(jac[keep], pa.float64()))
 
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in list(parent)}
+    return attach_pair_texts(cand, ds, num_partitions).map_batches(
+        _verify, batch_format="pyarrow"
+    )
 
 
-def minhash_dedup_ids(ds, threshold: float = 0.8, shingle_k: int = 3, max_bucket: int = 64):
+def min_label_clusters(pairs, num_partitions: int = 8, max_rounds: int = 50):
+    """Connected components by distributed min-label propagation.
+
+    pairs: Dataset (a, b).  Returns a Dataset (node, lab) covering every
+    endpoint; lab = component minimum after convergence.  Each round is
+    one hash join + one groupby-min over label rows (thin int64 pairs);
+    rounds = O(component diameter).  Convergence check: sum(lab) is
+    strictly decreasing until fixed point, so an unchanged sum terminates.
+    """
+
+    def _ends(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([_i64(t["a"]), _i64(t["b"])]))
+        return pa.table({"node": pa.array(ids, pa.int64())})
+
+    def _sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([_i64(t["a"]), _i64(t["b"])]), pa.int64()),
+                "dst": pa.array(np.concatenate([_i64(t["b"]), _i64(t["a"])]), pa.int64()),
+            }
+        )
+
+    edges = _nonempty(pairs.map_batches(_sym, batch_format="pyarrow"))
+    labels = _nonempty(
+        pairs.map_batches(_ends, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .select_columns(["node"])
+        .map_batches(
+            lambda t: pa.table({"node": t["node"], "lab": t["node"]}),
+            batch_format="pyarrow",
+        )
+    )
+    # projections are explicit map_batches stages: Ray's plan optimizer can
+    # drop a select/rename fused across a join+union boundary (observed as
+    # "RefBundle with a different schema" warnings + failed round-2 joins)
+    def _as_node_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["dst"], "lab": t["lab"]})
+
+    def _min_as_lab(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "lab": t["min(lab)"]})
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        nb = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        )
+        prop = nb.map_batches(_as_node_lab, batch_format="pyarrow").union(labels)
+        labels = _nonempty(
+            prop.groupby("node")
+            .min("lab")
+            .map_batches(_min_as_lab, batch_format="pyarrow")
+        )
+        s = labels.sum("lab")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def dropped_ids(labels):
+    """Labelled nodes that are NOT their component representative."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["lab"])
+        return pa.table({"doc_id": t.filter(keep)["node"]})
+
+    return labels.map_batches(_f, batch_format="pyarrow")
+
+
+def _keep_ids_anti(ds, dropped, num_partitions: int = 8):
+    """doc_id Dataset minus dropped ids — distributed anti-join."""
+    return ds.select_columns(["doc_id"]).join(
+        _nonempty(dropped), join_type="left_anti", num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+
+def _dedup_via_pairs(ds, verified_pairs, num_partitions: int = 8):
+    """verified (a,b) pairs -> kept doc_ids Dataset (cluster reps = min id;
+    non-candidates keep themselves)."""
+    verified_pairs = verified_pairs.materialize()
+    if verified_pairs.count() == 0:
+        return ds.select_columns(["doc_id"])
+    labels = min_label_clusters(verified_pairs, num_partitions)
+    return _keep_ids_anti(ds, dropped_ids(labels), num_partitions)
+
+
+def minhash_dedup_ids(
+    ds,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_bucket: int = 64,
+    num_partitions: int = 8,
+):
     """Near-dup dedup: returns the kept doc_ids (cluster representatives =
     min doc_id; non-candidates keep themselves) as a Dataset."""
     cand = lsh_candidate_pairs(ds, {"shingle_k": shingle_k}, max_bucket)
-    pair_rows = cand.take_all()  # bounded: post-banding candidates only
-    if pair_rows:
-        need = sorted({r["a"] for r in pair_rows} | {r["b"] for r in pair_rows})
-        texts = _gather_texts(ds, need)
-        verified = [
-            (r["a"], r["b"])
-            for r in pair_rows
-            if jaccard(texts.get(r["a"], ""), texts.get(r["b"], ""), shingle_k) >= threshold
-        ]
-    else:
-        verified = []
-    rep = _clusters_from_pairs(verified)
-    dropped = {d for d, r in rep.items() if r != d}
-    return _keep_ids(ds, dropped)
-
-
-def _keep_ids(ds, dropped: set):
-    """doc_id Dataset minus a (small, broadcast) dropped-id set — vectorized."""
-    drop_arr = pa.array(sorted(dropped), type=pa.int64())
-
-    def _f(b: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.fill_null(pc.is_in(b["doc_id"], value_set=drop_arr), False))
-        return b.filter(keep)
-
-    return ds.select_columns(["doc_id"]).map_batches(
-        _f, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-
-def _gather_texts(ds, ids: "list[int]") -> dict:
-    """Fetch texts for a bounded id set (broadcast filter, no shuffle)."""
-    idset = set(ids)
-    sub = ds.map_batches(
-        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=pa.array(list(idset), pa.int64()))),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return {r["doc_id"]: r["text"] for r in sub.select_columns(["doc_id", "text"]).take_all()}
+    ver = verified_jaccard_pairs(ds, cand, threshold, shingle_k, num_partitions)
+    return _dedup_via_pairs(ds, ver, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -218,104 +446,126 @@ def _gather_texts(ds, ids: "list[int]") -> dict:
 
 class SimHashStage:
     """(doc_id, simhash, band buckets) — 64-bit simhash, 4 x 16-bit bands
-    (pigeonhole: hamming<=3 implies one identical band)."""
+    (pigeonhole: hamming<=3 implies one identical band).
+
+    Vectorized: md5 once per unique token, bit expansion + per-doc
+    np.add.reduceat over the flat token-hash array.
+    """
 
     def __init__(self, seed: int = 11):
         self.shift = np.arange(64, dtype=np.uint64)
 
-    def simhash(self, text: str) -> int:
-        toks = _TOKEN_RE.findall((text or "").lower())
-        if not toks:
-            return 0
-        hs = np.array([_md5_u64(t) for t in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> self.shift[None, :]) & np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        return int(((v > 0).astype(np.uint64) << self.shift).sum())
+    def simhashes(self, texts: "list[str | None]") -> np.ndarray:
+        h, offs = _token_hashes_flat(texts)
+        counts = np.diff(offs)
+        out = np.zeros(len(texts), dtype=np.uint64)
+        nz = np.nonzero(counts > 0)[0]
+        if len(nz) == 0:
+            return out
+        bits = ((h[:, None] >> self.shift[None, :]) & np.uint64(1)).astype(np.int64)
+        contrib = 2 * bits - 1  # (T, 64)
+        sums = np.add.reduceat(contrib, offs[:-1][nz], axis=0)  # (DZ, 64)
+        out[nz] = ((sums > 0).astype(np.uint64) << self.shift[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        return out
+
+    def simhash(self, text: "str | None") -> int:
+        return int(self.simhashes([text])[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sh = [self.simhash(t) for t in batch["text"].to_pylist()]
-        out_id, out_band, out_key, out_sim = [], [], [], []
-        for d, h in zip(ids, sh):
-            for b in range(4):
-                out_id.append(d)
-                out_band.append(b)
-                out_key.append((h >> (16 * b)) & 0xFFFF)
-                out_sim.append(h)
+        ids = _i64(batch["doc_id"])
+        sh = self.simhashes(batch["text"].to_pylist())
+        D = len(ids)
+        bands = np.repeat(np.arange(4, dtype=np.int32), D)
+        keys = np.concatenate(
+            [(sh >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(4)]
+        )
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "bkey": pa.array(out_key, pa.int64()),
-                "doc_id": pa.array(out_id, pa.int64()),
-                "simhash": pa.array(out_sim, pa.uint64()),
+                "band": pa.array(bands),
+                "bkey": pa.array(keys.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "simhash": pa.array(np.tile(sh, 4), pa.uint64()),
             }
         )
 
 
 def _sim_pairs(group: pa.Table, max_hamming: int, max_bucket: int = 256) -> pa.Table:
-    rows = sorted(
-        zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist())
-    )[:max_bucket]
-    a, b = [], []
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            if bin(rows[i][1] ^ rows[j][1]).count("1") <= max_hamming:
-                a.append(rows[i][0])
-                b.append(rows[j][0])
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    ids = _i64(group["doc_id"])
+    sims = group["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)[:max_bucket]
+    ids, sims = ids[order], sims[order]
+    n = len(ids)
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    ai, bi = np.triu_indices(n, k=1)
+    ham = _popcount64(sims[ai] ^ sims[bi])
+    keep = ham <= max_hamming
+    return pa.table(
+        {"a": pa.array(ids[ai[keep]], pa.int64()), "b": pa.array(ids[bi[keep]], pa.int64())}
+    )
 
 
-def simhash_dedup_ids(ds, max_hamming: int = 3):
-    """Near-dup dedup by SimHash banding; returns kept doc_ids Dataset."""
+def simhash_dedup_ids(ds, max_hamming: int = 3, num_partitions: int = 8):
+    """Near-dup dedup by SimHash banding; returns kept doc_ids Dataset.
+    Hamming verification is exact inside the bucket stage (pigeonhole
+    banding has perfect recall at <=3 bits), so pairs go straight to the
+    distributed clustering."""
     from ..util import default_pool_size
 
     buckets = ds.map_batches(
         SimHashStage, batch_format="pyarrow", concurrency=default_pool_size()
     )
-    pairs = buckets.groupby(["band", "bkey"]).map_groups(
-        lambda g: _sim_pairs(g, max_hamming), batch_format="pyarrow"
+    pairs = (
+        buckets.groupby(["band", "bkey"])
+        .map_groups(lambda g: _sim_pairs(g, max_hamming), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
     )
-    pair_rows = {(r["a"], r["b"]) for r in pairs.take_all()}
-    rep = _clusters_from_pairs(sorted(pair_rows))
-    dropped = {d for d, r in rep.items() if r != d}
-    return _keep_ids(ds, dropped)
+    return _dedup_via_pairs(ds, pairs, num_partitions)
 
 
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, via shingle inverted index blocking)
 
-def ngram_jaccard_pairs(ds, threshold: float = 0.8, shingle_k: int = 3, max_posting: int = 64):
-    """Exact-threshold Jaccard duplicate pairs.  Blocking: inverted index on
-    shingle hashes (posting lists capped + logged), candidate pairs must
-    share >=1 shingle — exact for threshold > 0.  Returns (a, b, jac)."""
+def ngram_jaccard_pairs(
+    ds,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_posting: int = 64,
+    num_partitions: int = 8,
+):
+    """Exact-threshold Jaccard duplicate pairs.  Blocking: inverted index
+    on shingle hashes (posting lists capped), candidate pairs must share
+    >=1 shingle — exact for threshold > 0.  Verification and output are
+    distributed; returns a Dataset (a, b, jac)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, sh = [], []
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            for h in _shingle_hashes(text or "", shingle_k):
-                ids.append(doc_id)
-                sh.append(int(h))
-        return pa.table({"sh": pa.array(sh, pa.uint64()), "doc_id": pa.array(ids, pa.int64())})
+        h, offs = _token_hashes_flat(batch["text"].to_pylist())
+        sh, sh_off = _shingle_hashes_flat(h, offs, shingle_k)
+        doc_of = np.repeat(_i64(batch["doc_id"]), np.diff(sh_off))
+        # per-doc shingle dedup, vectorized: sort (doc, shingle), keep firsts
+        order = np.lexsort((sh, doc_of))
+        d, s = doc_of[order], sh[order]
+        first = np.concatenate([[True], (d[1:] != d[:-1]) | (s[1:] != s[:-1])])
+        return pa.table(
+            {
+                "sh": pa.array(s[first], pa.uint64()),
+                "doc_id": pa.array(d[first], pa.int64()),
+            }
+        )
 
     inv = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = inv.groupby("sh").map_groups(
-        lambda g: _bucket_pairs_table(g, max_posting), batch_format="pyarrow"
+    pairs = (
+        inv.groupby("sh")
+        .map_groups(lambda g: _bucket_pairs_table(g, max_posting), batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+        .select_columns(["a", "b"])
     )
-    uniq = pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])
-    rows = uniq.take_all()
-    if not rows:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()), "jac": pa.array([], pa.float64())})
-    texts = _gather_texts(ds, sorted({r["a"] for r in rows} | {r["b"] for r in rows}))
-    out_a, out_b, out_j = [], [], []
-    for r in rows:
-        j = jaccard(texts.get(r["a"], ""), texts.get(r["b"], ""), shingle_k)
-        if j >= threshold:
-            out_a.append(r["a"])
-            out_b.append(r["b"])
-            out_j.append(j)
-    return pa.table(
-        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64()), "jac": pa.array(out_j, pa.float64())}
-    )
+    return verified_jaccard_pairs(ds, pairs, threshold, shingle_k, num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -325,40 +575,43 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 12, se
     """Near-dup (vec_id, vec_id) pairs with cosine >= threshold.
 
     Scale path: random-hyperplane LSH buckets (sign bits) keep comparisons
-    within buckets; two extra rotated bucketings catch near-boundary pairs.
-    """
-    schema_dim = len(ds.take(1)[0]["embedding"])
-    rng = np.random.default_rng(seed)
-    planes = [rng.standard_normal((schema_dim, n_planes)) for _ in range(2)]
+    within buckets; a second rotated bucketing catches near-boundary
+    pairs.  Planes are derived deterministically from (seed, dim) INSIDE
+    each task — no driver-side `take(1)` schema sniff, no broadcast."""
+    from .similarity import _emb_matrix
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        emb = np.stack(batch["embedding"].to_pylist()).astype(np.float64)
+        emb = _emb_matrix(batch)
+        dim = emb.shape[1]
+        rng = np.random.default_rng(seed)  # same (seed, dim) in every task
+        planes = [rng.standard_normal((dim, n_planes)) for _ in range(2)]
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.maximum(norms, 1e-12)
-        ids, rots, keys, vecs = [], [], [], []
-        for rot, P in enumerate(planes):
-            bits = (emb @ P) > 0
-            key = bits @ (1 << np.arange(n_planes))
-            ids.extend(batch["vec_id"].to_pylist())
-            rots.extend([rot] * batch.num_rows)
-            keys.extend(key.tolist())
-            vecs.extend(emb.tolist())
+        ids = _i64(batch["vec_id"])
+        n = len(ids)
+        keys = np.concatenate(
+            [((emb @ P) > 0) @ (1 << np.arange(n_planes)) for P in planes]
+        )
+        flat = np.tile(emb.reshape(-1), 2)
+        vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), dim)
         return pa.table(
             {
-                "rot": pa.array(rots, pa.int32()),
+                "rot": pa.array(np.repeat(np.arange(2, dtype=np.int32), n)),
                 "bkey": pa.array(keys, pa.int64()),
-                "vec_id": pa.array(ids, pa.int64()),
-                "vec": pa.array(vecs, pa.list_(pa.float64())),
+                "vec_id": pa.array(np.tile(ids, 2), pa.int64()),
+                "vec": vec,
             }
         )
 
     def bucket_cosine_pairs(group: pa.Table) -> pa.Table:
-        ids = group["vec_id"].to_pylist()
+        ids = _i64(group["vec_id"])
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         order = np.argsort(ids)
-        emb = np.stack(group["vec"].to_pylist())[order]
-        ids = np.array(ids)[order]
+        col = group["vec"].combine_chunks()
+        dim = col.type.list_size
+        emb = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), dim)[order]
+        ids = ids[order]
         sims = emb @ emb.T
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
         return pa.table({"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())})
