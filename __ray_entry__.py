@@ -193,12 +193,27 @@ def _ngram_jaccard(sf_dir):
 
 
 def _embedding_near_dup(sf_dir):
+    """Near-dup pairs at cosine >= 0.99 over the embeddings table plus 5
+    seeded exact copies (vec_id + 100000) — the fixture has no natural
+    pairs at this threshold, so the copies make the check non-vacuous."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
     from tg_data_connector_ray.ops.dedup import embedding_near_dup_pairs
 
-    embs = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_near_dup_pairs(embs, threshold=0.99)
+    embs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def copy5(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], 5))
+        return pa.table(
+            {"vec_id": pc.add(sub["vec_id"], 100000), "embedding": sub["embedding"]}
+        )
+
+    seeded = embs.union(embs.map_batches(copy5, batch_format="pyarrow"))
+    return embedding_near_dup_pairs(seeded, threshold=0.99)
 
 
 def _ann_topk(sf_dir):
@@ -228,7 +243,11 @@ def _ivf_ann(sf_dir):
     q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
     embs = ray.data.read_parquet(path)
     idx = IvfIndex(n_centroids=16, iters=5).fit(embs)
-    return idx.search(idx.assign(embs), q, k=5, nprobe=6).select(["query_id", "vec_id"])
+    # nprobe = n_centroids: probing every partition makes IVF exact, so the
+    # whole index path (fit, assign, partition filter, probed search) gets a
+    # hard SQL oracle; the recall/latency tradeoff at nprobe < K is covered
+    # by pytest (test_ivf_recall)
+    return idx.search(idx.assign(embs), q, k=5, nprobe=16).select(["query_id", "vec_id"])
 
 
 def _text_quality(sf_dir):
@@ -387,6 +406,32 @@ def _cdc_oracle_sql(tier: str) -> str:
     """
 
 
+# DuckDB reconstruction of ops/dedup._shingle_hashes: word 3-gram shingle
+# SETS (gram strings stand in bijection for the engine's 64-bit gram hashes)
+_SHINGLES_CTE = """
+              SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN [chr(1)]
+                      WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_distinct(list_transform(range(1, len(toks)-1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                 END AS grams
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+                    FROM documents)
+"""
+
+# connected components over `pairs(a,b)` via recursive transitive closure;
+# kept docs = component minimum (or isolated) — the engine's min-label result
+_CC_CTE = """edges AS (
+              SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(src, dst) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+            ), rep AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         # flagship: full replay vs an independent window-SQL reconstruction
@@ -490,6 +535,116 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (lang = 'en') AND NOT (n_chars < 50)
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # shared shingle CTE for the jaccard-family oracles: word 3-grams of
+        # [a-z0-9_]+ tokens on lowered text; <3 tokens -> one combined gram;
+        # no tokens -> a sentinel (matches ops/dedup._shingle_hashes exactly)
+        "ngram_jaccard": f"""
+            WITH sh AS ({_SHINGLES_CTE})
+            SELECT a, b, jac FROM (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                       / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS jac
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+            WHERE jac >= 0.8
+        """,
+        "dedup_minhash": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_CTE}
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), {_CC_CTE}
+            SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep USING (doc_id)
+            WHERE rep.rep IS NULL OR rep.rep = d.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM documents
+            ), th AS (
+              -- little-endian uint64 of md5(token)[0:8], the engine's token hash
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, b.b AS bit,
+                sum(CASE WHEN (h // CAST(power(2, b.b) AS UBIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), simv AS (
+              SELECT doc_id,
+                coalesce(list_sum(list_transform(
+                  list(CASE WHEN v > 0 THEN bit ELSE NULL END),
+                  x -> CAST(power(2, x) AS UBIGINT))), 0) AS sh
+              FROM bits GROUP BY doc_id
+            ), allsh AS (
+              SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+              FROM documents d LEFT JOIN simv s USING (doc_id)
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ), {_CC_CTE}
+            SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep USING (doc_id)
+            WHERE rep.rep IS NULL OR rep.rep = d.doc_id
+        """,
+        "embedding_near_dup": """
+            WITH aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5
+            )
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "ivf_ann": """
+            SELECT query_id, vec_id FROM (
+              SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
+                     row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e2.embedding, e.embedding) DESC,
+                                 e2.vec_id) AS rn
+              FROM embeddings e CROSS JOIN embeddings e2
+              WHERE e.vec_id < 3) t
+            WHERE rn <= 5
+        """,
+        "text_langid": """
+            WITH w AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS cjk,
+                list_transform(list_slice(regexp_extract_all(text, '[a-zA-Z]+'), 1, 200),
+                               x -> lower(x)) AS words
+              FROM documents
+            ), h AS (
+              SELECT doc_id, text, cjk, len(words) AS nw,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein','mit','sich'], x))) AS h_de,
+                len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','a','in','is','it','you','that'], x))) AS h_en,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','de','que','y','los','en','un','por','con'], x))) AS h_es,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','et','les','des','est','pas','que','une','pour'], x))) AS h_fr
+              FROM w
+            )
+            SELECT doc_id,
+              CASE
+                WHEN text IS NULL OR text = '' THEN 'unknown'
+                WHEN 2*cjk >= greatest(1, length(text) // 8) THEN 'zh'
+                WHEN nw = 0 THEN 'unknown'
+                WHEN greatest(h_de, h_en, h_es, h_fr) < 1 THEN 'unknown'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr'
+              END AS lang_pred
+            FROM h
+        """,
         "ann_topk": """
             SELECT query_id, vec_id FROM (
               SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
