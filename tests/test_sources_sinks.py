@@ -269,3 +269,144 @@ def test_csv_gzip_compression(tmp_path):
     ds = read_csv_source(str(p))
     rows = sorted(ds.take_all(), key=lambda r: r["f0"])
     assert rows == [{"f0": "1", "f1": "x"}, {"f0": "2", "f1": "y"}]
+
+
+# ---- SQL sink (CommonRdbmsWriter analogue) ----------------------------------
+
+def _mk_target(path):
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE IF NOT EXISTS out (id INTEGER PRIMARY KEY, name TEXT, qty INTEGER)")
+    con.commit()
+    con.close()
+
+
+def test_sql_sink_insert_replace_update(tmp_path):
+    import sqlite3
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig, build_write_sql, write_sql
+
+    db = str(tmp_path / "w.db")
+    factory = lambda: sqlite3.connect(db)  # noqa: E731
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3], pa.int64()),
+                "name": pa.array(["a", "b", "c"]),
+                "qty": pa.array([10, 20, 30], pa.int64()),
+            }
+        )
+    )
+    cfg = SqlSinkConfig(
+        table="out",
+        columns=("id", "name", "qty"),
+        write_mode="insert",
+        pre_sql=("CREATE TABLE IF NOT EXISTS out (id INTEGER PRIMARY KEY, name TEXT, qty INTEGER)",),
+    )
+    assert write_sql(ds, factory, cfg) == 3
+
+    # replace: same PKs overwrite (reference writeMode=replace)
+    ds2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([2, 3, 4], pa.int64()),
+                "name": pa.array(["B", "C", "D"]),
+                "qty": pa.array([200, 300, 400], pa.int64()),
+            }
+        )
+    )
+    cfg2 = SqlSinkConfig(table="out", columns=("id", "name", "qty"), write_mode="replace")
+    assert write_sql(ds2, factory, cfg2) == 3
+    con = sqlite3.connect(db)
+    got = con.execute("SELECT id, name, qty FROM out ORDER BY id").fetchall()
+    con.close()
+    assert got == [(1, "a", 10), (2, "B", 200), (3, "C", 300), (4, "D", 400)]
+
+    # update: upsert over conflict keys, only non-key columns set
+    ds3 = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([4, 5], pa.int64()),
+                "name": pa.array(["DD", "E"]),
+                "qty": pa.array([444, 555], pa.int64()),
+            }
+        )
+    )
+    cfg3 = SqlSinkConfig(
+        table="out", columns=("id", "name", "qty"), write_mode="update", conflict_keys=("id",)
+    )
+    assert write_sql(ds3, factory, cfg3) == 2
+    con = sqlite3.connect(db)
+    got = con.execute("SELECT id, name FROM out WHERE id >= 4 ORDER BY id").fetchall()
+    con.close()
+    assert got == [(4, "DD"), (5, "E")]
+
+    # dialect template matrix (WriterUtil parity)
+    my = SqlSinkConfig(table="t", columns=("a", "b"), write_mode="update", dialect="mysql")
+    assert "ON DUPLICATE KEY UPDATE" in build_write_sql(my)
+    pg = SqlSinkConfig(
+        table="t", columns=("a", "b"), write_mode="update", dialect="postgres", conflict_keys=("a",)
+    )
+    assert "ON CONFLICT (a) DO UPDATE SET b = excluded.b" in build_write_sql(pg)
+
+
+def test_csv_compressed_write_roundtrip(tmp_path):
+    out = str(tmp_path / "gz")
+    ds = ray.data.from_arrow(
+        pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array(["x", "y,z"])})
+    )
+    write_delimited(ds, out, delimiter="|", compression="gzip")
+    files = os.listdir(out)
+    assert files and all(f.endswith(".csv.gz") for f in files)
+    back = read_csv_source(
+        out,
+        delimiter="|",
+        columns=[ColumnSpec(index=0, type="long", name="a"), ColumnSpec(index=1, type="string", name="b")],
+    )
+    assert sorted(back.take_all(), key=lambda r: r["a"]) == [
+        {"a": 1, "b": "x"},
+        {"a": 2, "b": "y,z"},
+    ]
+
+
+def test_csv_zip_codec_and_uri_listing(tmp_path):
+    import zipfile
+
+    d = tmp_path / "zips"
+    os.makedirs(d)
+    with zipfile.ZipFile(str(d / "data.zip"), "w") as z:
+        z.writestr("part1.csv", "10|aa\n11|bb\n")
+        z.writestr("part2.csv", "12|cc\n")
+    ds = read_csv_source(
+        f"file://{d}",  # object-store-style URI listing (GcsReader parity)
+        delimiter="|",
+        columns=[ColumnSpec(index=0, type="long", name="a"), ColumnSpec(index=1, type="string", name="b")],
+    )
+    assert sorted(r["a"] for r in ds.take_all()) == [10, 11, 12]
+
+    with pytest.raises(NotImplementedError, match="codec"):
+        (d / "x.lzo").write_text("")
+        read_csv_source(str(d / "x.lzo"), delimiter="|")
+
+
+def test_watermark_store(tmp_path):
+    import json
+
+    from tg_data_connector_ray.state import WatermarkStore
+
+    out = tmp_path / "job"
+    for part, wm in [(0, 100), (1, 250)]:
+        ld = out / "lineage" / f"part={part:05d}"
+        os.makedirs(ld)
+        (ld / "_latest.json").write_text(json.dumps({"watermark": wm, "run_id": "r1"}))
+    ws = WatermarkStore(str(out))
+    assert ws.parts() == [0, 1]
+    assert ws.watermark(1) == 250
+    assert ws.min_watermark() == 100 and ws.max_watermark() == 250
+    # cache invalidates on rewrite
+    ld = out / "lineage" / "part=00000"
+    os.utime(ld / "_latest.json", (0, 0))  # distinct mtime for rewrite below
+    (ld / "_latest.json").write_text(json.dumps({"watermark": 300, "run_id": "r2"}))
+    assert ws.watermark(0) == 300
+    assert ws.watermark(7) == -1

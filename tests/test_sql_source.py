@@ -70,3 +70,41 @@ def test_filter_paths_regex():
         "/a/part-1.csv",
         "/a/part-2.csv",
     ]
+
+
+# ---- string PK split (RangeSplitUtil radix-128 analogue) --------------------
+
+def test_split_string_range_boundaries():
+    from tg_data_connector_ray.sources.sql import split_string_range
+
+    b = split_string_range("apple", "zebra", 4)
+    assert b[0] == "apple" and b[-1] == "zebra"
+    assert b == sorted(b)  # lexicographic slices are valid
+    assert len(b) == 5
+
+    # common prefix preserved
+    b2 = split_string_range("user_000", "user_999", 3)
+    assert all(x.startswith("user_") for x in b2)
+    assert b2[0] == "user_000" and b2[-1] == "user_999"
+
+    with pytest.raises(ValueError, match="non-ASCII"):
+        split_string_range("aé", "az", 2)
+
+
+def test_read_sql_string_pk_split(tmp_path):
+    p = str(tmp_path / "s.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE users (uid TEXT, score INTEGER)")
+    con.executemany(
+        "INSERT INTO users VALUES (?, ?)",
+        [(f"user_{i:04d}", i) for i in range(97)] + [(None, -1)],
+    )
+    con.commit()
+    con.close()
+    ds = read_sql_source(
+        lambda: sqlite3.connect(p),
+        SqlSourceConfig(table="users", split_pk="uid", num_splits=4),
+    )
+    rows = ds.take_all()
+    assert len(rows) == 98  # no loss/dup across string slices + NULL tail
+    assert sum(1 for r in rows if r["uid"] is None) == 1

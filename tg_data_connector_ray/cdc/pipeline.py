@@ -154,16 +154,15 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
 
 
 def _expand(paths) -> "list[str]":
+    """File/dir paths or object-store URIs -> parquet file list (the
+    reference's GcsReader bucket listing, generalized via pyarrow.fs)."""
+    from ..util import list_files
+
     if isinstance(paths, str):
         paths = [paths]
     out = []
     for p in paths:
-        if os.path.isdir(p):
-            out.extend(
-                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
-            )
-        else:
-            out.append(p)
+        out.extend(list_files(p, suffix=".parquet"))
     return out
 
 
@@ -171,10 +170,12 @@ def compute_run_id(files: "list[str]", snapshot: "str | None" = None) -> str:
     """Deterministic run identity = the set of inputs consumed.  Re-running
     the same inputs (crash recovery) reuses the id and skips committed
     partitions; a new file batch gets a new id."""
+    from ..util import file_size
+
     h = hashlib.sha256()
     for f in sorted(files):
         h.update(f.encode())
-        h.update(str(os.path.getsize(f)).encode())
+        h.update(str(file_size(f)).encode())
     if snapshot:
         h.update(b"snap:" + snapshot.encode())
     return h.hexdigest()[:16]
@@ -203,8 +204,10 @@ def build_events_dataset(
     files = _expand(event_paths)
     datasets = []
     if files:
+        from ..util import file_size
+
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        sizes = {f: os.path.getsize(f) for f in files}
+        sizes = {f: file_size(f) for f in files}
         total_bytes = max(1, sum(sizes.values()))
         groups, _unified = scan_schemas(files)
         for _fp, grp_files in sorted(groups.items()):

@@ -84,8 +84,11 @@ def scan_schemas(paths: "list[str]") -> "tuple[dict[str, list[str]], pa.Schema]"
     (groups, unified_schema)."""
     groups: dict[str, list[str]] = defaultdict(list)
     reps: dict[str, pa.Schema] = {}
+    from ..util import resolve_fs
+
     for p in paths:
-        s = pq.read_schema(p)
+        fs, fp = resolve_fs(p)
+        s = pq.read_schema(fp, filesystem=fs)
         key = str(s.remove_metadata())
         groups[key].append(p)
         reps.setdefault(key, s)

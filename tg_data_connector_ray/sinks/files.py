@@ -72,14 +72,38 @@ def write_delimited(
     date_format: "str | None" = None,
     write_mode: str = "truncate",
     header: bool = False,
+    compression: "str | None" = None,
 ):
-    """Delimited-text sink; returns None (terminal)."""
+    """Delimited-text sink; returns None (terminal).
+
+    ``compression``: None | "gzip" | "bz2" — the reference's output codecs
+    (UnstructuredStorageWriterUtil.java:172-230).  Applied per output file
+    in the write tasks (arrow output-stream compression), with the codec
+    suffix on every filename.
+    """
+    if compression not in (None, "gzip", "bz2"):
+        raise ValueError(f"compression must be None|gzip|bz2, got {compression}")
     prepare_output_dir(path, write_mode)
     out = ds.map_batches(
         lambda b: _serialize_batch(b, null_format, date_format),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    kwargs = {}
+    if compression:
+        # arrow stream codec name + conventional suffix
+        codec, suffix = {"gzip": ("gzip", ".gz"), "bz2": ("bz2", ".bz2")}[compression]
+        from ray.data.datasource.filename_provider import _DefaultFilenameProvider
+
+        class _SuffixNames(_DefaultFilenameProvider):
+            def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+                return (
+                    super().get_filename_for_block(block, write_uuid, task_index, block_index)
+                    + suffix
+                )
+
+        kwargs["arrow_open_stream_args"] = {"compression": codec}
+        kwargs["filename_provider"] = _SuffixNames(dataset_uuid=None, file_format="csv")
     out.write_csv(
         path,
         arrow_csv_args_fn=lambda: {
@@ -87,6 +111,7 @@ def write_delimited(
                 include_header=header, delimiter=delimiter
             )
         },
+        **kwargs,
     )
 
 

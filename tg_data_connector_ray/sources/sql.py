@@ -47,6 +47,55 @@ def build_query(cfg: SqlSourceConfig) -> str:
     return q
 
 
+def split_string_range(lo: str, hi: str, n: int) -> "list[str]":
+    """ASCII radix-128 bignum split boundaries for a STRING primary key —
+    the reference's RangeSplitUtil.splitStringRange (RangeSplitUtil.java:
+    14-30,105-128) shape: strip the common prefix, treat the remainders as
+    base-128 numbers over the ASCII range, split evenly, convert back.
+
+    Returned boundaries are lexicographically ordered (base-128 numeric
+    order on NUL-padded strings == byte order; stripping trailing NULs
+    preserves it), so `pk >= b[i] AND pk < b[i+1]` slices are correct
+    under binary collation.
+    """
+    if lo > hi:
+        lo, hi = hi, lo
+    pre = 0
+    while pre < len(lo) and pre < len(hi) and lo[pre] == hi[pre]:
+        pre += 1
+    prefix, a, b = lo[:pre], lo[pre:], hi[pre:]
+    width = max(len(a), len(b), 1)
+
+    def enc(s: str) -> int:
+        v = 0
+        for i in range(width):
+            c = ord(s[i]) if i < len(s) else 0
+            if c > 127:
+                raise ValueError(f"non-ASCII character in string pk value {s!r}")
+            v = v * 128 + c
+        return v
+
+    def dec(v: int) -> str:
+        digits = []
+        for _ in range(width):
+            digits.append(v % 128)
+            v //= 128
+        return prefix + "".join(chr(d) for d in reversed(digits)).rstrip("\x00")
+
+    av, bv = enc(a), enc(b)
+    bounds = [dec(av + (bv - av) * i // n) for i in range(n + 1)]
+    bounds[0], bounds[-1] = lo, hi  # exact endpoints
+    out = []
+    for x in bounds:  # dedupe, order-preserving (tiny ranges collapse)
+        if not out or x != out[-1]:
+            out.append(x)
+    return out
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
 def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Dataset":
     """One Dataset from a SQL source; PK-range split when configured."""
     if cfg.query_sql or not cfg.split_pk:
@@ -65,6 +114,33 @@ def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Datas
     queries = []
     if lo is None:
         queries.append(build_query(cfg))
+    elif isinstance(lo, str):
+        # string PK: radix-128 boundaries, inclusive final slice
+        bounds = split_string_range(lo, hi, max(1, cfg.num_splits))
+        for i in range(len(bounds) - 1):
+            last = i == len(bounds) - 2
+            upper_op = "<=" if last else "<"
+            queries.append(
+                build_query(
+                    SqlSourceConfig(
+                        table=cfg.table,
+                        columns=cfg.columns,
+                        where=(
+                            f"{base_where}{cfg.split_pk} >= {_sql_quote(bounds[i])}"
+                            f" AND {cfg.split_pk} {upper_op} {_sql_quote(bounds[i + 1])}"
+                        ),
+                    )
+                )
+            )
+        queries.append(
+            build_query(
+                SqlSourceConfig(
+                    table=cfg.table,
+                    columns=cfg.columns,
+                    where=f"{base_where}{cfg.split_pk} IS NULL",
+                )
+            )
+        )
     else:
         n = max(1, cfg.num_splits)
         step = max(1, (int(hi) - int(lo) + n) // n)

@@ -91,6 +91,60 @@ def new_token() -> str:
     return uuid.uuid4().hex
 
 
+def resolve_fs(path: str):
+    """(pyarrow.fs.FileSystem, fs_path) for a local path or any fsspec-style
+    URI (file://, s3://, gs://, ...) — the reference's GcsReader listing
+    generalized to every pyarrow-supported object store."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _reprefix(original: str, fs_path: str) -> str:
+    """Re-attach the URI scheme so Ray's readers get full URIs back;
+    file:// collapses to a plain local path (same filesystem)."""
+    if "://" not in original:
+        return fs_path
+    scheme = original.split("://", 1)[0]
+    if scheme == "file":
+        return fs_path
+    return f"{scheme}://{fs_path}"
+
+
+def list_files(path: str, suffix: "str | None" = None) -> "list[str]":
+    """Expand a file/dir path or URI into a sorted list of file paths
+    (scheme preserved for remote stores)."""
+    from pyarrow import fs as pafs
+
+    fs, p = resolve_fs(path)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return [_reprefix(path, p)]
+    if info.type != pafs.FileType.Directory:
+        raise FileNotFoundError(path)
+    sel = pafs.FileSelector(p, recursive=False)
+    out = [
+        f.path
+        for f in fs.get_file_info(sel)
+        if f.type == pafs.FileType.File and (suffix is None or f.path.endswith(suffix))
+    ]
+    return [_reprefix(path, f) for f in sorted(out)]
+
+
+def file_size(path: str) -> int:
+    fs, p = resolve_fs(path)
+    return fs.get_file_info(p).size or 0
+
+
+def open_input(path: str):
+    """Readable binary stream for a local path or URI.  pyarrow's
+    open_input_stream auto-detects gz/bz2 by extension and decompresses."""
+    fs, p = resolve_fs(path)
+    return fs.open_input_stream(p)
+
+
 def default_pool_size(cap: int = 16) -> int:
     """Actor-pool size that leaves CPUs for upstream read/shuffle stages —
     a pool reserving every CPU starves its own input and deadlocks the
