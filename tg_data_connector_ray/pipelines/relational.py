@@ -4,13 +4,16 @@ the reference; these are built directly on Ray Data primitives).
 
 Scale idioms demonstrated (and used by __ray_entry__ / bench):
 - column pruning at the read (`columns=[...]`);
-- pre-aggregation inside map_batches before the groupby shuffle (the
-  combiner pattern: the shuffle moves one row per key per batch);
-- broadcast join for small dimension tables (ray.put once, per-batch merge
-  — no shuffle);
+- Arrow-native pre-aggregation inside map_batches before the groupby
+  shuffle (combiner at whole-block granularity, batch_size=None: the
+  shuffle moves one row per key per BLOCK);
+- broadcast join for small dimension tables as an actor-pool stage
+  (dimension parquet read once per actor, vectorized pc.index_in — no
+  shuffle, no per-batch driver traffic);
 - explicit partitioned hash join for large-large joins (bucket column +
-  single groupby + per-bucket pandas merge);
-- sort/top-k via sort+limit.
+  single groupby + per-bucket pandas merge) — kept as the portable
+  fallback next to Ray's native Dataset.join;
+- top-k via per-block selection + tiny driver merge (never a global sort).
 """
 
 from __future__ import annotations
@@ -106,7 +109,11 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
             ]
         )
 
-    partials = ds.map_batches(partial_agg, batch_format="pyarrow", zero_copy_batch=True)
+    # batch_size=None: combine at whole-block granularity — the shuffle then
+    # moves one row per key per BLOCK, not per 1024-row batch
+    partials = ds.map_batches(
+        partial_agg, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
     from ray.data.aggregate import Sum
 
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -162,8 +169,13 @@ class _SegmentRevenue(BroadcastLookup):
         return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
 
 
-def revenue_by_mktsegment(sf_dir: str):
-    """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment."""
+def revenue_by_mktsegment(sf_dir: str, concurrency: "int | None" = None):
+    """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment.
+
+    The lookup stage is memory-bound (index_in + take + tiny group_by),
+    so a small pool saturates it; actor spin-up is the dominant cost at
+    test scale (measured: pool of 2 ~1.3s vs 14 ~2.2s at sf0.1).  On a
+    real cluster size the pool to input blocks via `concurrency`."""
     from ..util import default_pool_size
 
     orders = ray.data.read_parquet(
@@ -176,7 +188,7 @@ def revenue_by_mktsegment(sf_dir: str):
             _SegmentRevenue,
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=default_pool_size(),
+            concurrency=concurrency or min(4, default_pool_size()),
             fn_constructor_kwargs={
                 "dim_path": _t(sf_dir, "customer"),
                 "key": "c_custkey",
@@ -256,7 +268,7 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     from ray.data.aggregate import Sum
 
     li_rev = (
-        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("o_orderkey")
         .aggregate(Sum("rev", alias_name="revenue"))
     )
@@ -331,7 +343,7 @@ def events_hourly_window(sf_dir: str):
     from ray.data.aggregate import Sum
 
     out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(["event_type", "hour"])
         .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
     )
@@ -361,7 +373,7 @@ def cdc_merge_events(sf_dir: str):
         return g.sort_values("event_id").tail(1)
 
     out = (
-        ds.map_batches(last_in_block, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(last_in_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby(["user_id", "event_type"])
         .map_groups(last_per_key, batch_format="pandas")
     )
