@@ -163,6 +163,37 @@ def test_ivf_recall(embs):
     assert inter >= 10  # >= 2/3 average recall
 
 
+def test_ivf_index_persistence_pruned_read(embs, tmp_path):
+    """The IVF scale path end-to-end: assign -> write partitioned by
+    centroid -> PRUNED read of only the probed partitions -> search over
+    the pruned subset matches searching the full assigned dataset."""
+    from tg_data_connector_ray.ops.similarity import IvfIndex, _normalize
+
+    idx = IvfIndex(n_centroids=8, iters=5).fit(embs)
+    out = str(tmp_path / "ivf")
+    idx.assign(embs).write_parquet(out, partition_cols=["centroid"])
+
+    import os
+
+    parts = sorted(d for d in os.listdir(out) if d.startswith("centroid="))
+    assert len(parts) > 1  # layout actually partitioned
+
+    q = np.stack([np.asarray(r["embedding"], np.float64) for r in embs.take(2)])
+    nprobe = 3
+    probes = np.argsort(-(_normalize(q) @ idx.centroids.T), axis=1)[:, :nprobe]
+    probe_set = sorted({int(c) for row in probes for c in row})
+    # pruned read: ONLY the probed centroid directories leave storage
+    import glob
+
+    files = [f for c in probe_set for f in glob.glob(f"{out}/centroid={c}/*.parquet")]
+    pruned = ray.data.read_parquet(files)
+    got = idx.search(pruned, q, k=5, nprobe=nprobe)
+    exp = idx.search(idx.assign(embs), q, k=5, nprobe=nprobe)
+    assert got.select(["query_id", "vec_id"]).to_pylist() == exp.select(
+        ["query_id", "vec_id"]
+    ).to_pylist()
+
+
 def test_text_ops_match_duckdb(docs):
     import duckdb
 

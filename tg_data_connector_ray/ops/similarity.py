@@ -133,11 +133,15 @@ class IvfIndex:
         probe_set = sorted({int(c) for row in probes for c in row})
         import pyarrow.compute as pc
 
+        def _probe_filter(b: pa.Table) -> pa.Table:
+            cen = b["centroid"]
+            if not pa.types.is_integer(cen.type):
+                # hive-partitioned reads surface the partition column as
+                # string ("centroid=3" directories) — normalize back
+                cen = pc.cast(cen, pa.int32())
+            return b.filter(pc.is_in(cen, value_set=pa.array(probe_set, pa.int32())))
+
         sub = assigned_ds.map_batches(
-            lambda b: b.filter(
-                pc.is_in(b["centroid"], value_set=pa.array(probe_set, pa.int32()))
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            _probe_filter, batch_format="pyarrow", zero_copy_batch=True
         )
         return brute_force_topk(sub, q, k)
