@@ -125,6 +125,24 @@ def test_brute_force_topk_matches_numpy(embs):
         assert sub["vec_id"].to_pylist() == exp_top
 
 
+def test_min_label_clusters_distributed_path(monkeypatch):
+    """Force the distributed clustering path (threshold 0): min-label
+    propagation + anti-join must produce the same kept set as the
+    small-pairs union-find fast path."""
+    from tg_data_connector_ray.ops import dedup as D
+
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    texts = [base, base + "extra tail", base + "extra tail two", "unrelated stuff " * 20]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": pa.array(texts)})
+    )
+    fast = sorted(r["doc_id"] for r in D.minhash_dedup_ids(ds, threshold=0.5).take_all())
+    monkeypatch.setattr(D, "SMALL_PAIRS_THRESHOLD", 0)
+    monkeypatch.setattr(D, "SMALL_VERIFY_PAIRS", -1)  # force join verify too
+    dist = sorted(r["doc_id"] for r in D.minhash_dedup_ids(ds, threshold=0.5).take_all())
+    assert fast == dist == [1, 4]
+
+
 def test_topk_scorer_tie_break_deterministic():
     """Duplicate embeddings tied at the k-th boundary keep the LOWER
     vec_id within a batch — the (sim desc, vec_id asc) order the driver

@@ -277,6 +277,65 @@ def _bucket_pairs_table(group: pa.Table, max_bucket: int = 64) -> pa.Table:
     )
 
 
+_NUM_COARSE = np.uint64(512)
+
+
+def _run_pair_indices(keys: "list[np.ndarray]", max_run: int) -> "tuple[np.ndarray, np.ndarray]":
+    """(i, j) index pairs within each run of equal `keys` rows (arrays must
+    already be run-sorted), i < j, runs capped at `max_run` rows.
+
+    Fully vectorized: one pass for run boundaries, then one
+    np.triu_indices broadcast per DISTINCT run length (<= max_run
+    iterations) — no Python loop over runs.  This is what lets thousands
+    of tiny LSH buckets be processed per coarse group in one call.
+    """
+    n = len(keys[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        change |= k[1:] != k[:-1]
+    new_run = np.concatenate([[True], change])
+    starts = np.nonzero(new_run)[0]
+    run_len = np.diff(np.append(starts, n))
+    run_id = np.cumsum(new_run) - 1
+    pos = np.arange(n, dtype=np.int64) - starts[run_id]
+    keep = pos < max_run  # cap: first max_run rows of each run
+    idx = np.nonzero(keep)[0]
+    l = np.minimum(run_len, max_run)
+    offs = np.concatenate([[0], np.cumsum(l)])
+    ai_all, bi_all = [], []
+    for L in np.unique(l):
+        if L < 2:
+            continue
+        runs_L = np.nonzero(l == L)[0]
+        ta, tb = np.triu_indices(int(L), k=1)
+        base = offs[runs_L]
+        ai_all.append(idx[(base[:, None] + ta[None, :]).ravel()])
+        bi_all.append(idx[(base[:, None] + tb[None, :]).ravel()])
+    if not ai_all:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(ai_all), np.concatenate(bi_all)
+
+
+def _bucket_pairs_block(group: pa.Table, key_cols: "list[str]", max_bucket: int) -> pa.Table:
+    """All within-bucket (a, b) pairs for EVERY bucket in a coarse group,
+    vectorized (buckets keyed by `key_cols`; ids sorted within bucket, so
+    a < b and the cap keeps the lowest ids — identical semantics to the
+    per-bucket path)."""
+    doc = _i64(group["doc_id"])
+    keys = [
+        group[c].combine_chunks().to_numpy(zero_copy_only=False) for c in key_cols
+    ]
+    order = np.lexsort((doc, *reversed(keys)))
+    doc = doc[order]
+    keys = [k[order] for k in keys]
+    ai, bi = _run_pair_indices(keys, max_bucket)
+    return pa.table(
+        {"a": pa.array(doc[ai], pa.int64()), "b": pa.array(doc[bi], pa.int64())}
+    )
+
+
 def lsh_candidate_pairs(ds, hasher_kwargs: "dict | None" = None, max_bucket: int = 64):
     """documents -> distinct candidate (a, b) pairs via MinHash banding."""
     import ray.data  # noqa: F401
@@ -289,8 +348,19 @@ def lsh_candidate_pairs(ds, hasher_kwargs: "dict | None" = None, max_bucket: int
         concurrency=default_pool_size(),
         fn_constructor_kwargs=hasher_kwargs or {},
     )
-    pairs = buckets.groupby(["band", "bh"]).map_groups(
-        lambda g: _bucket_pairs_table(g, max_bucket), batch_format="pyarrow"
+    # coarse-grouped pair generation: one shuffle co-locates ~(buckets /
+    # _NUM_COARSE) LSH buckets per group, and the group call vectorizes
+    # across ALL of them — no Python call per tiny bucket
+    coarse = buckets.map_batches(
+        lambda t: t.append_column(
+            "cb", pa.array((_i64(t["bh"]).astype(np.uint64) % _NUM_COARSE).astype(np.int32))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pairs = coarse.groupby("cb").map_groups(
+        lambda g: _bucket_pairs_block(g, ["band", "bh"], max_bucket),
+        batch_format="pyarrow",
     )
     # pairs is small (post-banding); pin it so the dedup below doesn't
     # re-execute the signature pipeline
@@ -318,11 +388,31 @@ def attach_pair_texts(pairs, docs, num_partitions: int = 8):
     return j.join(db, join_type="inner", num_partitions=num_partitions, on=("b",))
 
 
+# Below this many candidate pairs, verification gathers the needed texts
+# with a broadcast filter (bounded: <= 2 * pairs docs reach the driver)
+# instead of paying two hash-joins' fixed cost; above it, the join path.
+SMALL_VERIFY_PAIRS = 5_000
+
+
+def _gather_texts(ds, ids: "list[int]") -> dict:
+    """Texts for a BOUNDED id set (broadcast filter, no shuffle)."""
+    idset = pa.array(sorted(set(ids)), pa.int64())
+    sub = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b["doc_id"], value_set=idset)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return {r["doc_id"]: r["text"] for r in sub.select_columns(["doc_id", "text"]).take_all()}
+
+
 def verified_jaccard_pairs(
     ds, cand, threshold: float, shingle_k: int = 3, num_partitions: int = 8
 ):
-    """Exact-Jaccard verification of candidate pairs, distributed.
+    """Exact-Jaccard verification of candidate pairs, distributed (two hash
+    joins attach texts; exact Jaccard in map_batches), with a bounded
+    broadcast fast path for small candidate sets.
     Returns a Dataset (a, b, jac) with jac >= threshold."""
+    import ray.data
 
     def _verify(t: pa.Table) -> pa.Table:
         ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
@@ -333,6 +423,20 @@ def verified_jaccard_pairs(
         out = t.select(["a", "b"]).filter(pa.array(keep))
         return out.append_column("jac", pa.array(jac[keep], pa.float64()))
 
+    cand = cand.materialize()
+    if cand.count() <= SMALL_VERIFY_PAIRS:
+        rows = cand.take_all()
+        need = [r["a"] for r in rows] + [r["b"] for r in rows]
+        texts = _gather_texts(ds, need) if rows else {}
+        t = pa.table(
+            {
+                "a": pa.array([r["a"] for r in rows], pa.int64()),
+                "b": pa.array([r["b"] for r in rows], pa.int64()),
+                "text_a": pa.array([texts.get(r["a"]) for r in rows], pa.string()),
+                "text_b": pa.array([texts.get(r["b"]) for r in rows], pa.string()),
+            }
+        )
+        return ray.data.from_arrow(_verify(t))
     return attach_pair_texts(cand, ds, num_partitions).map_batches(
         _verify, batch_format="pyarrow"
     )
@@ -417,12 +521,60 @@ def _keep_ids_anti(ds, dropped, num_partitions: int = 8):
     )
 
 
+def _clusters_from_pairs(pairs: "list[tuple[int, int]]") -> dict:
+    """Union-find -> {doc_id: representative}.  ONLY for the small-pairs
+    fast path (count checked by the caller); the general path is
+    min_label_clusters."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def _keep_ids_broadcast(ds, dropped: set):
+    """doc_id Dataset minus a small dropped-id set — broadcast filter, no
+    shuffle (the anti-join without its fixed aggregator cost)."""
+    drop_arr = pa.array(sorted(dropped), type=pa.int64())
+
+    def _f(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.fill_null(pc.is_in(b["doc_id"], value_set=drop_arr), False))
+        return b.filter(keep)
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# Below this many verified pairs, clustering runs on the driver (union-find
+# over thin int64 pairs — a few hundred MB at the threshold) and kept ids
+# are a broadcast filter; above it, everything stays distributed
+# (min-label propagation + anti-join).  The threshold bounds driver memory
+# EXPLICITLY — the structural scale-killer was unbounded take_all, not the
+# existence of a small-case fast path.
+SMALL_PAIRS_THRESHOLD = 2_000_000
+
+
 def _dedup_via_pairs(ds, verified_pairs, num_partitions: int = 8):
     """verified (a,b) pairs -> kept doc_ids Dataset (cluster reps = min id;
     non-candidates keep themselves)."""
     verified_pairs = verified_pairs.materialize()
-    if verified_pairs.count() == 0:
+    n_pairs = verified_pairs.count()
+    if n_pairs == 0:
         return ds.select_columns(["doc_id"])
+    if n_pairs <= SMALL_PAIRS_THRESHOLD:
+        rows = verified_pairs.select_columns(["a", "b"]).take_all()
+        rep = _clusters_from_pairs([(r["a"], r["b"]) for r in rows])
+        dropped = {d for d, r in rep.items() if r != d}
+        return _keep_ids_broadcast(ds, dropped)
     labels = min_label_clusters(verified_pairs, num_partitions)
     return _keep_ids_anti(ds, dropped_ids(labels), num_partitions)
 
@@ -491,19 +643,21 @@ class SimHashStage:
         )
 
 
-def _sim_pairs(group: pa.Table, max_hamming: int, max_bucket: int = 256) -> pa.Table:
-    ids = _i64(group["doc_id"])
+def _sim_pairs_block(group: pa.Table, max_hamming: int, max_bucket: int = 256) -> pa.Table:
+    """Hamming-verified pairs for every (band, bkey) bucket in a coarse
+    group, vectorized (SWAR popcount over all candidate pairs at once)."""
+    doc = _i64(group["doc_id"])
     sims = group["simhash"].combine_chunks().to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)[:max_bucket]
-    ids, sims = ids[order], sims[order]
-    n = len(ids)
-    if n < 2:
+    band = group["band"].combine_chunks().to_numpy(zero_copy_only=False)
+    bkey = group["bkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.lexsort((doc, bkey, band))
+    doc, sims, band, bkey = doc[order], sims[order], band[order], bkey[order]
+    ai, bi = _run_pair_indices([band, bkey], max_bucket)
+    if len(ai) == 0:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-    ai, bi = np.triu_indices(n, k=1)
-    ham = _popcount64(sims[ai] ^ sims[bi])
-    keep = ham <= max_hamming
+    keep = _popcount64(sims[ai] ^ sims[bi]) <= max_hamming
     return pa.table(
-        {"a": pa.array(ids[ai[keep]], pa.int64()), "b": pa.array(ids[bi[keep]], pa.int64())}
+        {"a": pa.array(doc[ai[keep]], pa.int64()), "b": pa.array(doc[bi[keep]], pa.int64())}
     )
 
 
@@ -517,9 +671,22 @@ def simhash_dedup_ids(ds, max_hamming: int = 3, num_partitions: int = 8):
     buckets = ds.map_batches(
         SimHashStage, batch_format="pyarrow", concurrency=default_pool_size()
     )
+    coarse = buckets.map_batches(
+        lambda t: t.append_column(
+            "cb",
+            pa.array(
+                (
+                    (_i64(t["bkey"]).astype(np.uint64) * np.uint64(4) + _i64(t["band"]).astype(np.uint64))
+                    % _NUM_COARSE
+                ).astype(np.int32)
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     pairs = (
-        buckets.groupby(["band", "bkey"])
-        .map_groups(lambda g: _sim_pairs(g, max_hamming), batch_format="pyarrow")
+        coarse.groupby("cb")
+        .map_groups(lambda g: _sim_pairs_block(g, max_hamming), batch_format="pyarrow")
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
@@ -558,9 +725,18 @@ def ngram_jaccard_pairs(
         )
 
     inv = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    coarse = inv.map_batches(
+        lambda t: t.append_column(
+            "cb", pa.array((_i64(t["sh"]).astype(np.uint64) % _NUM_COARSE).astype(np.int32))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     pairs = (
-        inv.groupby("sh")
-        .map_groups(lambda g: _bucket_pairs_table(g, max_posting), batch_format="pyarrow")
+        coarse.groupby("cb")
+        .map_groups(
+            lambda g: _bucket_pairs_block(g, ["sh"], max_posting), batch_format="pyarrow"
+        )
         .groupby(["a", "b"])
         .count()
         .select_columns(["a", "b"])
