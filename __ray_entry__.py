@@ -320,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
         "events_sessionize": R.events_sessionize,
+        "events_asof_prior_view": R.events_asof_prior_view,
         "events_filter_project": _events_filter_project,
         # --- relational breadth ---
         "q1_pricing_summary": R.q1_pricing_summary,
@@ -472,6 +473,14 @@ def oracle_sql() -> dict[str, str]:
         "events_filter_project": """
             SELECT event_id, value FROM events
             WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "events_asof_prior_view": """
+            SELECT p.event_id, p.user_id, p.ts, max(v.ts) AS prior_view_ts
+            FROM events p
+            LEFT JOIN events v
+              ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id, p.ts
         """,
         "q1_pricing_summary": """
             WITH u AS (

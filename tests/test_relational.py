@@ -160,3 +160,49 @@ def test_events_sessionize_matches_duckdb():
     assert got["n_events"].tolist() == exp["n_events"].tolist()
     assert got["sess_start"].tolist() == exp["sess_start"].tolist()
     assert np.allclose(got["sum_value"].to_numpy(), exp["sum_value"].to_numpy())
+
+
+def test_asof_join_directions():
+    """Generic as-of join: backward (latest <=) and forward (earliest >=),
+    with keys that have no match on the right side."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3], pa.int64()),
+                "t": pa.array([10, 25, 10, 10], pa.int64()),
+                "lv": pa.array(["a", "b", "c", "d"]),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "rt": pa.array([5, 20, 30], pa.int64()),
+                "rv": pa.array(["x", "y", "z"]),
+            }
+        )
+    )
+    back = (
+        asof_join(left, right, on="k", left_time="t", right_time="rt")
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert [x if isinstance(x, str) else None for x in back["rv"]] == ["x", "y", None, None]  # k=2: rt=30 > 10; k=3: no right rows
+    fwd = (
+        asof_join(left, right, on="k", left_time="t", right_time="rt", direction="forward")
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert [x if isinstance(x, str) else None for x in fwd["rv"]] == ["y", None, "z", None]
+
+    with pytest.raises(ValueError, match="overlapping"):
+        asof_join(left, left, on="k", left_time="t")

@@ -308,6 +308,94 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     return df[["o_orderkey", "revenue", "o_custkey", "o_orderdate"]]
 
 
+def asof_join(
+    left,
+    right,
+    on: str,
+    left_time: str,
+    right_time: "str | None" = None,
+    direction: str = "backward",
+    num_partitions: "int | None" = None,
+):
+    """Per-key ordered AS-OF join — an operator Ray Data lacks natively,
+    expressed as the documented composition: tag sides -> union (ONE
+    shuffle co-locates each key) -> groupby(key) -> in-group sort +
+    pandas.merge_asof.
+
+    For each left row, attaches the right row columns from the latest
+    right_time <= left_time ("backward"; "forward" = earliest >=) within
+    the same key.  Partitioning assumption: one key's rows fit in one
+    group task (same contract as every map_groups window here); skewed
+    keys salt upstream like CDC hot keys.
+    """
+    right_time = right_time or left_time
+    left_cols = list(left.columns())
+    right_cols = list(right.columns())
+    overlap = (set(left_cols) & set(right_cols)) - {on}
+    if overlap:
+        raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+
+    def tag(side: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.append_column("_side", pa.array([side] * t.num_rows))
+
+        return _f
+
+    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
+        right.map_batches(tag("r"), batch_format="pyarrow")
+    )
+
+    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        l = g.loc[g["_side"] == "l", left_cols].sort_values(left_time, kind="mergesort")
+        r = g.loc[g["_side"] == "r", [c for c in right_cols if c != on]].sort_values(
+            right_time, kind="mergesort"
+        )
+        if r[right_time].dtype != l[left_time].dtype:
+            # the side union null-fills columns, promoting e.g. int64 -> f64;
+            # right rows' own time values are never null, so the cast back
+            # to the left dtype is exact
+            r = r.assign(**{right_time: r[right_time].astype(l[left_time].dtype)})
+        # merge_asof handles empty sides and keeps the merged column set,
+        # so every group emits one consistent schema
+        return pd.merge_asof(
+            l, r, left_on=left_time, right_on=right_time, direction=direction
+        )
+
+    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+
+
+def events_asof_prior_view(sf_dir: str):
+    """Each purchase event joined AS-OF to the user's latest prior (or
+    simultaneous) view event — deterministic output (the matched TIME, not
+    an arbitrary row id among ts ties), so the SQL oracle is exact."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    purchases = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    views = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.filter(pc.equal(t["event_type"], "view"))["user_id"],
+                "prior_view_ts": t.filter(pc.equal(t["event_type"], "view"))["ts"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = asof_join(purchases, views, on="user_id", left_time="ts", right_time="prior_view_ts")
+    return (
+        out.to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)[["event_id", "user_id", "ts", "prior_view_ts"]]
+    )
+
+
 # ---------------------------------------------------------------------------
 # sort / distinct / window
 
