@@ -74,6 +74,28 @@ def _run_cdc_skew(sf_dir: str):
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _run_cdc_evo(sf_dir: str):
+    """Schema-evolution path: early log files lack `tool` and carry
+    int16/dictionary columns; the schema-group read + normalize promotion
+    reconciles them before the fold (the oracle reads the same files with
+    union_by_name)."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2evo")
+    out = os.path.join(_CDC_OUT, "t2evo")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out, "table")).to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def entry() -> Any:
     return _run_cdc("/root/testdata/sf0.001")
 
@@ -316,9 +338,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- CDC core (fixtures; conformance in pytest, rows-check here) ---
         "cdc_replay": _run_cdc,
         "cdc_replay_skew": _run_cdc_skew,
+        "cdc_replay_evo": _run_cdc_evo,
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
+        "events_hopping_window": R.events_hopping_window,
+        "events_value_band_join": R.events_value_band_join,
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
         "events_filter_project": _events_filter_project,
@@ -374,8 +399,10 @@ def _cdc_oracle_sql(tier: str) -> str:
     glob = os.path.join(fx["cdc_log"], "*.parquet")
     return f"""
         WITH raw AS (
-          SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx, lsn) AS rdup
-          FROM read_parquet('{glob}')
+          SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts,
+                 row_number() OVER (PARTITION BY conv_id, turn_idx, lsn) AS rdup
+          FROM read_parquet('{glob}', union_by_name=true)
         ), ev AS (
           SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
           FROM raw WHERE rdup = 1
@@ -439,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
         # of the merge contract over the same deterministic event log
         "cdc_replay": _cdc_oracle_sql("t2"),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
+        "cdc_replay_evo": _cdc_oracle_sql("t2evo"),
         "cdc_merge_events": """
             SELECT user_id, event_type, event_id, value, ts FROM (
               SELECT event_id, user_id, event_type, value, ts,
@@ -473,6 +501,24 @@ def oracle_sql() -> dict[str, str]:
         "events_filter_project": """
             SELECT event_id, value FROM events
             WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "events_hopping_window": """
+            WITH e2 AS (
+              SELECT event_type, value,
+                     TIMESTAMP '1970-01-01'
+                       + ((floor(epoch(ts)/1800)::BIGINT - h.h) * 1800) * INTERVAL 1 SECOND
+                       AS window_start
+              FROM events, (SELECT unnest(range(0, 2)) AS h) h
+            )
+            SELECT event_type, window_start, count(*) AS n,
+                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
+            FROM e2 GROUP BY 1, 2
+        """,
+        "events_value_band_join": """
+            SELECT greatest(0, least(9, CAST(floor(value/100.0) AS BIGINT))) AS band_id,
+                   count(*) AS n,
+                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
+            FROM events GROUP BY 1
         """,
         "events_asof_prior_view": """
             SELECT p.event_id, p.user_id, p.ts, max(v.ts) AS prior_view_ts

@@ -206,3 +206,24 @@ def test_asof_join_directions():
 
     with pytest.raises(ValueError, match="overlapping"):
         asof_join(left, left, on="k", left_time="t")
+
+
+def test_hopping_window_covers_each_event_twice():
+    from tg_data_connector_ray.pipelines.relational import events_hopping_window
+
+    df = events_hopping_window(SF)
+    import duckdb
+
+    n_events = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert df["n"].sum() == 2 * n_events  # every event in exactly 2 windows
+
+
+def test_value_band_join_partitions_all_rows():
+    from tg_data_connector_ray.pipelines.relational import events_value_band_join
+
+    df = events_value_band_join(SF)
+    import duckdb
+
+    n_events = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
+    assert df["n"].sum() == n_events
+    assert df["band_id"].between(0, 9).all()

@@ -440,6 +440,83 @@ def events_hourly_window(sf_dir: str):
     return df
 
 
+def events_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 1800):
+    """HOPPING (sliding) window aggregate: 1h windows advancing every 30min
+    — each event lands in window_s/hop_s windows.  The explode happens in
+    the combiner stage, so the shuffle still moves one row per (type,
+    window) per block, not per event copy."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    n_hops = window_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop_us = hop_s * 1_000_000
+        base = (ts_us // hop_us) * hop_us  # newest window containing ts
+        val_u = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64())
+        vals = val_u.combine_chunks().to_numpy(zero_copy_only=False)
+        types = t["event_type"].combine_chunks()
+        pieces = []
+        for h in range(n_hops):
+            w = base - h * hop_us
+            pieces.append(
+                pa.table(
+                    {
+                        "event_type": types,
+                        "window_start": pa.array(w, pa.int64()).cast(pa.timestamp("us")),
+                        "sum_value": pa.array(vals, pa.int64()),
+                    }
+                )
+            )
+        g = (
+            pa.concat_tables(pieces)
+            .group_by(["event_type", "window_start"])
+            .aggregate([("sum_value", "count"), ("sum_value", "sum")])
+        )
+        return g.rename_columns(["event_type", "window_start", "n", "sum_value"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    df = out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    df["sum_value"] = _round2_from_micro(df["sum_value"])
+    return df
+
+
+def events_value_band_join(sf_dir: str, band_width: float = 100.0, n_bands: int = 10):
+    """Range (band) join: each event's value joined to the interval table
+    [i*w, (i+1)*w) — the broadcast-interval + vectorized binary-search
+    pattern (the small side never shuffles; np.searchsorted per batch
+    replaces the quadratic interval join)."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    edges = np.arange(1, n_bands, dtype=np.float64) * band_width  # shared bounds
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        band = np.searchsorted(edges, v, side="right").astype(np.int64)
+        val_u = np.round(v * 1e6).astype(np.int64)
+        g = (
+            pa.table({"band_id": pa.array(band), "sum_value": pa.array(val_u)})
+            .group_by("band_id")
+            .aggregate([("sum_value", "count"), ("sum_value", "sum")])
+        )
+        return g.rename_columns(["band_id", "n", "sum_value"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("band_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    )
+    df = out.to_pandas().sort_values("band_id").reset_index(drop=True)
+    df["sum_value"] = _round2_from_micro(df["sum_value"])
+    return df
+
+
 def cdc_merge_events(sf_dir: str):
     """CDC-flavored upsert over the generic `events` table: final state per
     (user_id, event_type) = the row with max event_id (event_id as LSN) —
