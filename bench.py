@@ -112,6 +112,10 @@ def run_query_bench() -> dict:
         "dedup_exact",
         "ann_topk",
         "text_fingerprint",
+        # round 2 additions: near-dup family + the composed operators
+        "dedup_minhash",
+        "events_asof_prior_view",
+        "events_hopping_window",
     ]
     out = {}
     for name in sample:
