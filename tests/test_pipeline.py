@@ -49,6 +49,16 @@ def test_replay_t1_converges(t1, tmp_path):
     assert_converged(cfg, exp)
 
 
+def test_replay_from_file_uri(t1, tmp_path):
+    """Object-store-style URI input (file://) through the whole CDC path:
+    listing, sizing, schema scan and read all resolve via pyarrow.fs."""
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+    summary = apply_cdc(f"file://{t1['cdc_log']}", cfg)
+    exp = pq.read_table(t1["transcripts"])
+    assert summary["rows_live"] == exp.num_rows
+    assert_converged(cfg, exp)
+
+
 def test_replay_is_idempotent_rerun(t1, tmp_path):
     cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
     s1 = apply_cdc(t1["cdc_log"], cfg)

@@ -410,3 +410,47 @@ def test_watermark_store(tmp_path):
     (ld / "_latest.json").write_text(json.dumps({"watermark": 300, "run_id": "r2"}))
     assert ws.watermark(0) == 300
     assert ws.watermark(7) == -1
+
+
+def test_run_job_csv_to_sql_sink(tmp_path, csv_dir):
+    """Config-driven CSV -> RDBMS job end-to-end (the reference's
+    gcs2rdbms shape: reader + column spec + SQL writer with preSql)."""
+    import sqlite3
+
+    from tg_data_connector_ray.pipelines.runner import run_job
+
+    db = str(tmp_path / "job.db")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "csv",
+                        "parameter": {
+                            "path": csv_dir,
+                            "skipHeader": True,
+                            "column": [
+                                {"index": 0, "type": "long", "name": "id"},
+                                {"index": 1, "type": "string", "name": "name"},
+                            ],
+                        },
+                    },
+                    "writer": {
+                        "name": "sql",
+                        "parameter": {
+                            "sqlitePath": db,
+                            "table": "t",
+                            "column": ["id", "name"],
+                            "writeMode": "insert",
+                            "preSql": ["CREATE TABLE t (id INTEGER, name TEXT)"],
+                        },
+                    },
+                }
+            ]
+        }
+    }
+    run_job(cfg)
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT id, name FROM t ORDER BY id").fetchall()
+    con.close()
+    assert rows == [(1, "alice"), (2, "\\N"), (3, "carol")]

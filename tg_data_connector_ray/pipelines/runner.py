@@ -138,6 +138,7 @@ def _write_csv(ds, param: dict):
         date_format=param.get("dateFormat"),
         write_mode=param.get("writeMode", "truncate"),
         header=param.get("header", False),
+        compression=param.get("compress"),
     )
 
 
@@ -148,7 +149,45 @@ def _write_stream(ds, param: dict):
         print(json.dumps(row, default=str))
 
 
-WRITERS = {"parquet": _write_parquet, "csv": _write_csv, "stream": _write_stream}
+def _write_sql(ds, param: dict):
+    """Config-driven RDBMS sink (reference writer job JSON shape:
+    connection factory import path OR a sqlite path for tests, table,
+    column list, writeMode, preSql/postSql)."""
+    from ..sinks.sql import SqlSinkConfig, write_sql
+
+    if "sqlitePath" in param:
+        import sqlite3
+
+        db = param["sqlitePath"]
+
+        def factory(db=db):
+            return sqlite3.connect(db)
+
+    else:
+        import importlib
+
+        mod, _, fn = param["connectionFactory"].rpartition(".")
+        factory = getattr(importlib.import_module(mod), fn)
+    cfg = SqlSinkConfig(
+        table=param["table"],
+        columns=tuple(param["column"]),
+        write_mode=param.get("writeMode", "insert"),
+        conflict_keys=tuple(param.get("conflictKeys", ())),
+        dialect=param.get("dialect", "sqlite"),
+        batch_rows=int(param.get("batchSize", 2048)),
+        pre_sql=tuple(param.get("preSql", ())),
+        post_sql=tuple(param.get("postSql", ())),
+        concurrency=int(param.get("concurrency", 1)),
+    )
+    write_sql(ds, factory, cfg)
+
+
+WRITERS = {
+    "parquet": _write_parquet,
+    "csv": _write_csv,
+    "stream": _write_stream,
+    "sql": _write_sql,
+}
 
 POST_HOOKS: list = []
 
