@@ -334,9 +334,24 @@ def asof_join(
     overlap = (set(left_cols) & set(right_cols)) - {on}
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    n_coarse = 64
 
     def tag(side: str):
         def _f(t: pa.Table) -> pa.Table:
+            key = t[on]
+            if isinstance(key, pa.ChunkedArray):
+                key = key.combine_chunks()
+            if pa.types.is_integer(key.type):
+                cg = pc.cast(
+                    pc.bit_wise_and(pc.cast(key, pa.int64()), n_coarse - 1), pa.int32()
+                )
+            else:
+                from ..util import stable_hash_strings
+
+                cg = pa.array(
+                    (stable_hash_strings(key) % np.uint64(n_coarse)).astype(np.int32)
+                )
+            t = t.append_column("_cg", cg)
             return t.append_column("_side", pa.array([side] * t.num_rows))
 
         return _f
@@ -346,10 +361,10 @@ def asof_join(
     )
 
     def join_group(g: pd.DataFrame) -> pd.DataFrame:
+        # coarse group: ALL of its keys as-of join in one merge_asof(by=on)
+        # call — no Python dispatch per key
         l = g.loc[g["_side"] == "l", left_cols].sort_values(left_time, kind="mergesort")
-        r = g.loc[g["_side"] == "r", [c for c in right_cols if c != on]].sort_values(
-            right_time, kind="mergesort"
-        )
+        r = g.loc[g["_side"] == "r", right_cols].sort_values(right_time, kind="mergesort")
         if r[right_time].dtype != l[left_time].dtype:
             # the side union null-fills columns, promoting e.g. int64 -> f64;
             # right rows' own time values are never null, so the cast back
@@ -358,10 +373,10 @@ def asof_join(
         # merge_asof handles empty sides and keeps the merged column set,
         # so every group emits one consistent schema
         return pd.merge_asof(
-            l, r, left_on=left_time, right_on=right_time, direction=direction
+            l, r, by=on, left_on=left_time, right_on=right_time, direction=direction
         )
 
-    return tagged.groupby(on).map_groups(join_group, batch_format="pandas")
+    return tagged.groupby("_cg").map_groups(join_group, batch_format="pandas")
 
 
 def events_asof_prior_view(sf_dir: str):
@@ -534,13 +549,22 @@ def cdc_merge_events(sf_dir: str):
             pc.is_in(t["event_id"], value_set=g["event_id_max"].combine_chunks())
         )
 
-    def last_per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("event_id").tail(1)
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = pc.cast(pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63), pa.int32())
+        return t.append_column("_cg", cg)
+
+    def last_per_key_block(g: pd.DataFrame) -> pd.DataFrame:
+        # all keys of a coarse group resolved in one vectorized pass
+        g = g.sort_values(["user_id", "event_type", "event_id"], kind="mergesort")
+        u, e = g["user_id"].to_numpy(), g["event_type"].to_numpy()
+        last = np.concatenate([(u[1:] != u[:-1]) | (e[1:] != e[:-1]), [True]])
+        return g.loc[last].drop(columns=["_cg"])
 
     out = (
         ds.map_batches(last_in_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["user_id", "event_type"])
-        .map_groups(last_per_key, batch_format="pandas")
+        .map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(last_per_key_block, batch_format="pandas")
     )
     return (
         out.to_pandas()
@@ -558,18 +582,43 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
     )
     gap = np.timedelta64(gap_minutes * 60, "s")
+    n_coarse = 64
 
-    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
+    def add_cg(t: pa.Table) -> pa.Table:
+        # coarse grouping: ONE shuffle still co-locates every user's rows,
+        # but each group call sessionizes ~(users / n_coarse) users in one
+        # vectorized pass instead of a Python dispatch per tiny user group
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), n_coarse - 1), pa.int32()
+        )
+        return t.append_column("_cg", cg)
+
+    def sessionize_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap])
+        new_sess = new_user | gap_break
+        sess_global = np.cumsum(new_sess)
+        # per-user session numbering restarts at 1
+        idx = np.arange(n)
+        user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+        sess_id = sess_global - sess_global[user_start] + 1
         # integer micro-unit sums + integer-space 2dp rounding: exact,
         # summation-order-independent, identical to the DuckDB oracle
-        g["value_u"] = np.round(g["value"].to_numpy() * 1e6).astype("int64")
-        new_sess = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["sess_id"] = new_sess.cumsum().astype("int64")
+        df = pd.DataFrame(
+            {
+                "user_id": user,
+                "sess_id": sess_id,
+                "ts": g["ts"].to_numpy(),
+                "value_u": np.round(g["value"].to_numpy() * 1e6).astype("int64"),
+            }
+        )
         out = (
-            g.groupby("sess_id", sort=True)
+            df.groupby(["user_id", "sess_id"], sort=True)
             .agg(
-                user_id=("user_id", "first"),
                 n_events=("ts", "size"),
                 sess_start=("ts", "min"),
                 sess_end=("ts", "max"),
@@ -580,7 +629,11 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         out["sum_value"] = _round2_from_micro(out["sum_value"])
         return out[["user_id", "sess_id", "n_events", "sess_start", "sess_end", "sum_value"]]
 
-    out = ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    out = (
+        ds.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(sessionize_block, batch_format="pandas")
+    )
     return (
         out.to_pandas()
         .sort_values(["user_id", "sess_id"])
