@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 from collections.abc import Callable
+
+import pyarrow as pa
 from typing import Any
 
 # caches keyed by engine version: stale fixtures/outputs from an older
@@ -307,6 +309,69 @@ def _text_langid(sf_dir):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _docs_prep_pipeline(sf_dir):
+    """Composite training-data prep: quality metrics -> language ID ->
+    quality + language filter -> exact dedup -> token stats; the chained
+    map_batches/groupby pipeline a real corpus-prep job runs."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.dedup import content_hash_batch
+    from tg_data_connector_ray.ops.text import LangId, quality_batch, token_stats_batch
+    from tg_data_connector_ray.util import default_pool_size
+
+    ds = (
+        _docs(sf_dir)
+        .map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(LangId, batch_format="pyarrow", concurrency=min(4, default_pool_size()))
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.greater_equal(t["n_tokens"], 10),
+                    pc.equal(t["lang_pred"], "en"),
+                )
+            ).select(["doc_id", "text"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    # exact dedup inline: thin (hash, doc_id) rows; the DROPPED set (ids
+    # that are not their group minimum — bounded by the duplicate count,
+    # not the corpus) comes from one thin join, then broadcasts
+    from tg_data_connector_ray.ops.dedup import _nonempty
+
+    thin = _nonempty(
+        ds.map_batches(
+            lambda b: content_hash_batch(b, "text"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    reps = _nonempty(
+        thin.groupby(["h1", "h2"])
+        .min("doc_id")
+        .map_batches(
+            lambda t: pa.table(
+                {"h1": t["h1"], "h2": t["h2"], "rep": t["min(doc_id)"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = thin.join(reps, join_type="inner", num_partitions=8, on=("h1", "h2"))
+    dropped = j.map_batches(
+        lambda t: pa.table({"doc_id": t.filter(pc.not_equal(t["doc_id"], t["rep"]))["doc_id"]}),
+        batch_format="pyarrow",
+    )
+    drop_ids = pa.array(sorted(r["doc_id"] for r in dropped.take_all()), pa.int64())
+    out = ds.map_batches(
+        lambda t: t.filter(
+            pc.invert(pc.fill_null(pc.is_in(t["doc_id"], value_set=drop_ids), False))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(token_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "stop_ratio"])
+
+
 def _csv_roundtrip(sf_dir):
     """documents -> delimited text (our sink) -> CSV source (our reader,
     column-spec casts) -> identity; proves CSV read/write parity."""
@@ -352,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "top_customers_by_balance": R.top_customers_by_balance,
+        "top_events_per_user": R.top_events_per_user,
         "distinct_event_types": R.distinct_event_types,
         # --- transformer-chain parity (reference dx_*) ---
         "tf_substr": _tf_substr,
@@ -373,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens_ext": _text_tokens_ext,
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
+        "docs_prep_pipeline": _docs_prep_pipeline,
         # --- CSV source/sink parity ---
         "csv_roundtrip": _csv_roundtrip,
     }
@@ -571,6 +638,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_acctbal DESC, c_custkey LIMIT 10
         """,
         "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "top_events_per_user": """
+            SELECT user_id, rn, event_id, value FROM (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM events) t
+            WHERE rn <= 3
+        """,
         "tf_substr": """
             SELECT doc_id, substr(text, 6, 40) AS text FROM documents
             WHERE length(text) >= 5
@@ -739,6 +814,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "docs_prep_pipeline": """
+            WITH w AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(text, '[一-鿿぀-ヿ가-힯]')) AS cjk,
+                list_transform(list_slice(regexp_extract_all(text, '[a-zA-Z]+'), 1, 200),
+                               x -> lower(x)) AS words,
+                length(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens
+              FROM documents
+            ), h AS (
+              SELECT doc_id, text, cjk, n_tokens, len(words) AS nw,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein','mit','sich'], x))) AS h_de,
+                len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','a','in','is','it','you','that'], x))) AS h_en,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','de','que','y','los','en','un','por','con'], x))) AS h_es,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','et','les','des','est','pas','que','une','pour'], x))) AS h_fr
+              FROM w
+            ), lbl AS (
+              SELECT doc_id, text, n_tokens,
+                CASE
+                  WHEN text IS NULL OR text = '' THEN 'unknown'
+                  WHEN 2*cjk >= greatest(1, length(text) // 8) THEN 'zh'
+                  WHEN nw = 0 THEN 'unknown'
+                  WHEN greatest(h_de, h_en, h_es, h_fr) < 1 THEN 'unknown'
+                  WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                  WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                  WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                  ELSE 'fr'
+                END AS lang_pred
+              FROM h
+            ), filtered AS (
+              SELECT * FROM lbl WHERE n_tokens >= 10 AND lang_pred = 'en'
+            ), deduped AS (
+              SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text
+            )
+            SELECT f.doc_id, f.n_tokens,
+                   length(regexp_extract_all(lower(f.text),
+                          '\\b(the|and|of|a|to|in|is|it)\\b')) AS n_stopwords,
+                   CAST(length(regexp_extract_all(lower(f.text),
+                          '\\b(the|and|of|a|to|in|is|it)\\b')) AS DOUBLE)
+                     / greatest(f.n_tokens, 1) AS stop_ratio
+            FROM filtered f JOIN deduped USING (doc_id)
         """,
         "csv_roundtrip": "SELECT doc_id, lang, source, n_chars FROM documents",
     }

@@ -196,13 +196,16 @@ def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     s = pl.from_arrow(
         batch[col].combine_chunks() if isinstance(batch[col], pa.ChunkedArray) else batch[col]
     )
-    h1 = s.hash(seed=0x51AB).to_numpy()
-    h2 = s.hash(seed=0xD00D).to_numpy()
+    # int64 view of the uint64 hashes: bit-identical, and int64 keys stay
+    # native through Ray's groupby/join (uint64 can fall back to pickled
+    # object columns in the shuffle)
+    h1 = s.hash(seed=0x51AB).to_numpy().view(np.int64)
+    h2 = s.hash(seed=0xD00D).to_numpy().view(np.int64)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
-            "h1": pa.array(h1, type=pa.uint64()),
-            "h2": pa.array(h2, type=pa.uint64()),
+            "h1": pa.array(h1, type=pa.int64()),
+            "h2": pa.array(h2, type=pa.int64()),
         }
     )
 

@@ -532,6 +532,71 @@ def events_value_band_join(sf_dir: str, band_width: float = 100.0, n_bands: int 
     return df
 
 
+def top_events_per_user(sf_dir: str, k: int = 3):
+    """Per-key top-N (the ROW_NUMBER() OVER (PARTITION BY ...) window):
+    each user's k highest-value events, ties broken by event_id.  Combiner
+    keeps k rows per (user, block); the coarse-grouped final pass ranks all
+    users of a group in one vectorized lexsort."""
+    ds = ray.data.read_parquet(
+        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
+    )
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        u = _np_i64(t["user_id"])
+        v = t["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = _np_i64(t["event_id"])
+        order = np.lexsort((e, -v, u))
+        u, v, e = u[order], v[order], e[order]
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.nonzero(new_u)[0]
+        run_id = np.cumsum(new_u) - 1
+        pos = np.arange(len(u)) - starts[run_id]
+        keep = pos < k
+        return pa.table(
+            {
+                "event_id": pa.array(e[keep], pa.int64()),
+                "user_id": pa.array(u[keep], pa.int64()),
+                "value": pa.array(v[keep], pa.float64()),
+                "_cg": pa.array((u[keep] & 63).astype(np.int32)),
+            }
+        )
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        v = g["value"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, -v, u))
+        u, v, e = u[order], v[order], e[order]
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        starts = np.nonzero(new_u)[0]
+        run_id = np.cumsum(new_u) - 1
+        pos = np.arange(len(u)) - starts[run_id]
+        keep = pos < k
+        return pd.DataFrame(
+            {
+                "user_id": u[keep],
+                "rn": (pos[keep] + 1).astype("int64"),
+                "event_id": e[keep],
+                "value": v[keep],
+            }
+        )
+
+    out = (
+        ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .groupby("_cg")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+    return (
+        out.to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True)
+    )
+
+
+def _np_i64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def cdc_merge_events(sf_dir: str):
     """CDC-flavored upsert over the generic `events` table: final state per
     (user_id, event_type) = the row with max event_id (event_id as LSN) —
