@@ -454,3 +454,39 @@ def test_run_job_csv_to_sql_sink(tmp_path, csv_dir):
     rows = con.execute("SELECT id, name FROM t ORDER BY id").fetchall()
     con.close()
     assert rows == [(1, "alice"), (2, "\\N"), (3, "carol")]
+
+
+def test_csv_reader_config_passthrough(tmp_path):
+    """csvReaderConfig parity: custom quote/escape chars reach the Arrow
+    parser (reference UnstructuredStorageReaderUtil.java:683-697)."""
+    p = tmp_path / "q"
+    os.makedirs(p)
+    (p / "a.csv").write_text("1|'hello|world'\n2|plain\n")
+    ds = read_csv_source(
+        str(p),
+        delimiter="|",
+        csv_reader_config={"quote_char": "'"},
+        columns=[
+            ColumnSpec(index=0, type="long", name="id"),
+            ColumnSpec(index=1, type="string", name="s"),
+        ],
+    )
+    rows = sorted(ds.take_all(), key=lambda r: r["id"])
+    assert rows == [{"id": 1, "s": "hello|world"}, {"id": 2, "s": "plain"}]
+
+
+def test_retry_call_backoff():
+    from tg_data_connector_ray.util import retry_call
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return "ok"
+
+    assert retry_call(flaky, tries=5, base_delay_s=0.001) == "ok"
+    assert len(calls) == 3
+    with pytest.raises(OSError):
+        retry_call(lambda: (_ for _ in ()).throw(OSError("always")), tries=2, base_delay_s=0.001)

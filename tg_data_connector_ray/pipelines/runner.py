@@ -112,6 +112,7 @@ def _read_csv(param: dict) -> "ray.data.Dataset":
         columns=columns,
         encoding=param.get("encoding", "utf-8"),
         dirty_dir=param.get("dirtyDir"),
+        csv_reader_config=param.get("csvReaderConfig"),
     )
 
 

@@ -106,7 +106,11 @@ class SqlWriter:
     def _conn(self):
         conn = getattr(self._local, "conn", None)
         if conn is None:
-            conn = self._local.conn = self._factory()
+            from ..util import retry_call
+
+            # connects are the transient-failure hot spot (reference wraps
+            # them in RetryUtil, 9 tries); statement errors stay fail-fast
+            conn = self._local.conn = retry_call(self._factory, tries=5)
         return conn
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -145,6 +145,25 @@ def open_input(path: str):
     return fs.open_input_stream(p)
 
 
+def retry_call(fn, *, tries: int = 5, base_delay_s: float = 0.2, retriable=Exception):
+    """Exponential-backoff retry for transient I/O (the reference's
+    RetryUtil.executeWithRetry, common/.../util/RetryUtil.java:25-76 — it
+    uses 9 tries around DB connects; Ray task retries cover task death,
+    this covers in-task transient errors like DB reconnects)."""
+    import time as _time
+
+    last = None
+    for attempt in range(tries):
+        try:
+            return fn()
+        except retriable as e:  # noqa: PERF203
+            last = e
+            if attempt == tries - 1:
+                break
+            _time.sleep(base_delay_s * (2**attempt))
+    raise last
+
+
 def default_pool_size(cap: int = 16) -> int:
     """Actor-pool size that leaves CPUs for upstream read/shuffle stages —
     a pool reserving every CPU starves its own input and deadlocks the
