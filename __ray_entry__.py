@@ -309,6 +309,17 @@ def _text_langid(sf_dir):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _docs_hash_split(sf_dir):
+    """Deterministic train/val/test split by hashed doc_id — reproducible
+    across runs/backfills (membership is a pure key function)."""
+    from tg_data_connector_ray.ops.sampling import hash_split_batch
+
+    ds = _docs(sf_dir).map_batches(
+        hash_split_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.select_columns(["doc_id", "split"])
+
+
 def _docs_prep_pipeline(sf_dir):
     """Composite training-data prep: quality metrics -> language ID ->
     quality + language filter -> exact dedup -> token stats; the chained
@@ -440,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_langid": _text_langid,
         "docs_prep_pipeline": _docs_prep_pipeline,
+        "docs_hash_split": _docs_hash_split,
         # --- CSV source/sink parity ---
         "csv_roundtrip": _csv_roundtrip,
     }
@@ -814,6 +826,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "docs_hash_split": """
+            WITH h AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         "docs_prep_pipeline": """
             WITH w AS (

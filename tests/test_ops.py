@@ -276,3 +276,29 @@ def test_real_codec_raises():
 
     with pytest.raises(NotImplementedError):
         get_codec("pil")
+
+
+def test_hash_split_and_sample_deterministic(docs):
+    from tg_data_connector_ray.ops.sampling import hash_sample_batch, hash_split_batch
+
+    out = docs.map_batches(hash_split_batch, batch_format="pyarrow").take_all()
+    again = docs.map_batches(hash_split_batch, batch_format="pyarrow").take_all()
+    assert [(r["doc_id"], r["split"]) for r in out] == [
+        (r["doc_id"], r["split"]) for r in again
+    ]
+    from collections import Counter
+
+    frac = Counter(r["split"] for r in out)
+    n = len(out)
+    assert 0.85 < frac["train"] / n < 0.95  # ~90/5/5
+    assert set(frac) <= {"train", "val", "test"}
+
+    samp = docs.map_batches(
+        lambda b: hash_sample_batch(b, fraction=0.2), batch_format="pyarrow"
+    ).take_all()
+    assert 0.1 < len(samp) / n < 0.3
+    # sample membership is a pure key function: subset stability
+    samp_small = docs.map_batches(
+        lambda b: hash_sample_batch(b, fraction=0.1), batch_format="pyarrow"
+    ).take_all()
+    assert {r["doc_id"] for r in samp_small} <= {r["doc_id"] for r in samp}
