@@ -302,3 +302,51 @@ def test_hash_split_and_sample_deterministic(docs):
         lambda b: hash_sample_batch(b, fraction=0.1), batch_format="pyarrow"
     ).take_all()
     assert {r["doc_id"] for r in samp_small} <= {r["doc_id"] for r in samp}
+
+
+def test_ppm_wav_real_codecs_end_to_end():
+    """Real (dependency-free) media decode through the actor-pool stage:
+    P6 images decode/resize/featurize, WAV audio decodes via stdlib wave,
+    multi-frame PPM video frame-samples on real frame boundaries."""
+    from tg_data_connector_ray.ops.multimodal import (
+        FrameSampleStage,
+        MediaFeatureStage,
+        PpmCodec,
+        WavCodec,
+        make_real_media_table,
+        media_features,
+    )
+
+    t = make_real_media_table(12)
+    ppm, wav = PpmCodec(), WavCodec()
+
+    # codec roundtrips
+    img = np.arange(16 * 8 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    assert (ppm.decode_image(ppm.encode_image(img)) == img).all()
+    small = ppm.resize(img, (4, 4))
+    assert small.shape == (4, 4, 3)
+    x = (np.sin(np.arange(800) / 10) * 1000).astype(np.int16)
+    got, rate = wav.decode_audio(wav.encode_audio(x, 8000))
+    assert rate == 8000 and (got == x).all()
+
+    # image + video features through the Ray stage
+    imgs = ray.data.from_arrow(t.filter(pa.compute.equal(t["kind"], "image")))
+    feats = media_features(imgs, codec="ppm", concurrency=2).take_all()
+    assert all(len(r["features"]) == 14 for r in feats)  # 3 mean + 3 std + 8 hist
+    assert any(any(v > 0 for v in r["features"]) for r in feats)
+
+    auds = ray.data.from_arrow(t.filter(pa.compute.equal(t["kind"], "audio")))
+    afeats = auds.map_batches(
+        MediaFeatureStage, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"codec": "wav"},
+    ).take_all()
+    assert all(len(r["features"]) == 4 and r["features"][2] > 0 for r in afeats)  # duration
+
+    vids = ray.data.from_arrow(t.filter(pa.compute.equal(t["kind"], "video")))
+    frames = vids.map_batches(
+        FrameSampleStage, batch_format="pyarrow", concurrency=2,
+        fn_constructor_kwargs={"codec": "ppm", "n_frames": 3},
+    ).take_all()
+    # every sampled frame is itself a decodable P6 image
+    for r in frames:
+        assert ppm.decode_image(r["frame"]).shape == (18, 24, 3)

@@ -374,6 +374,18 @@ def lsh_candidate_pairs(ds, hasher_kwargs: "dict | None" = None, max_bucket: int
 # ---------------------------------------------------------------------------
 # distributed verification + clustering (shared by all near-dup families)
 
+def _join_ready(ds, cols: "list[str]"):
+    """Explicit map_batches projection to `cols` + empty-block drop — the
+    required hygiene for anything entering Dataset.join (select_columns
+    fused across shuffle boundaries can be dropped per-block by the plan
+    optimizer, leaving blocks whose schema the join aggregator rejects)."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c] for c in cols})
+
+    return _nonempty(ds.map_batches(_p, batch_format="pyarrow"))
+
+
 def attach_pair_texts(pairs, docs, num_partitions: int = 8):
     """(a, b) pairs + documents -> (a, b, text_a, text_b) via two hash
     joins — candidate texts co-locate with their pairs without ever
@@ -384,10 +396,11 @@ def attach_pair_texts(pairs, docs, num_partitions: int = 8):
 
         return _f
 
-    da = docs.map_batches(_as_side("a", "text_a"), batch_format="pyarrow")
-    db = docs.map_batches(_as_side("b", "text_b"), batch_format="pyarrow")
-    pairs = _nonempty(pairs)
+    da = _nonempty(docs.map_batches(_as_side("a", "text_a"), batch_format="pyarrow"))
+    db = _nonempty(docs.map_batches(_as_side("b", "text_b"), batch_format="pyarrow"))
+    pairs = _join_ready(pairs, ["a", "b"])
     j = pairs.join(da, join_type="inner", num_partitions=num_partitions, on=("a",))
+    j = _join_ready(j, ["a", "b", "text_a"])
     return j.join(db, join_type="inner", num_partitions=num_partitions, on=("b",))
 
 
@@ -518,7 +531,10 @@ def dropped_ids(labels):
 
 def _keep_ids_anti(ds, dropped, num_partitions: int = 8):
     """doc_id Dataset minus dropped ids — distributed anti-join."""
-    return ds.select_columns(["doc_id"]).join(
+    left = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    return left.join(
         _nonempty(dropped), join_type="left_anti", num_partitions=num_partitions,
         on=("doc_id",),
     )

@@ -1,12 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are NOT in this container, so
-the codec layer is stubbed: ``FakeCodec`` is a deterministic stand-in and
-the real import is gated behind a try (``NotImplementedError`` surfaces
-when a real codec is requested but unavailable).  Everything Ray-side —
-schema, actor signature, batch sizing for large binary payloads, output
-layout — is real and tested.
+Codec tiers:
+- ``ppm`` / ``wav`` — REAL decoders with zero external dependencies:
+  binary PPM (P6) images parsed straight into numpy HxWx3 arrays (with
+  nearest-neighbor resize and channel statistics/histogram features),
+  PCM WAV audio via the stdlib ``wave`` module (RMS/zero-crossing/
+  duration features), and "video" as concatenated self-delimiting PPM
+  frames (real frame-boundary parsing for frame sampling).
+- ``fake`` — deterministic stand-in retained for payloads of arbitrary
+  formats.
+- heavyweight formats (JPEG/MP4/...) need PIL/ffmpeg, which are NOT in
+  this container — gated behind an import-try that surfaces a clear
+  NotImplementedError.
 
 Batch-size guidance (encoded in DEFAULT_BATCH_SIZE): with payloads of
 100 KB-10 MB a batch must be sized by BYTES not rows; blocks of wide
@@ -50,30 +56,164 @@ class FakeCodec:
         return [payload[i * step : (i + 1) * step] for i in range(n)]
 
 
+# ---------------------------------------------------------------------------
+# real, dependency-free codecs
+
+def _ppm_parse_header(b: bytes, off: int) -> "tuple[int, int, int]":
+    """Parse a P6 header starting at `off`; returns (width, height,
+    data_offset).  Handles arbitrary whitespace and '#' comments per the
+    netpbm spec."""
+    if b[off : off + 2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos = off + 2
+    vals = []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(b[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return w, h, pos
+
+
+class PpmCodec:
+    """Binary PPM (P6) images and concatenated-PPM 'video', pure numpy."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        w, h, off = _ppm_parse_header(payload, 0)
+        return np.frombuffer(payload, np.uint8, count=w * h * 3, offset=off).reshape(h, w, 3)
+
+    @staticmethod
+    def encode_image(arr: np.ndarray) -> bytes:
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+    @staticmethod
+    def resize(arr: np.ndarray, size: "tuple[int, int]") -> np.ndarray:
+        """Nearest-neighbor resize via index gather (pure numpy)."""
+        h, w = arr.shape[:2]
+        th, tw = size
+        ri = (np.arange(th) * h // th).clip(0, h - 1)
+        ci = (np.arange(tw) * w // tw).clip(0, w - 1)
+        return arr[ri[:, None], ci[None, :]]
+
+    def features(self, arr: np.ndarray, bins: int = 8) -> np.ndarray:
+        """Per-channel mean/std + `bins`-bin grayscale histogram."""
+        f = arr.reshape(-1, 3).astype(np.float64)
+        mean, std = f.mean(axis=0), f.std(axis=0)
+        gray = f.mean(axis=1)
+        hist, _ = np.histogram(gray, bins=bins, range=(0, 256))
+        hist = hist / max(1, len(gray))
+        return np.concatenate([mean / 255.0, std / 255.0, hist]).astype(np.float32)
+
+    def frame_offsets(self, payload: bytes) -> "list[tuple[int, int]]":
+        """(start, end) byte ranges of each self-delimiting P6 frame."""
+        out, pos = [], 0
+        while pos < len(payload):
+            w, h, data = _ppm_parse_header(payload, pos)
+            end = data + w * h * 3
+            out.append((pos, end))
+            pos = end
+        return out
+
+    def sample_frames(self, payload: bytes, n: int = 4) -> "list[bytes]":
+        offs = self.frame_offsets(payload)
+        if not offs:
+            return []
+        idx = np.unique((np.arange(n) * len(offs)) // n)
+        return [payload[offs[i][0] : offs[i][1]] for i in idx]
+
+
+class WavCodec:
+    """PCM WAV audio via the stdlib wave module."""
+
+    def decode_audio(self, payload: bytes) -> "tuple[np.ndarray, int]":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wf:
+            rate = wf.getframerate()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+        return np.frombuffer(raw, dtype), rate
+
+    @staticmethod
+    def encode_audio(samples: np.ndarray, rate: int = 16_000) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(rate)
+            wf.writeframes(samples.astype(np.int16).tobytes())
+        return buf.getvalue()
+
+    def features(self, payload: bytes) -> np.ndarray:
+        x, rate = self.decode_audio(payload)
+        xf = x.astype(np.float64)
+        rms = float(np.sqrt(np.mean(xf**2))) if len(xf) else 0.0
+        zc = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1]))) if len(xf) > 1 else 0.0
+        dur = len(xf) / rate if rate else 0.0
+        peak = float(np.max(np.abs(xf))) if len(xf) else 0.0
+        return np.array([rms / 32768.0, zc, dur, peak / 32768.0], np.float32)
+
+
 def get_codec(name: str = "fake"):
     if name == "fake":
         return FakeCodec()
-    try:  # real codecs gated behind import-try; absent in this container
+    if name == "ppm":
+        return PpmCodec()
+    if name == "wav":
+        return WavCodec()
+    try:  # heavyweight codecs gated behind import-try; absent here
         import PIL.Image  # noqa: F401
     except ImportError:
         raise NotImplementedError(
             f"codec {name!r} requires media libraries not present in this "
-            "environment; use codec='fake' for plumbing tests"
+            "environment; ppm/wav/fake are available without dependencies"
         )
     raise NotImplementedError(f"unknown codec {name!r}")
 
 
 class MediaFeatureStage:
     """Actor-pool stage: codec constructed ONCE per actor; per-batch decode
-    + feature extraction, vectorized where the codec allows."""
+    (+ optional resize for images) + feature extraction."""
 
-    def __init__(self, codec: str = "fake", feature_dim: int = 16):
+    def __init__(self, codec: str = "fake", feature_dim: int = 16, resize_to: "tuple | None" = None):
         self.codec = get_codec(codec)
         self.dim = feature_dim
+        self.resize_to = resize_to
+        if isinstance(self.codec, PpmCodec):
+            def f(p):
+                img = self.codec.decode_image(p)
+                if self.resize_to:
+                    img = self.codec.resize(img, self.resize_to)
+                return self.codec.features(img)
+
+            self._featurize = f
+            self._empty = np.zeros(3 + 3 + 8, np.float32)
+        elif isinstance(self.codec, WavCodec):
+            self._featurize = self.codec.features
+            self._empty = np.zeros(4, np.float32)
+        else:
+            self._featurize = lambda p: self.codec.decode_image(p, self.dim)
+            self._empty = np.zeros(self.dim, np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [
-            self.codec.decode_image(p, self.dim) if p is not None else np.zeros(self.dim, np.float32)
+            self._featurize(p) if p else self._empty
             for p in batch["payload"].to_pylist()
         ]
         out = batch.select(["media_id", "kind", "mime"])
@@ -116,6 +256,52 @@ def media_features(ds, codec: str = "fake", feature_dim: int = 16, concurrency: 
         batch_size=DEFAULT_BATCH_SIZE,
         concurrency=concurrency or default_pool_size(),
         fn_constructor_kwargs={"codec": codec, "feature_dim": feature_dim},
+    )
+
+
+def make_real_media_table(n: int = 12, seed: int = 9) -> pa.Table:
+    """Deterministic REAL media: P6 images, multi-frame P6 'videos' and
+    PCM WAV clips — decodable by PpmCodec/WavCodec with no external libs."""
+    rng = np.random.default_rng(seed)
+    ppm, wav = PpmCodec(), WavCodec()
+    ids, kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], [], []
+    for i in range(n):
+        kind = ["image", "video", "audio"][i % 3]
+        if kind == "image":
+            w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(ppm.encode_image(img))
+            mimes.append("image/x-portable-pixmap")
+            ws.append(w); hs.append(h); durs.append(0)
+        elif kind == "video":
+            w, h, nf = 24, 18, int(rng.integers(3, 9))
+            frames = [
+                ppm.encode_image(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                for _ in range(nf)
+            ]
+            payloads.append(b"".join(frames))
+            mimes.append("video/x-ppm-frames")
+            ws.append(w); hs.append(h); durs.append(nf * 40)
+        else:
+            rate, sec = 8000, float(rng.uniform(0.1, 0.5))
+            t = np.arange(int(rate * sec))
+            tone = (np.sin(2 * np.pi * float(rng.integers(100, 800)) * t / rate) * 12000)
+            payloads.append(wav.encode_audio(tone, rate))
+            mimes.append("audio/wav")
+            ws.append(0); hs.append(0); durs.append(int(sec * 1000))
+        ids.append(i)
+        kinds.append(kind)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
     )
 
 
