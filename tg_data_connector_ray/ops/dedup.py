@@ -772,23 +772,26 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 12, se
     Scale path: random-hyperplane LSH buckets (sign bits) keep comparisons
     within buckets; a second rotated bucketing catches near-boundary
     pairs.  Planes are derived deterministically from (seed, dim) INSIDE
-    each task — no driver-side `take(1)` schema sniff, no broadcast."""
+    each task — no driver-side `take(1)` schema sniff, no broadcast.
+    Vectors shuffle as their ORIGINAL float32 bytes (exact — f32 -> f64
+    widening is lossless), normalized in float64 only inside the bucket
+    stage: half the exchange volume of shipping normalized doubles."""
     from .similarity import _emb_matrix
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        emb = _emb_matrix(batch)
+        emb = _emb_matrix(batch)  # float64 for the plane projections
         dim = emb.shape[1]
         rng = np.random.default_rng(seed)  # same (seed, dim) in every task
         planes = [rng.standard_normal((dim, n_planes)) for _ in range(2)]
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
-        emb = emb / np.maximum(norms, 1e-12)
+        nemb = emb / np.maximum(norms, 1e-12)
         ids = _i64(batch["vec_id"])
         n = len(ids)
         keys = np.concatenate(
-            [((emb @ P) > 0) @ (1 << np.arange(n_planes)) for P in planes]
+            [((nemb @ P) > 0) @ (1 << np.arange(n_planes)) for P in planes]
         )
-        flat = np.tile(emb.reshape(-1), 2)
-        vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float64()), dim)
+        flat = np.tile(emb.astype(np.float32).reshape(-1), 2)
+        vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), dim)
         return pa.table(
             {
                 "rot": pa.array(np.repeat(np.arange(2, dtype=np.int32), n)),
@@ -805,7 +808,13 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 12, se
         order = np.argsort(ids)
         col = group["vec"].combine_chunks()
         dim = col.type.list_size
-        emb = col.flatten().to_numpy(zero_copy_only=False).reshape(len(ids), dim)[order]
+        emb = (
+            col.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(ids), dim)[order]
+        )
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         ids = ids[order]
         sims = emb @ emb.T
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
