@@ -420,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": R.events_hourly_window,
         "events_hopping_window": R.events_hopping_window,
         "events_value_band_join": R.events_value_band_join,
+        "events_late_data": R.late_events,
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
         "events_filter_project": _events_filter_project,
@@ -598,6 +599,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM events GROUP BY 1
+        """,
+        "events_late_data": """
+            SELECT event_id, ts FROM (
+              SELECT event_id, ts,
+                     max(ts) OVER (ORDER BY (event_id//100)*100 + 99 - event_id%100
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+              FROM events) t
+            WHERE wm IS NOT NULL AND ts < wm - INTERVAL 30 MINUTE
         """,
         "events_asof_prior_view": """
             SELECT p.event_id, p.user_id, p.ts, max(v.ts) AS prior_view_ts

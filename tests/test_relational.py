@@ -227,3 +227,24 @@ def test_value_band_join_partitions_all_rows():
     n_events = duckdb.sql(f"SELECT count(*) FROM '{SF}/events.parquet'").fetchone()[0]
     assert df["n"].sum() == n_events
     assert df["band_id"].between(0, 9).all()
+
+
+def test_late_events_watermark():
+    """Watermark/late-data semantics: under the simulated reordered WAL
+    tail, flagged events are exactly those behind the running max event
+    time by more than the lateness budget."""
+    from tg_data_connector_ray.pipelines.relational import late_events
+
+    df = late_events(SF, lateness_minutes=30)
+    import duckdb
+
+    exp = duckdb.sql(
+        f"""SELECT count(*) FROM (
+          SELECT ts, max(ts) OVER (ORDER BY (event_id//100)*100 + 99 - event_id%100
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+          FROM '{SF}/events.parquet') t
+        WHERE wm IS NOT NULL AND ts < wm - INTERVAL 30 MINUTE"""
+    ).fetchone()[0]
+    assert len(df) == exp
+    # tiny lateness budget flags strictly more
+    assert len(late_events(SF, lateness_minutes=1)) >= len(df)

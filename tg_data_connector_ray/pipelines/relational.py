@@ -597,6 +597,63 @@ def _np_i64(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False)
 
 
+def late_events(sf_dir: str, lateness_minutes: int = 30, bucket: int = 1000):
+    """Event-time WATERMARK / late-data detection — the streaming concept
+    the reference lacks entirely (SURVEY §2.5), expressed as a distributed
+    two-phase prefix scan:
+
+    watermark at each arrival (arrival order = event_id) = max event-time
+    of all strictly earlier arrivals; an event is LATE when its ts falls
+    more than `lateness` behind that watermark (a streaming engine would
+    route it to a side output / trigger window retraction).
+
+    Phase 1: one thin groupby computes each arrival-range bucket's max
+    ts (tiny: one row per bucket).  The driver prefix-maxes that list —
+    O(#buckets), the classic scan carry.  Phase 2: each bucket flags its
+    rows with a vectorized running max seeded by its carry.  No global
+    sort; the only shuffle moves (bucket, ts) partials plus the final
+    per-bucket groups.
+
+    The fixture's events are perfectly time-ordered by event_id, so the
+    simulated WAL tail reverses each 100-event block (akey) — the local
+    reorder real log shippers produce — making the late set non-empty."""
+    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    late_us = lateness_minutes * 60 * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        akey = (eid // 100) * 100 + 99 - eid % 100  # arrival order
+        t = t.append_column("akey", pa.array(akey, pa.int64()))
+        return t.append_column("rb", pa.array(akey // bucket, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    # phase 1: per-bucket max ts -> driver prefix max (one row per bucket)
+    bmax = tagged.groupby("rb").max("ts").to_pandas().sort_values("rb")
+    rbs = bmax["rb"].to_numpy()
+    maxes = bmax["max(ts)"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    prefix = {int(rbs[0]): None}
+    run = maxes[0]
+    for i in range(1, len(rbs)):
+        prefix[int(rbs[i])] = int(run)
+        run = max(run, maxes[i])
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("akey", kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        carry = prefix.get(int(g["rb"].iloc[0]))
+        seed = np.int64(np.iinfo(np.int64).min // 2) if carry is None else np.int64(carry)
+        wm = np.maximum.accumulate(np.concatenate([[seed], ts]))[:-1]
+        late = ts < wm - late_us
+        return g.loc[late, ["event_id", "ts"]]
+
+    out = tagged.groupby("rb").map_groups(flag, batch_format="pandas").to_pandas()
+    if out.empty:  # all on time: empty frame may arrive column-less
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "ts": pd.Series(dtype="datetime64[us]")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def cdc_merge_events(sf_dir: str):
     """CDC-flavored upsert over the generic `events` table: final state per
     (user_id, event_type) = the row with max event_id (event_id as LSN) —
