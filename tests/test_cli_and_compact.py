@@ -136,3 +136,14 @@ def test_verify_against(t1, tmp_path):
     pq2.write_table(pq2.read_table(t1["transcripts"]).slice(0, 10), trunc)
     res2 = verify_against(cfg, trunc)
     assert not res2["ok"] and not res2["rows_equal"]
+    # same row count, ONE divergent character: digests must catch it
+    import pyarrow as pa2
+
+    t = pq2.read_table(t1["transcripts"])
+    texts = t["text"].to_pylist()
+    texts[7] = (texts[7] or "") + "!"
+    mut = t.set_column(t.schema.get_field_index("text"), "text", pa2.array(texts, pa2.string()))
+    mutp = str(tmp_path / "mut.parquet")
+    pq2.write_table(mut, mutp)
+    res3 = verify_against(cfg, mutp)
+    assert res3["rows_equal"] and not res3["text_equal"] and not res3["ok"]

@@ -373,34 +373,74 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     }
 
 
+def _table_digest(paths, cols) -> dict:
+    """Streaming order-insensitive table digest: per batch, two independent
+    64-bit row hashes (polars hash_rows, fixed seeds) XOR-reduced, plus a
+    per-turn TEXT digest keyed by (conv_id, turn_idx, text).  Rows are
+    key-unique, so XOR aggregation is a sound multiset equality check; no
+    sort, no driver materialization — works at any table size (the
+    previous full to_table().sort_by() overflowed Arrow's int32 string
+    offsets past ~2 GB of text)."""
+
+    def d(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        tt = t.select(cols)
+        if "ts" in cols:  # hash_rows wants plain physical types
+            tt = tt.set_column(
+                cols.index("ts"), "ts", tt["ts"].cast(pa.int64())
+            )
+        df = pl.from_arrow(tt)
+        full1 = int(np.bitwise_xor.reduce(df.hash_rows(seed=0xA5).to_numpy())) if t.num_rows else 0
+        full2 = int(np.bitwise_xor.reduce(df.hash_rows(seed=0x5A).to_numpy())) if t.num_rows else 0
+        tx = pl.from_arrow(t.select(["conv_id", "turn_idx", "text"]))
+        text1 = int(np.bitwise_xor.reduce(tx.hash_rows(seed=0xC3).to_numpy())) if t.num_rows else 0
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "full1": pa.array([full1], pa.uint64()),
+                "full2": pa.array([full2], pa.uint64()),
+                "text1": pa.array([text1], pa.uint64()),
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(paths, columns=cols)
+        .map_batches(d, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    return {
+        "rows": int(parts["n"].sum()),
+        "full": (
+            int(np.bitwise_xor.reduce(parts["full1"].to_numpy().astype(np.uint64))),
+            int(np.bitwise_xor.reduce(parts["full2"].to_numpy().astype(np.uint64))),
+        ),
+        "text": int(np.bitwise_xor.reduce(parts["text1"].to_numpy().astype(np.uint64))),
+    }
+
+
 def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
     """The north-rule invariant as an engine operation: compare the
-    converged table against an expected transcripts Parquet under stable
-    (conv_id, turn_idx) ordering — per-turn text equality plus full-row
-    equality and row counts."""
-    import pyarrow.dataset as pads
-    import pyarrow.parquet as pq
-
+    converged table against an expected transcripts Parquet — per-turn
+    text equality (keyed by the stable (conv_id, turn_idx) identity) plus
+    full-row equality and row counts, via streaming multiset digests."""
     cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    got = (
-        pads.dataset(os.path.join(cfg.out_dir, "table"))
-        .to_table(columns=cols)
-        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    table_dir = os.path.join(cfg.out_dir, "table")
+    got_paths = sorted(
+        os.path.join(table_dir, d, f)
+        for d in os.listdir(table_dir)
+        for f in os.listdir(os.path.join(table_dir, d))
+        if f.endswith(".parquet")
     )
-    exp = (
-        pq.read_table(expected_path, columns=cols)
-        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    )
+    got = _table_digest(got_paths, cols)
+    exp = _table_digest(expected_path, cols)
     res = {
-        "rows": got.num_rows,
-        "rows_expected": exp.num_rows,
-        "rows_equal": got.num_rows == exp.num_rows,
-        "text_equal": False,
-        "full_equal": False,
+        "rows": got["rows"],
+        "rows_expected": exp["rows"],
+        "rows_equal": got["rows"] == exp["rows"],
+        "text_equal": got["rows"] == exp["rows"] and got["text"] == exp["text"],
+        "full_equal": got["rows"] == exp["rows"] and got["full"] == exp["full"],
     }
-    if res["rows_equal"]:
-        res["text_equal"] = got["text"].equals(exp["text"])
-        res["full_equal"] = got.equals(exp)
     res["ok"] = res["rows_equal"] and res["text_equal"] and res["full_equal"]
     return res
 
