@@ -569,8 +569,8 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), sess AS (
               SELECT user_id, ts, value,
-                     sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-                                         ROWS UNBOUNDED PRECEDING) AS sess_id
+                     CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
               FROM gaps
             )
             SELECT user_id, sess_id, count(*) AS n_events,

@@ -78,6 +78,16 @@ def main():
             status = f"ROWS {len(got)} != {len(exp)}"
         elif sorted(got.columns) != sorted(exp.columns):
             status = f"COLS {sorted(got.columns)} != {sorted(exp.columns)}"
+        elif [str(t) for t in got.dtypes] != [str(t) for t in exp.dtypes]:
+            # the driver's value hash is dtype-sensitive: int64 5 and
+            # float64 5.0 hash differently even when values are equal
+            # (the round-2 events_asof_prior_view failure mode)
+            drift = {
+                c: (str(got[c].dtype), str(exp[c].dtype))
+                for c in got.columns
+                if str(got[c].dtype) != str(exp[c].dtype)
+            }
+            status = f"DTYPES {drift}"
         else:
             for c in got.columns:
                 gv, ev = got[c], exp[c]

@@ -82,15 +82,23 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
             bad_ts |= bad
         elif is_str_col and pa.types.is_integer(tgt):
             # schema-evolution promotion rule (schema.py): string -> typed
-            # is cast per-row, uncastable rows route to the dirty
-            # side-output instead of failing the whole batch
-            s = col.to_pandas()
-            num = pd.to_numeric(s.str.strip(), errors="coerce")
-            bad = (num.isna() & s.notna()).to_numpy()
-            f = num.to_numpy(dtype=np.float64, na_value=np.nan)
-            vals = np.where(np.isfinite(f), np.trunc(f), 0)
-            mask = s.isna().to_numpy() | bad
-            cols[name] = pa.array(vals.astype(np.int64), type=tgt, mask=mask)
+            # uses the exact BigDecimal-parity parse (no float64 round-trip,
+            # so lsn strings > 2^53 stay bit-perfect); uncastable and
+            # out-of-range rows route to the dirty side-output instead of
+            # failing the whole batch
+            from ..stages.casts import cast_string_to_long
+
+            vals64, bad = cast_string_to_long(col)
+            isnull = np.asarray(pc.is_null(vals64))
+            v = np.asarray(pc.fill_null(vals64, 0))
+            if not tgt.equals(pa.int64()):
+                lo = -(1 << (tgt.bit_width - 1))
+                hi = (1 << (tgt.bit_width - 1)) - 1
+                oor = (~isnull) & ((v < lo) | (v > hi))
+                bad = bad | oor
+                isnull = isnull | oor
+                v = np.where(oor, 0, v)
+            cols[name] = pa.array(v, type=tgt, mask=isnull)
             bad_casts.append((bad, f"uncastable_{name}"))
         else:
             cols[name] = col.cast(tgt)  # int widening etc.

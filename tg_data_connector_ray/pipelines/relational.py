@@ -34,6 +34,16 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ds_types(ds) -> "dict[str, pa.DataType]":
+    """Column -> Arrow type of a Dataset (metadata fetch, no execution of
+    the full pipeline).  Used to align union sides explicitly: unioning two
+    schemas and letting the engine null-fill promotes int64 -> float64 in
+    pandas blocks (the round-2 `events_asof_prior_view` hash failure), so
+    every union here pads the missing columns itself with TYPED nulls."""
+    sch = ds.schema()
+    return dict(zip(sch.names, sch.types))
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary with the combiner pattern
 
@@ -218,30 +228,44 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
     if num_buckets & (num_buckets - 1):
         raise ValueError("num_buckets must be a power of two")
 
-    def tag(side: str):
+    left_types = _ds_types(left)
+    right_types = _ds_types(right)
+    left_cols = list(left_types)
+    right_cols = list(right_types)
+    all_types = {**left_types, **right_types}
+    # sides have different schemas: pad each side with TYPED nulls so the
+    # union carries ONE Arrow schema end-to-end (engine null-fill would
+    # promote int64 -> float64 through pandas blocks)
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str, own: "set[str]"):
         def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
             b = pc.cast(
                 pc.bit_wise_and(pc.cast(t[on], pa.int64()), num_buckets - 1), pa.int32()
             )
-            t = t.append_column("_bucket", b)
-            return t.append_column("_side", pa.array([side] * t.num_rows))
+            out = pa.table(
+                {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
+            )
+            out = out.append_column("_bucket", b)
+            return out.append_column("_side", pa.array([side] * n))
 
         return _f
 
-    # sides have different schemas; the union null-fills the other side's
-    # columns, so each bucket join must re-project its own column set
-    left_cols = list(left.columns())
-    right_cols = list(right.columns())
-    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
-        right.map_batches(tag("r"), batch_format="pyarrow")
+    tagged = left.map_batches(tag("l", set(left_cols)), batch_format="pyarrow").union(
+        right.map_batches(tag("r", set(right_cols)), batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g.loc[g["_side"] == "l", left_cols]
-        r = g.loc[g["_side"] == "r", right_cols]
-        return l.merge(r, on=on, how=how)
+    def join_bucket(g: pa.Table) -> pa.Table:
+        lmask = pc.equal(g["_side"], "l")
+        l = g.filter(lmask).select(left_cols).to_pandas()
+        r = g.filter(pc.invert(lmask)).select(right_cols).to_pandas()
+        out = l.merge(r, on=on, how=how)
+        return pa.table(
+            {c: pa.Array.from_pandas(out[c], type=all_types.get(c)) for c in out.columns}
+        )
 
-    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
@@ -329,15 +353,20 @@ def asof_join(
     keys salt upstream like CDC hot keys.
     """
     right_time = right_time or left_time
-    left_cols = list(left.columns())
-    right_cols = list(right.columns())
+    left_types = _ds_types(left)
+    right_types = _ds_types(right)
+    left_cols = list(left_types)
+    right_cols = list(right_types)
     overlap = (set(left_cols) & set(right_cols)) - {on}
     if overlap:
         raise ValueError(f"rename overlapping columns first: {sorted(overlap)}")
+    all_types = {**left_types, **right_types}
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
     n_coarse = 64
 
-    def tag(side: str):
+    def tag(side: str, own: "set[str]"):
         def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
             key = t[on]
             if isinstance(key, pa.ChunkedArray):
                 key = key.combine_chunks()
@@ -351,32 +380,41 @@ def asof_join(
                 cg = pa.array(
                     (stable_hash_strings(key) % np.uint64(n_coarse)).astype(np.int32)
                 )
-            t = t.append_column("_cg", cg)
-            return t.append_column("_side", pa.array([side] * t.num_rows))
+            # pad the other side's columns with TYPED nulls: one Arrow
+            # schema through the whole union/shuffle, so int64 ids never
+            # take the pandas null-fill float64 promotion (round-2 bug)
+            out = pa.table(
+                {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
+            )
+            out = out.append_column("_cg", cg)
+            return out.append_column("_side", pa.array([side] * n))
 
         return _f
 
-    tagged = left.map_batches(tag("l"), batch_format="pyarrow").union(
-        right.map_batches(tag("r"), batch_format="pyarrow")
+    tagged = left.map_batches(tag("l", set(left_cols)), batch_format="pyarrow").union(
+        right.map_batches(tag("r", set(right_cols)), batch_format="pyarrow")
     )
 
-    def join_group(g: pd.DataFrame) -> pd.DataFrame:
+    def join_group(g: pa.Table) -> pa.Table:
         # coarse group: ALL of its keys as-of join in one merge_asof(by=on)
-        # call — no Python dispatch per key
-        l = g.loc[g["_side"] == "l", left_cols].sort_values(left_time, kind="mergesort")
-        r = g.loc[g["_side"] == "r", right_cols].sort_values(right_time, kind="mergesort")
-        if r[right_time].dtype != l[left_time].dtype:
-            # the side union null-fills columns, promoting e.g. int64 -> f64;
-            # right rows' own time values are never null, so the cast back
-            # to the left dtype is exact
-            r = r.assign(**{right_time: r[right_time].astype(l[left_time].dtype)})
-        # merge_asof handles empty sides and keeps the merged column set,
-        # so every group emits one consistent schema
-        return pd.merge_asof(
+        # call — no Python dispatch per key.  Sides are filtered BEFORE the
+        # pandas conversion, so each side's frame has no padding nulls and
+        # keeps its exact dtypes; the output is rebuilt against the source
+        # Arrow types (right-side value columns may pick up genuine nulls
+        # for unmatched left rows — Arrow holds those natively as int64).
+        lmask = pc.equal(g["_side"], "l")
+        l = g.filter(lmask).select(left_cols).to_pandas()
+        r = g.filter(pc.invert(lmask)).select(right_cols).to_pandas()
+        l = l.sort_values(left_time, kind="mergesort")
+        r = r.sort_values(right_time, kind="mergesort")
+        out = pd.merge_asof(
             l, r, by=on, left_on=left_time, right_on=right_time, direction=direction
         )
+        return pa.table(
+            {c: pa.Array.from_pandas(out[c], type=all_types[c]) for c in out.columns}
+        )
 
-    return tagged.groupby("_cg").map_groups(join_group, batch_format="pandas")
+    return tagged.groupby("_cg").map_groups(join_group, batch_format="pyarrow")
 
 
 def events_asof_prior_view(sf_dir: str):
@@ -561,10 +599,10 @@ def top_events_per_user(sf_dir: str, k: int = 3):
             }
         )
 
-    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
-        u = g["user_id"].to_numpy()
-        v = g["value"].to_numpy()
-        e = g["event_id"].to_numpy()
+    def final_topk(g: pa.Table) -> pa.Table:
+        u = _np_i64(g["user_id"])
+        v = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        e = _np_i64(g["event_id"])
         order = np.lexsort((e, -v, u))
         u, v, e = u[order], v[order], e[order]
         new_u = np.concatenate([[True], u[1:] != u[:-1]])
@@ -572,19 +610,19 @@ def top_events_per_user(sf_dir: str, k: int = 3):
         run_id = np.cumsum(new_u) - 1
         pos = np.arange(len(u)) - starts[run_id]
         keep = pos < k
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": u[keep],
-                "rn": (pos[keep] + 1).astype("int64"),
-                "event_id": e[keep],
-                "value": v[keep],
+                "user_id": pa.array(u[keep], pa.int64()),
+                "rn": pa.array((pos[keep] + 1).astype(np.int64)),
+                "event_id": pa.array(e[keep], pa.int64()),
+                "value": pa.array(v[keep], pa.float64()),
             }
         )
 
     out = (
         ds.map_batches(block_topk, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .groupby("_cg")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
     return (
         out.to_pandas().sort_values(["user_id", "rn"]).reset_index(drop=True)
@@ -638,16 +676,24 @@ def late_events(sf_dir: str, lateness_minutes: int = 30, bucket: int = 1000):
         prefix[int(rbs[i])] = int(run)
         run = max(run, maxes[i])
 
-    def flag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("akey", kind="mergesort")
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        carry = prefix.get(int(g["rb"].iloc[0]))
+    def flag(g: pa.Table) -> pa.Table:
+        akey = _np_i64(g["akey"])
+        order = np.argsort(akey, kind="stable")
+        ts64 = (
+            g["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")[order]
+        )
+        tsi = ts64.astype(np.int64)
+        carry = prefix.get(int(g["rb"][0].as_py()))
         seed = np.int64(np.iinfo(np.int64).min // 2) if carry is None else np.int64(carry)
-        wm = np.maximum.accumulate(np.concatenate([[seed], ts]))[:-1]
-        late = ts < wm - late_us
-        return g.loc[late, ["event_id", "ts"]]
+        wm = np.maximum.accumulate(np.concatenate([[seed], tsi]))[:-1]
+        late = tsi < wm - late_us
+        eid = _np_i64(g["event_id"])[order]
+        return pa.table(
+            {"event_id": pa.array(eid[late], pa.int64()), "ts": pa.array(ts64[late])}
+        )
 
-    out = tagged.groupby("rb").map_groups(flag, batch_format="pandas").to_pandas()
+    out = tagged.groupby("rb").map_groups(flag, batch_format="pyarrow").to_pandas()
     if out.empty:  # all on time: empty frame may arrive column-less
         return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                              "ts": pd.Series(dtype="datetime64[us]")})
@@ -675,18 +721,27 @@ def cdc_merge_events(sf_dir: str):
         cg = pc.cast(pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), 63), pa.int32())
         return t.append_column("_cg", cg)
 
-    def last_per_key_block(g: pd.DataFrame) -> pd.DataFrame:
+    def last_per_key_block(g: pa.Table) -> pa.Table:
         # all keys of a coarse group resolved in one vectorized pass
-        g = g.sort_values(["user_id", "event_type", "event_id"], kind="mergesort")
-        u, e = g["user_id"].to_numpy(), g["event_type"].to_numpy()
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        g = g.take(idx)
+        u = _np_i64(g["user_id"])
+        e = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
         last = np.concatenate([(u[1:] != u[:-1]) | (e[1:] != e[:-1]), [True]])
-        return g.loc[last].drop(columns=["_cg"])
+        return g.filter(pa.array(last)).drop_columns(["_cg"])
 
     out = (
         ds.map_batches(last_in_block, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
         .map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_cg")
-        .map_groups(last_per_key_block, batch_format="pandas")
+        .map_groups(last_per_key_block, batch_format="pyarrow")
     )
     return (
         out.to_pandas()
@@ -715,11 +770,13 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         )
         return t.append_column("_cg", cg)
 
-    def sessionize_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        user = g["user_id"].to_numpy()
-        ts = g["ts"].to_numpy()
-        n = len(g)
+    def sessionize_block(g: pa.Table) -> pa.Table:
+        user = _np_i64(g["user_id"])
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        val = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, user))
+        user, ts, val = user[order], ts[order], val[order]
+        n = len(user)
         new_user = np.concatenate([[True], user[1:] != user[:-1]])
         gap_break = np.concatenate([[True], (ts[1:] - ts[:-1]) > gap])
         new_sess = new_user | gap_break
@@ -728,33 +785,29 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         idx = np.arange(n)
         user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
         sess_id = sess_global - sess_global[user_start] + 1
-        # integer micro-unit sums + integer-space 2dp rounding: exact,
-        # summation-order-independent, identical to the DuckDB oracle
-        df = pd.DataFrame(
+        # sessions are contiguous ts-ascending runs after the sort, so every
+        # per-session aggregate is one reduceat over run boundaries — no
+        # per-group pandas dispatch.  Integer micro-unit sums + integer-
+        # space 2dp rounding: exact, order-independent, oracle-identical.
+        starts = np.nonzero(new_sess)[0]
+        ends = np.concatenate([starts[1:] - 1, [n - 1]])
+        val_u = np.round(val * 1e6).astype(np.int64)
+        sums = np.add.reduceat(val_u, starts)
+        return pa.table(
             {
-                "user_id": user,
-                "sess_id": sess_id,
-                "ts": g["ts"].to_numpy(),
-                "value_u": np.round(g["value"].to_numpy() * 1e6).astype("int64"),
+                "user_id": pa.array(user[starts], pa.int64()),
+                "sess_id": pa.array(sess_id[starts], pa.int64()),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64)),
+                "sess_start": pa.array(ts[starts]),
+                "sess_end": pa.array(ts[ends]),
+                "sum_value": pa.array(_round2_from_micro(sums)),
             }
         )
-        out = (
-            df.groupby(["user_id", "sess_id"], sort=True)
-            .agg(
-                n_events=("ts", "size"),
-                sess_start=("ts", "min"),
-                sess_end=("ts", "max"),
-                sum_value=("value_u", "sum"),
-            )
-            .reset_index()
-        )
-        out["sum_value"] = _round2_from_micro(out["sum_value"])
-        return out[["user_id", "sess_id", "n_events", "sess_start", "sess_end", "sum_value"]]
 
     out = (
         ds.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_cg")
-        .map_groups(sessionize_block, batch_format="pandas")
+        .map_groups(sessionize_block, batch_format="pyarrow")
     )
     return (
         out.to_pandas()
