@@ -107,6 +107,26 @@ def test_embedding_near_dup_pairs(embs):
         assert (t[i]["vec_id"], 10_000 + i) in pairs
 
 
+def test_embedding_near_dup_degenerate_bucket():
+    """1k identical vectors land in ONE LSH bucket; the max_bucket cap
+    bounds the pair blow-up at C(cap, 2) over the LOWEST ids instead of
+    going O(n^2) in a single task."""
+    from tg_data_connector_ray.ops.dedup import embedding_near_dup_pairs
+
+    n, dim, cap = 1000, 16, 64
+    v = np.ones(dim, dtype=np.float32) / np.sqrt(dim)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([v.tolist()] * n, pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_near_dup_pairs(ds, threshold=0.999, max_bucket=cap).take_all()
+    assert len(pairs) == cap * (cap - 1) // 2
+    assert max(max(r["a"], r["b"]) for r in pairs) == cap - 1
+
+
 def test_brute_force_topk_matches_numpy(embs):
     from tg_data_connector_ray.ops.similarity import brute_force_topk
 

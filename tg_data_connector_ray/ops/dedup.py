@@ -598,6 +598,39 @@ def _dedup_via_pairs(ds, verified_pairs, num_partitions: int = 8):
     return _keep_ids_anti(ds, dropped_ids(labels), num_partitions)
 
 
+def filter_out_ids(
+    ds,
+    dropped,
+    id_col: str = "doc_id",
+    num_partitions: int = 8,
+    broadcast_limit: int = SMALL_PAIRS_THRESHOLD,
+):
+    """Rows of `ds` whose `id_col` is NOT in the thin `dropped` Dataset,
+    keeping every column.  Dual path, bounded like `_dedup_via_pairs`: a
+    dropped set under `broadcast_limit` collects once and broadcasts (no
+    shuffle); a larger one stays a distributed left_anti join — no
+    unbounded driver `take_all` on either path."""
+    dropped = _nonempty(dropped)
+    n = dropped.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_limit:
+        drop_arr = pa.array(sorted(r[id_col] for r in dropped.take_all()), pa.int64())
+
+        def _f(b: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.fill_null(pc.is_in(b[id_col], value_set=drop_arr), False))
+            return b.filter(keep)
+
+        return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+    cols = list(ds.schema().names)
+    return _join_ready(ds, cols).join(
+        _join_ready(dropped, [id_col]),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+
+
 def minhash_dedup_ids(
     ds,
     threshold: float = 0.8,
@@ -766,7 +799,9 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # embedding cosine near-dup
 
-def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 5):
+def embedding_near_dup_pairs(
+    ds, threshold: float = 0.95, n_planes: int = 12, seed: int = 5, max_bucket: int = 64
+):
     """Near-dup (vec_id, vec_id) pairs with cosine >= threshold.
 
     Scale path: random-hyperplane LSH buckets (sign bits) keep comparisons
@@ -775,7 +810,15 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 12, se
     each task — no driver-side `take(1)` schema sniff, no broadcast.
     Vectors shuffle as their ORIGINAL float32 bytes (exact — f32 -> f64
     widening is lossless), normalized in float64 only inside the bucket
-    stage: half the exchange volume of shipping normalized doubles."""
+    stage: half the exchange volume of shipping normalized doubles.
+
+    Buckets are COARSE-GROUPED (one shuffle co-locates ~buckets/512 per
+    group like minhash/simhash) and CAPPED at `max_bucket` rows (lowest
+    ids kept, same rule as `_bucket_pairs_block`): a degenerate bucket —
+    thousands of near-identical embeddings — costs O(max_bucket^2) pairs,
+    not O(b^2), and tiny buckets never pay a per-group Python dispatch.
+    Pair cosines are one einsum over the coarse group's candidate pairs,
+    not a matmul per bucket."""
     from .similarity import _emb_matrix
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -792,36 +835,51 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 12, se
         )
         flat = np.tile(emb.astype(np.float32).reshape(-1), 2)
         vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), dim)
+        rot = np.repeat(np.arange(2, dtype=np.int32), n)
+        cb = (
+            (keys.astype(np.uint64) + rot.astype(np.uint64) * np.uint64(0x9E3779B9))
+            % _NUM_COARSE
+        ).astype(np.int32)
         return pa.table(
             {
-                "rot": pa.array(np.repeat(np.arange(2, dtype=np.int32), n)),
+                "rot": pa.array(rot),
                 "bkey": pa.array(keys, pa.int64()),
+                "cb": pa.array(cb),
                 "vec_id": pa.array(np.tile(ids, 2), pa.int64()),
                 "vec": vec,
             }
         )
 
-    def bucket_cosine_pairs(group: pa.Table) -> pa.Table:
+    def coarse_cosine_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
         ids = _i64(group["vec_id"])
         if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        order = np.argsort(ids)
+            return empty
+        rot = group["rot"].combine_chunks().to_numpy(zero_copy_only=False)
+        bkey = _i64(group["bkey"])
         col = group["vec"].combine_chunks()
         dim = col.type.list_size
         emb = (
             col.flatten()
             .to_numpy(zero_copy_only=False)
             .astype(np.float64)
-            .reshape(len(ids), dim)[order]
+            .reshape(len(ids), dim)
         )
+        order = np.lexsort((ids, bkey, rot))
+        ids, rot, bkey, emb = ids[order], rot[order], bkey[order], emb[order]
+        ai, bi = _run_pair_indices([rot, bkey], max_bucket)
+        if len(ai) == 0:
+            return empty
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        ids = ids[order]
-        sims = emb @ emb.T
-        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pa.table({"a": pa.array(ids[ai], pa.int64()), "b": pa.array(ids[bi], pa.int64())})
+        sims = np.einsum("ij,ij->i", emb[ai], emb[bi])
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "a": pa.array(ids[ai[keep]], pa.int64()),
+                "b": pa.array(ids[bi[keep]], pa.int64()),
+            }
+        )
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = buckets.groupby(["rot", "bkey"]).map_groups(
-        bucket_cosine_pairs, batch_format="pyarrow"
-    )
+    pairs = buckets.groupby("cb").map_groups(coarse_cosine_pairs, batch_format="pyarrow")
     return pairs.groupby(["a", "b"]).count().select_columns(["a", "b"])

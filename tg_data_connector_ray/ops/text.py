@@ -62,34 +62,75 @@ def quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 class LangId:
     """Stopword + script heuristic language ID — a stateful actor stage
-    (wordlists/regexes built once per actor in __init__)."""
+    (stopword value-sets built once per actor in __init__).
+
+    Fully vectorized: words come from ONE split_pattern_regex over the
+    lowered text (same token sequence as `[a-zA-Z]+` findall), the <=200-
+    word window is a cumulative-count mask, and per-language hits are one
+    `pc.is_in` + `np.bincount` per language — no per-row Python.  The
+    scoring rule is bit-identical to the per-row heuristic the DuckDB
+    oracle reconstructs: strict-> tie-break in sorted(lang) order,
+    best_hits >= 1, cjk*2 >= max(1, len//8) -> zh, empty/no-words ->
+    unknown."""
+
+    MAX_WORDS = 200
+    _CJK_RE = r"[一-鿿぀-ヿ가-힯]"
 
     def __init__(self):
-        self.word_re = re.compile(r"[a-zA-Z]+")
-        self.cjk_re = re.compile(r"[一-鿿぀-ヿ가-힯]")
-        self.stops = {lang: frozenset(ws) for lang, ws in _LANG_STOPS.items()}
-
-    def label(self, text: str) -> str:
-        if text is None or not text:
-            return "unknown"
-        cjk = len(self.cjk_re.findall(text))
-        if cjk * 2 >= max(1, len(text) // 8):
-            return "zh"
-        words = [w.lower() for w in self.word_re.findall(text)[:200]]
-        if not words:
-            return "unknown"
-        best, best_hits = "unknown", 0
-        for lang in sorted(self.stops):
-            hits = sum(w in self.stops[lang] for w in words)
-            if hits > best_hits:
-                best, best_hits = lang, hits
-        return best if best_hits >= 1 else "unknown"
+        self.langs = sorted(_LANG_STOPS)
+        self.stop_sets = {
+            lang: pa.array(sorted(_LANG_STOPS[lang]), pa.string()) for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        return batch.append_column(
-            "lang_pred", pa.array([self.label(t) for t in texts], type=pa.string())
+        s = batch["text"]
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("lang_pred", pa.array([], pa.string()))
+        n_chars = pc.fill_null(pc.utf8_length(s), 0).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
         )
+        cjk = pc.fill_null(pc.count_substring_regex(s, self._CJK_RE), 0).cast(
+            pa.int64()
+        ).to_numpy(zero_copy_only=False)
+
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(s), "[^a-z]+"
+        ).combine_chunks()
+        offs = words.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = words.flatten()
+        lens = np.diff(offs)
+        row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+        n_words = np.bincount(row_id[nonempty], minlength=n)
+        # position of each nonempty token among its row's nonempty tokens
+        cum = np.cumsum(nonempty)
+        before_row = np.zeros(n, dtype=np.int64)
+        has = lens > 0
+        before_row[has] = cum[offs[:-1][has]] - nonempty[offs[:-1][has]]
+        pos = cum - 1 - before_row[row_id]
+        eligible = nonempty & (pos < self.MAX_WORDS)
+
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        for i, lang in enumerate(self.langs):
+            inset = (
+                pc.is_in(flat, value_set=self.stop_sets[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            m = eligible & inset
+            if m.any():
+                hits[i] = np.bincount(row_id[m], minlength=n)
+
+        best_idx = np.argmax(hits, axis=0)  # first max = sorted-order tie-break
+        best_hits = hits[best_idx, np.arange(n)]
+        labels = np.array(self.langs, dtype=object)[best_idx]
+        labels[(best_hits < 1) | (n_words == 0)] = "unknown"
+        labels[cjk * 2 >= np.maximum(1, n_chars // 8)] = "zh"
+        is_null = pc.is_null(s).to_numpy(zero_copy_only=False).astype(bool)
+        labels[is_null | (n_chars == 0)] = "unknown"
+        return batch.append_column("lang_pred", pa.array(labels, type=pa.string()))
 
 
 _WS_RE = re.compile(r"\s+")

@@ -179,36 +179,35 @@ class _SegmentRevenue(BroadcastLookup):
         return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
 
 
-def revenue_by_mktsegment(sf_dir: str, concurrency: "int | None" = None):
+def revenue_by_mktsegment(sf_dir: str, concurrency=None):
     """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment.
 
     The lookup stage is memory-bound (index_in + take + tiny group_by),
     so a small pool saturates it; actor spin-up is the dominant cost at
-    test scale (measured: pool of 2 ~1.3s vs 14 ~2.2s at sf0.1).  On a
+    test scale (measured: pool of 2 warm ~1.3s vs 14 ~2.2s at sf0.1).
+    The per-block partials are |segments| rows each, so the final combine
+    is a DRIVER merge of segments x blocks rows (like the top-k pattern)
+    — measured 2x faster than a Ray groupby over the same partials, and
+    bounded: 100k blocks x 5 segments = 500k tiny rows worst case.  On a
     real cluster size the pool to input blocks via `concurrency`."""
-    from ..util import default_pool_size
-
     orders = ray.data.read_parquet(
         _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
     )
-    from ray.data.aggregate import Sum
-
-    out = (
-        orders.map_batches(
-            _SegmentRevenue,
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            concurrency=concurrency or min(4, default_pool_size()),
-            fn_constructor_kwargs={
-                "dim_path": _t(sf_dir, "customer"),
-                "key": "c_custkey",
-                "value": "c_mktsegment",
-            },
-        )
-        .groupby("c_mktsegment")
-        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    partials = orders.map_batches(
+        _SegmentRevenue,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or 2,
+        fn_constructor_kwargs={
+            "dim_path": _t(sf_dir, "customer"),
+            "key": "c_custkey",
+            "value": "c_mktsegment",
+        },
+    ).to_pandas()
+    df = partials.groupby("c_mktsegment", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
     )
-    df = out.to_pandas().sort_values("c_mktsegment").reset_index(drop=True)
+    df = df.sort_values("c_mktsegment").reset_index(drop=True)
     df["revenue"] = _round2_from_micro(df["revenue"])
     return df
 
