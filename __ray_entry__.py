@@ -556,7 +556,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_hourly_window": """
             SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
-                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
+                   CAST(floor((sum(CAST(round_even(value*1e6, 0) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
@@ -575,7 +575,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, sess_id, count(*) AS n_events,
                    min(ts) AS sess_start, max(ts) AS sess_end,
-                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
+                   CAST(floor((sum(CAST(round_even(value*1e6, 0) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM sess GROUP BY 1, 2
         """,
         "events_filter_project": """
@@ -591,13 +591,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events, (SELECT unnest(range(0, 2)) AS h) h
             )
             SELECT event_type, window_start, count(*) AS n,
-                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
+                   CAST(floor((sum(CAST(round_even(value*1e6, 0) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM e2 GROUP BY 1, 2
         """,
         "events_value_band_join": """
             SELECT greatest(0, least(9, CAST(floor(value/100.0) AS BIGINT))) AS band_id,
                    count(*) AS n,
-                   CAST(floor((sum(CAST(round(value*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
+                   CAST(floor((sum(CAST(round_even(value*1e6, 0) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS sum_value
             FROM events GROUP BY 1
         """,
         "events_late_data": """
@@ -619,11 +619,11 @@ def oracle_sql() -> dict[str, str]:
         "q1_pricing_summary": """
             WITH u AS (
               SELECT l_returnflag, l_linestatus,
-                     CAST(round(l_quantity*1e6) AS BIGINT) AS qty_u,
-                     CAST(round(l_extendedprice*1e6) AS BIGINT) AS price_u,
-                     CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT) AS disc_u,
-                     CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*1e6) AS BIGINT) AS charge_u,
-                     CAST(round(l_discount*1e6) AS BIGINT) AS d_u
+                     CAST(round_even(l_quantity*1e6, 0) AS BIGINT) AS qty_u,
+                     CAST(round_even(l_extendedprice*1e6, 0) AS BIGINT) AS price_u,
+                     CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0) AS BIGINT) AS disc_u,
+                     CAST(round_even(l_extendedprice*(1-l_discount)*(1+l_tax)*1e6, 0) AS BIGINT) AS charge_u,
+                     CAST(round_even(l_discount*1e6, 0) AS BIGINT) AS d_u
               FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01')
             SELECT l_returnflag, l_linestatus,
                    CAST(floor((sum(qty_u)+5000)/10000) AS BIGINT)/100.0 AS sum_qty,
@@ -631,27 +631,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((sum(disc_u)+5000)/10000) AS BIGINT)/100.0 AS sum_disc_price,
                    CAST(floor((sum(charge_u)+5000)/10000) AS BIGINT)/100.0 AS sum_charge,
                    count(*) AS count_order,
-                   round(sum(qty_u)/1e6/count(*), 2) AS avg_qty,
-                   round(sum(price_u)/1e6/count(*), 2) AS avg_price,
-                   round(sum(d_u)/1e6/count(*), 2) AS avg_disc
+                   round_even(sum(qty_u)/1e6/count(*), 2) AS avg_qty,
+                   round_even(sum(price_u)/1e6/count(*), 2) AS avg_price,
+                   round_even(sum(d_u)/1e6/count(*), 2) AS avg_disc
             FROM u GROUP BY 1, 2
         """,
         "revenue_by_mktsegment": """
             SELECT c_mktsegment,
-                   CAST(floor((sum(CAST(round(o_totalprice*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS revenue,
+                   CAST(floor((sum(CAST(round_even(o_totalprice*1e6, 0) AS BIGINT))+5000)/10000) AS BIGINT)/100.0 AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1
         """,
         "top_orders_by_revenue": """
             SELECT o_orderkey,
-                   CAST(floor((sum(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT))+5000)/10000) AS BIGINT)/100.0
+                   CAST(floor((sum(CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0) AS BIGINT))+5000)/10000) AS BIGINT)/100.0
                      AS revenue,
                    any_value(o_custkey) AS o_custkey,
                    any_value(o_orderdate) AS o_orderdate
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderkey
-            ORDER BY sum(CAST(round(l_extendedprice*(1-l_discount)*1e6) AS BIGINT)) DESC,
+            ORDER BY sum(CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0) AS BIGINT)) DESC,
                      o_orderkey LIMIT 10
         """,
         "top_customers_by_balance": """

@@ -163,6 +163,26 @@ def test_min_label_clusters_distributed_path(monkeypatch):
     assert fast == dist == [1, 4]
 
 
+def test_min_label_clusters_long_chain_pointer_doubling():
+    """A 200-node path (diameter 199 >> default plain rounds) must still
+    converge — the adaptive pointer-doubling hop makes rounds O(log d)."""
+    from tg_data_connector_ray.ops.dedup import min_label_clusters
+
+    n = 200
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(np.arange(n - 1), pa.int64()),
+                "b": pa.array(np.arange(1, n), pa.int64()),
+            }
+        )
+    )
+    labels = min_label_clusters(pairs, num_partitions=2, max_rounds=20, doubling_after=2)
+    rows = labels.take_all()
+    assert len(rows) == n
+    assert all(r["lab"] == 0 for r in rows)
+
+
 def test_topk_scorer_tie_break_deterministic():
     """Duplicate embeddings tied at the k-th boundary keep the LOWER
     vec_id within a batch — the (sim desc, vec_id asc) order the driver

@@ -49,6 +49,28 @@ def test_replay_t1_converges(t1, tmp_path):
     assert_converged(cfg, exp)
 
 
+def test_progress_reporter_emits_mid_run(t1, tmp_path, caplog):
+    """With a sub-run-length interval the merge phase logs the aggregated
+    lineage counters at least once (the reference's 10s counter-tree
+    ticks); interval 0 stays silent."""
+    import logging
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "out"), num_partitions=8, progress_interval_s=0.001
+    )
+    with caplog.at_level(logging.INFO, logger="tg_data_connector_ray.cdc"):
+        apply_cdc(t1["cdc_log"], cfg)
+    assert any("partitions committed" in r.message for r in caplog.records)
+    # the scan aggregates the committed lineage exactly
+    from tg_data_connector_ray.cdc.pipeline import _ProgressReporter, compute_run_id
+    from tg_data_connector_ray.cdc.pipeline import _expand
+
+    run_id = compute_run_id(_expand(t1["cdc_log"]), None)
+    rep = _ProgressReporter(cfg, run_id, 8, 0)
+    done, events, live = rep._scan()
+    assert done == 8 and events > 0 and live > 0
+
+
 def test_replay_from_file_uri(t1, tmp_path):
     """Object-store-style URI input (file://) through the whole CDC path:
     listing, sizing, schema scan and read all resolve via pyarrow.fs."""

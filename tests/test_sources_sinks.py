@@ -351,6 +351,45 @@ def test_sql_sink_insert_replace_update(tmp_path):
     assert "ON CONFLICT (a) DO UPDATE SET b = excluded.b" in build_write_sql(pg)
 
 
+def test_sql_sink_exactly_once_skips_replayed_batch(tmp_path):
+    """A Ray-retried write task re-runs __call__ on the same block; the
+    content ledger must make the second apply a no-op (no duplicate rows,
+    no inflated count)."""
+    import sqlite3
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig, SqlWriter
+
+    db = str(tmp_path / "eo.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, name TEXT)")
+    con.execute(
+        "CREATE TABLE t__write_ledger (write_uuid TEXT, batch_id TEXT, n_rows INTEGER,"
+        " PRIMARY KEY (write_uuid, batch_id))"
+    )
+    con.commit()
+    con.close()
+    cfg = SqlSinkConfig(table="t", columns=("id", "name"), exactly_once=True)
+    w = SqlWriter(lambda: sqlite3.connect(db), cfg, write_uuid="run1")
+    batch = pa.table({"id": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
+    assert w(batch)["rows_written"][0].as_py() == 2
+    assert w(batch)["rows_written"][0].as_py() == 0  # simulated task retry
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
+    con.close()
+    # a NEW write run (different uuid) legitimately applies the same batch
+    w2 = SqlWriter(lambda: sqlite3.connect(db), cfg, write_uuid="run2")
+    assert w2(batch)["rows_written"][0].as_py() == 2
+
+
+def test_sql_sink_postgres_replace_requires_conflict_keys():
+    import pytest
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig
+
+    with pytest.raises(ValueError, match="conflict_keys"):
+        SqlSinkConfig(table="t", columns=("a",), write_mode="replace", dialect="postgres")
+
+
 def test_csv_compressed_write_roundtrip(tmp_path):
     out = str(tmp_path / "gz")
     ds = ray.data.from_arrow(

@@ -83,6 +83,12 @@ class CdcConfig:
     # source's max replay lag).  None = keep all tombstones (bounded by
     # deleted-key count).
     tombstone_retention_lsn: "int | None" = None
+    # Mid-run progress: log the aggregated per-partition lineage counters
+    # every N seconds during the merge phase (the reference prints its
+    # counter tree every 10 s — AbstractScheduler.java:78-87,
+    # CommunicationTool.java:16-111).  0 disables; runs shorter than the
+    # interval emit nothing.
+    progress_interval_s: float = 10.0
     # Ray Data shuffle strategy override for the partition groupby.
     # Measured (1.9M events / 774 MB, 32 CPUs): sort-based pull shuffle 9s
     # vs HASH_SHUFFLE 26s — the hash-shuffle aggregator parallelism loses

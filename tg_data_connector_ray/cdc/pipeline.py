@@ -44,6 +44,74 @@ class ErrorLimitExceeded(RuntimeError):
     pass
 
 
+_LOG = __import__("logging").getLogger("tg_data_connector_ray.cdc")
+
+
+class _ProgressReporter:
+    """Mid-run merge progress (reference CommunicationTool.java:16-111 /
+    AbstractScheduler.java:78-87: counter tree printed every 10 s).
+
+    A daemon thread tails the run's committed per-partition lineage
+    records (tiny JSON files, written atomically at each partition commit)
+    and logs the aggregate — partitions done, events applied, live rows,
+    rate.  Costs one small directory scan per tick on the driver; a run
+    shorter than the interval emits nothing."""
+
+    def __init__(self, cfg: CdcConfig, run_id: str, total_parts: int, interval_s: float):
+        import threading
+
+        self.cfg, self.run_id, self.total = cfg, run_id, total_parts
+        self.interval = interval_s
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def __enter__(self):
+        if self.interval > 0:
+            self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        if self._thread.is_alive():
+            self._thread.join(timeout=2)
+
+    def _scan(self) -> "tuple[int, int, int]":
+        import json
+
+        root = os.path.join(self.cfg.out_dir, "lineage")
+        done = events = live = 0
+        if not os.path.isdir(root):
+            return 0, 0, 0
+        for d in os.listdir(root):
+            p = os.path.join(root, d, f"{self.run_id}.json")
+            try:
+                with open(p) as f:
+                    rec = json.load(f)
+            except OSError:
+                continue
+            except ValueError:
+                done += 1  # committed but mid-rewrite; count, skip sums
+                continue
+            done += 1
+            events += int(rec.get("events_in", 0))
+            live += int(rec.get("rows_live", 0))
+        return done, events, live
+
+    def _loop(self):
+        import time
+
+        t0 = time.time()
+        while not self._stop.wait(self.interval):
+            done, events, live = self._scan()
+            dt = time.time() - t0
+            _LOG.info(
+                "cdc run %s: %d/%d partitions committed, %s events applied "
+                "(%.0f events/s), %s live rows, %.0fs elapsed",
+                self.run_id, done, self.total, f"{events:,}",
+                events / max(dt, 1e-9), f"{live:,}", dt,
+            )
+
+
 def _merge_task(group, *, cfg: CdcConfig, run_id: str):
     """Task-mode wrapper: MergeApply constructed per call (stateless init)."""
     return MergeApply(cfg, run_id)(group)
@@ -98,7 +166,10 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
                     partial(_merge_task, cfg=cfg, run_id=run_id),
                     batch_format="pyarrow",
                 )
-            return lineage.to_pandas()
+            with _ProgressReporter(
+                cfg, run_id, cfg.num_partitions, cfg.progress_interval_s
+            ):
+                return lineage.to_pandas()
         finally:
             if cfg.shuffle_strategy and prev is not None:
                 ctx.shuffle_strategy = prev
@@ -129,25 +200,27 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
             {f.name: pa.array([], f.type) for f in LINEAGE_SCHEMA}
         ).to_pandas()
 
-    if cfg.merge_mode == "actors":
-        pds = ray.data.from_items([{"part_dir": d} for d in part_dirs])
-        conc = cfg.merge_concurrency or max(1, min(len(part_dirs), cpus))
-        lineage = pds.map_batches(
-            MergeApply,
-            batch_format="pyarrow",
-            batch_size=1,
-            fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
-            concurrency=conc,
-        )
-        lin = lineage.to_pandas()
-    else:
-        # task mode as raw Ray tasks: the merge fan-out is a fixed list of
-        # independent partition commits — a Dataset adds a second streaming
-        # executor spin-up for no expressiveness gain (the documented
-        # raw-task exception; everything upstream stays Dataset-based)
-        merge_remote = ray.remote(num_cpus=1)(_merge_dir_task)
-        refs = [merge_remote.remote(d, cfg, run_id) for d in part_dirs]
-        lin = pd.concat([t.to_pandas() for t in ray.get(refs)], ignore_index=True)
+    with _ProgressReporter(cfg, run_id, len(part_dirs), cfg.progress_interval_s):
+        if cfg.merge_mode == "actors":
+            pds = ray.data.from_items([{"part_dir": d} for d in part_dirs])
+            conc = cfg.merge_concurrency or max(1, min(len(part_dirs), cpus))
+            lineage = pds.map_batches(
+                MergeApply,
+                batch_format="pyarrow",
+                batch_size=1,
+                fn_constructor_kwargs={"cfg": cfg, "run_id": run_id},
+                concurrency=conc,
+            )
+            lin = lineage.to_pandas()
+        else:
+            # task mode as raw Ray tasks: the merge fan-out is a fixed list
+            # of independent partition commits — a Dataset adds a second
+            # streaming executor spin-up for no expressiveness gain (the
+            # documented raw-task exception; everything upstream stays
+            # Dataset-based)
+            merge_remote = ray.remote(num_cpus=1)(_merge_dir_task)
+            refs = [merge_remote.remote(d, cfg, run_id) for d in part_dirs]
+            lin = pd.concat([t.to_pandas() for t in ray.get(refs)], ignore_index=True)
     if cfg.drop_spool_after_merge:
         shutil.rmtree(spool, ignore_errors=True)
     return lin

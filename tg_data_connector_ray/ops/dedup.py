@@ -458,7 +458,9 @@ def verified_jaccard_pairs(
     )
 
 
-def min_label_clusters(pairs, num_partitions: int = 8, max_rounds: int = 50):
+def min_label_clusters(
+    pairs, num_partitions: int = 8, max_rounds: int = 50, doubling_after: int = 8
+):
     """Connected components by distributed min-label propagation.
 
     pairs: Dataset (a, b).  Returns a Dataset (node, lab) covering every
@@ -466,7 +468,15 @@ def min_label_clusters(pairs, num_partitions: int = 8, max_rounds: int = 50):
     one hash join + one groupby-min over label rows (thin int64 pairs);
     rounds = O(component diameter).  Convergence check: sum(lab) is
     strictly decreasing until fixed point, so an unchanged sum terminates.
-    """
+
+    Long duplicate CHAINS (diameter >> rounds) are common in near-dup
+    corpora, so after `doubling_after` plain rounds each round also adds
+    the label-of-label hop (pointer doubling: lab <- lab[lab]), making the
+    remaining rounds O(log diameter) at the price of one extra thin join —
+    paid only by inputs that actually have deep components.  If the loop
+    still exhausts `max_rounds` without the sum fixpoint, it RAISES rather
+    than silently returning wrong labels (and with doubling that needs
+    diameter > 2^(max_rounds - doubling_after), i.e. never)."""
 
     def _ends(t: pa.Table) -> pa.Table:
         ids = np.unique(np.concatenate([_i64(t["a"]), _i64(t["b"])]))
@@ -501,12 +511,27 @@ def min_label_clusters(pairs, num_partitions: int = 8, max_rounds: int = 50):
         return pa.table({"node": t["node"], "lab": t["min(lab)"]})
 
     prev_sum = None
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         nb = edges.join(
             labels, join_type="inner", num_partitions=num_partitions,
             on=("src",), right_on=("node",),
         )
         prop = nb.map_batches(_as_node_lab, batch_format="pyarrow").union(labels)
+        if rnd >= doubling_after:
+            # pointer doubling: also propose each node's label's label
+            right = labels.map_batches(
+                lambda t: pa.table({"jkey": t["node"], "lab2": t["lab"]}),
+                batch_format="pyarrow",
+            )
+            ll = labels.join(
+                right, join_type="inner", num_partitions=num_partitions,
+                on=("lab",), right_on=("jkey",),
+            )
+            hop = ll.map_batches(
+                lambda t: pa.table({"node": t["node"], "lab": t["lab2"]}),
+                batch_format="pyarrow",
+            )
+            prop = prop.union(hop)
         labels = _nonempty(
             prop.groupby("node")
             .min("lab")
@@ -514,9 +539,13 @@ def min_label_clusters(pairs, num_partitions: int = 8, max_rounds: int = 50):
         )
         s = labels.sum("lab")
         if s == prev_sum:
-            break
+            return labels
         prev_sum = s
-    return labels
+    raise RuntimeError(
+        f"min_label_clusters did not converge in {max_rounds} rounds "
+        "(component deeper than 2^(max_rounds - doubling_after)?); "
+        "raise max_rounds or lower doubling_after"
+    )
 
 
 def dropped_ids(labels):

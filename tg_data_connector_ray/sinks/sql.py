@@ -38,12 +38,27 @@ class SqlSinkConfig:
     post_sql: tuple = ()
     date_format: str = "%Y-%m-%d %H:%M:%S"
     concurrency: int = 1  # sqlite is single-writer; raise for real RDBMS
+    # exactly_once=True records each batch's content hash in a
+    # `<table>__write_ledger` table inside the SAME transaction as the
+    # data, so a re-executed Ray task skips batches that already
+    # committed.  Caveat (documented): two DIFFERENT blocks with
+    # bit-identical content collide in the ledger — include a unique
+    # column (id, lsn) when exact duplicate batches are legitimate.
+    exactly_once: bool = False
 
     def __post_init__(self):
         if self.write_mode not in ("insert", "replace", "update"):
             raise ValueError(f"writeMode must be insert|replace|update, got {self.write_mode}")
         if self.write_mode == "update" and self.dialect != "mysql" and not self.conflict_keys:
             raise ValueError("update mode needs conflict_keys for sqlite/postgres upsert")
+        if self.write_mode == "replace" and self.dialect == "postgres" and not self.conflict_keys:
+            # postgres REPLACE is emulated with ON CONFLICT — without keys
+            # the template would emit invalid `ON CONFLICT () DO UPDATE`
+            raise ValueError("replace mode needs conflict_keys on postgres")
+
+    @property
+    def ledger_table(self) -> str:
+        return f"{self.table}__write_ledger"
 
 
 def build_write_sql(cfg: SqlSinkConfig) -> str:
@@ -95,13 +110,15 @@ class SqlWriter:
     DB-API drivers like sqlite3 are thread-bound), and is reused across
     batches — the statement is prepared once per actor."""
 
-    def __init__(self, connection_factory, cfg: SqlSinkConfig):
+    def __init__(self, connection_factory, cfg: SqlSinkConfig, write_uuid: str = ""):
         import threading
 
         self._factory = connection_factory
         self._local = threading.local()
         self.cfg = cfg
+        self.write_uuid = write_uuid
         self.sql = build_write_sql(cfg)
+        self._ph = "%s" if cfg.dialect == "mysql" else "?"
 
     def _conn(self):
         conn = getattr(self._local, "conn", None)
@@ -113,17 +130,48 @@ class SqlWriter:
             conn = self._local.conn = retry_call(self._factory, tries=5)
         return conn
 
+    def _ledger_has(self, cur, batch_id: str) -> bool:
+        cur.execute(
+            f"SELECT 1 FROM {self.cfg.ledger_table} WHERE write_uuid = {self._ph} "
+            f"AND batch_id = {self._ph}",
+            (self.write_uuid, batch_id),
+        )
+        return cur.fetchone() is not None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = _rows_for_db(batch, self.cfg)
-        if rows:
-            conn = self._conn()
-            cur = conn.cursor()
+        if not rows:
+            return pa.table({"rows_written": pa.array([0], pa.int64())})
+        conn = self._conn()
+        cur = conn.cursor()
+        if self.cfg.exactly_once:
+            # idempotent re-execution: the ledger row commits atomically
+            # WITH the data, so a Ray-retried task either sees the ledger
+            # row (batch fully committed — skip) or neither (rolled back —
+            # safe to rewrite).  batch_id is the batch CONTENT hash, which
+            # is stable across retries of the same block.
+            import hashlib
+
+            batch_id = hashlib.sha256(repr(rows).encode()).hexdigest()
             try:
-                cur.executemany(self.sql, rows)
-                conn.commit()
+                cur.execute(
+                    f"INSERT INTO {self.cfg.ledger_table} "
+                    f"(write_uuid, batch_id, n_rows) VALUES "
+                    f"({self._ph}, {self._ph}, {self._ph})",
+                    (self.write_uuid, batch_id, len(rows)),
+                )
             except Exception:
                 conn.rollback()
+                # conflict (already committed) vs transient error: re-check
+                if self._ledger_has(cur, batch_id):
+                    return pa.table({"rows_written": pa.array([0], pa.int64())})
                 raise
+        try:
+            cur.executemany(self.sql, rows)
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
         return pa.table({"rows_written": pa.array([len(rows)], pa.int64())})
 
 
@@ -145,14 +193,36 @@ def write_sql(ds, connection_factory, cfg: SqlSinkConfig) -> int:
 
     preSql -> streamed actor-pool write -> postSql, mirroring the
     reference's master prepare / task write / master post lifecycle.
-    """
-    _run_side_sql(connection_factory, cfg.pre_sql)
+
+    Delivery: with ``exactly_once`` the per-batch content ledger makes
+    re-executed Ray tasks skip already-committed batches.  Without it the
+    write stage runs with ``max_task_retries=0`` — a lost/failed task
+    fails the run loudly instead of silently double-inserting on retry
+    (the reference's plain JDBC inserts have the same at-least-once
+    hazard; failing the run is the safer default)."""
+    from ..util import new_token
+
+    write_uuid = new_token()
+    pre = list(cfg.pre_sql)
+    if cfg.exactly_once:
+        pre = [
+            f"CREATE TABLE IF NOT EXISTS {cfg.ledger_table} "
+            "(write_uuid VARCHAR(64) NOT NULL, batch_id VARCHAR(64) NOT NULL, "
+            "n_rows BIGINT, PRIMARY KEY (write_uuid, batch_id))"
+        ] + pre
+    _run_side_sql(connection_factory, pre)
+    remote_args = {} if cfg.exactly_once else {"max_task_retries": 0}
     out = ds.select_columns(list(cfg.columns)).map_batches(
         SqlWriter,
         batch_format="pyarrow",
         batch_size=cfg.batch_rows,
         concurrency=cfg.concurrency,
-        fn_constructor_kwargs={"connection_factory": connection_factory, "cfg": cfg},
+        fn_constructor_kwargs={
+            "connection_factory": connection_factory,
+            "cfg": cfg,
+            "write_uuid": write_uuid,
+        },
+        **remote_args,
     )
     total = int(out.sum("rows_written") or 0)
     _run_side_sql(connection_factory, cfg.post_sql)
