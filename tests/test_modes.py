@@ -25,6 +25,9 @@ def test_groupby_exchange_and_actor_merge_converge(t1, tmp_path):
     for name, kw in [
         ("spool_tasks", dict(exchange="spool", merge_mode="tasks")),
         ("spool_actors", dict(exchange="spool", merge_mode="actors", merge_concurrency=2)),
+        ("spool_parquet", dict(exchange="spool", spool_format="parquet")),
+        # snappy maps to lz4 on the ipc spool (scaling-bench configuration)
+        ("spool_ipc_snappy", dict(exchange="spool", spool_compression="snappy")),
         ("groupby_tasks", dict(exchange="groupby", merge_mode="tasks")),
         ("groupby_actors", dict(exchange="groupby", merge_mode="actors", merge_concurrency=2)),
     ]:

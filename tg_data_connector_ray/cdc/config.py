@@ -67,6 +67,13 @@ class CdcConfig:
     # for local disks/tmpfs; set "snappy"/"zstd" when the spool crosses a
     # network to shared storage.
     spool_compression: str = "none"
+    # spool file format: "ipc" (Arrow IPC/feather — near-memcpy encode,
+    # mmap decode; the spool is ephemeral so parquet's encoding buys
+    # nothing) or "parquet" (smaller at rest; use for spools that live on
+    # slow shared storage).  Measured on the 5.9M-event bench: ipc cuts
+    # phase A 2.1s -> 1.2s and phase B fragment decode to near zero.
+    # For ipc, spool_compression maps none->uncompressed, snappy->lz4.
+    spool_format: str = "ipc"
     # MergeApply execution mode.  "tasks" (default): one stateless task per
     # partition group — MergeApply's per-call state is the on-disk partition
     # (read inside the call), so actors buy nothing and a 30-actor pool

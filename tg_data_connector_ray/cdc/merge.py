@@ -349,16 +349,26 @@ class MergeApply:
         return self.apply_events(int(batch["part"][0].as_py()), batch.drop_columns(["part"]))
 
     def apply_spool_dir(self, part_dir: str) -> pa.Table:
-        import pyarrow.dataset as pads
-
         # hive dir name: .../part=NNNNN
         part = int(os.path.basename(part_dir.rstrip("/")).split("=")[1])
         skipped = self._skipped_lineage(part)
         if skipped is not None:  # committed in a prior attempt of this run
             return skipped
-        events = pads.dataset(part_dir).to_table(
-            columns=["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
-        )
+        cols = ["lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        arrow = sorted(f for f in os.listdir(part_dir) if f.endswith(".arrow"))
+        if arrow:  # IPC spool: mmap decode, near-zero cost
+            from pyarrow import feather
+
+            events = pa.concat_tables(
+                feather.read_table(
+                    os.path.join(part_dir, f), columns=cols, memory_map=True
+                )
+                for f in arrow
+            )
+        else:
+            import pyarrow.dataset as pads
+
+            events = pads.dataset(part_dir).to_table(columns=cols)
         return self.apply_events(part, events)
 
     def _skipped_lineage(self, part: int) -> "pa.Table | None":

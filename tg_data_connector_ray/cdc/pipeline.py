@@ -112,6 +112,43 @@ class _ProgressReporter:
             )
 
 
+def _write_ipc_spool_batch(t: pa.Table, *, spool: str, compression: str) -> pa.Table:
+    """Write one normalized block to the spool as per-partition Arrow IPC
+    files.  Runs inside the streaming executor's map tasks, so the
+    exchange stays ONE parallel write (same shape as write_parquet with
+    partition_cols, minus parquet's encode cost — the spool is ephemeral).
+
+    Crash safety: files land via temp-name + os.replace, so a half-written
+    fragment is never visible; a RETRIED task re-emits whole fragments
+    under new names, which the merge fold absorbs as redelivery (duplicate
+    (key, lsn) events are dropped with prio=1) — same at-least-once-file /
+    exactly-once-effect contract as the rest of the pipeline."""
+    from pyarrow import feather
+
+    from ..util import new_token
+
+    comp = {"none": "uncompressed", "snappy": "lz4"}.get(compression, compression)
+    n = t.num_rows
+    if n == 0:
+        return pa.table({"n": pa.array([0], pa.int64())})
+    part = t["part"].combine_chunks().to_numpy(zero_copy_only=False)
+    order = np.argsort(part, kind="stable")
+    t = t.take(pa.array(order))
+    part = part[order]
+    bounds = np.flatnonzero(np.diff(part)) + 1
+    starts = np.concatenate([[0], bounds])
+    stops = np.concatenate([bounds, [n]])
+    payload = t.drop_columns(["part"])
+    token = new_token()
+    for s, e in zip(starts, stops):
+        pdir = os.path.join(spool, f"part={int(part[s])}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".tmp-{token}")
+        feather.write_feather(payload.slice(s, e - s), tmp, compression=comp)
+        os.replace(tmp, os.path.join(pdir, f"{token}.arrow"))
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
 def _merge_task(group, *, cfg: CdcConfig, run_id: str):
     """Task-mode wrapper: MergeApply constructed per call (stateless init)."""
     return MergeApply(cfg, run_id)(group)
@@ -184,9 +221,21 @@ def _run_exchange_and_merge(files, cfg: CdcConfig, run_id: str, snapshot_path):
         shutil.rmtree(cfg.dirty_dir(run_id), ignore_errors=True)
         os.makedirs(spool, exist_ok=True)
         ds = build_events_dataset(files, cfg, run_id, snapshot_path)
-        ds.write_parquet(
-            spool, partition_cols=["part"], compression=cfg.spool_compression
-        )
+        if cfg.spool_format == "ipc":
+            ds.map_batches(
+                partial(
+                    _write_ipc_spool_batch,
+                    spool=spool,
+                    compression=cfg.spool_compression,
+                ),
+                batch_format="pyarrow",
+                batch_size=None,  # whole blocks: fragments per task, not per 1k rows
+                zero_copy_batch=True,
+            ).sum("n")
+        else:
+            ds.write_parquet(
+                spool, partition_cols=["part"], compression=cfg.spool_compression
+            )
         with open(marker, "w") as f:
             f.write(run_id)
 
