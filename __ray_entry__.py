@@ -105,9 +105,12 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 def _docs(sf_dir):
-    import ray.data
+    from tg_data_connector_ray.util import sized_read_parquet
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    # text ops are compute-heavier per byte: split small doc tables finer
+    return sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), small_block_bytes=256 << 10
+    )
 
 
 def _tf_substr(sf_dir):
@@ -180,7 +183,9 @@ def _events_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data
 
-    ds = ray.data.read_parquet(
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "event_type", "value"],
     )
@@ -226,7 +231,9 @@ def _embedding_near_dup(sf_dir):
 
     from tg_data_connector_ray.ops.dedup import embedding_near_dup_pairs
 
-    embs = ray.data.read_parquet(
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    embs = sized_read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 
@@ -250,7 +257,9 @@ def _ann_topk(sf_dir):
     path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(path).slice(0, 3)
     q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    embs = ray.data.read_parquet(path)
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    embs = sized_read_parquet(path)
     out = brute_force_topk(embs, q, k=5)
     return out.select(["query_id", "vec_id"])
 
@@ -265,7 +274,9 @@ def _ivf_ann(sf_dir):
     path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(path).slice(0, 3)
     q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    embs = ray.data.read_parquet(path)
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    embs = sized_read_parquet(path)
     idx = IvfIndex(n_centroids=16, iters=5).fit(embs)
     # nprobe = n_centroids: probing every partition makes IVF exact, so the
     # whole index path (fit, assign, partition filter, probed search) gets a

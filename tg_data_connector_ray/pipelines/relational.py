@@ -34,6 +34,15 @@ def _t(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _read(sf_dir: str, name: str, columns=None) -> "ray.data.Dataset":
+    """Bytes-sized read (see util.sized_read_parquet): tiny tables don't
+    explode into cpus*2 micro-blocks of task overhead; big inputs still
+    split every ~32 MiB."""
+    from ..util import sized_read_parquet
+
+    return sized_read_parquet(_t(sf_dir, name), columns=columns)
+
+
 def _ds_types(ds) -> "dict[str, pa.DataType]":
     """Column -> Arrow type of a Dataset (metadata fetch, no execution of
     the full pipeline).  Used to align union sides explicitly: unioning two
@@ -62,13 +71,7 @@ def _round2_from_micro(s):
 
 
 def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "lineitem"),
-        columns=[
-            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-            "l_discount", "l_tax", "l_shipdate",
-        ],
-    )
+    ds = _read(sf_dir, "lineitem", columns=[ "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate", ])
     cutoff_ts = pa.scalar(np.datetime64(cutoff, "us"), type=pa.timestamp("us"))
 
     def partial_agg(t: pa.Table) -> pa.Table:
@@ -190,9 +193,7 @@ def revenue_by_mktsegment(sf_dir: str, concurrency=None):
     — measured 2x faster than a Ray groupby over the same partials, and
     bounded: 100k blocks x 5 segments = 500k tiny rows worst case.  On a
     real cluster size the pool to input blocks via `concurrency`."""
-    orders = ray.data.read_parquet(
-        _t(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"]
-    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     partials = orders.map_batches(
         _SegmentRevenue,
         batch_format="pyarrow",
@@ -274,9 +275,7 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     groupby shuffle to finish the per-order sums, (3) per-block top-k +
     tiny driver merge — no global sort — and (4) the orders "join" reduced
     to a k-key broadcast filter (k rows), not a table-vs-table shuffle."""
-    li = ray.data.read_parquet(
-        _t(sf_dir, "lineitem"), columns=["l_orderkey", "l_extendedprice", "l_discount"]
-    )
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(t: pa.Table) -> pa.Table:
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
@@ -315,9 +314,7 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
 
     top_keys = pa.array(top["o_orderkey"].to_numpy(), pa.int64())
     detail = (
-        ray.data.read_parquet(
-            _t(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_orderdate"]
-        )
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
         .map_batches(
             lambda b: b.filter(pc.is_in(b["o_orderkey"], value_set=top_keys)),
             batch_format="pyarrow",
@@ -420,9 +417,7 @@ def events_asof_prior_view(sf_dir: str):
     """Each purchase event joined AS-OF to the user's latest prior (or
     simultaneous) view event — deterministic output (the matched TIME, not
     an arbitrary row id among ts ties), so the SQL oracle is exact."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
     purchases = ds.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
             ["event_id", "user_id", "ts"]
@@ -452,14 +447,12 @@ def events_asof_prior_view(sf_dir: str):
 # sort / distinct / window
 
 def top_customers_by_balance(sf_dir: str, k: int = 10):
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "customer"), columns=["c_custkey", "c_name", "c_acctbal"]
-    )
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
     return ds.sort("c_acctbal", descending=True).limit(k).to_pandas()
 
 
 def distinct_event_types(sf_dir: str):
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type"])
+    ds = _read(sf_dir, "events", columns=["event_type"])
     vals = sorted(ds.unique("event_type"))
     return pa.table({"event_type": pa.array(vals, pa.string())})
 
@@ -467,7 +460,7 @@ def distinct_event_types(sf_dir: str):
 def events_hourly_window(sf_dir: str):
     """Tumbling 1h event-time window: count + sum(value) per (event_type,
     hour) — the stream-shaped workload as partition-and-window batch."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
         # all-Arrow combiner: no pandas conversion in the per-batch stage
@@ -497,7 +490,7 @@ def events_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 1800):
     — each event lands in window_s/hop_s windows.  The explode happens in
     the combiner stage, so the shuffle still moves one row per (type,
     window) per block, not per event copy."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
     n_hops = window_s // hop_s
 
     def partial(t: pa.Table) -> pa.Table:
@@ -543,7 +536,7 @@ def events_value_band_join(sf_dir: str, band_width: float = 100.0, n_bands: int 
     [i*w, (i+1)*w) — the broadcast-interval + vectorized binary-search
     pattern (the small side never shuffles; np.searchsorted per batch
     replaces the quadratic interval join)."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["value"])
+    ds = _read(sf_dir, "events", columns=["value"])
     edges = np.arange(1, n_bands, dtype=np.float64) * band_width  # shared bounds
 
     def partial(t: pa.Table) -> pa.Table:
@@ -574,9 +567,7 @@ def top_events_per_user(sf_dir: str, k: int = 3):
     each user's k highest-value events, ties broken by event_id.  Combiner
     keeps k rows per (user, block); the coarse-grouped final pass ranks all
     users of a group in one vectorized lexsort."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
     def block_topk(t: pa.Table) -> pa.Table:
         u = _np_i64(t["user_id"])
@@ -654,7 +645,7 @@ def late_events(sf_dir: str, lateness_minutes: int = 30, bucket: int = 1000):
     The fixture's events are perfectly time-ordered by event_id, so the
     simulated WAL tail reverses each 100-event block (akey) — the local
     reorder real log shippers produce — making the late set non-empty."""
-    ds = ray.data.read_parquet(_t(sf_dir, "events"), columns=["event_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
     late_us = lateness_minutes * 60 * 1_000_000
 
     def tag(t: pa.Table) -> pa.Table:
@@ -703,9 +694,7 @@ def cdc_merge_events(sf_dir: str):
     """CDC-flavored upsert over the generic `events` table: final state per
     (user_id, event_type) = the row with max event_id (event_id as LSN) —
     the generic last-writer-wins merge, SQL-checkable with a window oracle."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "value", "ts"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type", "value", "ts"])
 
     def last_in_block(t: pa.Table) -> pa.Table:
         # combiner: keep only each key's max-event_id row per block, so the
@@ -754,9 +743,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     the stream-shaped workload Ray Data lacks natively, expressed as
     partition-by-key + ordered windowing inside map_groups (ordering
     established by the in-group sort, not arrival order)."""
-    ds = ray.data.read_parquet(
-        _t(sf_dir, "events"), columns=["user_id", "ts", "value"]
-    )
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
     gap = np.timedelta64(gap_minutes * 60, "s")
     n_coarse = 64
 

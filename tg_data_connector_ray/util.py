@@ -138,6 +138,23 @@ def file_size(path: str) -> int:
     return fs.get_file_info(p).size or 0
 
 
+def sized_read_parquet(path, columns=None, small_block_bytes: int = 1 << 20,
+                       big_block_bytes: int = 32 << 20):
+    """read_parquet with block count sized by DATA BYTES: small tables get
+    ~small_block_bytes per block capped at CPU count (instead of Ray's
+    default cpus*2 micro-split — pure task dispatch overhead on a 2 MB
+    file), big inputs get ceil(bytes / big_block_bytes) blocks.  The block
+    layout is a function of data size, so parallelism survives at 100 TB
+    while tiny test tables don't pay 64 tasks of overhead."""
+    import ray
+    import ray.data
+
+    sz = file_size(path)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nb = max(-(-sz // big_block_bytes), min(-(-sz // small_block_bytes), cpus), 1)
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
 def open_input(path: str):
     """Readable binary stream for a local path or URI.  pyarrow's
     open_input_stream auto-detects gz/bz2 by extension and decompresses."""
