@@ -212,12 +212,21 @@ def content_hash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def exact_dedup_ids(ds, col: str = "text"):
     """Representative doc_ids (min per identical text). Returns a Dataset
-    with a single `doc_id` column."""
+    with a single `doc_id` column.
+
+    The finishing group-by is every-unique-doc cardinality, so it goes
+    through the coarse-bucket Arrow aggregate (relational.grouped_arrow_
+    aggregate) instead of Ray's sort-based per-key aggregate — hash
+    buckets on h1, one vectorized group_by per bucket."""
+    from ..pipelines.relational import grouped_arrow_aggregate
+
     thin = ds.map_batches(
         lambda b: content_hash_batch(b, col), batch_format="pyarrow", zero_copy_batch=True
     )
-    reps = thin.groupby(["h1", "h2"]).min("doc_id")
-    return reps.select_columns(["min(doc_id)"]).rename_columns(["doc_id"])
+    reps = grouped_arrow_aggregate(
+        thin, keys=["h1", "h2"], aggs=[("doc_id", "min")], out_names=["doc_id"]
+    )
+    return reps.select_columns(["doc_id"])
 
 
 # ---------------------------------------------------------------------------

@@ -268,12 +268,72 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def grouped_arrow_aggregate(
+    ds,
+    keys: "str | list[str]",
+    aggs: "list[tuple[str, str]]",
+    out_names: "list[str] | None" = None,
+    n_coarse: int = 64,
+):
+    """Distributed high-cardinality group-by aggregate: coarse hash
+    buckets + ONE vectorized pyarrow group_by per bucket.
+
+    Ray's ``groupby(key).aggregate(Sum(...))`` sorts globally by the raw
+    key and then walks group boundaries with per-key Python machinery —
+    measured 5.26 s for ~1.5M distinct int64 keys at sf0.1 where this
+    shape takes 0.42 s.  Here the shuffle key is ``hash(key) % n_coarse``
+    (cheap to sort: n_coarse distinct values), and each bucket task
+    finishes its keys with a single Arrow ``group_by(...).aggregate`` —
+    no per-key dispatch anywhere.  Buckets partition the key space (the
+    hash uses only the FIRST key column; composite keys still land whole
+    groups in one bucket), so per-bucket aggregates are globally
+    complete.  n_coarse bounds both task count and peak per-task memory
+    (~total_keys/n_coarse rows); raise it on a cluster (it is the
+    parallelism of the finishing stage).
+
+    aggs: pyarrow ``group_by(...).aggregate`` specs, e.g.
+    ``[("rev", "sum"), ("doc_id", "min")]``.  Output columns are the key
+    columns followed by ``out_names`` (default: the agg input names)."""
+    if n_coarse & (n_coarse - 1):
+        raise ValueError("n_coarse must be a power of two")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    out_names = out_names or [c for c, _ in aggs]
+    key_type = _ds_types(ds)[keys[0]]
+
+    def tag(t: pa.Table) -> pa.Table:
+        kc = t[keys[0]]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        if pa.types.is_integer(key_type):
+            cg = pc.cast(pc.bit_wise_and(pc.cast(kc, pa.int64()), n_coarse - 1), pa.int32())
+        else:
+            from ..util import stable_hash_strings
+
+            cg = pa.array((stable_hash_strings(kc) % np.uint64(n_coarse)).astype(np.int32))
+        return t.append_column("_cg", cg)
+
+    def agg_bucket(g: pa.Table) -> pa.Table:
+        out = g.drop_columns(["_cg"]).group_by(keys).aggregate(aggs)
+        # pyarrow puts aggregate outputs first or last depending on
+        # version; rename by position of the key columns instead
+        agg_cols = [c for c in out.column_names if c not in keys]
+        return out.select(keys + agg_cols).rename_columns(keys + out_names)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(agg_bucket, batch_format="pyarrow")
+    )
+
+
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
     """Top-k orders by summed line revenue.
 
     Scale shape: (1) Arrow-native per-batch combiner, (2) ONE thin-column
-    groupby shuffle to finish the per-order sums, (3) per-block top-k +
-    tiny driver merge — no global sort — and (4) the orders "join" reduced
+    coarse-bucket shuffle + in-bucket Arrow group_by to finish the
+    per-order sums (see grouped_arrow_sum — Ray's sort-based aggregate
+    pays per-key Python cost at ~1.5M keys), (3) per-block top-k + tiny
+    driver merge — no global sort — and (4) the orders "join" reduced
     to a k-key broadcast filter (k rows), not a table-vs-table shuffle."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -281,18 +341,16 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         r_u = pc.cast(pc.round(pc.multiply(r, pa.scalar(1e6))), pa.int64())
         g = (
-            pa.table({"o_orderkey": t["l_orderkey"], "rev": r_u})
+            pa.table({"o_orderkey": t["l_orderkey"], "revenue": r_u})
             .group_by("o_orderkey")
-            .aggregate([("rev", "sum")])
+            .aggregate([("revenue", "sum")])
         )
-        return g.rename_columns(["o_orderkey", "rev"])
+        return g.rename_columns(["o_orderkey", "revenue"])
 
-    from ray.data.aggregate import Sum
-
-    li_rev = (
-        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("o_orderkey")
-        .aggregate(Sum("rev", alias_name="revenue"))
+    li_rev = grouped_arrow_aggregate(
+        li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        keys="o_orderkey",
+        aggs=[("revenue", "sum")],
     )
 
     def block_topk(t: pa.Table) -> pa.Table:
