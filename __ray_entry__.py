@@ -312,11 +312,11 @@ def _text_fingerprint(sf_dir):
 
 def _text_langid(sf_dir):
     from tg_data_connector_ray.ops.text import LangId
-    from tg_data_connector_ray.util import default_pool_size
 
-    ds = _docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", concurrency=default_pool_size()
-    )
+    # pre-built instance -> plain tasks (constructor state is small
+    # wordlist value-sets; pickles once into the task closure, no actor
+    # spin-up — see ops.dedup.lsh_candidate_pairs for the rationale)
+    ds = _docs(sf_dir).map_batches(LangId(), batch_format="pyarrow")
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
@@ -339,12 +339,11 @@ def _docs_prep_pipeline(sf_dir):
 
     from tg_data_connector_ray.ops.dedup import content_hash_batch
     from tg_data_connector_ray.ops.text import LangId, quality_batch, token_stats_batch
-    from tg_data_connector_ray.util import default_pool_size
 
     ds = (
         _docs(sf_dir)
         .map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(LangId, batch_format="pyarrow", concurrency=min(4, default_pool_size()))
+        .map_batches(LangId(), batch_format="pyarrow")
         .map_batches(
             lambda t: t.filter(
                 pc.and_(
@@ -368,14 +367,13 @@ def _docs_prep_pipeline(sf_dir):
             zero_copy_batch=True,
         )
     )
+    from tg_data_connector_ray.pipelines.relational import grouped_arrow_aggregate
+
+    # coarse-bucket Arrow aggregate: the group key is every-unique-doc
+    # cardinality, where Ray's sort-based aggregate pays per-key Python
     reps = _nonempty(
-        thin.groupby(["h1", "h2"])
-        .min("doc_id")
-        .map_batches(
-            lambda t: pa.table(
-                {"h1": t["h1"], "h2": t["h2"], "rep": t["min(doc_id)"]}
-            ),
-            batch_format="pyarrow",
+        grouped_arrow_aggregate(
+            thin, keys=["h1", "h2"], aggs=[("doc_id", "min")], out_names=["rep"]
         )
     )
     j = thin.join(reps, join_type="inner", num_partitions=8, on=("h1", "h2"))

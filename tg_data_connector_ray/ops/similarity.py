@@ -67,16 +67,13 @@ class TopKScorer:
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     """Exact cosine top-k for each query row; returns (query_id, vec_id,
     sim) sorted by (query_id, -sim, vec_id)."""
-    from ..util import default_pool_size
-
+    # pre-built instance -> plain tasks: the normalized query matrix
+    # (q x dim floats) pickles into the task closure once, so there is no
+    # actor spin-up and tasks scale elastically with blocks (the closure
+    # is object-store-cached — broadcast, not re-shipped per batch)
     partials = ds.map_batches(
-        TopKScorer,
+        TopKScorer(queries_ref=np.asarray(queries, dtype=np.float64), k=k),
         batch_format="pyarrow",
-        concurrency=default_pool_size(),
-        fn_constructor_kwargs={
-            "queries_ref": np.asarray(queries, dtype=np.float64),
-            "k": k,
-        },
     )
     # driver-side final reduce over n_blocks*k*q partial rows (tiny)
     df = partials.to_pandas()

@@ -326,6 +326,12 @@ def grouped_arrow_aggregate(
     )
 
 
+def distinct_rows(ds, keys: "str | list[str]", n_coarse: int = 64):
+    """Distributed DISTINCT over high-cardinality keys — the degenerate
+    (no aggregates) case of grouped_arrow_aggregate."""
+    return grouped_arrow_aggregate(ds, keys, aggs=[], n_coarse=n_coarse)
+
+
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
     """Top-k orders by summed line revenue.
 
