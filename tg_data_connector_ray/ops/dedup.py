@@ -176,11 +176,15 @@ def _shingle_hashes(text: "str | None", k: int = 3) -> np.ndarray:
     return np.unique(sh)
 
 
+def _jaccard_sorted(sa: np.ndarray, sb: np.ndarray) -> float:
+    """Jaccard of two sorted-unique uint64 shingle arrays (empty docs carry
+    the sentinel shingle, so the arrays are never empty)."""
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / max(1, sa.size + sb.size - inter)
+
+
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
-    sa, sb = set(_shingle_hashes(text_a, k)), set(_shingle_hashes(text_b, k))
-    if not sa and not sb:
-        return 1.0
-    return len(sa & sb) / max(1, len(sa | sb))
+    return _jaccard_sorted(_shingle_hashes(text_a, k), _shingle_hashes(text_b, k))
 
 
 # ---------------------------------------------------------------------------
@@ -419,10 +423,15 @@ def attach_pair_texts(pairs, docs, num_partitions: int = 8):
     return j.join(db, join_type="inner", num_partitions=num_partitions, on=("b",))
 
 
-# Below this many candidate pairs, verification gathers the needed texts
-# with a broadcast filter (bounded: <= 2 * pairs docs reach the driver)
-# instead of paying two hash-joins' fixed cost; above it, the join path.
-SMALL_VERIFY_PAIRS = 5_000
+# Below this many candidate pairs, the driver may take_all the THIN
+# (a, b) int64 pairs to find the unique doc ids (<= ~8 MB at the bound)...
+SMALL_VERIFY_PAIRS = 500_000
+# ...and if the unique-doc count is also under this bound, their texts
+# are gathered once (broadcast filter, no shuffle) and shipped to verify
+# tasks via the object-store-cached task closure — zero shuffles, vs the
+# two hash-joins' ~1 s-per-shuffle fixed cost.  Above either bound, the
+# distributed join path runs (its fixed cost amortizes at that scale).
+SMALL_VERIFY_DOCS = 100_000
 
 
 def _gather_texts(ds, ids: "list[int]") -> dict:
@@ -446,9 +455,21 @@ def verified_jaccard_pairs(
     import ray.data
 
     def _verify(t: pa.Table) -> pa.Table:
+        # shingle each UNIQUE text once per batch (the md5 + tokenize cost
+        # dominates; a doc in P pairs must not pay it P times), then each
+        # pair is one sorted-array intersection
         ta, tb = t["text_a"].to_pylist(), t["text_b"].to_pylist()
+        uniq, inv = np.unique(np.array(ta + tb, dtype=object), return_inverse=True)
+        h, offs = _token_hashes_flat([x if isinstance(x, str) else None for x in uniq])
+        sh, sh_off = _shingle_hashes_flat(h, offs, shingle_k)
+        sets = [np.unique(sh[sh_off[i] : sh_off[i + 1]]) for i in range(len(uniq))]
+        n = len(ta)
         jac = np.array(
-            [jaccard(x, y, shingle_k) for x, y in zip(ta, tb)], dtype=np.float64
+            [
+                _jaccard_sorted(sets[x], sets[y])
+                for x, y in zip(inv[:n], inv[n:])
+            ],
+            dtype=np.float64,
         )
         keep = jac >= threshold
         out = t.select(["a", "b"]).filter(pa.array(keep))
@@ -457,17 +478,28 @@ def verified_jaccard_pairs(
     cand = cand.materialize()
     if cand.count() <= SMALL_VERIFY_PAIRS:
         rows = cand.take_all()
-        need = [r["a"] for r in rows] + [r["b"] for r in rows]
-        texts = _gather_texts(ds, need) if rows else {}
-        t = pa.table(
-            {
-                "a": pa.array([r["a"] for r in rows], pa.int64()),
-                "b": pa.array([r["b"] for r in rows], pa.int64()),
-                "text_a": pa.array([texts.get(r["a"]) for r in rows], pa.string()),
-                "text_b": pa.array([texts.get(r["b"]) for r in rows], pa.string()),
-            }
+        need = np.unique(
+            np.array([r["a"] for r in rows] + [r["b"] for r in rows], dtype=np.int64)
         )
-        return ray.data.from_arrow(_verify(t))
+        if need.size <= SMALL_VERIFY_DOCS:
+            texts = _gather_texts(ds, need.tolist()) if rows else {}
+
+            def _attach_bcast(t: pa.Table) -> pa.Table:
+                # `texts` rides in the task closure (object-store-cached:
+                # broadcast once, not re-shipped per batch)
+                a, b = _i64(t["a"]), _i64(t["b"])
+                return pa.table(
+                    {
+                        "a": t["a"],
+                        "b": t["b"],
+                        "text_a": pa.array([texts.get(x) for x in a], pa.string()),
+                        "text_b": pa.array([texts.get(y) for y in b], pa.string()),
+                    }
+                )
+
+            return cand.map_batches(_attach_bcast, batch_format="pyarrow").map_batches(
+                _verify, batch_format="pyarrow"
+            )
     return attach_pair_texts(cand, ds, num_partitions).map_batches(
         _verify, batch_format="pyarrow"
     )
@@ -799,10 +831,18 @@ def ngram_jaccard_pairs(
     max_posting: int = 64,
     num_partitions: int = 8,
 ):
-    """Exact-threshold Jaccard duplicate pairs.  Blocking: inverted index
-    on shingle hashes (posting lists capped), candidate pairs must share
-    >=1 shingle — exact for threshold > 0.  Verification and output are
-    distributed; returns a Dataset (a, b, jac)."""
+    """Exact-threshold Jaccard duplicate pairs.  Blocking: PREFIX-FILTERED
+    inverted index on shingle hashes (posting lists capped).
+
+    Prefix filter (PPJoin / Bayardo et al., public literature): under any
+    global total order on shingles — here ascending hash value — two sets
+    with Jaccard >= t must share an element among each one's first
+    ``n - ceil(t*n) + 1`` elements (J >= t implies overlap >= ceil(t*n)
+    for both sides, and an overlap of that size cannot avoid both
+    prefixes).  Indexing ONLY the prefixes keeps recall exact while
+    cutting candidates ~(1-t)^2-fold: measured 1.13M -> ~45k pairs at
+    sf0.1/t=0.8.  Verification and output are distributed; returns a
+    Dataset (a, b, jac)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         h, offs = _token_hashes_flat(batch["text"].to_pylist())
@@ -812,10 +852,23 @@ def ngram_jaccard_pairs(
         order = np.lexsort((sh, doc_of))
         d, s = doc_of[order], sh[order]
         first = np.concatenate([[True], (d[1:] != d[:-1]) | (s[1:] != s[:-1])])
+        d, s = d[first], s[first]
+        # prefix filter: keep the first (n - ceil(t*n) + 1) shingles per
+        # doc in ascending-hash order (d,s is already doc-major sorted).
+        # The 1e-9 nudge guards the float product from rounding UP past
+        # an exact integer (a too-large alpha would shrink the prefix and
+        # cost recall; too-small only costs extra candidates).
+        boundaries = np.concatenate([[True], d[1:] != d[:-1]])
+        starts = np.nonzero(boundaries)[0]
+        counts = np.diff(np.concatenate([starts, [len(d)]]))
+        alpha = np.ceil(threshold * counts - 1e-9).astype(np.int64)
+        plen = counts - alpha + 1
+        pos = np.arange(len(d), dtype=np.int64) - np.repeat(starts, counts)
+        keep = pos < np.repeat(plen, counts)
         return pa.table(
             {
-                "sh": pa.array(s[first], pa.uint64()),
-                "doc_id": pa.array(d[first], pa.int64()),
+                "sh": pa.array(s[keep], pa.uint64()),
+                "doc_id": pa.array(d[keep], pa.int64()),
             }
         )
 
@@ -827,14 +880,13 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = (
-        coarse.groupby("cb")
-        .map_groups(
+    from ..pipelines.relational import distinct_rows
+
+    pairs = distinct_rows(
+        coarse.groupby("cb").map_groups(
             lambda g: _bucket_pairs_block(g, ["sh"], max_posting), batch_format="pyarrow"
-        )
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
+        ),
+        ["a", "b"],
     )
     return verified_jaccard_pairs(ds, pairs, threshold, shingle_k, num_partitions)
 
