@@ -388,17 +388,22 @@ def detect_hot_keys(event_paths, threshold_frac: float = 0.05) -> "list[str]":
             {"conv_id": vc.field("values"), "n": vc.field("counts").cast(pa.int64())}
         )
 
-    counts = (
-        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("conv_id")
-        .sum("n")
+    # conv_id cardinality is the conversation count (hundreds of millions
+    # at target scale) — finish the counts with the coarse-bucket Arrow
+    # aggregate, not Ray's per-key sort-based one
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    counts = grouped_arrow_aggregate(
+        ds.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True),
+        keys="conv_id",
+        aggs=[("n", "sum")],
     )
     cutoff = threshold_frac * total
 
     def over(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return t.filter(pc.greater_equal(t["sum(n)"], cutoff))
+        return t.filter(pc.greater_equal(t["n"], cutoff))
 
     hot = counts.map_batches(over, batch_format="pyarrow", zero_copy_batch=True)
     return sorted(r["conv_id"] for r in hot.take_all())

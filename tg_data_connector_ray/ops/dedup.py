@@ -811,12 +811,13 @@ def simhash_dedup_ids(ds, max_hamming: int = 3, num_partitions: int = 8):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pairs = (
-        coarse.groupby("cb")
-        .map_groups(lambda g: _sim_pairs_block(g, max_hamming), batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .count()
-        .select_columns(["a", "b"])
+    from ..pipelines.relational import distinct_rows
+
+    pairs = distinct_rows(
+        coarse.groupby("cb").map_groups(
+            lambda g: _sim_pairs_block(g, max_hamming), batch_format="pyarrow"
+        ),
+        ["a", "b"],
     )
     return _dedup_via_pairs(ds, pairs, num_partitions)
 

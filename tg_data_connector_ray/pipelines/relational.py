@@ -304,8 +304,15 @@ def grouped_arrow_aggregate(
         kc = t[keys[0]]
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
-        if pa.types.is_integer(key_type):
-            cg = pc.cast(pc.bit_wise_and(pc.cast(kc, pa.int64()), n_coarse - 1), pa.int32())
+        if pa.types.is_integer(key_type) or pa.types.is_temporal(key_type):
+            # splitmix64 mix before masking: raw int keys are often
+            # stride-aligned (hour-floored timestamps are multiples of
+            # 3.6e9 us — all congruent mod any small power of two)
+            iv = kc.cast(pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+            z = iv.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = z ^ (z >> np.uint64(27))
+            cg = pa.array((z & np.uint64(n_coarse - 1)).astype(np.int32))
         else:
             from ..util import stable_hash_strings
 
@@ -537,16 +544,16 @@ def events_hourly_window(sf_dir: str):
         )
         return g.rename_columns(["event_type", "hour", "n", "sum_value"])
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["event_type", "hour"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    # coarse-bucket finish, hashed on the TIME key (the cardinality lives
+    # there; event_type has ~5 values)
+    out = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        keys=["hour", "event_type"],
+        aggs=[("n", "sum"), ("sum_value", "sum")],
     )
     df = out.to_pandas().sort_values(["event_type", "hour"]).reset_index(drop=True)
     df["sum_value"] = _round2_from_micro(df["sum_value"])
-    return df
+    return df[["event_type", "hour", "n", "sum_value"]]
 
 
 def events_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 1800):
@@ -583,16 +590,14 @@ def events_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 1800):
         )
         return g.rename_columns(["event_type", "window_start", "n", "sum_value"])
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    out = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        keys=["window_start", "event_type"],
+        aggs=[("n", "sum"), ("sum_value", "sum")],
     )
     df = out.to_pandas().sort_values(["event_type", "window_start"]).reset_index(drop=True)
     df["sum_value"] = _round2_from_micro(df["sum_value"])
-    return df
+    return df[["event_type", "window_start", "n", "sum_value"]]
 
 
 def events_value_band_join(sf_dir: str, band_width: float = 100.0, n_bands: int = 10):
@@ -614,12 +619,11 @@ def events_value_band_join(sf_dir: str, band_width: float = 100.0, n_bands: int 
         )
         return g.rename_columns(["band_id", "n", "sum_value"])
 
-    from ray.data.aggregate import Sum
-
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
-        .groupby("band_id")
-        .aggregate(Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value"))
+    out = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        keys="band_id",
+        aggs=[("n", "sum"), ("sum_value", "sum")],
+        n_coarse=16,
     )
     df = out.to_pandas().sort_values("band_id").reset_index(drop=True)
     df["sum_value"] = _round2_from_micro(df["sum_value"])
