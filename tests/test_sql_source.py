@@ -108,3 +108,53 @@ def test_read_sql_string_pk_split(tmp_path):
     rows = ds.take_all()
     assert len(rows) == 98  # no loss/dup across string slices + NULL tail
     assert sum(1 for r in rows if r["uid"] is None) == 1
+
+
+# ---- sampled (Monte-Carlo) split (genSplitSqlForOracle analogue) -----------
+
+def test_sampled_split_wheres_cover_all_rows(db_path):
+    from tg_data_connector_ray.sources.sql import sampled_split_wheres
+
+    cfg = SqlSourceConfig(table="items", split_pk="id", num_splits=5,
+                          split_strategy="sampled")
+    wheres = sampled_split_wheres(lambda: sqlite3.connect(db_path), cfg)
+    # slices + outside-first-last + IS NULL tail; together they partition
+    # the table: every row matched exactly once
+    con = sqlite3.connect(db_path)
+    total = sum(
+        con.execute(f"SELECT count(*) FROM items WHERE {w}").fetchone()[0]
+        for w in wheres
+    )
+    con.close()
+    assert total == 51
+
+
+def test_read_sql_sampled_split(db_path):
+    ds = read_sql_source(
+        lambda: sqlite3.connect(db_path),
+        SqlSourceConfig(table="items", split_pk="id", num_splits=4,
+                        split_strategy="sampled"),
+    )
+    rows = ds.take_all()
+    assert len(rows) == 51  # no loss/dup across sampled slices
+    assert sum(1 for r in rows if r["id"] is None) == 1
+
+
+def test_sampled_split_string_pk_and_where(tmp_path):
+    p = str(tmp_path / "sm.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE users (uid TEXT, score INTEGER)")
+    con.executemany(
+        "INSERT INTO users VALUES (?, ?)",
+        [(f"user_{i:04d}", i) for i in range(50)] + [(None, -1)],
+    )
+    con.commit()
+    con.close()
+    ds = read_sql_source(
+        lambda: sqlite3.connect(p),
+        SqlSourceConfig(table="users", split_pk="uid", num_splits=3,
+                        where="score >= 10", split_strategy="sampled"),
+    )
+    rows = ds.take_all()
+    assert len(rows) == 40
+    assert all(r["score"] >= 10 for r in rows)

@@ -33,6 +33,15 @@ class SqlSourceConfig:
     query_sql: "str | None" = None  # wins over table-mode
     split_pk: "str | None" = None
     num_splits: int = 4
+    # "range": MIN/MAX + even ranges (SingleTableSplitUtil.splitSingleTable)
+    # "sampled": random-sample PK values as boundaries (the reference's
+    #   Oracle Monte-Carlo split, genSplitSqlForOracle)
+    split_strategy: str = "range"
+    # sampled mode: dialect SQL returning up to num_splits random PK values
+    # ({pk}/{table}/{where}/{n} placeholders); default works on
+    # sqlite/postgres/duckdb (ORDER BY RANDOM()); Oracle would pass its
+    # SAMPLE(pct) form here
+    sample_sql: "str | None" = None
 
 
 def build_query(cfg: SqlSourceConfig) -> str:
@@ -96,10 +105,63 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def sampled_split_wheres(connection_factory, cfg: SqlSourceConfig) -> "list[str]":
+    """Monte-Carlo split: WHERE clauses whose boundaries are RANDOMLY
+    SAMPLED PK values (reference genSplitSqlForOracle,
+    SingleTableSplitUtil.java:294-389 + RdbmsRangeSplitWrap.wrapRange/
+    wrapFirstLastPoint — studied, not ported): sorted sample points p0..pn
+    become slices ``p_i <= pk < p_{i+1}`` (final slice inclusive), plus the
+    outside slice ``pk < p0 OR pn < pk`` and the ``pk IS NULL`` tail.
+    Useful when MIN/MAX ranges would skew (sparse or clustered keys): the
+    sample approximates the QUANTILES of the key distribution, so slices
+    carry ~equal row counts regardless of key gaps."""
+    pk, n = cfg.split_pk, max(2, cfg.num_splits)
+    base_where = f" AND ({cfg.where})" if cfg.where else ""
+    sample_sql = cfg.sample_sql or (
+        f"SELECT {pk} FROM {cfg.table} WHERE {pk} IS NOT NULL{base_where}"
+        f" ORDER BY RANDOM() LIMIT {n}"
+    )
+    conn = connection_factory()
+    try:
+        cur = conn.cursor()
+        cur.execute(sample_sql)
+        points = sorted({r[0] for r in cur.fetchall()})
+    finally:
+        conn.close()
+    and_where = f"({cfg.where}) AND " if cfg.where else ""
+    if len(points) < 2:
+        # reference: splitedRangeSize < 2 -> no range slices, single scan
+        return [cfg.where or "1=1"]
+
+    def q(v):
+        return _sql_quote(v) if isinstance(v, str) else str(v)
+
+    wheres = []
+    for i in range(len(points) - 1):
+        last = i == len(points) - 2
+        upper_op = "<=" if last else "<"
+        wheres.append(
+            f"{and_where}{pk} >= {q(points[i])} AND {pk} {upper_op} {q(points[i + 1])}"
+        )
+    wheres.append(f"{and_where}({pk} < {q(points[0])} OR {pk} > {q(points[-1])})")
+    wheres.append(f"{and_where}{pk} IS NULL")
+    return wheres
+
+
 def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Dataset":
     """One Dataset from a SQL source; PK-range split when configured."""
     if cfg.query_sql or not cfg.split_pk:
         return ray.data.read_sql(build_query(cfg), connection_factory)
+
+    if cfg.split_strategy == "sampled":
+        queries = [
+            build_query(
+                SqlSourceConfig(table=cfg.table, columns=cfg.columns, where=w)
+            )
+            for w in sampled_split_wheres(connection_factory, cfg)
+        ]
+        datasets = [ray.data.read_sql(q, connection_factory) for q in queries]
+        return datasets[0].union(*datasets[1:]) if len(datasets) > 1 else datasets[0]
 
     # PK-range split (reference SingleTableSplitUtil: MIN/MAX + even ranges
     # + IS NULL tail slice)
