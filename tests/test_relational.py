@@ -248,3 +248,67 @@ def test_late_events_watermark():
     assert len(df) == exp
     # tiny lateness budget flags strictly more
     assert len(late_events(SF, lateness_minutes=1)) >= len(df)
+
+
+def test_grouped_arrow_aggregate_parity_random():
+    """Coarse-bucket aggregate == pandas groupby on random inputs: int64,
+    string, and timestamp first-keys (the three tag paths), composite
+    keys, sum/min/count aggs, and n_coarse larger than the key space."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tg_data_connector_ray.pipelines.relational import (
+        distinct_rows,
+        grouped_arrow_aggregate,
+    )
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    df = pd.DataFrame(
+        {
+            "ik": rng.integers(-50, 2**62, size=n) * rng.integers(1, 3, size=n),
+            "sk": pd.Series(rng.integers(0, 300, size=n)).map("key{}".format),
+            "tk": pd.to_datetime(
+                rng.integers(0, 1000, size=n) * 3_600_000_000, unit="us"
+            ),
+            "v": rng.integers(-(2**40), 2**40, size=n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+
+    # int64 key, sum+min
+    got = (
+        grouped_arrow_aggregate(ds, "ik", [("v", "sum"), ("v", "min")],
+                                out_names=["s", "m"])
+        .to_pandas()
+        .sort_values("ik")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("ik", as_index=False)
+        .agg(s=("v", "sum"), m=("v", "min"))
+        .sort_values("ik")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # composite (timestamp, string) key — hash on the temporal column
+    got2 = (
+        grouped_arrow_aggregate(ds, ["tk", "sk"], [("v", "count"), ("v", "sum")],
+                                out_names=["n", "s"], n_coarse=256)
+        .to_pandas()
+        .sort_values(["tk", "sk"])
+        .reset_index(drop=True)
+    )
+    exp2 = (
+        df.groupby(["tk", "sk"], as_index=False)
+        .agg(n=("v", "count"), s=("v", "sum"))
+        .sort_values(["tk", "sk"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2, exp2, check_dtype=False)
+
+    # distinct over string key; n_coarse >> distinct values
+    got3 = sorted(distinct_rows(ds, "sk", n_coarse=1024).to_pandas()["sk"])
+    assert got3 == sorted(df["sk"].unique())

@@ -298,12 +298,15 @@ def grouped_arrow_aggregate(
         raise ValueError("n_coarse must be a power of two")
     keys = [keys] if isinstance(keys, str) else list(keys)
     out_names = out_names or [c for c, _ in aggs]
-    key_type = _ds_types(ds)[keys[0]]
 
     def tag(t: pa.Table) -> pa.Table:
         kc = t[keys[0]]
         if isinstance(kc, pa.ChunkedArray):
             kc = kc.combine_chunks()
+        # decide the hash path from the batch's OWN Arrow type: a
+        # driver-side ds.schema() may report numpy dtypes (pandas-block
+        # datasets), which pa.types predicates reject
+        key_type = kc.type
         if pa.types.is_integer(key_type) or pa.types.is_temporal(key_type):
             # splitmix64 mix before masking: raw int keys are often
             # stride-aligned (hour-floored timestamps are multiples of
