@@ -102,6 +102,33 @@ def _run_cdc_evo(sf_dir: str):
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _run_cdc_incremental(sf_dir: str):
+    """Incremental ingest (the streaming-tail model): the SAME t2 log
+    applied as two successive file batches with separate run_ids —
+    per-key LSN watermarks + state carry-over in the merge make the
+    final table identical to the one-shot replay, so the oracle is the
+    same window-SQL reconstruction over ALL events."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2incr")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    files = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+    k = max(1, len(files) // 2)
+    apply_cdc(files[:k], cfg)  # idempotent per batch run_id
+    apply_cdc(files[k:], cfg)
+
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(os.path.join(out, "table")).to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def entry() -> Any:
     return _run_cdc("/root/testdata/sf0.001")
 
@@ -428,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": _run_cdc,
         "cdc_replay_skew": _run_cdc_skew,
         "cdc_replay_evo": _run_cdc_evo,
+        "cdc_replay_incremental": _run_cdc_incremental,
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
@@ -558,6 +586,8 @@ def oracle_sql() -> dict[str, str]:
         # flagship: full replay vs an independent window-SQL reconstruction
         # of the merge contract over the same deterministic event log
         "cdc_replay": _cdc_oracle_sql("t2"),
+        # incremental two-batch ingest converges to the same final state
+        "cdc_replay_incremental": _cdc_oracle_sql("t2"),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
         "cdc_replay_evo": _cdc_oracle_sql("t2evo"),
         "cdc_merge_events": """
