@@ -116,6 +116,11 @@ def run_query_bench() -> dict:
         "dedup_minhash",
         "events_asof_prior_view",
         "events_hopping_window",
+        # round 3 additions: prefix-filtered exact Jaccard, sessionize,
+        # corpus-prep composite
+        "ngram_jaccard",
+        "events_sessionize",
+        "docs_prep_pipeline",
     ]
     out = {}
     for name in sample:
