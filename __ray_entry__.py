@@ -341,6 +341,18 @@ def _text_fingerprint(sf_dir):
     return ds.select_columns(["doc_id", "fingerprint"])
 
 
+def _text_winnow(sf_dir):
+    """Winnowing fingerprints (local-sampling k-gram minima): the rolling-
+    hash document fingerprint the md5-whole-doc fingerprint can't give —
+    shared runs of >= w+k-1 tokens between docs share a fingerprint."""
+    from tg_data_connector_ray.ops.text import winnow_fingerprints_batch
+
+    ds = _docs(sf_dir).map_batches(
+        winnow_fingerprints_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds
+
+
 def _text_langid(sf_dir):
     from tg_data_connector_ray.ops.text import LangId
 
@@ -491,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _text_quality,
         "text_tokens_ext": _text_tokens_ext,
         "text_fingerprint": _text_fingerprint,
+        "text_winnow": _text_winnow,
         "text_langid": _text_langid,
         "docs_prep_pipeline": _docs_prep_pipeline,
         "docs_hash_split": _docs_hash_split,
@@ -878,6 +891,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
             FROM documents
+        """,
+        "text_winnow": """
+            -- winnowing reconstruction: same grams as the engine (k=3
+            -- token windows; <3 tokens -> one gram; empty -> chr(1)),
+            -- gram hash = little-endian u64 of md5(gram), fingerprints =
+            -- distinct minima of w=4 sliding windows (short docs: one
+            -- window over all grams); u64 emitted as its int64 bit-view
+            WITH g AS (
+              SELECT doc_id,
+                 CASE WHEN len(toks) = 0 THEN [chr(1)]
+                      WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                      ELSE list_transform(range(1, len(toks)-1),
+                             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                 END AS grams
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+                    FROM documents)
+            ), hx AS (
+              SELECT doc_id, i, grams[i] AS gram
+              FROM (SELECT doc_id, grams,
+                           unnest(range(1, len(grams) + 1)) AS i FROM g)
+            ), h AS (
+              SELECT doc_id, i,
+                list_sum(list_transform(range(0, 8), j ->
+                  CAST((strpos('0123456789abcdef', substr(md5(gram), 2*j+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(gram), 2*j+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*j) AS UBIGINT))) AS hv
+              FROM hx
+            ), nn AS (
+              SELECT doc_id, max(i) AS n FROM h GROUP BY doc_id
+            ), wins AS (
+              SELECT a.doc_id, a.i, min(b.hv) AS fpu
+              FROM h a
+              JOIN nn USING (doc_id)
+              JOIN h b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i < a.i + 4
+              WHERE a.i <= greatest(nn.n - 3, 1)
+              GROUP BY a.doc_id, a.i
+            )
+            SELECT DISTINCT doc_id,
+              CAST(CASE WHEN fpu >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN CAST(fpu AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE CAST(fpu AS HUGEINT) END AS BIGINT) AS fp
+            FROM wins
         """,
         "docs_hash_split": """
             WITH h AS (

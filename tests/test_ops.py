@@ -391,3 +391,35 @@ def test_ppm_wav_real_codecs_end_to_end():
     # every sampled frame is itself a decodable P6 image
     for r in frames:
         assert ppm.decode_image(r["frame"]).shape == (18, 24, 3)
+
+
+def test_winnow_fingerprints_semantics(ray_session):
+    """Winnowing guarantee: docs sharing a run of >= w+k-1 tokens share a
+    fingerprint; per-doc output is distinct; short/empty docs get exactly
+    one fingerprint."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.text import winnow_fingerprints_batch
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens = w+k-1
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "one two " + shared + " three",
+                    "x y z " + shared,
+                    "tiny doc",  # < k tokens -> one gram
+                    "",          # empty -> sentinel gram
+                ]
+            ),
+        }
+    )
+    out = winnow_fingerprints_batch(batch)
+    by_doc = {}
+    for d, f in zip(out["doc_id"].to_pylist(), out["fp"].to_pylist()):
+        by_doc.setdefault(d, set()).add(f)
+    assert by_doc[1] & by_doc[2]  # shared run -> shared fingerprint
+    assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1
+    # distinct: table rows == sum of set sizes
+    assert out.num_rows == sum(len(v) for v in by_doc.values())

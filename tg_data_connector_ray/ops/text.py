@@ -151,6 +151,74 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(fps, type=pa.string()))
 
 
+def winnow_fingerprints_batch(
+    batch: pa.Table, col: str = "text", k: int = 3, w: int = 4
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    public literature): per doc, the DISTINCT minima of a w-wide sliding
+    window over the k-gram rolling hash sequence — the local-sampling
+    fingerprint that guarantees any shared run of >= w+k-1 tokens between
+    two documents shares a fingerprint.  Emits (doc_id, fp) rows.
+
+    Gram hash = little-endian u64 of md5(gram string), md5 computed once
+    per UNIQUE gram per batch; window minima via one vectorized
+    sliding_window_view pass over the flat hash array (cross-doc windows
+    computed then discarded — same idiom as the shingle machinery).
+    Docs with < k tokens hash one gram of all their tokens; empty docs
+    hash the \\x01 sentinel — so every doc has >= 1 fingerprint.  fp is
+    the int64 bit-view of the u64 hash (native through Arrow/DuckDB).
+    """
+    from .dedup import _TOKEN_RE, _md5_u64, _segmented_arange
+
+    texts = batch[col].to_pylist()
+    grams_per_doc = []
+    for t in texts:
+        toks = _TOKEN_RE.findall(t.lower()) if t else []
+        if not toks:
+            grams = ["\x01"]
+        elif len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        grams_per_doc.append(grams)
+    counts = np.array([len(g) for g in grams_per_doc], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    flat = [g for gs in grams_per_doc for g in gs]
+    uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+    h = np.array([_md5_u64(u) for u in uniq], dtype=np.uint64)[inv]
+
+    ids = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+    nw = np.where(counts >= w, counts - w + 1, 1)
+    fp = np.empty(int(nw.sum()), dtype=np.uint64)
+    fp_off = np.concatenate([[0], np.cumsum(nw)])
+
+    if len(h) >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        big = counts >= w
+        if big.any():
+            nwin = nw[big]
+            src = np.repeat(offs[:-1][big], nwin) + _segmented_arange(nwin)
+            dst = np.repeat(fp_off[:-1][big], nwin) + _segmented_arange(nwin)
+            fp[dst] = sw[src]
+    small = counts < w
+    if small.any():
+        # one window over the whole (short) doc: per-segment min
+        seg_min = np.minimum.reduceat(h, offs[:-1])
+        fp[fp_off[:-1][small]] = seg_min[small]
+
+    # distinct (doc, fp) pairs, vectorized
+    doc_of = np.repeat(ids, nw)
+    order = np.lexsort((fp, doc_of))
+    d, f = doc_of[order], fp[order]
+    first = np.concatenate([[True], (d[1:] != d[:-1]) | (f[1:] != f[:-1])])
+    return pa.table(
+        {
+            "doc_id": pa.array(d[first], pa.int64()),
+            "fp": pa.array(f[first].view(np.int64), pa.int64()),
+        }
+    )
+
+
 def simhash64(tokens: "list[str]") -> int:
     """64-bit SimHash over token md5s (deterministic across processes)."""
     if not tokens:
