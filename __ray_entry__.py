@@ -400,30 +400,16 @@ def _docs_prep_pipeline(sf_dir):
     )
     # exact dedup inline: thin (hash, doc_id) rows; the DROPPED set (ids
     # that are not their group minimum — bounded by the duplicate count,
-    # not the corpus) comes from one thin join, then broadcasts
-    from tg_data_connector_ray.ops.dedup import _nonempty
+    # not the corpus) falls straight out of the coarse-bucket pass (per
+    # bucket: lexsort + first-row mask) — ONE shuffle, no reps join
+    from tg_data_connector_ray.ops.dedup import exact_dedup_dropped_ids
 
-    thin = _nonempty(
-        ds.map_batches(
-            lambda b: content_hash_batch(b, "text"),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    )
-    from tg_data_connector_ray.pipelines.relational import grouped_arrow_aggregate
-
-    # coarse-bucket Arrow aggregate: the group key is every-unique-doc
-    # cardinality, where Ray's sort-based aggregate pays per-key Python
-    reps = _nonempty(
-        grouped_arrow_aggregate(
-            thin, keys=["h1", "h2"], aggs=[("doc_id", "min")], out_names=["rep"]
-        )
-    )
-    j = thin.join(reps, join_type="inner", num_partitions=8, on=("h1", "h2"))
-    dropped = j.map_batches(
-        lambda t: pa.table({"doc_id": t.filter(pc.not_equal(t["doc_id"], t["rep"]))["doc_id"]}),
+    thin = ds.map_batches(
+        lambda b: content_hash_batch(b, "text"),
         batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    dropped = exact_dedup_dropped_ids(thin)
     # dual-path drop (broadcast below the bound, left_anti join above):
     # a dup-heavy corpus can't funnel an unbounded id list through the
     # driver — the round-2 verdict's docs_prep scale gap

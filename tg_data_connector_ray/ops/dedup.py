@@ -233,6 +233,31 @@ def exact_dedup_ids(ds, col: str = "text"):
     return reps.select_columns(["doc_id"])
 
 
+def exact_dedup_dropped_ids(thin, n_coarse: int = 64):
+    """doc_ids that are NOT their content-hash group's minimum — the
+    dropped side of exact dedup, computed INSIDE the coarse-bucket pass
+    (per bucket: one lexsort over (h1, h2, doc_id) + a first-row mask) —
+    no reps join.  `thin` is a (doc_id, h1, h2) Dataset."""
+
+    def tag(t: pa.Table) -> pa.Table:
+        # h1 is already a uniform hash: mask directly
+        cg = pc.cast(pc.bit_wise_and(t["h1"], n_coarse - 1), pa.int32())
+        return t.append_column("_cg", cg)
+
+    def drop_bucket(g: pa.Table) -> pa.Table:
+        h1, h2, d = _i64(g["h1"]), _i64(g["h2"]), _i64(g["doc_id"])
+        order = np.lexsort((d, h2, h1))
+        h1, h2, d = h1[order], h2[order], d[order]
+        first = np.concatenate([[True], (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        return pa.table({"doc_id": pa.array(d[~first], pa.int64())})
+
+    return (
+        thin.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(drop_bucket, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
