@@ -293,7 +293,12 @@ def grouped_arrow_aggregate(
 
     aggs: pyarrow ``group_by(...).aggregate`` specs, e.g.
     ``[("rev", "sum"), ("doc_id", "min")]``.  Output columns are the key
-    columns followed by ``out_names`` (default: the agg input names)."""
+    columns followed by ``out_names`` (default: the agg input names).
+
+    Caveat: an EMPTY input yields a zero-column empty dataset (Ray's
+    map_groups emits no schema when no group runs) — consumers that feed
+    a join or select columns must guard with a count check or
+    ops.dedup._nonempty, as every current call site does."""
     if n_coarse & (n_coarse - 1):
         raise ValueError("n_coarse must be a power of two")
     keys = [keys] if isinstance(keys, str) else list(keys)
