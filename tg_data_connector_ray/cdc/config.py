@@ -9,7 +9,7 @@ carries the error-limit semantics of ErrorRecordChecker.java:25-81
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

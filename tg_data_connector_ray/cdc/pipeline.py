@@ -33,7 +33,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..util import atomic_write_json, stable_hash_strings
+from ..util import atomic_write_json
 from .config import CdcConfig
 from .merge import MergeApply
 from .normalize import count_dirty, normalize_batch

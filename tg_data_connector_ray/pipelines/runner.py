@@ -40,7 +40,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ..sinks.files import prepare_output_dir, write_delimited, write_parquet_sink
+from ..sinks.files import write_delimited, write_parquet_sink
 from ..sources.csv import ColumnSpec, read_csv_source
 from ..stages.transforms import TransformSpec, apply_chain
 

@@ -21,7 +21,7 @@ pass the driver's connect function — the plan is identical).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 
