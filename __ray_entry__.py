@@ -52,12 +52,9 @@ def _run_cdc(sf_dir: str):
     cfg = CdcConfig(out_dir=out, num_partitions=16)
     apply_cdc(fx["cdc_log"], cfg)  # idempotent: same run_id -> skip
 
-    import pyarrow.dataset as pads
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
 
-    t = pads.dataset(os.path.join(out, "table")).to_table(
-        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
-    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return final_table_arrow(cfg, sort=True)
 
 
 def _run_cdc_skew(sf_dir: str):
@@ -72,12 +69,9 @@ def _run_cdc_skew(sf_dir: str):
     cfg = CdcConfig(out_dir=out, num_partitions=16, hot_keys=tuple(hot))
     apply_cdc(fx["cdc_log"], cfg)
 
-    import pyarrow.dataset as pads
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
 
-    t = pads.dataset(os.path.join(out, "table")).to_table(
-        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
-    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return final_table_arrow(cfg, sort=True)
 
 
 def _run_cdc_evo(sf_dir: str):
@@ -94,12 +88,9 @@ def _run_cdc_evo(sf_dir: str):
     cfg = CdcConfig(out_dir=out, num_partitions=16)
     apply_cdc(fx["cdc_log"], cfg)
 
-    import pyarrow.dataset as pads
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
 
-    t = pads.dataset(os.path.join(out, "table")).to_table(
-        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
-    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return final_table_arrow(cfg, sort=True)
 
 
 def _run_cdc_incremental(sf_dir: str):
@@ -121,12 +112,9 @@ def _run_cdc_incremental(sf_dir: str):
     apply_cdc(files[:k], cfg)  # idempotent per batch run_id
     apply_cdc(files[k:], cfg)
 
-    import pyarrow.dataset as pads
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
 
-    t = pads.dataset(os.path.join(out, "table")).to_table(
-        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
-    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return final_table_arrow(cfg, sort=True)
 
 
 def entry() -> Any:

@@ -27,7 +27,10 @@ def test_cdc_job_form(t1, tmp_path):
     )
     exp = pq.read_table(t1["transcripts"])
     assert summary["rows_live"] == exp.num_rows
-    got = pads.dataset(os.path.join(out, "table")).to_table()
+    from tg_data_connector_ray.cdc.config import CdcConfig as _C
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
+
+    got = final_table_arrow(_C(out_dir=out))
     assert got.num_rows == exp.num_rows
 
 
@@ -55,7 +58,9 @@ def test_inline_tombstone_gc_during_flush(t1, tmp_path):
     state = pads.dataset(os.path.join(cfg.out_dir, "state")).to_table()
     assert state.num_rows <= s["rows_live"] + s["rows_tombstone"]
     exp = pq.read_table(t1["transcripts"])
-    table = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table()
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
+
+    table = final_table_arrow(cfg)
     assert table.num_rows == exp.num_rows
 
 

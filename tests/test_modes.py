@@ -12,11 +12,9 @@ from tg_data_connector_ray.cdc.pipeline import apply_cdc
 
 
 def final_table(cfg):
-    return (
-        pads.dataset(os.path.join(cfg.out_dir, "table"))
-        .to_table(columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
-        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
-    )
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
+
+    return final_table_arrow(cfg, sort=True)
 
 
 def test_groupby_exchange_and_actor_merge_converge(t1, tmp_path):
@@ -43,12 +41,14 @@ def test_state_keeps_tombstones_table_compacted(t1, tmp_path):
     cfg = CdcConfig(out_dir=str(tmp_path / "o"), num_partitions=4)
     s = apply_cdc(t1["cdc_log"], cfg)
     assert s["rows_tombstone"] > 0
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
+
     state = pads.dataset(os.path.join(cfg.out_dir, "state")).to_table()
-    table = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table()
+    table = final_table_arrow(cfg)
     n_tomb = state.filter(pa.compute.equal(state["_deleted"], True)).num_rows
     assert n_tomb == s["rows_tombstone"]
     assert table.num_rows == state.num_rows - n_tomb
-    # compacted table carries no internal columns
+    # the live view carries no internal columns
     assert set(table.column_names) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
     # per-key watermarks present in state
     assert {"_lsn", "_lsn_full", "_lsn_role", "_lsn_text", "_lsn_tool", "_lsn_ts"} <= set(

@@ -24,12 +24,9 @@ from tg_data_connector_ray.fixtures import (
 
 
 def final_table_sorted(cfg) -> pa.Table:
-    import pyarrow.dataset as pads
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
 
-    t = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table(
-        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    )
-    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return final_table_arrow(cfg, sort=True)
 
 
 def assert_converged(cfg, expected: pa.Table):
@@ -121,7 +118,7 @@ def test_resume_after_partial_crash(t1, tmp_path):
     import shutil
 
     for p in range(4, 8):
-        for d in (cfg.state_dir(p), cfg.table_dir(p), cfg.lineage_dir(p)):
+        for d in (cfg.state_dir(p), cfg.lineage_dir(p)):
             shutil.rmtree(d, ignore_errors=True)
     s = apply_cdc(files, cfg, run_id=run_id)
     assert s["partitions_skipped"] == 4
@@ -249,7 +246,9 @@ def test_string_lsn_turn_idx_cast_per_row_dirty(tmp_path):
 
     dirty = pads.dataset(cfg.dirty_dir(s["run_id"])).to_table()
     assert set(dirty["_reason"].to_pylist()) == {"uncastable_lsn", "uncastable_turn_idx"}
-    table = pads.dataset(os.path.join(cfg.out_dir, "table")).to_table()
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow
+
+    table = final_table_arrow(cfg)
     assert sorted(table["conv_id"].to_pylist()) == ["c1", "c4"]
 
 

@@ -110,12 +110,6 @@ class CdcConfig:
     def state_path(self, part: int) -> str:
         return os.path.join(self.state_dir(part), "state.parquet")
 
-    def table_dir(self, part: int) -> str:
-        return os.path.join(self.out_dir, "table", f"part={part:05d}")
-
-    def table_path(self, part: int) -> str:
-        return os.path.join(self.table_dir(part), "data.parquet")
-
     def lineage_dir(self, part: int) -> str:
         return os.path.join(self.out_dir, "lineage", f"part={part:05d}")
 

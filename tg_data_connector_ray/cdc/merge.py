@@ -431,16 +431,20 @@ class MergeApply:
             )
             state = state.filter(keep)
 
-        live = state.filter(pa.compute.equal(state["_deleted"], False))
-        table_out = live.select(
-            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        # the user-facing table is a LIVE VIEW over state (filter _deleted
+        # at read, see pipeline.final_table_*): one parquet write per
+        # partition per run, not two — at 100 TB the second copy of the
+        # text payload was pure write amplification
+        n_tomb = (
+            int(pa.compute.sum(state["_deleted"].cast(pa.int8())).as_py() or 0)
+            if state.num_rows
+            else 0
         )
+        live_rows = state.num_rows - n_tomb
 
         os.makedirs(cfg.state_dir(part), exist_ok=True)
-        os.makedirs(cfg.table_dir(part), exist_ok=True)
         os.makedirs(ldir, exist_ok=True)
         atomic_write_parquet(state_path, state)
-        atomic_write_parquet(cfg.table_path(part), table_out)
 
         lsn_np = _col_np(events, "lsn")
         new_wm = int(state["_lsn"].combine_chunks().to_numpy(zero_copy_only=False).max()) if state.num_rows else watermark
@@ -452,8 +456,8 @@ class MergeApply:
             "events_prefiltered": int(prefiltered),
             "dups_dropped": stats["dups_dropped"],
             "orphan_updates": stats["orphan_updates"],
-            "rows_live": live.num_rows,
-            "rows_tombstone": state.num_rows - live.num_rows,
+            "rows_live": live_rows,
+            "rows_tombstone": n_tomb,
             "min_lsn": int(pa.compute.min(lsn_np).as_py() or -1) if events.num_rows else -1,
             "max_lsn": int(pa.compute.max(lsn_np).as_py() or -1) if events.num_rows else -1,
             "watermark": max(new_wm, watermark),

@@ -111,7 +111,10 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
             cols[name] = pc.if_else(m, pa.scalar(None, type=pa.string()), cols[name])
 
     op = cols["op"]
-    reasons = np.full(n, None, dtype=object)
+    # first-reason-wins, tracked as small-int codes (an object-dtype string
+    # array here cost ~8 full PyObject scans per batch)
+    reason_codes = np.zeros(n, dtype=np.int16)
+    reason_names: list = [None]
 
     def _np(b) -> np.ndarray:
         if isinstance(b, pa.ChunkedArray):
@@ -119,7 +122,12 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
         return b.to_numpy(zero_copy_only=False).astype(bool)
 
     def flag(mask: np.ndarray, reason: str):
-        reasons[(reasons == None) & mask] = reason  # noqa: E711
+        reason_names.append(reason)
+        np.copyto(
+            reason_codes,
+            np.int16(len(reason_names) - 1),
+            where=(reason_codes == 0) & mask,
+        )
 
     # cast failures first, so an uncastable lsn/turn_idx reads as
     # "uncastable_*", not as the null_* its masked value would imply
@@ -137,12 +145,14 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
         "null_text_insert",
     )
 
-    dirty_mask = reasons != None  # noqa: E711
+    dirty_mask = reason_codes != 0
     if dirty_mask.any():
+        reasons = np.array(reason_names, dtype=object)[reason_codes]
         _write_dirty(batch, reasons, dirty_mask, cfg, run_id)
-
-    keep = pa.array(~dirty_mask)
-    clean = pa.table({k: v.filter(keep) for k, v in cols.items()})
+        keep = pa.array(~dirty_mask)
+        clean = pa.table({k: v.filter(keep) for k, v in cols.items()})
+    else:  # all-clean batch (the common case): no copy
+        clean = pa.table(cols)
 
     # partition assignment (deterministic cross-process hash; salted for hot keys)
     h = stable_hash_strings(clean["conv_id"])

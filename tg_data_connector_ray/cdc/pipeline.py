@@ -409,6 +409,32 @@ def detect_hot_keys(event_paths, threshold_frac: float = 0.05) -> "list[str]":
     return sorted(r["conv_id"] for r in hot.take_all())
 
 
+def _check_state_format(cfg: CdcConfig) -> None:
+    """Pin the persisted state's partition mapping.
+
+    conv_id -> part uses `stable_hash_strings`; if the hash provider (or
+    `num_partitions`) ever changed between runs over the same out_dir,
+    existing per-partition state would silently stop matching new events'
+    routing.  A tiny `_FORMAT.json` marker written on first use makes that
+    an explicit error (rebuild or migrate the state) instead.
+    """
+    from ..util import HASH_PROVIDER, read_json
+
+    marker = os.path.join(cfg.out_dir, "_FORMAT.json")
+    want = {"hash_provider": HASH_PROVIDER, "num_partitions": cfg.num_partitions}
+    if os.path.exists(marker):
+        got = read_json(marker)
+        if got != want:
+            raise ValueError(
+                f"CDC state at {cfg.out_dir} was written with {got}, but this "
+                f"engine/config is {want}; partition routing would not match "
+                "existing state. Re-bootstrap the table (fresh out_dir + "
+                "snapshot replay) or migrate the state partitions."
+            )
+    else:
+        atomic_write_json(marker, want)
+
+
 def apply_cdc(
     event_paths,
     cfg: CdcConfig,
@@ -420,6 +446,7 @@ def apply_cdc(
     files = _expand(event_paths) if event_paths else []
     run_id = run_id or compute_run_id(files, snapshot_path)
     os.makedirs(cfg.out_dir, exist_ok=True)
+    _check_state_format(cfg)
 
     lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
 
@@ -455,11 +482,42 @@ def apply_cdc(
     return summary
 
 
+USER_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _state_parquet_paths(cfg: CdcConfig) -> "list[str]":
+    root = os.path.join(cfg.out_dir, "state")
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        os.path.join(root, d, f)
+        for d in os.listdir(root)
+        if d.startswith("part=")
+        for f in os.listdir(os.path.join(root, d))
+        if f.endswith(".parquet")
+    )
+
+
+def final_table_arrow(cfg: CdcConfig, sort: bool = False) -> pa.Table:
+    """Driver-side converged table (small results / tests): the live view
+    over per-partition state — project the user columns, filter tombstones.
+    For large tables use `read_final_table` (streaming Dataset)."""
+    import pyarrow.dataset as pads
+
+    paths = _state_parquet_paths(cfg)
+    t = pads.dataset(paths).to_table(
+        columns=list(USER_COLS),
+        filter=pa.compute.field("_deleted") == False,  # noqa: E712
+    )
+    if sort:
+        t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    return t
+
+
 def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     """Maintenance compaction: rewrite every partition's state dropping
-    tombstones older than (partition watermark - retention), and refresh
-    the compacted table files.  Independent per-partition Ray tasks;
-    atomic rewrites; safe to re-run."""
+    tombstones older than (partition watermark - retention).  Independent
+    per-partition Ray tasks; atomic rewrites; safe to re-run."""
     import pyarrow.parquet as pq
 
     from ..util import atomic_write_parquet
@@ -485,12 +543,10 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
         dropped = state.num_rows - new_state.num_rows
         if dropped:
             atomic_write_parquet(sp, new_state)
-        live = new_state.filter(pa.compute.equal(new_state["_deleted"], False))
-        atomic_write_parquet(
-            cfg.table_path(part),
-            live.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        n_tomb = int(
+            pa.compute.sum(new_state["_deleted"].cast(pa.int8())).as_py() or 0
         )
-        return (dropped, live.num_rows)
+        return (dropped, new_state.num_rows - n_tomb)
 
     results = ray.get([_compact.remote(p) for p in parts])
     return {
@@ -500,7 +556,7 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     }
 
 
-def _table_digest(paths, cols) -> dict:
+def _table_digest(paths, cols, filter=None) -> dict:
     """Streaming order-insensitive table digest: per batch, two independent
     64-bit row hashes (polars hash_rows, fixed seeds) XOR-reduced, plus a
     per-turn TEXT digest keyed by (conv_id, turn_idx, text).  Rows are
@@ -532,7 +588,7 @@ def _table_digest(paths, cols) -> dict:
         )
 
     parts = (
-        ray.data.read_parquet(paths, columns=cols)
+        ray.data.read_parquet(paths, columns=cols, filter=filter)
         .map_batches(d, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
@@ -551,15 +607,12 @@ def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
     converged table against an expected transcripts Parquet — per-turn
     text equality (keyed by the stable (conv_id, turn_idx) identity) plus
     full-row equality and row counts, via streaming multiset digests."""
-    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    table_dir = os.path.join(cfg.out_dir, "table")
-    got_paths = sorted(
-        os.path.join(table_dir, d, f)
-        for d in os.listdir(table_dir)
-        for f in os.listdir(os.path.join(table_dir, d))
-        if f.endswith(".parquet")
+    cols = list(USER_COLS)
+    got = _table_digest(
+        _state_parquet_paths(cfg),
+        cols,
+        filter=pa.compute.field("_deleted") == False,  # noqa: E712
     )
-    got = _table_digest(got_paths, cols)
     exp = _table_digest(expected_path, cols)
     res = {
         "rows": got["rows"],
@@ -573,8 +626,14 @@ def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
 
 
 def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":
-    """The converged, compacted user-facing table as a Dataset."""
-    ds = ray.data.read_parquet(os.path.join(cfg.out_dir, "table"))
+    """The converged user-facing table as a streaming Dataset: the live
+    view over per-partition state (tombstones filtered at the read, pushed
+    down to the parquet scan)."""
+    ds = ray.data.read_parquet(
+        _state_parquet_paths(cfg),
+        columns=list(USER_COLS),
+        filter=pa.compute.field("_deleted") == False,  # noqa: E712
+    )
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
     return ds

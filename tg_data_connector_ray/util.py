@@ -20,7 +20,6 @@ import uuid
 from typing import Any
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 # Mixing constant for combining a string-key hash with an int key
@@ -28,30 +27,109 @@ import pyarrow as pa
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+# Odd (hence invertible mod 2^64) multiplier for the polynomial string
+# hash below: the 64-bit FNV prime.  PINV is its modular inverse.
+_POLY_P = np.uint64(0x00000100000001B3)
+_POLY_PINV = np.uint64(pow(0x00000100000001B3, -1, 1 << 64))
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Finalizing avalanche (splitmix64, public domain)."""
+    z = (x + _MIX).astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _hash_string_values(sa: "pa.Array") -> np.ndarray:
+    """uint64 hash of a (Large)String array via its raw Arrow buffers.
+
+    Pure-numpy polynomial hash, O(total bytes), no per-row Python:
+    h_i = (S[end_i] - S[start_i]) * P^-start_i where S is the prefix sum of
+    byte_j * P^j over the shared data buffer (uint64 wraparound arithmetic,
+    P odd so P^-1 exists mod 2^64), finalized with splitmix64 mixed with
+    the length.  Deterministic across processes/versions — partition
+    assignment of persisted CDC state depends on that.  Nulls hash to 0.
+    """
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(sa.type) else np.int32
+    off = np.frombuffer(sa.buffers()[1], dtype=off_dtype)[
+        sa.offset : sa.offset + n + 1
+    ].astype(np.int64)
+    start, stop = off[:-1], off[1:]
+    lo = int(start[0])
+    hi = int(stop[-1]) if n else lo  # offsets are monotonic
+    buf = sa.buffers()[2]
+    data = (
+        np.frombuffer(buf, dtype=np.uint8)[lo:hi]
+        if buf is not None and hi > lo
+        else np.empty(0, dtype=np.uint8)
+    )
+    m = data.size
+    # P^0..P^m and P^-0..P^-m by accumulate (wraparound uint64)
+    pw = np.empty(m + 1, dtype=np.uint64)
+    pw[0] = 1
+    np.multiply.accumulate(np.full(m, _POLY_P, dtype=np.uint64), out=pw[1:])
+    ipw = np.empty(m + 1, dtype=np.uint64)
+    ipw[0] = 1
+    np.multiply.accumulate(np.full(m, _POLY_PINV, dtype=np.uint64), out=ipw[1:])
+    terms = (data.astype(np.uint64) + np.uint64(1)) * pw[:m]
+    s = np.empty(m + 1, dtype=np.uint64)
+    s[0] = 0
+    np.cumsum(terms, out=s[1:])
+    a = start - lo
+    b = stop - lo
+    raw = (s[b] - s[a]) * ipw[a]
+    out = _splitmix64(raw ^ ((b - a).astype(np.uint64) * _MIX))
+    if sa.null_count:
+        out[np.asarray(sa.is_null())] = 0
+    return out
+
+
+try:  # native xxhash via polars: ~20x faster than any numpy byte loop
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked into the target env
+    _pl = None
+
+# Which provider produced the persisted partition mapping.  Recorded in the
+# CDC state-format marker (cdc/pipeline.py) so a provider/version change is
+# an explicit error on resume, never a silent key->partition remap.
+HASH_PROVIDER = (
+    f"polars-xxh:{_pl.__version__.rsplit('.', 1)[0]}" if _pl is not None else "numpy-poly:1"
+)
+
+
 def stable_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
     """Deterministic uint64 hash of a string column, vectorized.
 
-    Hashes only the unique values (via Arrow dictionary-encode) then gathers,
-    so repeated keys (the common case for CDC logs: many events per conv_id)
-    cost one lookup each.
+    Hot path: polars ``Series.hash`` (native xxhash, fixed seed —
+    deterministic across processes; across polars *versions* the mapping
+    is pinned by the state-format marker, see `HASH_PROVIDER`).  Fallback:
+    the pure-numpy polynomial hash (`_hash_string_values`).  Nulls hash
+    to 0 on both paths.  Dictionary input hashes only the dictionary then
+    gathers.
     """
     if isinstance(arr, (list, np.ndarray)):
-        arr = pa.array(arr)
+        arr = pa.array(arr, type=pa.string())
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     if pa.types.is_dictionary(arr.type):
-        dict_arr = arr
-    else:
-        dict_arr = arr.dictionary_encode()
-    uniq = dict_arr.dictionary.to_pandas()
-    uniq_h = pd.util.hash_pandas_object(uniq, index=False).to_numpy(dtype=np.uint64)
-    indices = dict_arr.indices.to_numpy(zero_copy_only=False)
-    # Null keys hash to 0 (callers route null keys to dirty before hashing).
-    out = np.zeros(len(arr), dtype=np.uint64)
-    valid = indices >= 0 if indices.dtype.kind == "i" else np.ones(len(arr), bool)
-    if dict_arr.indices.null_count:
-        valid = ~np.asarray(dict_arr.indices.is_null())
-    out[valid] = uniq_h[indices[valid]]
+        uniq_h = stable_hash_strings(arr.dictionary)
+        indices = arr.indices.to_numpy(zero_copy_only=False)
+        out = np.zeros(len(arr), dtype=np.uint64)
+        valid = np.ones(len(arr), dtype=bool)
+        if arr.indices.null_count:
+            valid = ~np.asarray(arr.indices.is_null())
+        out[valid] = uniq_h[indices[valid].astype(np.int64)]
+        return out
+    if _pl is None:
+        return _hash_string_values(arr)
+    out = _pl.from_arrow(arr).hash(seed=0).to_numpy()
+    if arr.null_count:
+        out = out.copy()  # polars to_numpy may be zero-copy read-only
+        out[np.asarray(arr.is_null())] = 0
     return out
 
 
