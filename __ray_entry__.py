@@ -117,6 +117,26 @@ def _run_cdc_incremental(sf_dir: str):
     return final_table_arrow(cfg, sort=True)
 
 
+def _run_cdc_snapshot(sf_dir: str):
+    """Snapshot bootstrap + log replay: a drifted snapshot of the table is
+    loaded as lsn=0 full inserts, then the whole t2 event log replays on
+    top.  Logged keys must converge to the log's value (every log event
+    outranks lsn 0); snapshot-only keys survive verbatim; orphan-U keys
+    overlay the snapshot base.  Oracle: the same window-SQL merge over
+    (snapshot-as-lsn-0-events UNION ALL log)."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+    from tg_data_connector_ray.fixtures import write_fixture, write_snapshot
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    snap = write_snapshot(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2snap")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg, snapshot_path=snap)
+
+    return final_table_arrow(cfg, sort=True)
+
+
 def entry() -> Any:
     return _run_cdc("/root/testdata/sf0.001")
 
@@ -442,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_skew": _run_cdc_skew,
         "cdc_replay_evo": _run_cdc_evo,
         "cdc_replay_incremental": _run_cdc_incremental,
+        "cdc_replay_snapshot": _run_cdc_snapshot,
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
@@ -486,7 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _cdc_oracle_sql(tier: str) -> str:
+def _cdc_oracle_sql(tier: str, with_snapshot: bool = False) -> str:
     """Independent DuckDB reconstruction of the CDC merge contract, straight
     from the event-log parquet (no engine code in the loop):
 
@@ -501,16 +522,25 @@ def _cdc_oracle_sql(tier: str) -> str:
     pinned to that tier's deterministic fixture (written here if absent —
     the oracle must not depend on the engine having run first).
     """
-    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.fixtures import write_fixture, write_snapshot
 
     fx = write_fixture(_FIXTURE_CACHE, tier)
     glob = os.path.join(fx["cdc_log"], "*.parquet")
+    src = f"""SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts
+          FROM read_parquet('{glob}', union_by_name=true)"""
+    if with_snapshot:
+        snap = write_snapshot(_FIXTURE_CACHE, tier)
+        src += f"""
+          UNION ALL
+          SELECT 0 AS lsn, 'I' AS op, conv_id, CAST(turn_idx AS INTEGER),
+                 role, text, tool, ts
+          FROM read_parquet('{snap}')"""
     return f"""
         WITH raw AS (
-          SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
-                 role, text, tool, ts,
+          SELECT *,
                  row_number() OVER (PARTITION BY conv_id, turn_idx, lsn) AS rdup
-          FROM read_parquet('{glob}', union_by_name=true)
+          FROM ({src})
         ), ev AS (
           SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
           FROM raw WHERE rdup = 1
@@ -575,6 +605,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay": _cdc_oracle_sql("t2"),
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
+        # snapshot bootstrap: the same merge contract over the union of
+        # the snapshot (as lsn=0 full inserts) and the whole log
+        "cdc_replay_snapshot": _cdc_oracle_sql("t2", with_snapshot=True),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
         "cdc_replay_evo": _cdc_oracle_sql("t2evo"),
         "cdc_merge_events": """

@@ -103,6 +103,46 @@ def test_snapshot_bootstrap_then_incremental(t1, tmp_path):
     assert_converged(cfg, exp)
 
 
+def test_drifted_snapshot_loses_to_log_and_extra_keys_survive(
+    fixture_root, t1, tmp_path
+):
+    """Snapshot with drifted payloads + snapshot-only keys: every logged
+    key converges to the LOG's final value (log lsn > 0 outranks the
+    snapshot's lsn-0 insert per column), while keys only in the snapshot
+    survive verbatim."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.fixtures import write_snapshot
+
+    snap_path = write_snapshot(fixture_root, "t1")
+    cfg = CdcConfig(out_dir=str(tmp_path / "o"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg, snapshot_path=snap_path)
+    got = final_table_sorted(cfg)
+    exp = pq.read_table(t1["transcripts"])
+
+    snap_only = got.filter(pc.greater_equal(got["turn_idx"], 100000))
+    snap_tbl = pq.read_table(snap_path)
+    exp_only = snap_tbl.filter(
+        pc.greater_equal(snap_tbl["turn_idx"], 100000)
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert snap_only.num_rows == exp_only.num_rows > 0
+    assert snap_only.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    ).equals(exp_only.select(snap_only.column_names).cast(snap_only.schema))
+
+    # logged keys: identical to the log-only converged table (no drift leaks)
+    logged = got.filter(pc.less(got["turn_idx"], 100000))
+    assert logged.equals(
+        exp.select(logged.column_names)
+        .cast(logged.schema)
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    # non-vacuity: the snapshot really did drift those keys
+    assert snap_tbl.filter(
+        pc.match_substring(snap_tbl["text"], "snap-drift: ")
+    ).num_rows > 0
+
+
 def test_resume_after_partial_crash(t1, tmp_path):
     """Simulate a crash after some partitions committed: pre-commit a few
     partitions by running the job, then delete OTHER partitions' lineage +

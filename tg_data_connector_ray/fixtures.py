@@ -430,3 +430,50 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
     with open(done, "w") as f:
         f.write("ok")
     return out
+
+
+def write_snapshot(root: str, tier: str) -> str:
+    """A deterministic bootstrap snapshot for `apply_cdc(snapshot_path=...)`.
+
+    Derived from the tier's final transcripts (so the key domain overlaps
+    the log): even-turn rows with drifted text/tool — any logged key must
+    end at the LOG's value, since snapshot rows replay as lsn=0 full
+    inserts under every later event — plus snapshot-only keys at
+    turn_idx+100000 that no log event touches (they must survive
+    verbatim).  Rows with null text are excluded (an insert with no
+    payload is dirty by the normalize contract).  Idempotent, atomic.
+    """
+    import pyarrow.compute as pc
+
+    from .util import atomic_write_parquet
+
+    fx = write_fixture(root, tier)
+    path = os.path.join(fx["dir"], "snapshot.parquet")
+    if os.path.exists(path):
+        return path
+    t = pq.read_table(fx["transcripts"])
+    t = t.filter(pc.is_valid(t["text"]))
+    even = t.filter(pc.equal(pc.bit_wise_and(t["turn_idx"], 1), 0))
+    drift = even.set_column(
+        even.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise("snap-drift: ", even["text"], ""),
+    ).set_column(
+        even.schema.get_field_index("tool"),
+        "tool",
+        pa.nulls(even.num_rows, type=pa.string()),
+    )
+    extra_src = t.slice(0, min(500, t.num_rows))
+    extra = extra_src.set_column(
+        extra_src.schema.get_field_index("turn_idx"),
+        "turn_idx",
+        pc.add(extra_src["turn_idx"], pa.scalar(100000, type=pa.int32())).cast(
+            pa.int32()
+        ),
+    ).set_column(
+        extra_src.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise("snap-only: ", extra_src["text"], ""),
+    )
+    atomic_write_parquet(path, pa.concat_tables([drift, extra]))
+    return path
