@@ -324,6 +324,27 @@ def _ivf_ann(sf_dir):
     return idx.search(idx.assign(embs), q, k=5, nprobe=16).select(["query_id", "vec_id"])
 
 
+def _pq_ann(sf_dir):
+    """Product-quantization ADC search (the memory-bound ANN scale path:
+    vectors compress to one uint8 per subspace, search is per-query LUT
+    gathers over the code table).  PQ similarity is approximate by design,
+    so there is no SQL oracle — the driver records the rows-only check;
+    recall vs brute force and codebook determinism are pytest-covered
+    (test_pq_recall, test_pq_search_deterministic)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.ops.similarity import PqIndex
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(path, columns=["embedding"]).slice(0, 3)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    embs = sized_read_parquet(path)
+    idx = PqIndex(m=16, n_codes=256, iters=12).fit(embs)
+    return idx.search(idx.encode(embs), q, k=5).select(["query_id", "vec_id"])
+
+
 def _text_quality(sf_dir):
     from tg_data_connector_ray.ops.text import quality_batch
 
@@ -494,6 +515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": _ann_topk,
         "ivf_ann": _ivf_ann,
+        "pq_ann": _pq_ann,
         # --- text analysis ---
         "text_quality": _text_quality,
         "text_tokens_ext": _text_tokens_ext,

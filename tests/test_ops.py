@@ -221,6 +221,63 @@ def test_ivf_recall(embs):
     assert inter >= 10  # >= 2/3 average recall
 
 
+def test_pq_recall(embs):
+    from tg_data_connector_ray.ops.similarity import PqIndex, brute_force_topk
+
+    all_rows = embs.take_all()
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in all_rows])
+    q = mat[5:8]
+    idx = PqIndex(m=16, n_codes=256, iters=12).fit(embs)
+    got = idx.search(idx.encode(embs), q, k=5)
+    exact = brute_force_topk(embs, q, k=5)
+    inter = 0
+    for qi in range(3):
+        g = set(got.filter(pa.compute.equal(got["query_id"], qi))["vec_id"].to_pylist())
+        e = set(exact.filter(pa.compute.equal(exact["query_id"], qi))["vec_id"].to_pylist())
+        inter += len(g & e)
+    # measured sweep on this fixture: m=16/256 -> 14, m=8/256 -> 10, m=8/64 -> 8
+    assert inter >= 12  # >= 4/5 average recall@5 with 256 codes x 16 subspaces
+
+
+def test_pq_encode_compression_and_schema(embs):
+    """The code table is the thing that streams at 100 TB: one uint8 per
+    subspace, fixed_size_list layout, 8x smaller than the f32 vectors."""
+    from tg_data_connector_ray.ops.similarity import PqIndex
+
+    idx = PqIndex(m=8, n_codes=32, iters=4).fit(embs)
+    enc = idx.encode(embs).take_all()
+    assert len(enc) == embs.count()
+    assert all(len(r["code"]) == 8 for r in enc[:5])
+    assert all(0 <= c < 32 for r in enc[:5] for c in r["code"])
+    # 64 f32 floats -> 8 uint8 codes: 32x compression on the payload column
+    t = idx.encode(embs).materialize()
+    sch = t.schema()
+    assert "code" in sch.names and "vec_id" in sch.names
+
+
+def test_pq_dim_not_divisible_raises(embs):
+    from tg_data_connector_ray.ops.similarity import PqIndex
+
+    with pytest.raises(ValueError, match="not divisible"):
+        PqIndex(m=7).fit(embs)
+
+
+def test_pq_search_deterministic(embs):
+    """Same seed + same sample -> bit-identical codebooks and result order
+    (fit samples via limit(), which is file-order deterministic)."""
+    from tg_data_connector_ray.ops.similarity import PqIndex
+
+    q = np.stack(
+        [np.asarray(r["embedding"], np.float64) for r in embs.take(2)]
+    )
+    a = PqIndex(m=4, n_codes=16, iters=4).fit(embs)
+    b = PqIndex(m=4, n_codes=16, iters=4).fit(embs)
+    assert np.array_equal(a.codebooks, b.codebooks)
+    ra = a.search(a.encode(embs), q, k=5).to_pylist()
+    rb = b.search(b.encode(embs), q, k=5).to_pylist()
+    assert ra == rb
+
+
 def test_ivf_index_persistence_pruned_read(embs, tmp_path):
     """The IVF scale path end-to-end: assign -> write partitioned by
     centroid -> PRUNED read of only the probed partitions -> search over

@@ -142,3 +142,118 @@ class IvfIndex:
             _probe_filter, batch_format="pyarrow", zero_copy_batch=True
         )
         return brute_force_topk(sub, q, k)
+
+
+class PqIndex:
+    """Product quantization (ADC search): the memory-bound scale path.
+
+    Vectors are L2-normalized, split into `m` subspaces, and each subspace
+    is vector-quantized against its own k-means codebook (<=256 codes ->
+    one uint8 per subspace).  A 768-dim float32 vector compresses 3072 ->
+    `m` bytes, so at 100 TB the code table is small enough to stream
+    through map_batches on every node while the raw embeddings stay in
+    cold storage.  Search is asymmetric distance computation: per query,
+    one (m x n_codes) lookup table of exact subvector inner products; a
+    vector's approximate cosine is the sum of `m` LUT gathers — pure numpy
+    fancy-indexing per batch, no per-row Python.  Training samples once on
+    the driver (same bounded pattern as IvfIndex.fit); codebooks ship in
+    the task closure (object-store-cached broadcast).  Composes with
+    IvfIndex for IVF-PQ: assign() first, encode the residual partitions.
+    """
+
+    def __init__(self, m: int = 8, n_codes: int = 256, iters: int = 12, seed: int = 5):
+        self.m = m
+        self.n_codes = n_codes
+        self.iters = iters
+        self.seed = seed
+        self.codebooks: "np.ndarray | None" = None  # (m, n_codes, dsub)
+
+    def _split(self, x: np.ndarray) -> np.ndarray:
+        n, d = x.shape
+        if d % self.m:
+            raise ValueError(f"dim {d} not divisible by m={self.m} subspaces")
+        return x.reshape(n, self.m, d // self.m)
+
+    def fit(self, ds, sample_limit: int = 20_000) -> "PqIndex":
+        sample = ds.limit(sample_limit).to_pandas()
+        x = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+        sub = self._split(x)
+        rng = np.random.default_rng(self.seed)
+        n_codes = min(self.n_codes, len(x))
+        books = np.empty((self.m, n_codes, sub.shape[2]), dtype=np.float64)
+        for mi in range(self.m):
+            xs = sub[:, mi, :]
+            c = xs[rng.choice(len(xs), size=n_codes, replace=False)]
+            for _ in range(self.iters):
+                # nearest by L2 = max (c.x - |c|^2/2) on the subvectors
+                score = xs @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+                assign = np.argmax(score, axis=1)
+                for j in range(n_codes):
+                    msk = assign == j
+                    if msk.any():
+                        c[j] = xs[msk].mean(axis=0)
+            books[mi] = c
+        self.codebooks = books
+        return self
+
+    def encode(self, ds):
+        """(vec_id, code) Dataset; code = fixed_size_list<uint8>[m]."""
+        books = self.codebooks  # (m, n_codes, dsub): ships with the fn
+        half_norms = 0.5 * (books * books).sum(axis=2)  # (m, n_codes)
+        m = self.m
+
+        def _encode(batch: pa.Table) -> pa.Table:
+            x = self._split(_normalize(_emb_matrix(batch)))
+            codes = np.empty((x.shape[0], m), dtype=np.uint8)
+            for mi in range(m):
+                score = x[:, mi, :] @ books[mi].T - half_norms[mi][None, :]
+                codes[:, mi] = np.argmax(score, axis=1)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "code": pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.reshape(-1), pa.uint8()), m
+                    ),
+                }
+            )
+
+        return ds.map_batches(_encode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def search(self, encoded_ds, queries: np.ndarray, k: int = 10) -> pa.Table:
+        """ADC top-k over the code table: (query_id, vec_id, sim) with sim =
+        the PQ-approximate cosine, sorted (query_id, -sim, vec_id)."""
+        q = _normalize(np.asarray(queries, dtype=np.float64))
+        qsub = self._split(q)  # (nq, m, dsub)
+        # exact q-subvector x codebook inner products: (nq, m, n_codes)
+        luts = np.einsum("qmd,mcd->qmc", qsub, self.codebooks)
+        m, nq = self.m, q.shape[0]
+
+        def _score(batch: pa.Table) -> pa.Table:
+            col = batch["code"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = (
+                col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), m)
+            ).astype(np.int64)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            out_q, out_id, out_sim = [], [], []
+            kk = min(k, len(ids))
+            for qi in range(nq):
+                sims = luts[qi, np.arange(m)[None, :], codes].sum(axis=1)
+                rows = np.lexsort((ids, -sims))[:kk]
+                out_q.extend([qi] * len(rows))
+                out_id.extend(ids[rows].tolist())
+                out_sim.extend(sims[rows].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "sim": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+        partials = encoded_ds.map_batches(_score, batch_format="pyarrow")
+        df = partials.to_pandas()
+        df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+        out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
