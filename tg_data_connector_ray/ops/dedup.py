@@ -457,6 +457,10 @@ SMALL_VERIFY_PAIRS = 500_000
 # two hash-joins' ~1 s-per-shuffle fixed cost.  Above either bound, the
 # distributed join path runs (its fixed cost amortizes at that scale).
 SMALL_VERIFY_DOCS = 100_000
+# Target pair rows per verify task: the exact-intersection loop is
+# ~5-10 us/pair, so ~4k pairs ≈ 30 ms of compute per task — enough to
+# amortize dispatch while letting a 200k-pair candidate set use every core.
+_VERIFY_ROWS_PER_TASK = 4096
 
 
 def _gather_texts(ds, ids: "list[int]") -> dict:
@@ -501,13 +505,25 @@ def verified_jaccard_pairs(
         return out.append_column("jac", pa.array(jac[keep], pa.float64()))
 
     cand = cand.materialize()
-    if cand.count() <= SMALL_VERIFY_PAIRS:
-        rows = cand.take_all()
+    n_cand = cand.count()
+    # the per-pair intersection loop is the verify budget: spread it over
+    # ~_VERIFY_ROWS_PER_TASK-row blocks (groupby/distinct upstream emits a
+    # handful of fat blocks, which would serialize the whole loop on a
+    # couple of cores)
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    want = max(1, min(cpus, -(-n_cand // _VERIFY_ROWS_PER_TASK)))
+    if cand.num_blocks() < want:
+        cand = cand.repartition(want).materialize()
+    if n_cand <= SMALL_VERIFY_PAIRS:
+        # thin int64 columns via Arrow, not take_all's per-row dicts
+        pdf = cand.to_pandas()
         need = np.unique(
-            np.array([r["a"] for r in rows] + [r["b"] for r in rows], dtype=np.int64)
-        )
+            np.concatenate([pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)])
+        ) if len(pdf) else np.empty(0, np.int64)
         if need.size <= SMALL_VERIFY_DOCS:
-            texts = _gather_texts(ds, need.tolist()) if rows else {}
+            texts = _gather_texts(ds, need.tolist()) if len(pdf) else {}
 
             def _attach_bcast(t: pa.Table) -> pa.Table:
                 # `texts` rides in the task closure (object-store-cached:
