@@ -345,6 +345,47 @@ def _pq_ann(sf_dir):
     return idx.search(idx.encode(embs), q, k=5).select(["query_id", "vec_id"])
 
 
+def _text_top_bigrams(sf_dir):
+    """Global top-50 bigram counts over the corpus (token rule shared with
+    the dedup family; counts are pure integers, so the oracle hashes
+    bit-exactly)."""
+    from tg_data_connector_ray.ops.corpus import top_ngrams
+
+    return top_ngrams(_docs(sf_dir), k=50)
+
+
+def _text_tfidf(sf_dir):
+    """Per-doc top-3 TF-IDF terms; score integerized u6 so engine and
+    oracle rank on the same integers."""
+    from tg_data_connector_ray.ops.corpus import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir), k=3)
+
+
+def _docs_stratified_sample(sf_dir):
+    """100 docs per language stratum by hashed-id order (deterministic
+    stratified sampling: membership is a pure key function)."""
+    from tg_data_connector_ray.ops.corpus import stratified_sample
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample(ds, "lang", "doc_id", k=100)
+
+
+def _events_quantiles(sf_dir):
+    """Exact per-event-type value percentiles (p50/p90/p99) via the
+    histogram method — no sort, shuffle bounded by groups x grid values."""
+    from tg_data_connector_ray.ops.corpus import grouped_quantiles
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return grouped_quantiles(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
+
+
 def _text_quality(sf_dir):
     from tg_data_connector_ray.ops.text import quality_batch
 
@@ -522,6 +563,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": _text_fingerprint,
         "text_winnow": _text_winnow,
         "text_langid": _text_langid,
+        "text_top_bigrams": _text_top_bigrams,
+        "text_tfidf": _text_tfidf,
+        "docs_stratified_sample": _docs_stratified_sample,
+        "events_quantiles": _events_quantiles,
         "docs_prep_pipeline": _docs_prep_pipeline,
         "docs_hash_split": _docs_hash_split,
         # --- CSV source/sink parity ---
@@ -977,6 +1022,64 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        "text_top_bigrams": """
+            WITH a AS (
+              SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+              FROM documents
+            ), b AS (
+              SELECT unnest(list_transform(range(1, len(arr)),
+                            i -> arr[i] || ' ' || arr[i+1])) AS ngram
+              FROM a
+            )
+            SELECT ngram, count(*) AS n
+            FROM b GROUP BY ngram
+            ORDER BY n DESC, ngram LIMIT 50
+        """,
+        "text_tfidf": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term
+            ), nd AS (
+              SELECT count(*) AS n FROM documents
+            ), s AS (
+              SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                     CAST(round_even(tf.tf * ln(CAST(nd.n AS DOUBLE) / df.df) * 1e6, 0)
+                          AS BIGINT) AS score_u
+              FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score_u DESC, term) AS rn
+              FROM s
+            )
+            SELECT doc_id, rn, term, tf, df, score_u FROM r WHERE rn <= 3
+        """,
+        "docs_stratified_sample": """
+            WITH h AS (
+              SELECT lang, doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('strat:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM documents
+            ), r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (PARTITION BY lang ORDER BY b, doc_id) AS rn
+              FROM h
+            )
+            SELECT lang, doc_id FROM r WHERE rn <= 100
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   CAST(round_even(quantile_cont(value, 0.5)  * 1e6, 0) AS BIGINT) AS p50_u,
+                   CAST(round_even(quantile_cont(value, 0.9)  * 1e6, 0) AS BIGINT) AS p90_u,
+                   CAST(round_even(quantile_cont(value, 0.99) * 1e6, 0) AS BIGINT) AS p99_u
+            FROM events GROUP BY event_type
         """,
         "docs_prep_pipeline": """
             WITH w AS (

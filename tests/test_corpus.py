@@ -1,0 +1,119 @@
+"""Tests for corpus-level analytics ops (n-grams, TF-IDF, stratified
+sampling, histogram quantiles) over the driver-provided sf0.001 tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_bigrams_do_not_cross_doc_boundaries():
+    from tg_data_connector_ray.ops.corpus import bigram_counts_batch
+
+    t = pa.table({"text": pa.array(["a b", "c d", "", "e"])})
+    out = bigram_counts_batch(t)
+    got = dict(zip(out["ngram"].to_pylist(), out["n"].to_pylist()))
+    # "b c" and "d e" would only appear if windows crossed docs
+    assert got == {"a b": 1, "c d": 1}
+
+
+def test_top_ngrams_matches_duckdb(docs):
+    import duckdb
+
+    from tg_data_connector_ray.ops.corpus import top_ngrams
+
+    got = top_ngrams(docs, k=20).to_pandas()
+    exp = duckdb.sql(
+        f"""
+        WITH a AS (
+          SELECT regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+          FROM '{SF}/documents.parquet'
+        ), b AS (
+          SELECT unnest(list_transform(range(1, len(arr)),
+                        i -> arr[i] || ' ' || arr[i+1])) AS ngram
+          FROM a
+        )
+        SELECT ngram, count(*) AS n FROM b GROUP BY ngram
+        ORDER BY n DESC, ngram LIMIT 20
+        """
+    ).df()
+    assert got["ngram"].tolist() == exp["ngram"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+
+
+def test_term_freq_batch_counts():
+    from tg_data_connector_ray.ops.corpus import term_freq_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8], pa.int64()),
+            "text": pa.array(["Cat cat DOG", "dog"]),
+        }
+    )
+    out = term_freq_batch(t).to_pandas()
+    rows = {(r.doc_id, r.term): r.tf for r in out.itertuples()}
+    assert rows == {(7, "cat"): 2, (7, "dog"): 1, (8, "dog"): 1}
+
+
+def test_tfidf_broadcast_and_join_paths_agree(docs):
+    from tg_data_connector_ray.ops.corpus import tfidf_topk
+
+    def canon(res):
+        df = res.to_pandas() if not isinstance(res, pa.Table) else res.to_pandas()
+        return df.sort_values(["doc_id", "rn"]).reset_index(drop=True)
+
+    small = canon(tfidf_topk(docs, k=3))
+    big = canon(tfidf_topk(docs, k=3, small_vocab=0))  # force the join path
+    assert small.equals(big)
+    # rn is 1..k per doc, scores non-increasing within a doc
+    for _, g in small.groupby("doc_id"):
+        assert g["rn"].tolist() == list(range(1, len(g) + 1))
+        assert (np.diff(g["score_u"].to_numpy()) <= 0).all()
+
+
+def test_stratified_sample_deterministic_and_capped(docs):
+    from tg_data_connector_ray.ops.corpus import stratified_sample
+
+    ds = docs.select_columns(["doc_id", "lang"])
+    a = stratified_sample(ds, "lang", "doc_id", k=10).to_pandas()
+    b = stratified_sample(ds, "lang", "doc_id", k=10).to_pandas()
+    a = a.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    b = b.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    sizes = a.groupby("lang").size()
+    assert (sizes <= 10).all() and len(sizes) > 1
+
+
+def test_grouped_quantiles_match_numpy():
+    from tg_data_connector_ray.ops.corpus import grouped_quantiles
+
+    rng = np.random.default_rng(7)
+    g = np.repeat(np.array(["x", "y", "z"], dtype=object), 400)
+    v = np.round(rng.uniform(0, 50, size=1200), 2)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(g, pa.string()), "v": pa.array(v, pa.float64())})
+    ).repartition(6)
+    out = grouped_quantiles(ds, "k", "v", qs=(0.5, 0.9)).to_pandas()
+    out = out.set_index("k")
+    for key in ("x", "y", "z"):
+        sub = v[g == key]
+        for q, col in ((0.5, "p50_u"), (0.9, "p90_u")):
+            exp = int(np.round(np.percentile(sub, q * 100, method="linear") * 1e6))
+            assert abs(int(out.loc[key, col]) - exp) <= 1, (key, col)
+
+
+def test_grouped_quantiles_rejects_off_grid():
+    from tg_data_connector_ray.ops.corpus import grouped_quantiles
+
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(["a"] * 3), "v": pa.array([0.001, 0.002, 0.003])})
+    )
+    with pytest.raises(Exception):
+        grouped_quantiles(ds, "k", "v").to_pandas()

@@ -1,0 +1,367 @@
+"""Corpus-level statistics for training-data pipelines: global n-gram
+counts, TF-IDF term ranking, stratified sampling, and exact distributed
+quantiles.
+
+Everything here follows the repo's two scale rules: per-batch work is
+vectorized (numpy / pyarrow kernels over flat arrays, no per-row Python in
+hot paths), and the only wide operations are coarse-bucket exchanges
+(`grouped_arrow_aggregate`: hash(key) % n_coarse shuffle + ONE Arrow
+group_by per bucket) whose shuffle volume is partial aggregates, never the
+corpus.  The reference connector has no corpus analytics at all — these
+are the operations a 100 TB pretraining-data pipeline runs on day one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import _TOKEN_RE, _i64
+
+_U6 = 1_000_000.0
+
+
+def _round_even_u6(x: np.ndarray) -> np.ndarray:
+    """np.round is half-to-even — the same tie rule as DuckDB round_even,
+    the repo-wide float<->oracle integerization convention."""
+    return np.round(x * _U6).astype(np.int64)
+
+
+def _tokens_flat(texts: "list[str | None]") -> "tuple[np.ndarray, np.ndarray]":
+    """All docs' lowercased tokens as one flat object array + doc offsets
+    (split rule [A-Za-z0-9_]+, identical to ops.dedup and the SQL oracles'
+    regexp_extract_all)."""
+    toks = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
+    counts = np.array([len(x) for x in toks], dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    flat = np.array([w for ts in toks for w in ts], dtype=object)
+    return flat, offs
+
+
+# ---------------------------------------------------------------------------
+# global n-gram counts
+
+def bigram_counts_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Partial (ngram, n) counts for one batch — the combiner half of the
+    global count.  Bigrams never cross document boundaries."""
+    flat, offs = _tokens_flat(batch[col].to_pylist())
+    n = len(flat)
+    if n < 2:
+        return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    # window [i, i+1] stays inside one doc iff token i's position within
+    # its doc is < doc_len - 1 (the last token of every doc is invalid, so
+    # dropping the final element leaves exactly the n-1 window slots)
+    counts = np.diff(offs)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], counts)
+    valid = (pos < np.repeat(counts - 1, counts))[:-1]
+    a, b = flat[:-1][valid], flat[1:][valid]
+    grams = np.array([x + " " + y for x, y in zip(a, b)], dtype=object)
+    uniq, cnt = np.unique(grams, return_counts=True)
+    return pa.table(
+        {"ngram": pa.array(uniq, pa.string()), "n": pa.array(cnt, pa.int64())}
+    )
+
+
+def top_ngrams(ds, k: int = 50, col: str = "text"):
+    """Global top-k bigrams by (count desc, ngram asc).
+
+    Shape: per-batch partial counts (the flat-token bigram pass above) ->
+    coarse-bucket SUM by ngram (`grouped_arrow_aggregate`: the shuffle
+    carries only per-batch partials, ~unique-bigrams-per-batch rows) ->
+    per-bucket top-k -> driver merge of n_coarse * k rows.  Returns a
+    pyarrow Table (ngram, n) sorted (n desc, ngram asc)."""
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    partial = ds.map_batches(
+        lambda t: bigram_counts_batch(t, col), batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = grouped_arrow_aggregate(partial, "ngram", [("n", "sum")], ["n"])
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        cnt = _i64(g["n"])
+        ng = g["ngram"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ng, -cnt))[:k]
+        return pa.table(
+            {"ngram": pa.array(ng[order], pa.string()), "n": pa.array(cnt[order], pa.int64())}
+        )
+
+    head = total.map_batches(bucket_topk, batch_format="pyarrow").to_pandas()
+    head = head.sort_values(["n", "ngram"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(head.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+
+def term_freq_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """(doc_id, term, tf) rows for one batch of documents, vectorized:
+    terms int-coded per batch via np.unique, (doc, term_id) pairs counted
+    with one lexsort + run-length pass."""
+    ids = _i64(batch["doc_id"])
+    flat, offs = _tokens_flat(batch[col].to_pylist())
+    if not len(flat):
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+    vocab, tid = np.unique(flat, return_inverse=True)
+    doc_of = np.repeat(ids, np.diff(offs))
+    order = np.lexsort((tid, doc_of))
+    d, t = doc_of[order], tid[order]
+    first = np.concatenate([[True], (d[1:] != d[:-1]) | (t[1:] != t[:-1])])
+    starts = np.nonzero(first)[0]
+    tf = np.diff(np.append(starts, len(d)))
+    return pa.table(
+        {
+            "doc_id": pa.array(d[first], pa.int64()),
+            "term": pa.array(vocab[t[first]], pa.string()),
+            "tf": pa.array(tf, pa.int64()),
+        }
+    )
+
+
+# Below this many distinct terms the DF table is gathered once and rides
+# to scoring tasks in the (object-store-cached) task closure; above it the
+# join + coarse-grouped ranking path runs.  ~2M terms * ~24 B is ~50 MB —
+# cheap to broadcast on a cluster, and natural-language vocabularies grow
+# ~O(sqrt(corpus)) (Heaps' law), so the broadcast path covers most real
+# corpora; the join path exists for adversarial/id-like vocabularies.
+SMALL_VOCAB = 2_000_000
+
+
+def _rank_topk_scored(t: pa.Table, k: int) -> pa.Table:
+    """Per-doc top-k by (score_u desc, term asc) over rows already
+    co-located by doc (one lexsort, run-length ranked)."""
+    d = _i64(t["doc_id"])
+    term = t["term"].combine_chunks().to_numpy(zero_copy_only=False)
+    tf = _i64(t["tf"])
+    df = _i64(t["df"])
+    su = _i64(t["score_u"])
+    order = np.lexsort((term, -su, d))
+    d, term, tf, df, su = d[order], term[order], tf[order], df[order], su[order]
+    new_d = np.concatenate([[True], d[1:] != d[:-1]])
+    starts = np.nonzero(new_d)[0]
+    pos = np.arange(len(d)) - starts[np.cumsum(new_d) - 1]
+    keep = pos < k
+    return pa.table(
+        {
+            "doc_id": pa.array(d[keep], pa.int64()),
+            "rn": pa.array((pos[keep] + 1).astype(np.int64)),
+            "term": pa.array(term[keep], pa.string()),
+            "tf": pa.array(tf[keep], pa.int64()),
+            "df": pa.array(df[keep], pa.int64()),
+            "score_u": pa.array(su[keep], pa.int64()),
+        }
+    )
+
+
+def tfidf_topk(ds, k: int = 3, col: str = "text", small_vocab: int = SMALL_VOCAB):
+    """Per-document top-k TF-IDF terms: (doc_id, rn, term, tf, df, score_u)
+    with score_u = round_even(tf * ln(N/df) * 1e6) as int64 (the repo's
+    u6 float convention — ranking compares the INTEGER score, so engine
+    and oracle order identically).
+
+    Scale shape: one pass builds (doc_id, term, tf) partials; DF is a
+    coarse-bucket COUNT over those rows (each (doc, term) appears exactly
+    once, so row-count per term IS the document frequency); N is the doc
+    count (parquet metadata).  Small vocabularies broadcast the DF table
+    to scoring tasks (tf rows stay doc-contiguous in their original
+    batches — no shuffle at all); big ones hash-join DF onto the tf rows
+    and rank per-doc in a coarse-grouped pass."""
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    n_docs = ds.count()
+    tf_rows = ds.map_batches(
+        lambda t: term_freq_batch(t, col), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    df_tbl = grouped_arrow_aggregate(
+        tf_rows, "term", [("doc_id", "count")], ["df"]
+    ).materialize()
+
+    if df_tbl.count() <= small_vocab:
+        # DF dict rides in the task closure: broadcast once via the object
+        # store, never re-shipped per batch
+        df_pdf = df_tbl.to_pandas()
+        df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(np.int64)))
+
+        def score_and_rank(t: pa.Table) -> pa.Table:
+            term = t["term"].combine_chunks().to_numpy(zero_copy_only=False)
+            df = np.array([df_map[x] for x in term], dtype=np.int64)
+            tf = _i64(t["tf"])
+            su = _round_even_u6(tf * np.log(float(n_docs) / df))
+            scored = pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "term": t["term"],
+                    "tf": t["tf"],
+                    "df": pa.array(df, pa.int64()),
+                    "score_u": pa.array(su, pa.int64()),
+                }
+            )
+            return _rank_topk_scored(scored, k)
+
+        return tf_rows.map_batches(score_and_rank, batch_format="pyarrow")
+
+    # big-vocabulary path: DF joins onto the tf rows (both sides thin),
+    # then a coarse-grouped per-doc ranking (doc rows scatter in the join)
+    from .dedup import _join_ready, _nonempty
+
+    joined = _join_ready(tf_rows, ["doc_id", "term", "tf"]).join(
+        _join_ready(df_tbl, ["term", "df"]), join_type="inner", num_partitions=16, on=("term",)
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        tf = _i64(t["tf"])
+        df = _i64(t["df"])
+        su = _round_even_u6(tf * np.log(float(n_docs) / df))
+        d = _i64(t["doc_id"])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "term": t["term"],
+                "tf": t["tf"],
+                "df": t["df"],
+                "score_u": pa.array(su, pa.int64()),
+                "_cg": pa.array((d & 63).astype(np.int32)),
+            }
+        )
+
+    scored = _nonempty(joined).map_batches(score, batch_format="pyarrow")
+    return (
+        scored.groupby("_cg")
+        .map_groups(lambda g: _rank_topk_scored(g.drop_columns(["_cg"]), k), batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+
+def stratified_sample(ds, strata_col: str, key_col: str = "doc_id", k: int = 100,
+                      salt: str = "strat"):
+    """Exactly k rows per stratum, chosen by hashed key order — the
+    deterministic analogue of per-stratum random sampling (membership is a
+    pure function of the key: re-runs and backfills pick the same rows).
+
+    Order within a stratum is (md5 bucket, key) — the same md5 rule as
+    `ops.sampling` so a DuckDB oracle reproduces it bit-for-bit.  Shape is
+    per-key top-N: each block keeps its k best rows per stratum, the final
+    pass merges block partials per stratum (strata counts are small by
+    definition — a stratification with millions of strata is a group-by,
+    not a sample).  Returns (stratum, key) rows."""
+    from .sampling import _key_buckets
+
+    def block_head(t: pa.Table) -> pa.Table:
+        key = _i64(t[key_col])
+        b = _key_buckets(key.tolist(), salt)
+        s = t[strata_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, b, s))
+        s, b, key = s[order], b[order], key[order]
+        new_s = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.nonzero(new_s)[0]
+        pos = np.arange(len(s)) - starts[np.cumsum(new_s) - 1]
+        keep = pos < k
+        return pa.table(
+            {
+                strata_col: pa.array(s[keep], pa.string()),
+                key_col: pa.array(key[keep], pa.int64()),
+                "_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    def final_head(g: pa.Table) -> pa.Table:
+        key = _i64(g[key_col])
+        b = _i64(g["_b"])
+        s = g[strata_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, b, s))
+        s, b, key = s[order], b[order], key[order]
+        new_s = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.nonzero(new_s)[0]
+        pos = np.arange(len(s)) - starts[np.cumsum(new_s) - 1]
+        keep = pos < k
+        return pa.table(
+            {
+                strata_col: pa.array(s[keep], pa.string()),
+                key_col: pa.array(key[keep], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(block_head, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(strata_col)
+        .map_groups(final_head, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact distributed quantiles (value-histogram method)
+
+def grouped_quantiles(ds, group_col: str, value_col: str,
+                      qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+                      scale: int = 100):
+    """Exact per-group quantiles with linear interpolation (SQL
+    percentile_cont / numpy 'linear'), computed WITHOUT sorting the data:
+    values are discretized to an exact integer grid (`scale`=100 -> cents;
+    the input invariant is that v*scale is integral, asserted per batch),
+    per-batch partial histograms (group, grid_value, n) shuffle instead of
+    rows, a coarse-bucket SUM merges them, and quantiles come from the
+    merged counts by cumulative-count search.  Shuffle volume is bounded
+    by groups x distinct grid values regardless of row count — at 10^10
+    rows the exchange is still tiny, where a sort-based percentile ships
+    the whole table.  Returns (group, q50_u, q90_u, ...) with the u6
+    integer convention."""
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
+        cent = np.round(v * scale)
+        if not np.allclose(cent / scale, v, rtol=0, atol=1e-9):
+            raise ValueError(
+                f"{value_col} not on the 1/{scale} grid; raise `scale` or use a sort-based path"
+            )
+        cent = cent.astype(np.int64)
+        order = np.lexsort((cent, g))
+        g, cent = g[order], cent[order]
+        first = np.concatenate([[True], (g[1:] != g[:-1]) | (cent[1:] != cent[:-1])])
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.append(starts, len(g)))
+        return pa.table(
+            {
+                group_col: pa.array(g[first], pa.string()),
+                "cent": pa.array(cent[first], pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    merged = grouped_arrow_aggregate(
+        ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "cent"],
+        [("n", "sum")],
+        ["n"],
+    )
+    # the merged histogram is groups x grid values — small by construction;
+    # the finishing interpolation is a driver-side pass over it
+    pdf = merged.to_pandas().sort_values([group_col, "cent"])
+    out_groups, out_cols = [], {f"p{int(q * 100)}_u": [] for q in qs}
+    for grp, sub in pdf.groupby(group_col, sort=True):
+        cents = sub["cent"].to_numpy(np.int64)
+        cnt = sub["n"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        total = int(cum[-1])
+        out_groups.append(grp)
+        for q in qs:
+            h = (total - 1) * q
+            lo_i = int(np.searchsorted(cum, np.floor(h) + 1, side="left"))
+            hi_i = int(np.searchsorted(cum, np.floor(h) + 2, side="left"))
+            lo = cents[lo_i] / scale
+            hi = cents[min(hi_i, len(cents) - 1)] / scale
+            val = lo + (h - np.floor(h)) * (hi - lo)
+            out_cols[f"p{int(q * 100)}_u"].append(int(np.round(val * _U6)))
+    cols = {group_col: pa.array(out_groups, pa.string())}
+    for name, vals in out_cols.items():
+        cols[name] = pa.array(vals, pa.int64())
+    return pa.table(cols)
