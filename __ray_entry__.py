@@ -386,6 +386,55 @@ def _events_quantiles(sf_dir):
     return grouped_quantiles(ds, "event_type", "value", qs=(0.5, 0.9, 0.99))
 
 
+def _docs_pii_scrub(sf_dir):
+    """PII redaction over documents with deterministic seeded PII (every
+    5th doc gets an email/IP/phone suffix derived from doc_id — the
+    fixture has no natural PII, so the seeds make the scrub non-vacuous;
+    same idiom as embedding_near_dup's seeded copies)."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.text import pii_scrub_batch
+
+    def seed(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = np.array(t["text"].to_pylist(), dtype=object)
+        m = ids % 5 == 0
+        for i in np.nonzero(m)[0]:
+            d = int(ids[i])
+            texts[i] = (
+                f"{texts[i]} contact u{d}@ex.com at 10.2.{d % 250}.7"
+                f" or +1 555 000 {d % 10000}"
+            )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(seed, batch_format="pyarrow")
+        .map_batches(pii_scrub_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "clean_text", "n_email", "n_ip", "n_phone"])
+    )
+
+
+def _docs_repetition(sf_dir):
+    from tg_data_connector_ray.ops.text import repetition_batch
+
+    return (
+        _docs(sf_dir)
+        .map_batches(repetition_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tok", "top2_frac_u6", "dup3_frac_u6"])
+    )
+
+
+def _docs_pack_sequences(sf_dir):
+    from tg_data_connector_ray.ops.corpus import pack_sequences
+
+    return pack_sequences(_docs(sf_dir).select_columns(["doc_id", "text"]), budget=2048)
+
+
 def _text_quality(sf_dir):
     from tg_data_connector_ray.ops.text import quality_batch
 
@@ -566,6 +615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_top_bigrams": _text_top_bigrams,
         "text_tfidf": _text_tfidf,
         "docs_stratified_sample": _docs_stratified_sample,
+        "docs_pii_scrub": _docs_pii_scrub,
+        "docs_repetition": _docs_repetition,
+        "docs_pack_sequences": _docs_pack_sequences,
         "events_quantiles": _events_quantiles,
         "docs_prep_pipeline": _docs_prep_pipeline,
         "docs_hash_split": _docs_hash_split,
@@ -1073,6 +1125,81 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT lang, doc_id FROM r WHERE rn <= 100
+        """,
+        "docs_pii_scrub": """
+            WITH s AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 5 = 0 THEN
+                  text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com at 10.2.'
+                       || CAST(doc_id % 250 AS VARCHAR) || '.7 or +1 555 000 '
+                       || CAST(doc_id % 10000 AS VARCHAR)
+                ELSE text END AS text
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM s
+            ), i AS (
+              SELECT doc_id, n_email,
+                CAST(len(regexp_extract_all(t1,
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b')) AS BIGINT) AS n_ip,
+                regexp_replace(t1,
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS t2
+              FROM e
+            )
+            SELECT doc_id, n_email, n_ip,
+                   CAST(len(regexp_extract_all(t2, '\\+[0-9][0-9 ]{4,}[0-9]')) AS BIGINT) AS n_phone,
+                   regexp_replace(t2, '\\+[0-9][0-9 ]{4,}[0-9]', '<PHONE>', 'g') AS clean_text
+            FROM i
+        """,
+        "docs_repetition": """
+            WITH a AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS arr
+              FROM documents
+            ), g2 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+                            i -> arr[i] || chr(1) || arr[i+1])) AS g
+              FROM a
+            ), c2 AS (
+              SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g
+            ), a2 AS (
+              SELECT doc_id, max(cnt) AS top2 FROM c2 GROUP BY doc_id
+            ), g3 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+                            i -> arr[i] || chr(1) || arr[i+1] || chr(1) || arr[i+2])) AS g
+              FROM a
+            ), c3 AS (
+              SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g
+            ), a3 AS (
+              SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
+              FROM c3 GROUP BY doc_id
+            )
+            SELECT a.doc_id, CAST(len(arr) AS BIGINT) AS n_tok,
+                   CAST(round_even(1e6 * coalesce(top2, 0)
+                        / greatest(len(arr) - 1, 1), 0) AS BIGINT) AS top2_frac_u6,
+                   CAST(round_even(1e6 * coalesce(dup3, 0)
+                        / greatest(len(arr) - 2, 1), 0) AS BIGINT) AS dup3_frac_u6
+            FROM a LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+        """,
+        "docs_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tok
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tok,
+                CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+              FROM t
+            )
+            SELECT doc_id, n_tok, tok_start,
+                   tok_start // 2048 AS seq_first,
+                   (tok_start + greatest(n_tok, 1) - 1) // 2048 AS seq_last,
+                   tok_start % 2048 AS off_in_seq
+            FROM c
         """,
         "events_quantiles": """
             SELECT event_type,

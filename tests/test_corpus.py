@@ -117,3 +117,88 @@ def test_grouped_quantiles_rejects_off_grid():
     )
     with pytest.raises(Exception):
         grouped_quantiles(ds, "k", "v").to_pandas()
+
+
+def test_pii_scrub_sequential_semantics():
+    from tg_data_connector_ray.ops.text import pii_scrub_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail a.b+c@x.org and 10.0.0.1 then +1 555 12 34 end",
+                    "no pii here at all",
+                ]
+            ),
+        }
+    )
+    out = pii_scrub_batch(t).to_pandas()
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> and <IP> then <PHONE> end"
+    assert (
+        out.loc[0, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 1, 1]
+    )
+    assert out.loc[1, "clean_text"] == "no pii here at all"
+    assert out.loc[1, ["n_email", "n_ip", "n_phone"]].tolist() == [0, 0, 0]
+
+
+def test_repetition_metrics_known_case():
+    from tg_data_connector_ray.ops.text import repetition_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b",  # bigrams: ab x3, ba x2 -> top2 3/5; trigrams aba x2, bab x2 -> dup 4/4
+                    "x y z w",  # all bigrams unique, no dup trigram
+                    "q",  # too short for any gram
+                ]
+            ),
+        }
+    )
+    out = repetition_batch(t).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_tok"] == 6
+    assert out.loc[1, "top2_frac_u6"] == 600000  # 3/5
+    assert out.loc[1, "dup3_frac_u6"] == 1000000  # 4/4
+    assert out.loc[2, "top2_frac_u6"] == 333333  # 1/3
+    assert out.loc[2, "dup3_frac_u6"] == 0
+    assert out.loc[3, "top2_frac_u6"] == 0 and out.loc[3, "dup3_frac_u6"] == 0
+
+
+def test_pack_sequences_matches_serial(docs):
+    import duckdb
+
+    from tg_data_connector_ray.ops.corpus import pack_sequences
+
+    got = (
+        pack_sequences(docs.select_columns(["doc_id", "text"]), budget=100, num_ranges=7)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tok
+          FROM '{SF}/documents.parquet'
+        ), c AS (
+          SELECT doc_id, n_tok,
+            CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+          FROM t
+        )
+        SELECT doc_id, n_tok, tok_start, tok_start // 100 AS seq_first,
+               (tok_start + greatest(n_tok, 1) - 1) // 100 AS seq_last,
+               tok_start % 100 AS off_in_seq
+        FROM c ORDER BY doc_id
+        """
+    ).df()
+    for c in got.columns:
+        assert got[c].astype("int64").tolist() == exp[c].astype("int64").tolist(), c
+    # packing invariant: offsets are contiguous in doc order
+    assert (
+        got["tok_start"].to_numpy()[1:]
+        == (got["tok_start"] + got["n_tok"]).to_numpy()[:-1]
+    ).all()

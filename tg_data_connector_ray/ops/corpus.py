@@ -296,6 +296,73 @@ def stratified_sample(ds, strata_col: str, key_col: str = "doc_id", k: int = 100
 
 
 # ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk)
+
+def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
+                   col: str = "text", num_ranges: int = 64):
+    """Concat-and-chunk sequence packing — the document->training-sequence
+    layout GPT-style pretraining uses: documents are concatenated in
+    `id_col` order and the token stream is cut into fixed `budget`-token
+    sequences (docs may span a boundary).  Emits per doc: n_tok,
+    tok_start (global token offset), seq_first / seq_last (sequence ids
+    covering the doc; empty docs get seq_first), off_in_seq.
+
+    The global offset is a distributed ordered prefix sum: one pass
+    computes thin (id, n_tok) rows (Arrow regex count, column-pruned),
+    ids are range-partitioned by value, per-range token sums (one tiny
+    row per range) prefix-sum on the driver, and a coarse per-range pass
+    assigns offsets with a local cumsum.  Shuffle volume is the thin
+    pairs; driver state is O(num_ranges) — at 10^10 docs the exchange is
+    two int64 columns and the driver holds 64 numbers."""
+    import pyarrow.compute as pc
+
+    from .dedup import _i64
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        n_tok = pc.count_substring_regex(t[col], "[A-Za-z0-9_]+").cast(pa.int64())
+        return pa.table({id_col: t[id_col], "n_tok": n_tok})
+
+    thin = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    lo = int(thin.min(id_col))
+    span = max(int(thin.max(id_col)) - lo + 1, 1)
+
+    def tag_range(t: pa.Table) -> pa.Table:
+        ids = _i64(t[id_col])
+        part = ((ids - lo) * num_ranges) // span
+        return t.append_column("_rg", pa.array(part.astype(np.int64)))
+
+    tagged = thin.map_batches(tag_range, batch_format="pyarrow").materialize()
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    sums = grouped_arrow_aggregate(tagged, "_rg", [("n_tok", "sum")], ["s"]).to_pandas()
+    sums = sums.sort_values("_rg")
+    starts = np.concatenate([[0], np.cumsum(sums["s"].to_numpy(np.int64))])[:-1]
+    range_off = dict(zip(sums["_rg"].astype(np.int64), starts))
+
+    def assign(g: pa.Table) -> pa.Table:
+        ids = _i64(g[id_col])
+        n_tok = _i64(g["n_tok"])
+        rg = int(g["_rg"][0].as_py())
+        order = np.argsort(ids, kind="stable")
+        ids, n_tok = ids[order], n_tok[order]
+        tok_start = range_off[rg] + np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+        seq_first = tok_start // budget
+        seq_last = (tok_start + np.maximum(n_tok, 1) - 1) // budget
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_tok": pa.array(n_tok, pa.int64()),
+                "tok_start": pa.array(tok_start, pa.int64()),
+                "seq_first": pa.array(seq_first, pa.int64()),
+                "seq_last": pa.array(seq_last, pa.int64()),
+                "off_in_seq": pa.array(tok_start % budget, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("_rg").map_groups(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # exact distributed quantiles (value-histogram method)
 
 def grouped_quantiles(ds, group_col: str, value_col: str,

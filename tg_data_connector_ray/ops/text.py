@@ -219,6 +219,107 @@ def winnow_fingerprints_batch(
     )
 
 
+# PII patterns, RE2 syntax shared verbatim with the DuckDB oracle (both
+# engines are RE2, so match semantics are identical by construction)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9][0-9 ]{4,}[0-9]"
+
+
+def pii_scrub_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """PII redaction: emails -> <EMAIL>, IPv4 -> <IP>, +phone -> <PHONE>,
+    applied in that fixed order (counts taken against the text each
+    pattern actually sees, so engine and oracle agree even when patterns
+    could overlap).  All Arrow RE2 kernels; replacement tokens contain no
+    digits/@ so later patterns cannot match inside earlier redactions.
+    Appends clean_text, n_email, n_ip, n_phone."""
+    s = batch[col]
+    n_email = pc.count_substring_regex(s, EMAIL_RE).cast(pa.int64())
+    s1 = pc.replace_substring_regex(s, EMAIL_RE, "<EMAIL>")
+    n_ip = pc.count_substring_regex(s1, IPV4_RE).cast(pa.int64())
+    s2 = pc.replace_substring_regex(s1, IPV4_RE, "<IP>")
+    n_phone = pc.count_substring_regex(s2, PHONE_RE).cast(pa.int64())
+    s3 = pc.replace_substring_regex(s2, PHONE_RE, "<PHONE>")
+    out = batch
+    for name, arr in [
+        ("clean_text", s3),
+        ("n_email", n_email),
+        ("n_ip", n_ip),
+        ("n_phone", n_phone),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
+def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition metrics per document: top2_frac_u6 = share
+    of bigram slots taken by the single most frequent bigram, dup3_frac_u6
+    = share of trigram slots whose trigram occurs more than once (both u6
+    integers, round-even — the repo's float<->oracle convention).
+
+    Vectorized: tokens int-coded once per batch (np.unique), n-grams are
+    adjacent id tuples counted with one lexsort + run-length pass per
+    order (no gram strings are ever built), per-doc max/sum via reduceat
+    over doc-grouped runs.  Appends n_tok, top2_frac_u6, dup3_frac_u6."""
+    from .corpus import _tokens_flat
+
+    n = batch.num_rows
+    flat, offs = _tokens_flat(batch[col].to_pylist())
+    counts = np.diff(offs)
+    if len(flat):
+        _, tid = np.unique(flat, return_inverse=True)
+    else:
+        tid = np.zeros(0, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], counts)
+
+    def gram_runs(order_n: int):
+        """(doc, run_count) pairs for adjacent `order_n`-gram runs."""
+        if len(flat) < order_n:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        valid = (pos < np.repeat(counts - (order_n - 1), counts))[: len(flat) - (order_n - 1)]
+        cols = [tid[i : len(tid) - (order_n - 1) + i][valid] for i in range(order_n)]
+        d = doc_of[: len(flat) - (order_n - 1)][valid]
+        if not len(d):
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        order = np.lexsort(tuple(reversed(cols)) + (d,))
+        d = d[order]
+        cols = [c[order] for c in cols]
+        diff = d[1:] != d[:-1]
+        for c in cols:
+            diff |= c[1:] != c[:-1]
+        first = np.concatenate([[True], diff])
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.append(starts, len(d)))
+        return d[first], cnt
+
+    def per_doc(gd, cnt, reduce_fn):
+        out = np.zeros(n, dtype=np.int64)
+        if len(gd):
+            doc_first = np.concatenate([[True], gd[1:] != gd[:-1]])
+            starts = np.nonzero(doc_first)[0]
+            out[gd[doc_first]] = reduce_fn(cnt, starts)
+        return out
+
+    g2d, g2c = gram_runs(2)
+    top2 = per_doc(g2d, g2c, np.maximum.reduceat)
+    n2 = np.maximum(counts - 1, 0)
+    g3d, g3c = gram_runs(3)
+    dup3 = per_doc(g3d, np.where(g3c > 1, g3c, 0), np.add.reduceat)
+    n3 = np.maximum(counts - 2, 0)
+
+    top2_u6 = np.round(1e6 * top2 / np.maximum(n2, 1)).astype(np.int64)
+    dup3_u6 = np.round(1e6 * dup3 / np.maximum(n3, 1)).astype(np.int64)
+    out = batch
+    for name, arr in [
+        ("n_tok", pa.array(counts, pa.int64())),
+        ("top2_frac_u6", pa.array(top2_u6, pa.int64())),
+        ("dup3_frac_u6", pa.array(dup3_u6, pa.int64())),
+    ]:
+        out = out.append_column(name, arr)
+    return out
+
+
 def simhash64(tokens: "list[str]") -> int:
     """64-bit SimHash over token md5s (deterministic across processes)."""
     if not tokens:
