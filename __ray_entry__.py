@@ -137,6 +137,36 @@ def _run_cdc_snapshot(sf_dir: str):
     return final_table_arrow(cfg, sort=True)
 
 
+def _run_cdc_compact(sf_dir: str):
+    """Compaction GC through the driver surface: full t2 replay into a
+    dedicated state dir, then `compact(retention=0)` must drop EVERY
+    tombstone while leaving live rows and per-key LSN watermarks intact.
+    The query reads the raw post-compaction state with NO live filter —
+    any surviving tombstone (or a corrupted watermark) shows up as a
+    row/hash mismatch against the window-SQL merge + max(lsn) oracle."""
+    import pyarrow.dataset as pads
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        _state_parquet_paths,
+        apply_cdc,
+        compact,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2compact")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    compact(cfg, tombstone_retention_lsn=0)
+
+    t = pads.dataset(_state_parquet_paths(cfg)).to_table(
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "_lsn"]
+    )
+    t = t.rename_columns(["conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn_wm"])
+    return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
 def entry() -> Any:
     return _run_cdc("/root/testdata/sf0.001")
 
@@ -574,6 +604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_evo": _run_cdc_evo,
         "cdc_replay_incremental": _run_cdc_incremental,
         "cdc_replay_snapshot": _run_cdc_snapshot,
+        "cdc_compact": _run_cdc_compact,
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
@@ -626,7 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-def _cdc_oracle_sql(tier: str, with_snapshot: bool = False) -> str:
+def _cdc_oracle_sql(tier: str, with_snapshot: bool = False, with_watermark: bool = False) -> str:
     """Independent DuckDB reconstruction of the CDC merge contract, straight
     from the event-log parquet (no engine code in the loop):
 
@@ -655,6 +686,7 @@ def _cdc_oracle_sql(tier: str, with_snapshot: bool = False) -> str:
           SELECT 0 AS lsn, 'I' AS op, conv_id, CAST(turn_idx AS INTEGER),
                  role, text, tool, ts
           FROM read_parquet('{snap}')"""
+    wm_col = ", k.lsn_wm AS lsn_wm" if with_watermark else ""
     return f"""
         WITH raw AS (
           SELECT *,
@@ -666,6 +698,7 @@ def _cdc_oracle_sql(tier: str, with_snapshot: bool = False) -> str:
         ), keyinfo AS (
           SELECT conv_id, turn_idx,
                  arg_max(op, lsn) AS last_op,
+                 CAST(max(lsn) AS BIGINT) AS lsn_wm,
                  coalesce(max(CASE WHEN op IN ('I','D') THEN lsn END), -1) AS seg_lsn
           FROM ev GROUP BY conv_id, turn_idx
         ), win AS (
@@ -679,7 +712,7 @@ def _cdc_oracle_sql(tier: str, with_snapshot: bool = False) -> str:
           GROUP BY e.conv_id, e.turn_idx
         )
         SELECT k.conv_id, k.turn_idx,
-               er.role AS role, et.text AS text, eo.tool AS tool, es.ts AS ts
+               er.role AS role, et.text AS text, eo.tool AS tool, es.ts AS ts{wm_col}
         FROM keyinfo k
         JOIN win w ON w.conv_id = k.conv_id AND w.turn_idx = k.turn_idx
         LEFT JOIN ev er ON er.conv_id = k.conv_id AND er.turn_idx = k.turn_idx AND er.lsn = w.l_role
@@ -722,6 +755,7 @@ def oracle_sql() -> dict[str, str]:
         # flagship: full replay vs an independent window-SQL reconstruction
         # of the merge contract over the same deterministic event log
         "cdc_replay": _cdc_oracle_sql("t2"),
+        "cdc_compact": _cdc_oracle_sql("t2", with_watermark=True),
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
         # snapshot bootstrap: the same merge contract over the union of
