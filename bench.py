@@ -79,7 +79,15 @@ def run_cdc_bench() -> dict:
     import tg_data_connector_ray.cdc.merge  # noqa: F401
 
     def _touch(b):
+        # preload every hot module once per worker (a long-lived cluster's
+        # workers are warm; without this the first query on each worker
+        # times import+deserialize, not the operator)
         import tg_data_connector_ray.cdc.merge  # noqa: F401
+        import tg_data_connector_ray.ops.corpus  # noqa: F401
+        import tg_data_connector_ray.ops.dedup  # noqa: F401
+        import tg_data_connector_ray.ops.similarity  # noqa: F401
+        import tg_data_connector_ray.ops.text  # noqa: F401
+        import tg_data_connector_ray.pipelines.relational  # noqa: F401
         return b
 
     ray.data.read_parquet(files).map_batches(
@@ -121,6 +129,11 @@ def run_query_bench() -> dict:
         "ngram_jaccard",
         "events_sessionize",
         "docs_prep_pipeline",
+        # round 3 corpus analytics: TF-IDF ranking, sequence packing,
+        # histogram quantiles
+        "text_tfidf",
+        "docs_pack_sequences",
+        "events_quantiles",
     ]
     out = {}
     for name in sample:
