@@ -465,6 +465,30 @@ def _docs_pack_sequences(sf_dir):
     return pack_sequences(_docs(sf_dir).select_columns(["doc_id", "text"]), budget=2048)
 
 
+def _events_user_hll(sf_dir):
+    """HyperLogLog register table (event_type, bucket, reg): md5-derived
+    integer registers, so the oracle reconstructs the sketch state
+    bit-exactly in SQL; the float estimate stays a pytest-verified
+    helper."""
+    from tg_data_connector_ray.ops.sketches import hll_registers
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return hll_registers(ds, "event_type", "user_id")
+
+
+def _events_distinct_users(sf_dir):
+    from tg_data_connector_ray.ops.sketches import grouped_distinct_count
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return grouped_distinct_count(ds, "event_type", "user_id", out_name="n_users")
+
+
 def _text_quality(sf_dir):
     from tg_data_connector_ray.ops.text import quality_batch
 
@@ -650,6 +674,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _docs_repetition,
         "docs_pack_sequences": _docs_pack_sequences,
         "events_quantiles": _events_quantiles,
+        "events_user_hll": _events_user_hll,
+        "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
         "docs_hash_split": _docs_hash_split,
         # --- CSV source/sink parity ---
@@ -1234,6 +1260,32 @@ def oracle_sql() -> dict[str, str]:
                    (tok_start + greatest(n_tok, 1) - 1) // 2048 AS seq_last,
                    tok_start % 2048 AS off_in_seq
             FROM c
+        """,
+
+        "events_user_hll": """
+            WITH u AS (
+              SELECT DISTINCT event_type, user_id FROM events
+            ), h AS (
+              SELECT event_type, md5('hll:' || CAST(user_id AS VARCHAR)) AS hx
+              FROM u
+            ), x AS (
+              SELECT event_type,
+                CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS BIGINT) AS bucket,
+                list_aggregate(list_transform(range(3, 17), i ->
+                  substr('0000000100100011010001010110011110001001101010111100110111101111',
+                         (strpos('0123456789abcdef', substr(hx, i, 1)) - 1) * 4 + 1, 4)),
+                  'string_agg', '') AS binstr
+              FROM h
+            )
+            SELECT event_type, bucket,
+                   CAST(max(CASE WHEN strpos(binstr, '1') = 0 THEN 57
+                                 ELSE strpos(binstr, '1') END) AS BIGINT) AS reg
+            FROM x GROUP BY event_type, bucket
+        """,
+        "events_distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "events_quantiles": """
             SELECT event_type,
