@@ -465,6 +465,14 @@ def _docs_pack_sequences(sf_dir):
     return pack_sequences(_docs(sf_dir).select_columns(["doc_id", "text"]), budget=2048)
 
 
+def _revenue_by_nation(sf_dir):
+    """Four-table join breadth: lineitem JOIN orders (partitioned hash
+    join) -> broadcast custkey->nation lookup -> nation revenue."""
+    from tg_data_connector_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -674,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _docs_repetition,
         "docs_pack_sequences": _docs_pack_sequences,
         "events_quantiles": _events_quantiles,
+        "revenue_by_nation": _revenue_by_nation,
         "events_user_hll": _events_user_hll,
         "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
@@ -1262,6 +1271,17 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
 
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_u,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
         "events_user_hll": """
             WITH u AS (
               SELECT DISTINCT event_type, user_id FROM events

@@ -312,3 +312,26 @@ def test_grouped_arrow_aggregate_parity_random():
     # distinct over string key; n_coarse >> distinct values
     got3 = sorted(distinct_rows(ds, "sk", n_coarse=1024).to_pandas()["sk"])
     assert got3 == sorted(df["sk"].unique())
+
+
+def test_revenue_by_nation_matches_duckdb(ray_session):
+    import duckdb
+
+    from tg_data_connector_ray.pipelines.relational import revenue_by_nation
+
+    sf = "/root/testdata/sf0.001"
+    got = revenue_by_nation(sf).reset_index(drop=True)
+    exp = duckdb.sql(
+        f"""
+        SELECT n.n_name,
+               CAST(sum(CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0)
+                    AS BIGINT)) AS BIGINT) AS revenue_u,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM '{sf}/lineitem.parquet' l
+        JOIN '{sf}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        JOIN '{sf}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        JOIN '{sf}/nation.parquet' n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+        """
+    ).df()
+    assert got.equals(exp.reset_index(drop=True))

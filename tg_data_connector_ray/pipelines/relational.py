@@ -876,3 +876,75 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
         .sort_values(["user_id", "sess_id"])
         .reset_index(drop=True)
     )
+
+
+class _NationOfCustomer(BroadcastLookup):
+    """custkey -> nation name, composed once per actor in __init__ by
+    folding the 25-row nation table into the customer dimension (two
+    small reads from shared storage; the composed dim is what broadcasts,
+    so the per-batch work stays one index_in + take)."""
+
+    def __init__(self, cust_path: str, nation_path: str):
+        import pyarrow.parquet as pq
+
+        cust = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
+        nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+        idx = pc.index_in(cust["c_nationkey"].combine_chunks(),
+                          value_set=nation["n_nationkey"].combine_chunks())
+        self.keys = cust["c_custkey"].combine_chunks()
+        self.vals = nation["n_name"].combine_chunks().take(idx)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        name = self.lookup(t["o_custkey"])
+        g = (
+            pa.table({"n_name": name, "revenue_u": t["revenue_u"]})
+            .group_by("n_name")
+            .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
+        )
+        return g.rename_columns(["n_name", "revenue_u", "n_items"])
+
+
+def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
+    """Four-table join: lineitem JOIN orders (both large: partitioned
+    hash join on orderkey — the one real shuffle) -> customer/nation
+    folded to a broadcast custkey->n_name lookup -> per-batch Arrow
+    partials -> driver merge of |nations| x blocks tiny rows.  Revenue
+    is the u6 integer convention (round-even per item), so the DuckDB
+    oracle sums the identical integers."""
+    items = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        rev_u = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(1e6),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "revenue_u": rev_u})
+
+    thin_items = items.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    thin_orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(thin_items, thin_orders, on="l_orderkey", num_buckets=num_buckets)
+
+    partials = joined.map_batches(
+        _NationOfCustomer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_kwargs={
+            "cust_path": _t(sf_dir, "customer"),
+            "nation_path": _t(sf_dir, "nation"),
+        },
+    ).to_pandas()
+    df = partials.groupby("n_name", as_index=False).agg(
+        revenue_u=("revenue_u", "sum"), n_items=("n_items", "sum")
+    )
+    return df.sort_values("n_name").reset_index(drop=True)
