@@ -473,6 +473,18 @@ def _revenue_by_nation(sf_dir):
     return revenue_by_nation(sf_dir)
 
 
+def _orders_without_lineitems(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import orders_without_lineitems
+
+    return orders_without_lineitems(sf_dir)
+
+
+def _events_rolling_sum(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_rolling_sum
+
+    return events_rolling_sum(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -683,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_sequences": _docs_pack_sequences,
         "events_quantiles": _events_quantiles,
         "revenue_by_nation": _revenue_by_nation,
+        "orders_without_lineitems": _orders_without_lineitems,
+        "events_rolling_sum": _events_rolling_sum,
         "events_user_hll": _events_user_hll,
         "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
@@ -1281,6 +1295,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "orders_without_lineitems": """
+            SELECT o_orderkey,
+                   CAST(round_even(o_totalprice * 1e6, 0) AS BIGINT) AS total_u
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """,
+        "events_rolling_sum": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round_even(value * 1e6, 0) AS BIGINT) AS vu
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   CAST(sum(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_u
+            FROM e
         """,
         "events_user_hll": """
             WITH u AS (

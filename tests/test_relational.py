@@ -335,3 +335,46 @@ def test_revenue_by_nation_matches_duckdb(ray_session):
         """
     ).df()
     assert got.equals(exp.reset_index(drop=True))
+
+
+def test_anti_join_and_rolling_window(ray_session):
+    import duckdb
+
+    from tg_data_connector_ray.pipelines.relational import (
+        events_rolling_sum,
+        orders_without_lineitems,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        orders_without_lineitems(sf)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT o_orderkey, CAST(round_even(o_totalprice*1e6, 0) AS BIGINT) AS total_u
+            FROM '{sf}/orders.parquet' o
+            WHERE NOT EXISTS (SELECT 1 FROM '{sf}/lineitem.parquet' l
+                              WHERE l.l_orderkey = o.o_orderkey)
+            ORDER BY o_orderkey"""
+    ).df()
+    assert got["o_orderkey"].tolist() == exp["o_orderkey"].tolist()
+    assert got["total_u"].tolist() == exp["total_u"].tolist()
+
+    roll = (
+        events_rolling_sum(sf, window=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp_r = duckdb.sql(
+        f"""WITH e AS (SELECT event_id, user_id, ts,
+                        CAST(round_even(value*1e6, 0) AS BIGINT) AS vu
+                 FROM '{sf}/events.parquet')
+            SELECT event_id,
+                   CAST(sum(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_u
+            FROM e ORDER BY event_id"""
+    ).df()
+    assert roll["roll_u"].tolist() == exp_r["roll_u"].tolist()

@@ -258,7 +258,14 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
 
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g["_side"], "l")
-        l = g.filter(lmask).select(left_cols).to_pandas()
+        l_tbl = g.filter(lmask).select(left_cols)
+        if how == "anti":
+            # left rows whose key never appears on the right: one Arrow
+            # is_in per bucket, no pandas round-trip, left schema intact
+            rkeys = g.filter(pc.invert(lmask))[on].combine_chunks()
+            keep = pc.invert(pc.is_in(l_tbl[on], value_set=rkeys.unique()))
+            return l_tbl.filter(pc.fill_null(keep, True))
+        l = l_tbl.to_pandas()
         r = g.filter(pc.invert(lmask)).select(right_cols).to_pandas()
         out = l.merge(r, on=on, how=how)
         return pa.table(
@@ -948,3 +955,67 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
         revenue_u=("revenue_u", "sum"), n_items=("n_items", "sum")
     )
     return df.sort_values("n_name").reset_index(drop=True)
+
+
+def events_rolling_sum(sf_dir: str, window: int = 3):
+    """Per-key rolling window aggregate (the stream-shaped sliding window
+    over an ordered key partition): rolling sum of the last `window`
+    values per user, ordered by (ts, event_id).  Same coarse-group shape
+    as sessionize — ONE shuffle co-locates each user's rows, each group
+    call windows ~(users / 64) users in one vectorized pass: prefix sums
+    + a clamped lower-bound gather, no per-user dispatch.  Integer u6
+    values so the SQL window oracle sums identical integers."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_coarse = 64
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), n_coarse - 1), pa.int32()
+        )
+        return t.append_column("_cg", cg)
+
+    def roll_block(g: pa.Table) -> pa.Table:
+        user = _np_i64(g["user_id"])
+        eid = _np_i64(g["event_id"])
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        val = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, user))
+        user, eid, val = user[order], eid[order], np.round(val[order] * 1e6).astype(np.int64)
+        n = len(user)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+        c = np.cumsum(val)
+        lb = np.maximum(user_start, idx - window + 1)
+        roll = c - np.where(lb > 0, c[np.maximum(lb - 1, 0)], 0)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "user_id": pa.array(user, pa.int64()),
+                "roll_u": pa.array(roll, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(roll_block, batch_format="pyarrow")
+    )
+
+
+def orders_without_lineitems(sf_dir: str):
+    """Anti join, both sides large: orders whose key never appears in
+    lineitem (the fact-table integrity sweep).  Same bucketed exchange as
+    hash_join; the per-bucket body is one Arrow is_in — no pandas."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tot(t: pa.Table) -> pa.Table:
+        tu = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(1e6))), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"], "total_u": tu})
+
+    thin_orders = orders.map_batches(tot, batch_format="pyarrow", zero_copy_batch=True)
+    item_keys = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_join(thin_orders, item_keys, on="o_orderkey", how="anti")
