@@ -167,6 +167,47 @@ def _run_cdc_compact(sf_dir: str):
     return t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
 
 
+def _run_cdc_dirty(sf_dir: str):
+    """Dirty-channel contract through the driver surface: the F5 edge
+    corpus (bad op, negative/null turn_idx, null conv_id, unparseable ts,
+    nullFormat text on an insert) replays with null_format active; dirty
+    rows route to the side-output and the converged table must equal the
+    merge contract over an INDEPENDENT SQL reconstruction of the validity
+    rules (normalize.py flag order; only combined validity matters for
+    the surviving table)."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+    from tg_data_connector_ray.fixtures import write_dirty_fixture
+
+    fx = write_dirty_fixture(_FIXTURE_CACHE)
+    out = os.path.join(_CDC_OUT, "t5dirty")
+    cfg = CdcConfig(out_dir=out, num_partitions=4, null_format="\\N")
+    apply_cdc(fx["cdc_log"], cfg)
+    return final_table_arrow(cfg, sort=True)
+
+
+def _cdc_dirty_oracle_sql() -> str:
+    from tg_data_connector_ray.fixtures import write_dirty_fixture
+
+    fx = write_dirty_fixture(_FIXTURE_CACHE)
+    glob = os.path.join(fx["cdc_log"], "*.parquet")
+    src = f"""SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts FROM (
+            SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role,
+                   CASE WHEN text = '\\N' THEN NULL ELSE text END AS text, tool,
+                   CAST(try_strptime(ts,
+                     ['%Y-%m-%d %H:%M:%S', '%Y-%m-%d', '%H:%M:%S']) AS TIMESTAMP)
+                     AS ts,
+                   ts AS ts_raw
+            FROM read_parquet('{glob}')
+          ) WHERE op IN ('I', 'U', 'D')
+            AND conv_id IS NOT NULL
+            AND turn_idx IS NOT NULL AND turn_idx >= 0
+            AND lsn IS NOT NULL
+            AND NOT (ts_raw IS NOT NULL AND ts IS NULL)
+            AND NOT (op = 'I' AND text IS NULL)"""
+    return _merge_contract_sql(src)
+
+
 def entry() -> Any:
     return _run_cdc("/root/testdata/sf0.001")
 
@@ -649,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_incremental": _run_cdc_incremental,
         "cdc_replay_snapshot": _run_cdc_snapshot,
         "cdc_compact": _run_cdc_compact,
+        "cdc_dirty_replay": _run_cdc_dirty,
         # --- CDC-flavored merge + stream windows over the events table ---
         "cdc_merge_events": R.cdc_merge_events,
         "events_hourly_window": R.events_hourly_window,
@@ -735,6 +777,13 @@ def _cdc_oracle_sql(tier: str, with_snapshot: bool = False, with_watermark: bool
           SELECT 0 AS lsn, 'I' AS op, conv_id, CAST(turn_idx AS INTEGER),
                  role, text, tool, ts
           FROM read_parquet('{snap}')"""
+    return _merge_contract_sql(src, with_watermark=with_watermark)
+
+
+def _merge_contract_sql(src: str, with_watermark: bool = False) -> str:
+    """The window-SQL merge contract over an arbitrary event source
+    (shared by every CDC oracle; `src` must yield lsn, op, conv_id,
+    turn_idx, role, text, tool, ts)."""
     wm_col = ", k.lsn_wm AS lsn_wm" if with_watermark else ""
     return f"""
         WITH raw AS (
@@ -805,6 +854,7 @@ def oracle_sql() -> dict[str, str]:
         # of the merge contract over the same deterministic event log
         "cdc_replay": _cdc_oracle_sql("t2"),
         "cdc_compact": _cdc_oracle_sql("t2", with_watermark=True),
+        "cdc_dirty_replay": _cdc_dirty_oracle_sql(),
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
         # snapshot bootstrap: the same merge contract over the union of

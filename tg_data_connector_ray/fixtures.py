@@ -477,3 +477,18 @@ def write_snapshot(root: str, tier: str) -> str:
     )
     atomic_write_parquet(path, pa.concat_tables([drift, extra]))
     return path
+
+
+def write_dirty_fixture(root: str) -> dict:
+    """Materialize the F5 dirty/edge corpus as a one-file CDC log tier
+    (`root/t5dirty/cdc_log/`); cached + deterministic like write_fixture."""
+    d = os.path.join(root, "t5dirty")
+    done = os.path.join(d, "_DONE")
+    out = {"dir": d, "cdc_log": os.path.join(d, "cdc_log")}
+    if os.path.exists(done):
+        return out
+    os.makedirs(out["cdc_log"], exist_ok=True)
+    pq.write_table(make_dirty_log(), os.path.join(out["cdc_log"], "evt-0000.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
