@@ -526,6 +526,12 @@ def _events_rolling_sum(sf_dir):
     return events_rolling_sum(sf_dir)
 
 
+def _events_rollup(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_rollup
+
+    return events_rollup(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -739,6 +745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _revenue_by_nation,
         "orders_without_lineitems": _orders_without_lineitems,
         "events_rolling_sum": _events_rolling_sum,
+        "events_rollup": _events_rollup,
         "events_user_hll": _events_user_hll,
         "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
@@ -1362,6 +1369,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vu) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_u
             FROM e
+        """,
+        "events_rollup": """
+            WITH b AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(round_even(value * 1e6, 0) AS BIGINT) AS vu
+              FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vu) AS BIGINT) AS sum_u
+            FROM b GROUP BY ROLLUP(event_type, day)
         """,
         "events_user_hll": """
             WITH u AS (

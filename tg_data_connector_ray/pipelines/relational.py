@@ -1019,3 +1019,41 @@ def orders_without_lineitems(sf_dir: str):
         zero_copy_batch=True,
     )
     return hash_join(thin_orders, item_keys, on="o_orderkey", how="anti")
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP-style grouping sets — (event_type, day), (event_type), ()
+    with 'ALL' sentinels: the finest level is the one distributed
+    aggregate (coarse-bucket, partials shuffle); the coarser levels fold
+    FROM level-1's tiny output (types x days rows), never re-reading the
+    input — the standard rollup-from-finest-grain plan."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        vu = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "day": day, "vu": vu})
+            .group_by(["event_type", "day"])
+            .aggregate([("vu", "sum"), ("vu", "count")])
+        )
+        return g.rename_columns(["event_type", "day", "sum_u", "n"])
+
+    lvl1 = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        ["event_type", "day"],
+        [("sum_u", "sum"), ("n", "sum")],
+        ["sum_u", "n"],
+    ).to_pandas()
+    lvl2 = (
+        lvl1.groupby("event_type", as_index=False)[["sum_u", "n"]].sum().assign(day="ALL")
+    )
+    lvl3 = pd.DataFrame(
+        [{"event_type": "ALL", "day": "ALL", "sum_u": lvl1["sum_u"].sum(), "n": lvl1["n"].sum()}]
+    )
+    out = pd.concat([lvl1, lvl2, lvl3], ignore_index=True)[
+        ["event_type", "day", "n", "sum_u"]
+    ]
+    out["n"] = out["n"].astype("int64")
+    out["sum_u"] = out["sum_u"].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)
