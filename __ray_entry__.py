@@ -532,6 +532,18 @@ def _events_rollup(sf_dir):
     return events_rollup(sf_dir)
 
 
+def _revenue_by_region(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import revenue_by_region
+
+    return revenue_by_region(sf_dir)
+
+
+def _promo_revenue_ratio(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import promo_revenue_ratio
+
+    return promo_revenue_ratio(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -746,6 +758,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems": _orders_without_lineitems,
         "events_rolling_sum": _events_rolling_sum,
         "events_rollup": _events_rollup,
+        "revenue_by_region": _revenue_by_region,
+        "promo_revenue_ratio": _promo_revenue_ratio,
         "events_user_hll": _events_user_hll,
         "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
@@ -1381,6 +1395,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(vu) AS BIGINT) AS sum_u
             FROM b GROUP BY ROLLUP(event_type, day)
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name,
+                   CAST(sum(CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_u,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "promo_revenue_ratio": """
+            WITH b AS (
+              SELECT CAST(round_even(l_extendedprice*(1-l_discount)*1e6, 0) AS BIGINT) AS rev_u,
+                     p.p_type = 'PROMO' AS is_promo
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            )
+            SELECT CAST(sum(CASE WHEN is_promo THEN rev_u ELSE 0 END) AS BIGINT) AS promo_u,
+                   CAST(sum(rev_u) AS BIGINT) AS total_u,
+                   CAST(round_even(1e6 * sum(CASE WHEN is_promo THEN rev_u ELSE 0 END)
+                        / greatest(sum(rev_u), 1), 0) AS BIGINT) AS ratio_u6
+            FROM b
         """,
         "events_user_hll": """
             WITH u AS (

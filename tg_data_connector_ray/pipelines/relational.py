@@ -1057,3 +1057,110 @@ def events_rollup(sf_dir: str):
     out["n"] = out["n"].astype("int64")
     out["sum_u"] = out["sum_u"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+class _RegionOfSupplier(BroadcastLookup):
+    """suppkey -> region name: THREE dimension tables (supplier -> nation
+    -> region) folded into one broadcast lookup at actor init — the
+    snowflake-to-star collapse a planner does before a broadcast join."""
+
+    def __init__(self, supp_path: str, nation_path: str, region_path: str):
+        import pyarrow.parquet as pq
+
+        supp = pq.read_table(supp_path, columns=["s_suppkey", "s_nationkey"])
+        nation = pq.read_table(nation_path, columns=["n_nationkey", "n_regionkey"])
+        region = pq.read_table(region_path, columns=["r_regionkey", "r_name"])
+        n_idx = pc.index_in(supp["s_nationkey"].combine_chunks(),
+                            value_set=nation["n_nationkey"].combine_chunks())
+        rkey = nation["n_regionkey"].combine_chunks().take(n_idx)
+        r_idx = pc.index_in(rkey, value_set=region["r_regionkey"].combine_chunks())
+        self.keys = supp["s_suppkey"].combine_chunks()
+        self.vals = region["r_name"].combine_chunks().take(r_idx)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rname = self.lookup(t["l_suppkey"])
+        rev_u = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(1e6),
+                )
+            ),
+            pa.int64(),
+        )
+        g = (
+            pa.table({"r_name": rname, "revenue_u": rev_u})
+            .group_by("r_name")
+            .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
+        )
+        return g.rename_columns(["r_name", "revenue_u", "n_items"])
+
+
+def revenue_by_region(sf_dir: str):
+    """lineitem -> supplier's region revenue: snowflake dims folded to one
+    broadcast lookup, per-block Arrow partials, bounded driver merge."""
+    items = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    partials = items.map_batches(
+        _RegionOfSupplier,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_kwargs={
+            "supp_path": _t(sf_dir, "supplier"),
+            "nation_path": _t(sf_dir, "nation"),
+            "region_path": _t(sf_dir, "region"),
+        },
+    ).to_pandas()
+    df = partials.groupby("r_name", as_index=False).agg(
+        revenue_u=("revenue_u", "sum"), n_items=("n_items", "sum")
+    )
+    return df.sort_values("r_name").reset_index(drop=True)
+
+
+class _PromoShare(BroadcastLookup):
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ptype = self.lookup(t["l_partkey"])
+        rev_u = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(1e6),
+                )
+            ),
+            pa.int64(),
+        )
+        promo = pc.fill_null(pc.equal(ptype, "PROMO"), False)
+        promo_u = pc.sum(rev_u.filter(promo)).as_py() or 0
+        total_u = pc.sum(rev_u).as_py() or 0
+        return pa.table(
+            {
+                "promo_u": pa.array([promo_u], pa.int64()),
+                "total_u": pa.array([total_u], pa.int64()),
+            }
+        )
+
+
+def promo_revenue_ratio(sf_dir: str):
+    """Q14-flavor: share of revenue from PROMO-type parts — broadcast
+    p_type lookup, two-integer partials per block, one-row result whose
+    ratio is re-derived from the exact integer sums on both sides."""
+    items = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    partials = items.map_batches(
+        _PromoShare,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        fn_constructor_kwargs={
+            "dim_path": _t(sf_dir, "part"),
+            "key": "p_partkey",
+            "value": "p_type",
+        },
+    ).to_pandas()
+    promo_u = int(partials["promo_u"].sum())
+    total_u = int(partials["total_u"].sum())
+    ratio_u6 = int(np.round(1e6 * promo_u / max(total_u, 1)))
+    return pd.DataFrame(
+        [{"promo_u": promo_u, "total_u": total_u, "ratio_u6": ratio_u6}]
+    )
