@@ -544,6 +544,18 @@ def _promo_revenue_ratio(sf_dir):
     return promo_revenue_ratio(sf_dir)
 
 
+def _users_in_both(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import users_in_both
+
+    return users_in_both(sf_dir)
+
+
+def _users_heavy_tail(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import users_heavy_tail
+
+    return users_heavy_tail(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -760,6 +772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _events_rollup,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
+        "users_in_both": _users_in_both,
+        "users_heavy_tail": _users_heavy_tail,
         "events_user_hll": _events_user_hll,
         "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
@@ -1418,6 +1432,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round_even(1e6 * sum(CASE WHEN is_promo THEN rev_u ELSE 0 END)
                         / greatest(sum(rev_u), 1), 0) AS BIGINT) AS ratio_u6
             FROM b
+        """,
+        "users_in_both": """
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        """,
+        "users_heavy_tail": """
+            WITH a AS (
+              SELECT user_id,
+                     CAST(sum(CAST(round_even(value*1e6, 0) AS BIGINT)) AS BIGINT) AS sum_u,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(max(CAST(round_even(value*1e6, 0) AS BIGINT)) AS BIGINT) AS max_u
+              FROM events GROUP BY user_id
+            )
+            SELECT user_id, sum_u, n, max_u FROM a WHERE max_u * n > sum_u * 2
         """,
         "events_user_hll": """
             WITH u AS (

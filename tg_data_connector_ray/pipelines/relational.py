@@ -1164,3 +1164,65 @@ def promo_revenue_ratio(sf_dir: str):
     return pd.DataFrame(
         [{"promo_u": promo_u, "total_u": total_u, "ratio_u6": ratio_u6}]
     )
+
+
+def users_in_both(sf_dir: str, type_a: str = "view", type_b: str = "purchase"):
+    """Set intersection: users with BOTH event types — per-type distinct
+    user sets (coarse-bucket distinct, thin pairs shuffle) intersected
+    with one Arrow is_in per bucket via the anti-join machinery inverted
+    (inner semi join on the distinct sets)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def pick(tp):
+        return distinct_rows(
+            ds.map_batches(
+                lambda t, tp=tp: pa.table(
+                    {"user_id": t.filter(pc.equal(t["event_type"], tp))["user_id"]}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["user_id"],
+        )
+
+    a, b = pick(type_a), pick(type_b)
+    bt = b.to_pandas()  # bounded: distinct users of one type
+    bset = pa.array(bt["user_id"].to_numpy(np.int64))
+
+    def semi(t: pa.Table) -> pa.Table:
+        keep = pc.fill_null(pc.is_in(t["user_id"], value_set=bset), False)
+        return t.filter(keep)
+
+    return a.map_batches(semi, batch_format="pyarrow")
+
+
+def users_heavy_tail(sf_dir: str, factor: int = 2):
+    """HAVING-style post-aggregate filter: users whose max event value
+    exceeds `factor` x their mean — one coarse-bucket aggregate of
+    (sum_u, n, max_u) partials, filter on exact integers (max_u * n >
+    factor * sum_u avoids float division entirely)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        vu = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table({"user_id": t["user_id"], "vu": vu})
+            .group_by("user_id")
+            .aggregate([("vu", "sum"), ("vu", "count"), ("vu", "max")])
+        )
+        return g.rename_columns(["user_id", "sum_u", "n", "max_u"])
+
+    agg = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
+        "user_id",
+        [("sum_u", "sum"), ("n", "sum"), ("max_u", "max")],
+        ["sum_u", "n", "max_u"],
+    )
+
+    def having(t: pa.Table) -> pa.Table:
+        keep = pc.greater(
+            pc.multiply(t["max_u"], t["n"]), pc.multiply(t["sum_u"], pa.scalar(factor))
+        )
+        return t.filter(keep)
+
+    return agg.map_batches(having, batch_format="pyarrow")
