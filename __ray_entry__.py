@@ -473,6 +473,8 @@ def _docs_pii_scrub(sf_dir):
         texts = np.array(t["text"].to_pylist(), dtype=object)
         m = ids % 5 == 0
         for i in np.nonzero(m)[0]:
+            if texts[i] is None:
+                continue  # SQL || propagates NULL; the seed must too
             d = int(ids[i])
             texts[i] = (
                 f"{texts[i]} contact u{d}@ex.com at 10.2.{d % 250}.7"

@@ -202,3 +202,44 @@ def test_pack_sequences_matches_serial(docs):
         got["tok_start"].to_numpy()[1:]
         == (got["tok_start"] + got["n_tok"]).to_numpy()[:-1]
     ).all()
+
+
+def test_degenerate_empty_corpus_paths():
+    """The zero-schema guards: an all-empty corpus returns typed empty
+    results instead of KeyError (grouped_arrow_aggregate's empty-input
+    caveat)."""
+    from tg_data_connector_ray.ops.corpus import (
+        grouped_quantiles,
+        tfidf_topk,
+        top_ngrams,
+    )
+
+    empty_docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["", None])})
+    )
+    tg = top_ngrams(empty_docs, k=5)
+    assert tg.num_rows == 0 and tg.column_names == ["ngram", "n"]
+    tf = tfidf_topk(empty_docs, k=2)
+    df = tf.to_pandas() if not isinstance(tf, pa.Table) else tf.to_pandas()
+    assert len(df) == 0 and "score_u" in df.columns
+
+    empty_ev = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.float64())})
+    )
+    q = grouped_quantiles(empty_ev, "k", "v", qs=(0.5,))
+    assert q.num_rows == 0 and q.column_names == ["k", "p50_u"]
+
+
+def test_anti_join_null_right_key_keeps_left_rows():
+    """NOT EXISTS semantics: a NULL key on the right must not eliminate
+    left rows (NULL = NULL is never true)."""
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "x": pa.array([10, 20, 30], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([2, None], pa.int64())})
+    )
+    out = hash_join(left, right, on="k", how="anti").to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 3]

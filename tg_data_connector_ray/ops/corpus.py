@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _TOKEN_RE, _i64
 
@@ -54,11 +55,22 @@ def bigram_counts_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     counts = np.diff(offs)
     pos = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], counts)
     valid = (pos < np.repeat(counts - 1, counts))[:-1]
-    a, b = flat[:-1][valid], flat[1:][valid]
-    grams = np.array([x + " " + y for x, y in zip(a, b)], dtype=object)
-    uniq, cnt = np.unique(grams, return_counts=True)
+    # int-code tokens once; count (a, b) id pairs with one lexsort +
+    # run-length pass and materialize strings only for the UNIQUE pairs
+    # that survive counting (no per-occurrence Python string building)
+    vocab, tid = np.unique(flat, return_inverse=True)
+    a, b = tid[:-1][valid], tid[1:][valid]
+    if not len(a):
+        return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+    starts = np.nonzero(first)[0]
+    cnt = np.diff(np.append(starts, len(a)))
+    ua, ub = vocab[a[first]], vocab[b[first]]
+    grams = np.array([x + " " + y for x, y in zip(ua, ub)], dtype=object)
     return pa.table(
-        {"ngram": pa.array(uniq, pa.string()), "n": pa.array(cnt, pa.int64())}
+        {"ngram": pa.array(grams, pa.string()), "n": pa.array(cnt, pa.int64())}
     )
 
 
@@ -86,6 +98,8 @@ def top_ngrams(ds, k: int = 50, col: str = "text"):
         )
 
     head = total.map_batches(bucket_topk, batch_format="pyarrow").to_pandas()
+    if head.empty:  # degenerate corpus: no bigram anywhere (zero-schema guard)
+        return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     head = head.sort_values(["n", "ngram"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(head.reset_index(drop=True), preserve_index=False)
 
@@ -125,10 +139,11 @@ def term_freq_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
 # Below this many distinct terms the DF table is gathered once and rides
 # to scoring tasks in the (object-store-cached) task closure; above it the
-# join + coarse-grouped ranking path runs.  ~2M terms * ~24 B is ~50 MB —
-# cheap to broadcast on a cluster, and natural-language vocabularies grow
-# ~O(sqrt(corpus)) (Heaps' law), so the broadcast path covers most real
-# corpora; the join path exists for adversarial/id-like vocabularies.
+# join + coarse-grouped ranking path runs.  The broadcast rides as TWO
+# Arrow arrays (terms + counts, ~30-40 B/term with string payload: ~70 MB
+# at the bound), and natural-language vocabularies grow ~O(sqrt(corpus))
+# (Heaps' law), so the broadcast path covers most real corpora; the join
+# path exists for adversarial/id-like vocabularies.
 SMALL_VOCAB = 2_000_000
 
 
@@ -173,6 +188,16 @@ def tfidf_topk(ds, k: int = 3, col: str = "text", small_vocab: int = SMALL_VOCAB
     and rank per-doc in a coarse-grouped pass."""
     from ..pipelines.relational import grouped_arrow_aggregate
 
+    _EMPTY = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "rn": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "tf": pa.array([], pa.int64()),
+            "df": pa.array([], pa.int64()),
+            "score_u": pa.array([], pa.int64()),
+        }
+    )
     n_docs = ds.count()
     tf_rows = ds.map_batches(
         lambda t: term_freq_batch(t, col), batch_format="pyarrow", zero_copy_batch=True
@@ -181,15 +206,24 @@ def tfidf_topk(ds, k: int = 3, col: str = "text", small_vocab: int = SMALL_VOCAB
         tf_rows, "term", [("doc_id", "count")], ["df"]
     ).materialize()
 
-    if df_tbl.count() <= small_vocab:
-        # DF dict rides in the task closure: broadcast once via the object
-        # store, never re-shipped per batch
+    n_terms = df_tbl.count()
+    if n_terms == 0:
+        # degenerate corpus: no token anywhere.  Return the typed Arrow
+        # table itself — wrapping an empty table in a Dataset loses the
+        # schema again on to_pandas (Ray's empty-block conversion)
+        return _EMPTY
+    if n_terms <= small_vocab:
+        # DF rides in the task closure as TWO Arrow arrays (broadcast once
+        # via the object store, never re-shipped per batch); the per-batch
+        # lookup is one vectorized pc.index_in + take — no Python dict,
+        # no per-row loop (the BroadcastLookup idiom)
         df_pdf = df_tbl.to_pandas()
-        df_map = dict(zip(df_pdf["term"], df_pdf["df"].astype(np.int64)))
+        df_terms = pa.array(df_pdf["term"], pa.string())
+        df_counts = pa.array(df_pdf["df"].to_numpy(np.int64), pa.int64())
 
         def score_and_rank(t: pa.Table) -> pa.Table:
-            term = t["term"].combine_chunks().to_numpy(zero_copy_only=False)
-            df = np.array([df_map[x] for x in term], dtype=np.int64)
+            idx = pc.index_in(t["term"], value_set=df_terms)
+            df = df_counts.take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
             tf = _i64(t["tf"])
             su = _round_even_u6(tf * np.log(float(n_docs) / df))
             scored = pa.table(
@@ -253,39 +287,34 @@ def stratified_sample(ds, strata_col: str, key_col: str = "doc_id", k: int = 100
     not a sample).  Returns (stratum, key) rows."""
     from .sampling import _key_buckets
 
+    def _head(s: np.ndarray, b: np.ndarray, key: np.ndarray, with_b: bool) -> pa.Table:
+        """Shared (stratum, bucket, key)-ordered per-stratum head."""
+        order = np.lexsort((key, b, s))
+        s, b, key = s[order], b[order], key[order]
+        new_s = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.nonzero(new_s)[0]
+        pos = np.arange(len(s)) - starts[np.cumsum(new_s) - 1]
+        keep = pos < k
+        cols = {
+            strata_col: pa.array(s[keep], pa.string()),
+            key_col: pa.array(key[keep], pa.int64()),
+        }
+        if with_b:
+            cols["_b"] = pa.array(b[keep], pa.int64())
+        return pa.table(cols)
+
     def block_head(t: pa.Table) -> pa.Table:
         key = _i64(t[key_col])
         b = _key_buckets(key.tolist(), salt)
         s = t[strata_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, b, s))
-        s, b, key = s[order], b[order], key[order]
-        new_s = np.concatenate([[True], s[1:] != s[:-1]])
-        starts = np.nonzero(new_s)[0]
-        pos = np.arange(len(s)) - starts[np.cumsum(new_s) - 1]
-        keep = pos < k
-        return pa.table(
-            {
-                strata_col: pa.array(s[keep], pa.string()),
-                key_col: pa.array(key[keep], pa.int64()),
-                "_b": pa.array(b[keep], pa.int64()),
-            }
-        )
+        return _head(s, b, key, with_b=True)
 
     def final_head(g: pa.Table) -> pa.Table:
-        key = _i64(g[key_col])
-        b = _i64(g["_b"])
-        s = g[strata_col].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, b, s))
-        s, b, key = s[order], b[order], key[order]
-        new_s = np.concatenate([[True], s[1:] != s[:-1]])
-        starts = np.nonzero(new_s)[0]
-        pos = np.arange(len(s)) - starts[np.cumsum(new_s) - 1]
-        keep = pos < k
-        return pa.table(
-            {
-                strata_col: pa.array(s[keep], pa.string()),
-                key_col: pa.array(key[keep], pa.int64()),
-            }
+        return _head(
+            g[strata_col].combine_chunks().to_numpy(zero_copy_only=False),
+            _i64(g["_b"]),
+            _i64(g[key_col]),
+            with_b=False,
         )
 
     return (
@@ -412,7 +441,13 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     )
     # the merged histogram is groups x grid values — small by construction;
     # the finishing interpolation is a driver-side pass over it
-    pdf = merged.to_pandas().sort_values([group_col, "cent"])
+    pdf = merged.to_pandas()
+    if pdf.empty:  # empty input: zero-schema guard, return typed empty
+        cols = {group_col: pa.array([], pa.string())}
+        for q in qs:
+            cols[f"p{int(q * 100)}_u"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    pdf = pdf.sort_values([group_col, "cent"])
     out_groups, out_cols = [], {f"p{int(q * 100)}_u": [] for q in qs}
     for grp, sub in pdf.groupby(group_col, sort=True):
         cents = sub["cent"].to_numpy(np.int64)

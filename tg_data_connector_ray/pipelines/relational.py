@@ -263,7 +263,10 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
             # left rows whose key never appears on the right: one Arrow
             # is_in per bucket, no pandas round-trip, left schema intact
             rkeys = g.filter(pc.invert(lmask))[on].combine_chunks()
-            keep = pc.invert(pc.is_in(l_tbl[on], value_set=rkeys.unique()))
+            # drop nulls from the probe set: SQL NOT EXISTS never matches
+            # on NULL = NULL, so a null right key must not eliminate rows
+            rset = pc.drop_null(rkeys.unique())
+            keep = pc.invert(pc.is_in(l_tbl[on], value_set=rset))
             return l_tbl.filter(pc.fill_null(keep, True))
         l = l_tbl.to_pandas()
         r = g.filter(pc.invert(lmask)).select(right_cols).to_pandas()
@@ -911,7 +914,7 @@ class _NationOfCustomer(BroadcastLookup):
         return g.rename_columns(["n_name", "revenue_u", "n_items"])
 
 
-def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
+def revenue_by_nation(sf_dir: str, num_buckets: int = 16, concurrency=None):
     """Four-table join: lineitem JOIN orders (both large: partitioned
     hash join on orderkey — the one real shuffle) -> customer/nation
     folded to a broadcast custkey->n_name lookup -> per-batch Arrow
@@ -945,7 +948,7 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
         _NationOfCustomer,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=concurrency or 2,
         fn_constructor_kwargs={
             "cust_path": _t(sf_dir, "customer"),
             "nation_path": _t(sf_dir, "nation"),
@@ -1097,7 +1100,7 @@ class _RegionOfSupplier(BroadcastLookup):
         return g.rename_columns(["r_name", "revenue_u", "n_items"])
 
 
-def revenue_by_region(sf_dir: str):
+def revenue_by_region(sf_dir: str, concurrency=None):
     """lineitem -> supplier's region revenue: snowflake dims folded to one
     broadcast lookup, per-block Arrow partials, bounded driver merge."""
     items = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
@@ -1105,7 +1108,7 @@ def revenue_by_region(sf_dir: str):
         _RegionOfSupplier,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=concurrency or 2,
         fn_constructor_kwargs={
             "supp_path": _t(sf_dir, "supplier"),
             "nation_path": _t(sf_dir, "nation"),
@@ -1142,7 +1145,7 @@ class _PromoShare(BroadcastLookup):
         )
 
 
-def promo_revenue_ratio(sf_dir: str):
+def promo_revenue_ratio(sf_dir: str, concurrency=None):
     """Q14-flavor: share of revenue from PROMO-type parts — broadcast
     p_type lookup, two-integer partials per block, one-row result whose
     ratio is re-derived from the exact integer sums on both sides."""
@@ -1151,7 +1154,7 @@ def promo_revenue_ratio(sf_dir: str):
         _PromoShare,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=concurrency or 2,
         fn_constructor_kwargs={
             "dim_path": _t(sf_dir, "part"),
             "key": "p_partkey",
@@ -1173,27 +1176,30 @@ def users_in_both(sf_dir: str, type_a: str = "view", type_b: str = "purchase"):
     (inner semi join on the distinct sets)."""
     ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
 
-    def pick(tp):
-        return distinct_rows(
-            ds.map_batches(
-                lambda t, tp=tp: pa.table(
-                    {"user_id": t.filter(pc.equal(t["event_type"], tp))["user_id"]}
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
+    # ONE pass over events: keep only the two relevant types, distinct the
+    # (type, user) pairs (coarse-bucket, thin rows), split afterwards —
+    # halves the input I/O vs one scan per type
+    both = distinct_rows(
+        ds.map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["event_type"], value_set=pa.array([type_a, type_b]))
             ),
-            ["user_id"],
-        )
-
-    a, b = pick(type_a), pick(type_b)
-    bt = b.to_pandas()  # bounded: distinct users of one type
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["event_type", "user_id"],
+    ).materialize()
+    bt = both.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], type_b)), batch_format="pyarrow"
+    ).to_pandas()  # bounded: distinct users of one type
     bset = pa.array(bt["user_id"].to_numpy(np.int64))
 
     def semi(t: pa.Table) -> pa.Table:
-        keep = pc.fill_null(pc.is_in(t["user_id"], value_set=bset), False)
-        return t.filter(keep)
+        ta = t.filter(pc.equal(t["event_type"], type_a))
+        keep = pc.fill_null(pc.is_in(ta["user_id"], value_set=bset), False)
+        return pa.table({"user_id": ta["user_id"].filter(keep)})
 
-    return a.map_batches(semi, batch_format="pyarrow")
+    return both.map_batches(semi, batch_format="pyarrow")
 
 
 def users_heavy_tail(sf_dir: str, factor: int = 2):
