@@ -1,0 +1,151 @@
+"""Property tests for the round-3 corpus/sketch/window batch kernels —
+pure-function kernels checked against brute-force Python references
+(no Ray session needed)."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+_word = st.sampled_from(["a", "bb", "ccc", "dog", "cat", "x1", "_z"])
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_bigram_counts_equal_bruteforce(texts):
+    from tg_data_connector_ray.ops.corpus import bigram_counts_batch
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = bigram_counts_batch(t)
+    got = dict(zip(out["ngram"].to_pylist(), out["n"].to_pylist()))
+    exp: dict = {}
+    for txt in texts:
+        toks = txt.lower().split()
+        for i in range(len(toks) - 1):
+            g = toks[i] + " " + toks[i + 1]
+            exp[g] = exp.get(g, 0) + 1
+    assert got == exp
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_repetition_equal_bruteforce(texts):
+    from tg_data_connector_ray.ops.text import repetition_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = repetition_batch(t).to_pandas()
+    for i, txt in enumerate(texts):
+        toks = txt.lower().split()
+        b: dict = {}
+        for j in range(len(toks) - 1):
+            g = (toks[j], toks[j + 1])
+            b[g] = b.get(g, 0) + 1
+        tr: dict = {}
+        for j in range(len(toks) - 2):
+            g = (toks[j], toks[j + 1], toks[j + 2])
+            tr[g] = tr.get(g, 0) + 1
+        top2 = max(b.values()) if b else 0
+        dup3 = sum(c for c in tr.values() if c > 1)
+        n2 = max(len(toks) - 1, 1)
+        n3 = max(len(toks) - 2, 1)
+        assert out.loc[i, "top2_frac_u6"] == int(np.round(1e6 * top2 / n2))
+        assert out.loc[i, "dup3_frac_u6"] == int(np.round(1e6 * dup3 / n3))
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 300)), min_size=1, max_size=60
+    ),
+    st.integers(1, 5),
+)
+def test_rolling_sum_kernel_equals_pandas(rows, window):
+    """The prefix-sum + clamped-lower-bound rolling kernel vs pandas
+    groupby().rolling() on already-sorted input."""
+    import pandas as pd
+
+    user = np.array([u for u, _ in rows], dtype=np.int64)
+    val = np.array([v for _, v in rows], dtype=np.int64)
+    order = np.argsort(user, kind="stable")
+    user, val = user[order], val[order]
+    n = len(user)
+    idx = np.arange(n, dtype=np.int64)
+    new_user = np.concatenate([[True], user[1:] != user[:-1]])
+    user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+    c = np.cumsum(val)
+    lb = np.maximum(user_start, idx - window + 1)
+    roll = c - np.where(lb > 0, c[np.maximum(lb - 1, 0)], 0)
+
+    exp = (
+        pd.Series(val)
+        .groupby(pd.Series(user))
+        .rolling(window, min_periods=1)
+        .sum()
+        .to_numpy()
+        .astype(np.int64)
+    )
+    assert roll.tolist() == exp.tolist()
+
+
+@settings(max_examples=8, deadline=None)  # full Ray pipeline per example
+@given(st.lists(st.integers(0, 40), min_size=1, max_size=40), st.integers(1, 64))
+def test_pack_offsets_are_serial_cumsum(ids_raw, budget):
+    """Serial invariant of the distributed prefix sum: offsets in id order
+    are the exclusive cumsum of token counts, seq ids derive from them."""
+    import ray  # noqa: F401  (session provided by conftest for ray tests)
+
+    ids = sorted(set(ids_raw))
+    texts = ["w " * (i % 7) for i in ids]
+    import ray.data
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+        )
+    ).repartition(3)
+    from tg_data_connector_ray.ops.corpus import pack_sequences
+
+    out = (
+        pack_sequences(ds, budget=budget, num_ranges=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_tok = [i % 7 for i in ids]
+    starts = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+    assert out["n_tok"].tolist() == n_tok
+    assert out["tok_start"].tolist() == starts.tolist()
+    assert out["seq_first"].tolist() == (starts // budget).tolist()
+    assert (
+        out["off_in_seq"].tolist() == (starts % budget).tolist()
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=50))
+def test_hll_partial_equals_bruteforce(vals):
+    from tg_data_connector_ray.ops.sketches import hll_partial_batch
+
+    t = pa.table(
+        {
+            "g": pa.array(["k"] * len(vals), pa.string()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    out = hll_partial_batch(t, "g", "v").to_pandas()
+    regs: dict = {}
+    for v in set(vals):
+        d = hashlib.md5(b"hll:" + str(v).encode()).digest()
+        bucket = d[0]
+        v56 = int.from_bytes(d[1:8], "big")
+        rho = 57 if v56 == 0 else 57 - v56.bit_length()
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    got = dict(zip(out["bucket"], out["rho"]))
+    assert got == regs
