@@ -109,6 +109,10 @@ class FixtureSpec:
     hot_convs: int = 0  # F4: this many conv_ids get `hot_factor`x edits
     hot_factor: int = 50
     mean_u_edits: float = 0.45  # mean extra U edits per surviving key
+    # chunked generation offsets (write_fixture_chunked): shift conv ids and
+    # LSNs so independently generated chunks never collide
+    conv_offset: int = 0
+    lsn_offset: int = 0
 
 
 @dataclass
@@ -135,9 +139,11 @@ def make_fixture(spec: FixtureSpec) -> Fixture:
     # hot convs take the HIGHEST indices: "conv_hot*" sorts after every
     # "conv0..." name ('_' > digits), so generation order == (conv_id,
     # turn_idx) sort order and no >2GB sort_by/take is ever needed
-    conv_names = np.array([f"conv{i:08d}" for i in range(n_convs)], dtype=object)
+    conv_names = np.array(
+        [f"conv{i + spec.conv_offset:08d}" for i in range(n_convs)], dtype=object
+    )
     for h in range(spec.hot_convs):
-        conv_names[n_convs - spec.hot_convs + h] = f"conv_hot{h:08d}"
+        conv_names[n_convs - spec.hot_convs + h] = f"conv_hot{h + spec.conv_offset:08d}"
 
     n_final = int(nt.sum())
     f_conv = np.repeat(np.arange(n_convs), nt)  # conv index per final key
@@ -258,7 +264,10 @@ def make_fixture(spec: FixtureSpec) -> Fixture:
     sorted_by_key = np.lexsort((u, key_id))
     u_assigned = u[sorted_by_key]  # per-key ascending runs, aligned with layout
     emit_order = np.argsort(u_assigned, kind="stable")  # global emit sequence
-    lsn_seq = np.cumsum(1 + rng.poisson(0.3, size=n_events)).astype(np.int64)
+    lsn_seq = (
+        np.cumsum(1 + rng.poisson(0.3, size=n_events)).astype(np.int64)
+        + spec.lsn_offset
+    )
     lsn = np.empty(n_events, dtype=np.int64)
     lsn[emit_order] = lsn_seq
 
@@ -418,6 +427,8 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
     }
     if os.path.exists(done):
         return out
+    if spec.n_convs > CHUNK_CONVS and not spec.hot_convs:
+        return write_fixture_chunked(root, tier, spec)
     os.makedirs(os.path.join(d, "cdc_log"), exist_ok=True)
     fx = make_fixture(spec)
     pq.write_table(fx.transcripts, out["transcripts"])
@@ -427,6 +438,82 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
 
     with open(os.path.join(d, "stats.json"), "w") as f:
         json.dump(fx.stats, f, indent=1)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+# above this many conversations, write_fixture generates in chunks: the
+# monolithic generator holds every event as Python objects (~86 GB RSS
+# measured at 3M convs) — chunking bounds memory at one chunk's worth
+CHUNK_CONVS = 1_000_000
+
+
+def write_fixture_chunked(
+    root: str, tier: str, spec: FixtureSpec, chunk_convs: int = 500_000
+) -> dict:
+    """Chunked fixture materialization for large tiers: conversations are
+    generated in independent chunks (disjoint conv-id and LSN ranges via
+    FixtureSpec.conv_offset / lsn_offset; chunk seed = seed + chunk), each
+    chunk's events written as its own log files and its transcripts
+    appended as row groups of ONE transcripts.parquet.  Keys never span
+    chunks, so every CDC merge-contract property of the monolithic
+    generator holds chunk-locally and therefore globally; chunk LSN
+    ranges are disjoint and ascending (a backfill arrival order — the
+    fold is order-insensitive by LSN, and per-file disorder still
+    exercises the out-of-order path)."""
+    from dataclasses import replace as dc_replace
+
+    d = os.path.join(root, tier)
+    done = os.path.join(d, "_DONE")
+    out = {
+        "dir": d,
+        "transcripts": os.path.join(d, "transcripts.parquet"),
+        "cdc_log": os.path.join(d, "cdc_log"),
+    }
+    if os.path.exists(done):
+        return out
+    os.makedirs(out["cdc_log"], exist_ok=True)
+    if spec.hot_convs:
+        raise ValueError("chunked generation does not support hot_convs tiers")
+
+    n_chunks = (spec.n_convs + chunk_convs - 1) // chunk_convs
+    files_per_chunk = max(1, spec.n_files // n_chunks)
+    lsn_offset = 0
+    stats = {"n_convs": 0, "n_events": 0, "n_files": 0}
+    writer = pq.ParquetWriter(out["transcripts"], TRANSCRIPT_SCHEMA)
+    try:
+        fidx = 0
+        for c in range(n_chunks):
+            n = min(chunk_convs, spec.n_convs - c * chunk_convs)
+            sub = dc_replace(
+                spec,
+                n_convs=n,
+                n_files=files_per_chunk,
+                seed=spec.seed + c,
+                conv_offset=c * chunk_convs,
+                lsn_offset=lsn_offset,
+            )
+            fx = make_fixture(sub)
+            writer.write_table(fx.transcripts)
+            max_lsn = lsn_offset
+            for t in fx.event_files:
+                pq.write_table(t, os.path.join(out["cdc_log"], f"evt-{fidx:05d}.parquet"))
+                fidx += 1
+                m = pa.compute.max(t["lsn"]).as_py()
+                if m is not None:
+                    max_lsn = max(max_lsn, int(m))
+            lsn_offset = max_lsn + 1
+            stats["n_convs"] += n
+            stats["n_events"] += sum(t.num_rows for t in fx.event_files)
+            stats["n_files"] = fidx
+            del fx
+    finally:
+        writer.close()
+    import json
+
+    with open(os.path.join(d, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
     with open(done, "w") as f:
         f.write("ok")
     return out
