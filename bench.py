@@ -134,6 +134,10 @@ def run_query_bench() -> dict:
         "text_tfidf",
         "docs_pack_sequences",
         "events_quantiles",
+        # round 3 continuation: rolling window, HLL sketch, 4-table join
+        "events_rolling_sum",
+        "events_user_hll",
+        "revenue_by_nation",
     ]
     out = {}
     for name in sample:
