@@ -445,6 +445,19 @@ def _docs_stratified_sample(sf_dir):
     return stratified_sample(ds, "lang", "doc_id", k=100)
 
 
+def _docs_contamination(sf_dir):
+    """Train/test k-gram contamination sweep: docs 0-19 play the held-out
+    benchmark, the rest of the corpus is scanned for any shared 5-gram."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.corpus import ngram_contamination
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    bench = docs.filter(expr="doc_id < 20")
+    corpus = docs.filter(expr="doc_id >= 20")
+    return ngram_contamination(corpus, bench, k=5)
+
+
 def _events_quantiles(sf_dir):
     """Exact per-event-type value percentiles (p50/p90/p99) via the
     histogram method — no sort, shuffle bounded by groups x grid values."""
@@ -767,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_repetition": _docs_repetition,
         "docs_pack_sequences": _docs_pack_sequences,
+        "docs_contamination": _docs_contamination,
         "events_quantiles": _events_quantiles,
         "revenue_by_nation": _revenue_by_nation,
         "orders_without_lineitems": _orders_without_lineitems,
@@ -1474,6 +1488,22 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users": """
             SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "docs_contamination": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' '))) AS gram
+              FROM toks
+            ), bench AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id < 20
+            )
+            SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id >= 20
+            GROUP BY g.doc_id
         """,
         "events_quantiles": """
             SELECT event_type,

@@ -243,3 +243,35 @@ def test_anti_join_null_right_key_keeps_left_rows():
     )
     out = hash_join(left, right, on="k", how="anti").to_pandas()
     assert sorted(out["k"].tolist()) == [1, 3]
+
+
+def test_contamination_matches_duckdb(docs):
+    import duckdb
+
+    from tg_data_connector_ray.ops.corpus import ngram_contamination
+
+    d = docs.select_columns(["doc_id", "text"])
+    got = (
+        ngram_contamination(d.filter(expr="doc_id >= 20"), d.filter(expr="doc_id < 20"), k=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+          FROM '{SF}/documents.parquet'
+        ), g AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                 i -> array_to_string(t[i:i+2], ' '))) AS gram
+          FROM toks
+        ), bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20)
+        SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+        FROM g JOIN bench USING (gram) WHERE g.doc_id >= 20
+        GROUP BY g.doc_id ORDER BY g.doc_id
+        """
+    ).df()
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["n_shared"].tolist() == exp["n_shared"].tolist()
+    assert len(got) > 20  # k=3 on this corpus: plenty of shared trigrams

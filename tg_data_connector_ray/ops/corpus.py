@@ -467,3 +467,89 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
     for name, vals in out_cols.items():
         cols[name] = pa.array(vals, pa.int64())
     return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (train/test k-gram overlap)
+
+def _doc_gram_hashes(t: pa.Table, k: int, col: str = "text"):
+    """Distinct (doc_id, gram-u64) pairs per batch: tokens int-coded, k-gram
+    id tuples deduped via lexsort run-lengths, gram STRINGS materialized and
+    md5-hashed only for the unique survivors (md5 once per unique gram —
+    the repo's gram-string<->u64 bijection convention, same as the minhash
+    oracle).  Docs with < k tokens emit no grams (matching the SQL side's
+    empty range)."""
+    from .dedup import _md5_u64
+
+    ids = _i64(t["doc_id"])
+    flat, offs = _tokens_flat(t[col].to_pylist())
+    counts = np.diff(offs)
+    n = len(flat)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    vocab, tid = np.unique(flat, return_inverse=True)
+    pos = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], counts)
+    valid = (pos < np.repeat(counts - (k - 1), counts))[: n - (k - 1)]
+    cols = [tid[i : n - (k - 1) + i][valid] for i in range(k)]
+    doc_of = np.repeat(ids, counts)[: n - (k - 1)][valid]
+    if not len(doc_of):
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    order = np.lexsort(tuple(reversed(cols)) + (doc_of,))
+    d = doc_of[order]
+    cols = [c[order] for c in cols]
+    diff = d[1:] != d[:-1]
+    for c in cols:
+        diff |= c[1:] != c[:-1]
+    first = np.concatenate([[True], diff])
+    d = d[first]
+    gram_strs = np.array(
+        [" ".join(vocab[c[i]] for c in cols) for i in np.nonzero(first)[0]],
+        dtype=object,
+    )
+    # md5 once per unique gram string in the batch
+    uniq, inv = np.unique(gram_strs, return_inverse=True)
+    h = np.array([_md5_u64(u) for u in uniq], dtype=np.uint64)[inv]
+    return d, h
+
+
+def ngram_contamination(corpus_ds, bench_ds, k: int = 5, col: str = "text"):
+    """Train/test contamination check: corpus documents sharing at least
+    one k-gram with the benchmark set, with the count of distinct shared
+    grams — the decontamination sweep every pretraining pipeline runs
+    before training.
+
+    Scale shape: the BENCHMARK side (small by definition — test sets) is
+    reduced to a distinct gram-u64 set and broadcast via the task closure;
+    the corpus streams through one vectorized membership pass (np.isin
+    against the sorted bench array) — no shuffle touches the corpus at
+    all.  Returns (doc_id, n_shared) rows for hit documents only."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        _, h = _doc_gram_hashes(t, k, col)
+        return pa.table({"g": pa.array(np.unique(h).view(np.int64), pa.int64())})
+
+    bench_pdf = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: the benchmark set is small by definition
+    if len(bench_pdf):
+        bench_set = np.unique(bench_pdf["g"].to_numpy(np.int64).view(np.uint64))
+    else:
+        bench_set = np.zeros(0, np.uint64)
+
+    def probe(t: pa.Table) -> pa.Table:
+        d, h = _doc_gram_hashes(t, k, col)
+        hit = np.isin(h, bench_set)
+        if not hit.any():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
+            )
+        dh = d[hit]
+        uniq_d, cnt = np.unique(dh, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq_d, pa.int64()),
+                "n_shared": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return corpus_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
