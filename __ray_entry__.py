@@ -700,6 +700,52 @@ def _docs_prep_pipeline(sf_dir):
     return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "stop_ratio"])
 
 
+def _docs_prep_v2(sf_dir):
+    """Corpus-prep v2 — the round-3 stages composed end-to-end the way a
+    pretraining job runs them: token-count floor -> repetition filter
+    (duplicate-trigram share) -> benchmark decontamination (shared
+    5-grams vs held-out docs 0-19) -> exact dedup -> concat-and-chunk
+    sequence packing.  Only thin id/metric rows ever shuffle; the corpus
+    itself streams through stateless batch kernels."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.corpus import ngram_contamination, pack_sequences
+    from tg_data_connector_ray.ops.dedup import (
+        content_hash_batch,
+        exact_dedup_dropped_ids,
+        filter_out_ids,
+    )
+    from tg_data_connector_ray.ops.text import TOKEN_RE, repetition_batch
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+
+    def qual(t):
+        n_tok = pc.count_substring_regex(t["text"], TOKEN_RE).cast("int64")
+        return t.filter(pc.greater_equal(n_tok, 10))
+
+    q = docs.map_batches(qual, batch_format="pyarrow", zero_copy_batch=True)
+    rep = (
+        q.map_batches(repetition_batch, batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.filter(pc.less(t["dup3_frac_u6"], 500000)).select(
+                ["doc_id", "text"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    bench = docs.filter(expr="doc_id < 20")
+    corpus = rep.filter(expr="doc_id >= 20").materialize()
+    hits = ngram_contamination(corpus, bench, k=5)
+    clean = filter_out_ids(corpus, hits)
+    thin = clean.map_batches(
+        lambda b: content_hash_batch(b, "text"), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    deduped = filter_out_ids(clean, exact_dedup_dropped_ids(thin))
+    return pack_sequences(deduped, budget=2048)
+
+
 def _csv_roundtrip(sf_dir):
     """documents -> delimited text (our sink) -> CSV source (our reader,
     column-spec casts) -> identity; proves CSV read/write parity."""
@@ -793,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": _events_user_hll,
         "events_distinct_users": _events_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
+        "docs_prep_v2": _docs_prep_v2,
         "docs_hash_split": _docs_hash_split,
         # --- CSV source/sink parity ---
         "csv_roundtrip": _csv_roundtrip,
@@ -1243,6 +1290,64 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(fpu AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT)
                         ELSE CAST(fpu AS HUGEINT) END AS BIGINT) AS fp
             FROM wins
+        """,
+        "docs_prep_v2": """
+            WITH t0 AS (
+              SELECT doc_id, text,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tok
+              FROM documents
+            ), q AS (
+              SELECT doc_id, text, n_tok FROM t0 WHERE n_tok >= 10
+            ), toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t FROM q
+            ), g3 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i+2], chr(1)))) AS g
+              FROM toks
+            ), c3 AS (
+              SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g
+            ), repagg AS (
+              SELECT doc_id, sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup3
+              FROM c3 GROUP BY doc_id
+            ), r AS (
+              SELECT q.doc_id, q.text FROM q LEFT JOIN repagg USING (doc_id)
+              WHERE round_even(1e6 * coalesce(dup3, 0)
+                    / greatest(q.n_tok - 2, 1), 0) < 500000
+            ), gall AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' '))) AS gram
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                    FROM documents)
+            ), bench5 AS (
+              SELECT DISTINCT gram FROM gall WHERE doc_id < 20
+            ), g5 AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+                     i -> array_to_string(t[i:i+4], ' '))) AS gram
+              FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS t
+                    FROM r WHERE doc_id >= 20)
+            ), cont AS (
+              SELECT DISTINCT g5.doc_id FROM g5 JOIN bench5 USING (gram)
+            ), nc AS (
+              SELECT doc_id, text FROM r
+              WHERE doc_id >= 20 AND doc_id NOT IN (SELECT doc_id FROM cont)
+            ), kept AS (
+              SELECT doc_id, text FROM nc
+              WHERE doc_id IN (SELECT min(doc_id) FROM nc GROUP BY text)
+            ), tk AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tok
+              FROM kept
+            ), c AS (
+              SELECT doc_id, n_tok,
+                     CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+              FROM tk
+            )
+            SELECT doc_id, n_tok, tok_start,
+                   tok_start // 2048 AS seq_first,
+                   (tok_start + greatest(n_tok, 1) - 1) // 2048 AS seq_last,
+                   tok_start % 2048 AS off_in_seq
+            FROM c
         """,
         "docs_hash_split": """
             WITH h AS (

@@ -151,14 +151,19 @@ def run_query_bench() -> dict:
         "events_user_hll",
         "revenue_by_nation",
     ]
-    out = {}
-    for name in sample:
+    def once(name: str) -> float:
         t0 = time.monotonic()
         res = qs[name](SF_DIR)
         # consume lazily-built Datasets so the pipeline actually runs
         if type(res).__module__.startswith("ray.data"):
             res.to_pandas()
-        out[name] = round(time.monotonic() - t0, 3)
+        return time.monotonic() - t0
+
+    # best of two: the first call on a query often times one-off object
+    # store placement, not the operator; the repeat is the steady state
+    out = {}
+    for name in sample:
+        out[name] = round(min(once(name), once(name)), 3)
     return out
 
 
