@@ -448,8 +448,6 @@ def _docs_stratified_sample(sf_dir):
 def _docs_contamination(sf_dir):
     """Train/test k-gram contamination sweep: docs 0-19 play the held-out
     benchmark, the rest of the corpus is scanned for any shared 5-gram."""
-    import pyarrow.compute as pc
-
     from tg_data_connector_ray.ops.corpus import ngram_contamination
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text"])
@@ -737,7 +735,9 @@ def _docs_prep_v2(sf_dir):
     bench = docs.filter(expr="doc_id < 20")
     corpus = rep.filter(expr="doc_id >= 20").materialize()
     hits = ngram_contamination(corpus, bench, k=5)
-    clean = filter_out_ids(corpus, hits)
+    # materialize: clean feeds BOTH the hash pass and the final filter —
+    # lazy, the contamination anti-filter would re-execute per consumer
+    clean = filter_out_ids(corpus, hits).materialize()
     thin = clean.map_batches(
         lambda b: content_hash_batch(b, "text"), batch_format="pyarrow",
         zero_copy_batch=True,

@@ -97,7 +97,7 @@ def run_cdc_bench() -> dict:
     # median of `trials` runs (fresh out dir each — same run_id would
     # otherwise be an idempotent skip): single-run spread on this box is
     # ~±0.7 s of Ray-session noise, far above real deltas
-    trials = int(os.environ.get("GRAFT_BENCH_TRIALS", "3"))
+    trials = max(1, int(os.environ.get("GRAFT_BENCH_TRIALS", "3")))
     out = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/graft_bench_out") + f"/cdc-{NUM_CPUS}"
     walls, events = [], 0
     for _ in range(trials):
@@ -111,7 +111,7 @@ def run_cdc_bench() -> dict:
         summary = apply_cdc(files, cfg)
         walls.append(time.monotonic() - t0)
         events = summary["events_in"]
-    wall = sorted(walls)[len(walls) // 2]
+    wall = sorted(walls)[(len(walls) - 1) // 2]  # lower median for even trial counts
     return {
         "sec": wall,
         "events": events,

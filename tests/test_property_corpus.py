@@ -71,17 +71,13 @@ def test_rolling_sum_kernel_equals_pandas(rows, window):
     groupby().rolling() on already-sorted input."""
     import pandas as pd
 
+    from tg_data_connector_ray.pipelines.relational import rolling_sum_kernel
+
     user = np.array([u for u, _ in rows], dtype=np.int64)
     val = np.array([v for _, v in rows], dtype=np.int64)
     order = np.argsort(user, kind="stable")
     user, val = user[order], val[order]
-    n = len(user)
-    idx = np.arange(n, dtype=np.int64)
-    new_user = np.concatenate([[True], user[1:] != user[:-1]])
-    user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
-    c = np.cumsum(val)
-    lb = np.maximum(user_start, idx - window + 1)
-    roll = c - np.where(lb > 0, c[np.maximum(lb - 1, 0)], 0)
+    roll = rolling_sum_kernel(user, val, window)
 
     exp = (
         pd.Series(val)

@@ -17,6 +17,7 @@ hashing; seed defaults to 42.
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -427,8 +428,15 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
     }
     if os.path.exists(done):
         return out
-    if spec.n_convs > CHUNK_CONVS and not spec.hot_convs:
+    if spec.n_convs > CHUNK_CONVS:
+        if spec.hot_convs:
+            raise ValueError(
+                "tiers above CHUNK_CONVS must use chunked generation, which "
+                "does not support hot_convs (the monolithic generator holds "
+                "~86 GB at 3M convs — refusing the silent OOM path)"
+            )
         return write_fixture_chunked(root, tier, spec)
+    shutil.rmtree(d, ignore_errors=True)  # stale/interrupted generation
     os.makedirs(os.path.join(d, "cdc_log"), exist_ok=True)
     fx = make_fixture(spec)
     pq.write_table(fx.transcripts, out["transcripts"])
@@ -473,12 +481,18 @@ def write_fixture_chunked(
     }
     if os.path.exists(done):
         return out
+    # no _DONE marker: anything here is a stale/interrupted generation
+    # (possibly with a different filename pattern) — wipe it, or the
+    # directory-listing readers would replay a mixed log
+    shutil.rmtree(d, ignore_errors=True)
     os.makedirs(out["cdc_log"], exist_ok=True)
     if spec.hot_convs:
         raise ValueError("chunked generation does not support hot_convs tiers")
 
     n_chunks = (spec.n_convs + chunk_convs - 1) // chunk_convs
-    files_per_chunk = max(1, spec.n_files // n_chunks)
+    # distribute spec.n_files across chunks (first `extra` chunks get one
+    # more) so the TOTAL file count honors the spec's layout
+    base_files, extra = divmod(max(spec.n_files, n_chunks), n_chunks)
     lsn_offset = 0
     stats = {"n_convs": 0, "n_events": 0, "n_files": 0}
     writer = pq.ParquetWriter(out["transcripts"], TRANSCRIPT_SCHEMA)
@@ -489,7 +503,7 @@ def write_fixture_chunked(
             sub = dc_replace(
                 spec,
                 n_convs=n,
-                n_files=files_per_chunk,
+                n_files=base_files + (1 if c < extra else 0),
                 seed=spec.seed + c,
                 conv_offset=c * chunk_convs,
                 lsn_offset=lsn_offset,

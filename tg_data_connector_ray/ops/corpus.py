@@ -39,6 +39,48 @@ def _tokens_flat(texts: "list[str | None]") -> "tuple[np.ndarray, np.ndarray]":
     return flat, offs
 
 
+
+
+def _kgram_window(values: np.ndarray, offs: np.ndarray, k: int,
+                  keys: "np.ndarray | None" = None):
+    """Within-doc k-gram windows over a flat token array: returns
+    (key_per_window, [col0..col(k-1)]) where col_i is the i-th token of
+    each window and windows never cross the doc boundaries encoded in
+    `offs`.  `keys` defaults to the doc ordinal.  The shared machinery
+    behind bigram counting, repetition metrics, and contamination gram
+    hashing (one masked shift per gram position, no per-doc loop)."""
+    counts = np.diff(offs)
+    n = len(values)
+    n_docs = len(counts)
+    if keys is None:
+        keys = np.arange(n_docs, dtype=np.int64)
+    if n < k:
+        return np.zeros(0, np.int64), [np.zeros(0, values.dtype) for _ in range(k)]
+    pos = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], counts)
+    valid = (pos < np.repeat(counts - (k - 1), counts))[: n - (k - 1)]
+    cols = [values[i : n - (k - 1) + i][valid] for i in range(k)]
+    key_of = np.repeat(keys, counts)[: n - (k - 1)][valid]
+    return key_of, cols
+
+
+def _kgram_runs(key_of: np.ndarray, cols: "list[np.ndarray]"):
+    """Run-length counting of (key, gram-tuple) windows: lexsort, mark
+    firsts, return (first_mask_indices_sorted_view) as
+    (keys_first, cols_first, run_counts)."""
+    order = np.lexsort(tuple(reversed(cols)) + (key_of,))
+    d = key_of[order]
+    cols = [c[order] for c in cols]
+    if not len(d):
+        return d, cols, np.zeros(0, np.int64)
+    diff = d[1:] != d[:-1]
+    for c in cols:
+        diff |= c[1:] != c[:-1]
+    first = np.concatenate([[True], diff])
+    starts = np.nonzero(first)[0]
+    cnt = np.diff(np.append(starts, len(d)))
+    return d[first], [c[first] for c in cols], cnt
+
+
 # ---------------------------------------------------------------------------
 # global n-gram counts
 
@@ -46,29 +88,19 @@ def bigram_counts_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Partial (ngram, n) counts for one batch — the combiner half of the
     global count.  Bigrams never cross document boundaries."""
     flat, offs = _tokens_flat(batch[col].to_pylist())
-    n = len(flat)
-    if n < 2:
+    if len(flat) < 2:
         return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-    # window [i, i+1] stays inside one doc iff token i's position within
-    # its doc is < doc_len - 1 (the last token of every doc is invalid, so
-    # dropping the final element leaves exactly the n-1 window slots)
-    counts = np.diff(offs)
-    pos = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], counts)
-    valid = (pos < np.repeat(counts - 1, counts))[:-1]
     # int-code tokens once; count (a, b) id pairs with one lexsort +
     # run-length pass and materialize strings only for the UNIQUE pairs
-    # that survive counting (no per-occurrence Python string building)
+    # that survive counting (counts are global, so all windows share key 0)
     vocab, tid = np.unique(flat, return_inverse=True)
-    a, b = tid[:-1][valid], tid[1:][valid]
-    if not len(a):
+    _, cols = _kgram_window(tid, offs, 2)
+    if not len(cols[0]):
         return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
-    order = np.lexsort((b, a))
-    a, b = a[order], b[order]
-    first = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-    starts = np.nonzero(first)[0]
-    cnt = np.diff(np.append(starts, len(a)))
-    ua, ub = vocab[a[first]], vocab[b[first]]
-    grams = np.array([x + " " + y for x, y in zip(ua, ub)], dtype=object)
+    _, (a, b), cnt = _kgram_runs(np.zeros(len(cols[0]), np.int64), cols)
+    grams = np.array(
+        [x + " " + y for x, y in zip(vocab[a], vocab[b])], dtype=object
+    )
     return pa.table(
         {"ngram": pa.array(grams, pa.string()), "n": pa.array(cnt, pa.int64())}
     )
@@ -483,27 +515,15 @@ def _doc_gram_hashes(t: pa.Table, k: int, col: str = "text"):
 
     ids = _i64(t["doc_id"])
     flat, offs = _tokens_flat(t[col].to_pylist())
-    counts = np.diff(offs)
-    n = len(flat)
-    if n < k:
+    if len(flat) < k:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     vocab, tid = np.unique(flat, return_inverse=True)
-    pos = np.arange(n, dtype=np.int64) - np.repeat(offs[:-1], counts)
-    valid = (pos < np.repeat(counts - (k - 1), counts))[: n - (k - 1)]
-    cols = [tid[i : n - (k - 1) + i][valid] for i in range(k)]
-    doc_of = np.repeat(ids, counts)[: n - (k - 1)][valid]
-    if not len(doc_of):
+    key_of, cols = _kgram_window(tid, offs, k, keys=ids)
+    if not len(key_of):
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
-    order = np.lexsort(tuple(reversed(cols)) + (doc_of,))
-    d = doc_of[order]
-    cols = [c[order] for c in cols]
-    diff = d[1:] != d[:-1]
-    for c in cols:
-        diff |= c[1:] != c[:-1]
-    first = np.concatenate([[True], diff])
-    d = d[first]
+    d, cols_f, _ = _kgram_runs(key_of, cols)
     gram_strs = np.array(
-        [" ".join(vocab[c[i]] for c in cols) for i in np.nonzero(first)[0]],
+        [" ".join(vocab[c[i]] for c in cols_f) for i in range(len(d))],
         dtype=object,
     )
     # md5 once per unique gram string in the batch

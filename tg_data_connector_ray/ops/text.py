@@ -274,24 +274,17 @@ def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     pos = np.arange(len(flat), dtype=np.int64) - np.repeat(offs[:-1], counts)
 
     def gram_runs(order_n: int):
-        """(doc, run_count) pairs for adjacent `order_n`-gram runs."""
+        """(doc, run_count) pairs for adjacent `order_n`-gram runs (the
+        shared corpus._kgram_window/_kgram_runs machinery)."""
+        from .corpus import _kgram_runs, _kgram_window
+
         if len(flat) < order_n:
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        valid = (pos < np.repeat(counts - (order_n - 1), counts))[: len(flat) - (order_n - 1)]
-        cols = [tid[i : len(tid) - (order_n - 1) + i][valid] for i in range(order_n)]
-        d = doc_of[: len(flat) - (order_n - 1)][valid]
-        if not len(d):
+        key_of, cols = _kgram_window(tid, offs, order_n)
+        if not len(key_of):
             return np.zeros(0, np.int64), np.zeros(0, np.int64)
-        order = np.lexsort(tuple(reversed(cols)) + (d,))
-        d = d[order]
-        cols = [c[order] for c in cols]
-        diff = d[1:] != d[:-1]
-        for c in cols:
-            diff |= c[1:] != c[:-1]
-        first = np.concatenate([[True], diff])
-        starts = np.nonzero(first)[0]
-        cnt = np.diff(np.append(starts, len(d)))
-        return d[first], cnt
+        d, _, cnt = _kgram_runs(key_of, cols)
+        return d, cnt
 
     def per_doc(gd, cnt, reduce_fn):
         out = np.zeros(n, dtype=np.int64)

@@ -960,6 +960,20 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 16, concurrency=None):
     return df.sort_values("n_name").reset_index(drop=True)
 
 
+def rolling_sum_kernel(user: np.ndarray, val: np.ndarray, window: int) -> np.ndarray:
+    """Rolling sum of the last `window` values per key over KEY-SORTED
+    input: prefix sums + a clamped lower-bound gather, no per-key loop.
+    Shared by events_rolling_sum and its property test (the test must
+    exercise THIS code, not a transcription)."""
+    n = len(user)
+    idx = np.arange(n, dtype=np.int64)
+    new_user = np.concatenate([[True], user[1:] != user[:-1]])
+    user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
+    c = np.cumsum(val)
+    lb = np.maximum(user_start, idx - window + 1)
+    return c - np.where(lb > 0, c[np.maximum(lb - 1, 0)], 0)
+
+
 def events_rolling_sum(sf_dir: str, window: int = 3):
     """Per-key rolling window aggregate (the stream-shaped sliding window
     over an ordered key partition): rolling sum of the last `window`
@@ -984,13 +998,7 @@ def events_rolling_sum(sf_dir: str, window: int = 3):
         val = g["value"].combine_chunks().to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts, user))
         user, eid, val = user[order], eid[order], np.round(val[order] * 1e6).astype(np.int64)
-        n = len(user)
-        idx = np.arange(n, dtype=np.int64)
-        new_user = np.concatenate([[True], user[1:] != user[:-1]])
-        user_start = np.maximum.accumulate(np.where(new_user, idx, -1))
-        c = np.cumsum(val)
-        lb = np.maximum(user_start, idx - window + 1)
-        roll = c - np.where(lb > 0, c[np.maximum(lb - 1, 0)], 0)
+        roll = rolling_sum_kernel(user, val, window)
         return pa.table(
             {
                 "event_id": pa.array(eid, pa.int64()),
