@@ -378,3 +378,32 @@ def test_anti_join_and_rolling_window(ray_session):
             FROM e ORDER BY event_id"""
     ).df()
     assert roll["roll_u"].tolist() == exp_r["roll_u"].tolist()
+
+
+def test_hash_join_right_unique_fast_path_equals_pandas_path(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, 2, 3, 9], pa.int64()),
+                "x": pa.array([10, 20, 21, 30, 90], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()), "y": pa.array([5, 6, 7, 8], pa.int64())})
+    )
+
+    def canon(ds):
+        return (
+            ds.to_pandas().sort_values(["k", "x"]).reset_index(drop=True)[["k", "x", "y"]]
+        )
+
+    slow = canon(hash_join(left, right, on="k", how="inner"))
+    fast = canon(hash_join(left, right, on="k", how="inner", right_unique=True))
+    assert fast.equals(slow)
+    assert fast["k"].tolist() == [1, 2, 2, 3]  # key 9 unmatched, dup key 2 kept

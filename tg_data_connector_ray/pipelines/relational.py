@@ -216,13 +216,18 @@ def revenue_by_mktsegment(sf_dir: str, concurrency=None):
 # ---------------------------------------------------------------------------
 # explicit partitioned hash join (both sides large)
 
-def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
+def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
+              right_unique: bool = False):
     """Bucketed hash join of two Datasets on an int64 key.
 
     Both sides get `bucket = key % B` and a side tag, union into ONE
     dataset so a single groupby(bucket) co-locates matching buckets; the
     per-bucket pandas merge runs in parallel tasks.  Skewed keys: salt by
     raising B or pre-splitting the hot key (documented, not automatic).
+
+    `right_unique=True` (caller-asserted: the right side has at most one
+    row per key — a dimension/lookup table) takes an all-Arrow fast path
+    for inner joins: one index_in + take per bucket, no pandas.
     """
 
     if num_buckets & (num_buckets - 1):
@@ -268,8 +273,22 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner"):
             rset = pc.drop_null(rkeys.unique())
             keep = pc.invert(pc.is_in(l_tbl[on], value_set=rset))
             return l_tbl.filter(pc.fill_null(keep, True))
+        r_tbl = g.filter(pc.invert(lmask)).select(right_cols)
+        if right_unique and how == "inner":
+            # right side unique per key: the inner join is a gather —
+            # index_in + take per column, matched-rows filter; no pandas
+            rkeys = r_tbl[on].combine_chunks()
+            idx = pc.index_in(l_tbl[on], value_set=rkeys)
+            matched = pc.is_valid(idx)
+            l_hit = l_tbl.filter(matched)
+            gather = pc.filter(idx, matched)
+            cols = {c: l_hit[c] for c in left_cols}
+            for c in right_cols:
+                if c != on:
+                    cols[c] = r_tbl[c].combine_chunks().take(gather)
+            return pa.table(cols)
         l = l_tbl.to_pandas()
-        r = g.filter(pc.invert(lmask)).select(right_cols).to_pandas()
+        r = r_tbl.to_pandas()
         out = l.merge(r, on=on, how=how)
         return pa.table(
             {c: pa.Array.from_pandas(out[c], type=all_types.get(c)) for c in out.columns}
@@ -942,7 +961,10 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 16, concurrency=None):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    joined = hash_join(thin_items, thin_orders, on="l_orderkey", num_buckets=num_buckets)
+    joined = hash_join(
+        thin_items, thin_orders, on="l_orderkey", num_buckets=num_buckets,
+        right_unique=True,  # one orders row per orderkey
+    )
 
     partials = joined.map_batches(
         _NationOfCustomer,
