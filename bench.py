@@ -146,10 +146,12 @@ def run_query_bench() -> dict:
         "text_tfidf",
         "docs_pack_sequences",
         "events_quantiles",
-        # round 3 continuation: rolling window, HLL sketch, 4-table join
+        # round 3 continuation: rolling window, HLL sketch, 4-table join,
+        # five-stage corpus-prep capstone
         "events_rolling_sum",
         "events_user_hll",
         "revenue_by_nation",
+        "docs_prep_v2",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
