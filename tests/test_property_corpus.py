@@ -145,3 +145,53 @@ def test_hll_partial_equals_bruteforce(vals):
         regs[bucket] = max(regs.get(bucket, 0), rho)
     got = dict(zip(out["bucket"], out["rho"]))
     assert got == regs
+
+
+@settings(max_examples=8, deadline=None)  # full Ray pipeline per example
+@given(
+    st.lists(st.tuples(st.integers(0, 6), st.integers(0, 99)), min_size=1, max_size=25),
+    st.lists(st.integers(0, 6), min_size=0, max_size=10),
+    st.sampled_from(["inner", "left", "anti"]),
+)
+def test_hash_join_equals_pandas_reference(left_rows, right_keys, how):
+    import pandas as pd
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    right_keys = sorted(set(right_keys))
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k for k, _ in left_rows], pa.int64()),
+                "x": pa.array([x for _, x in left_rows], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(right_keys, pa.int64()),
+                "y": pa.array([k * 10 for k in right_keys], pa.int64()),
+            }
+        )
+    )
+    got = hash_join(left, right, on="k", how=how, right_unique=(how == "inner"))
+    gdf = got.to_pandas()
+    ldf = pd.DataFrame({"k": [k for k, _ in left_rows], "x": [x for _, x in left_rows]})
+    rdf = pd.DataFrame({"k": right_keys, "y": [k * 10 for k in right_keys]})
+    if how == "anti":
+        exp = ldf[~ldf["k"].isin(rdf["k"])]
+        cols = ["k", "x"]
+    else:
+        exp = ldf.merge(rdf, on="k", how=how)
+        cols = ["k", "x", "y"]
+    if len(gdf.columns) == 0:
+        # Ray's documented empty-output behavior: when every per-bucket
+        # table is empty the dataset is zero-schema — valid iff the
+        # reference result is empty too
+        assert exp.empty, (how, exp)
+        return
+    g = gdf[cols].sort_values(cols).reset_index(drop=True).astype("float64")
+    e = exp[cols].sort_values(cols).reset_index(drop=True).astype("float64")
+    assert g.equals(e), (how, g, e)
