@@ -569,6 +569,12 @@ def _users_heavy_tail(sf_dir):
     return users_heavy_tail(sf_dir)
 
 
+def _events_percent_rank(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_percent_rank
+
+    return events_percent_rank(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -832,6 +838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems": _orders_without_lineitems,
         "events_rolling_sum": _events_rolling_sum,
         "events_rollup": _events_rollup,
+        "events_percent_rank": _events_percent_rank,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
         "users_in_both": _users_in_both,
@@ -1568,6 +1575,18 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY user_id
             )
             SELECT user_id, sum_u, n, max_u FROM a WHERE max_u * n > sum_u * 2
+        """,
+        "events_percent_rank": """
+            WITH e AS (
+              SELECT event_id, event_type,
+                     CAST(round_even(value * 1e6, 0) AS BIGINT) AS vu
+              FROM events
+            )
+            SELECT event_id, event_type,
+                   CAST(round_even(1e6 * (rank() OVER (PARTITION BY event_type ORDER BY vu) - 1)
+                        / greatest(count(*) OVER (PARTITION BY event_type) - 1, 1), 0)
+                     AS BIGINT) AS pr_u6
+            FROM e
         """,
         "events_user_hll": """
             WITH u AS (

@@ -1262,3 +1262,38 @@ def users_heavy_tail(sf_dir: str, factor: int = 2):
         return t.filter(keep)
 
     return agg.map_batches(having, batch_format="pyarrow")
+
+
+def events_percent_rank(sf_dir: str):
+    """Rank-family window function: percent_rank of each event's value
+    within its event_type (ties share the min rank, SQL rank() semantics).
+    event_type has few, large groups, so a direct groupby/map_groups is
+    the right shape (each group ranks in one vectorized pass); a
+    high-cardinality key would use the coarse-group pattern instead.
+    pr_u6 integerizes the ratio so both engines compare exact integers."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def rank_block(g: pa.Table) -> pa.Table:
+        vu = np.round(
+            g["value"].combine_chunks().to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        eid = _np_i64(g["event_id"])
+        n = len(vu)
+        order = np.argsort(vu, kind="stable")
+        sv = vu[order]
+        # min-rank with ties: first index of each equal run, propagated
+        first = np.concatenate([[True], sv[1:] != sv[:-1]])
+        run_start = np.maximum.accumulate(np.where(first, np.arange(n), -1))
+        rank_sorted = run_start + 1
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = rank_sorted
+        pr = np.round(1e6 * (rank - 1) / max(n - 1, 1)).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "event_type": g["event_type"],
+                "pr_u6": pa.array(pr, pa.int64()),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(rank_block, batch_format="pyarrow")
