@@ -575,6 +575,12 @@ def _events_percent_rank(sf_dir):
     return events_percent_rank(sf_dir)
 
 
+def _events_value_delta(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_value_delta
+
+    return events_value_delta(sf_dir)
+
+
 def _events_user_hll(sf_dir):
     """HyperLogLog register table (event_type, bucket, reg): md5-derived
     integer registers, so the oracle reconstructs the sketch state
@@ -839,6 +845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_sum": _events_rolling_sum,
         "events_rollup": _events_rollup,
         "events_percent_rank": _events_percent_rank,
+        "events_value_delta": _events_value_delta,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
         "users_in_both": _users_in_both,
@@ -1586,6 +1593,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round_even(1e6 * (rank() OVER (PARTITION BY event_type ORDER BY vu) - 1)
                         / greatest(count(*) OVER (PARTITION BY event_type) - 1, 1), 0)
                      AS BIGINT) AS pr_u6
+            FROM e
+        """,
+        "events_value_delta": """
+            WITH e AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round_even(value * 1e6, 0) AS BIGINT) AS vu
+              FROM events
+            )
+            SELECT event_id,
+                   CAST(coalesce(vu - lag(vu) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id), 0) AS BIGINT) AS delta_u
             FROM e
         """,
         "events_user_hll": """

@@ -1297,3 +1297,44 @@ def events_percent_rank(sf_dir: str):
         )
 
     return ds.groupby("event_type").map_groups(rank_block, batch_format="pyarrow")
+
+
+def events_value_delta(sf_dir: str):
+    """Lag-family window function: each event's value minus its user's
+    previous value in (ts, event_id) order (first event per user -> 0,
+    matching the oracle's coalesce).  Same one-shuffle coarse-group shape
+    as the rolling window; the lag itself is a shifted subtraction masked
+    at user boundaries."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    n_coarse = 64
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), n_coarse - 1), pa.int32()
+        )
+        return t.append_column("_cg", cg)
+
+    def delta_block(g: pa.Table) -> pa.Table:
+        user = _np_i64(g["user_id"])
+        eid = _np_i64(g["event_id"])
+        ts = g["ts"].combine_chunks().to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        vu = np.round(
+            g["value"].combine_chunks().to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        user, eid, vu = user[order], eid[order], vu[order]
+        delta = np.concatenate([[0], vu[1:] - vu[:-1]])
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        delta[new_user] = 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "delta_u": pa.array(delta, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(delta_block, batch_format="pyarrow")
+    )
