@@ -275,3 +275,38 @@ def test_contamination_matches_duckdb(docs):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["n_shared"].tolist() == exp["n_shared"].tolist()
     assert len(got) > 20  # k=3 on this corpus: plenty of shared trigrams
+
+
+def test_pack_sequences_empty_corpus():
+    import ray
+    import ray.data
+
+    from tg_data_connector_ray.ops.corpus import pack_sequences
+
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    out = pack_sequences(empty, budget=100)
+    assert out.num_rows == 0
+    assert "tok_start" in out.column_names  # typed empty, not a TypeError
+
+
+def test_users_in_both_no_matching_events(tmp_path):
+    """No rows of either type: the intersection is a typed empty table,
+    not a KeyError on the zero-schema distinct output."""
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import users_in_both
+
+    pq.write_table(
+        pa.table(
+            {
+                "event_type": pa.array(["click"] * 3),
+                "user_id": pa.array([1, 2, 3], pa.int64()),
+                "value": pa.array([1.0, 2.0, 3.0]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = users_in_both(str(tmp_path))
+    assert out.num_rows == 0 and out.column_names == ["user_id"]

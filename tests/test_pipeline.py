@@ -333,3 +333,52 @@ def test_chunked_fixture_converges(tmp_path, ray_session):
         f"SELECT count(DISTINCT conv_id) FROM '{fx['transcripts']}'"
     ).fetchone()[0]
     assert n_conv >= 600  # 600 convs (+ none lost to chunk collisions)
+
+
+def test_legacy_state_without_marker_raises(tmp_path):
+    """State partitions with no _FORMAT.json are pre-marker state of
+    unknown routing provenance — adopting them could silently split keys
+    across partitions, so apply_cdc must refuse (re-bootstrap)."""
+    from tg_data_connector_ray.cdc.pipeline import _check_state_format
+
+    out = tmp_path / "out"
+    (out / "state" / "part=0").mkdir(parents=True)
+    cfg = CdcConfig(out_dir=str(out), num_partitions=4)
+    with pytest.raises(ValueError, match="no _FORMAT.json"):
+        _check_state_format(cfg)
+    # a fresh out_dir (no state) stamps the marker and proceeds
+    cfg2 = CdcConfig(out_dir=str(tmp_path / "fresh"), num_partitions=4)
+    os.makedirs(cfg2.out_dir)
+    _check_state_format(cfg2)
+    assert os.path.exists(os.path.join(cfg2.out_dir, "_FORMAT.json"))
+
+
+def test_empty_state_reads_typed_empty(tmp_path):
+    """Fresh out_dir with no state partitions: the read/verify surface
+    returns typed empties instead of pyarrow raising on an empty path
+    list."""
+    from tg_data_connector_ray.cdc.pipeline import (
+        USER_COLS,
+        final_table_arrow,
+        verify_against,
+    )
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "none"), num_partitions=4)
+    t = final_table_arrow(cfg)
+    assert t.num_rows == 0 and t.column_names == list(USER_COLS)
+    ds = read_final_table(cfg)
+    assert ds.count() == 0 and set(ds.schema().names) == set(USER_COLS)
+    exp = pa.table(
+        {
+            "conv_id": pa.array(["c"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["x"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    p = str(tmp_path / "exp.parquet")
+    pq.write_table(exp, p)
+    res = verify_against(cfg, p)
+    assert res["ok"] is False and res["rows"] == 0 and res["rows_expected"] == 1

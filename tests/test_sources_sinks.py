@@ -599,3 +599,62 @@ def test_retry_call_backoff():
     assert len(calls) == 3
     with pytest.raises(OSError):
         retry_call(lambda: (_ for _ in ()).throw(OSError("always")), tries=2, base_delay_s=0.001)
+
+
+def test_sql_sink_exactly_once_identical_batches_all_written(tmp_path):
+    """Highly repetitive data + fixed batch_rows produces bit-identical
+    batches; the Datasink write path keys the ledger by (task ordinal +
+    content), so identical batches must all be written — only a true
+    retry of the SAME batch is skipped."""
+    import sqlite3
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig, write_sql
+
+    db = str(tmp_path / "dup.db")
+    factory = lambda: sqlite3.connect(db)  # noqa: E731
+    # 10 identical rows, batch_rows=2 -> 5 bit-identical batches
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array([7] * 10, pa.int64()), "name": pa.array(["x"] * 10)})
+    )
+    cfg = SqlSinkConfig(
+        table="t",
+        columns=("id", "name"),
+        batch_rows=2,
+        exactly_once=True,
+        pre_sql=("CREATE TABLE IF NOT EXISTS t (id INTEGER, name TEXT)",),
+    )
+    assert write_sql(ds, factory, cfg) == 10
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 10
+    # ledger: one row per committed batch, all distinct batch_ids
+    leds = con.execute("SELECT batch_id, n_rows FROM t__write_ledger").fetchall()
+    con.close()
+    assert sum(n for _, n in leds) == 10
+    assert len({b for b, _ in leds}) == len(leds)
+
+
+def test_sql_sink_exactly_once_autocommit_connection(tmp_path):
+    """A factory handing out autocommit connections (sqlite3
+    isolation_level=None) must still commit ledger+data atomically —
+    _ensure_transactional restores transactional mode."""
+    import sqlite3
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig, SqlWriter
+
+    db = str(tmp_path / "ac.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER)")
+    con.execute(
+        "CREATE TABLE t__write_ledger (write_uuid TEXT, batch_id TEXT, n_rows INTEGER,"
+        " PRIMARY KEY (write_uuid, batch_id))"
+    )
+    con.commit()
+    con.close()
+    cfg = SqlSinkConfig(table="t", columns=("id",), exactly_once=True)
+    w = SqlWriter(lambda: sqlite3.connect(db, isolation_level=None), cfg, write_uuid="r")
+    conn = w._conn()
+    assert conn.isolation_level is not None  # transactional mode restored
+    batch = pa.table({"id": pa.array([1, 2], pa.int64())})
+    assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 2
+    assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 0  # retry skips
+    assert w(batch, ordinal_key="0:1")["rows_written"][0].as_py() == 2  # new ordinal writes

@@ -30,4 +30,4 @@ Nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` — sessions
 are owned by the caller (bench.py, CLIs, the pytest fixture, the driver).
 """
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

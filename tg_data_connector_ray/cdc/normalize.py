@@ -24,7 +24,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..util import atomic_write_parquet, mix_hash, new_token, stable_hash_strings
+from ..util import atomic_write_parquet, mix_hash, new_token, routing_hash_strings
 from .config import CdcConfig
 
 CDC_COLUMNS = ("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
@@ -154,8 +154,11 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
     else:  # all-clean batch (the common case): no copy
         clean = pa.table(cols)
 
-    # partition assignment (deterministic cross-process hash; salted for hot keys)
-    h = stable_hash_strings(clean["conv_id"])
+    # partition assignment — the one hash whose mapping is PERSISTED (state
+    # partitions on disk), so it must be library-version-independent
+    # (`routing_hash_strings`, provider pinned in the _FORMAT.json marker);
+    # salted for hot keys
+    h = routing_hash_strings(clean["conv_id"])
     if cfg.hot_keys:
         hot = np.asarray(
             pc.fill_null(pc.is_in(clean["conv_id"], value_set=pa.array(list(cfg.hot_keys))), False)

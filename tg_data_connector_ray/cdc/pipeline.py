@@ -22,6 +22,7 @@ job with the same run_id (committed partitions short-circuit via lineage).
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import os
 from functools import partial
@@ -412,11 +413,17 @@ def detect_hot_keys(event_paths, threshold_frac: float = 0.05) -> "list[str]":
 def _check_state_format(cfg: CdcConfig) -> None:
     """Pin the persisted state's partition mapping.
 
-    conv_id -> part uses `stable_hash_strings`; if the hash provider (or
+    conv_id -> part uses `routing_hash_strings`; if the hash provider (or
     `num_partitions`) ever changed between runs over the same out_dir,
     existing per-partition state would silently stop matching new events'
     routing.  A tiny `_FORMAT.json` marker written on first use makes that
     an explicit error (rebuild or migrate the state) instead.
+
+    State partitions WITHOUT a marker are legacy state from before the
+    marker existed — their routing provenance is unknown, so adopting them
+    under the current provider could silently split keys across partitions.
+    That case raises too (re-bootstrap), rather than stamping the new
+    provider over old state.
     """
     from ..util import HASH_PROVIDER, read_json
 
@@ -431,6 +438,13 @@ def _check_state_format(cfg: CdcConfig) -> None:
                 "existing state. Re-bootstrap the table (fresh out_dir + "
                 "snapshot replay) or migrate the state partitions."
             )
+    elif glob.glob(os.path.join(cfg.out_dir, "state", "part=*")):
+        raise ValueError(
+            f"CDC state at {cfg.out_dir} has partitions but no _FORMAT.json "
+            "marker — its partition routing provenance is unknown (written "
+            "by a pre-marker engine version). Re-bootstrap the table into a "
+            "fresh out_dir instead of adopting it."
+        )
     else:
         atomic_write_json(marker, want)
 
@@ -485,6 +499,18 @@ def apply_cdc(
 USER_COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
 
+def _empty_final_table() -> pa.Table:
+    """Typed empty converged table (USER_COLS schema) — returned when no
+    state partitions exist yet (fresh out_dir, or a replay where every
+    event went dirty), instead of letting pyarrow raise on an empty path
+    list."""
+    from .merge import STATE_SCHEMA
+
+    return pa.table(
+        {c: pa.array([], type=STATE_SCHEMA.field(c).type) for c in USER_COLS}
+    )
+
+
 def _state_parquet_paths(cfg: CdcConfig) -> "list[str]":
     root = os.path.join(cfg.out_dir, "state")
     if not os.path.isdir(root):
@@ -505,6 +531,8 @@ def final_table_arrow(cfg: CdcConfig, sort: bool = False) -> pa.Table:
     import pyarrow.dataset as pads
 
     paths = _state_parquet_paths(cfg)
+    if not paths:
+        return _empty_final_table()
     t = pads.dataset(paths).to_table(
         columns=list(USER_COLS),
         filter=pa.compute.field("_deleted") == False,  # noqa: E712
@@ -587,6 +615,8 @@ def _table_digest(paths, cols, filter=None) -> dict:
             }
         )
 
+    if isinstance(paths, (list, tuple)) and not paths:
+        return {"rows": 0, "full": (0, 0), "text": 0}
     parts = (
         ray.data.read_parquet(paths, columns=cols, filter=filter)
         .map_batches(d, batch_format="pyarrow", zero_copy_batch=True)
@@ -629,8 +659,11 @@ def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":
     """The converged user-facing table as a streaming Dataset: the live
     view over per-partition state (tombstones filtered at the read, pushed
     down to the parquet scan)."""
+    paths = _state_parquet_paths(cfg)
+    if not paths:
+        return ray.data.from_arrow(_empty_final_table())
     ds = ray.data.read_parquet(
-        _state_parquet_paths(cfg),
+        paths,
         columns=list(USER_COLS),
         filter=pa.compute.field("_deleted") == False,  # noqa: E712
     )

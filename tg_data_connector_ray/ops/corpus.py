@@ -215,9 +215,12 @@ def tfidf_topk(ds, k: int = 3, col: str = "text", small_vocab: int = SMALL_VOCAB
     coarse-bucket COUNT over those rows (each (doc, term) appears exactly
     once, so row-count per term IS the document frequency); N is the doc
     count (parquet metadata).  Small vocabularies broadcast the DF table
-    to scoring tasks (tf rows stay doc-contiguous in their original
-    batches — no shuffle at all); big ones hash-join DF onto the tf rows
-    and rank per-doc in a coarse-grouped pass."""
+    to scoring tasks (no join); big ones hash-join DF onto the tf rows.
+    BOTH paths rank per-doc in a coarse-grouped pass (groupby on
+    hash(doc_id) & 63): ranking inside a map_batches block would silently
+    produce two rank sequences for one doc whenever Ray's dynamic block
+    splitting cuts a tf block mid-doc, so per-doc ranking must never
+    depend on block boundaries."""
     from ..pipelines.relational import grouped_arrow_aggregate
 
     _EMPTY = pa.table(
@@ -253,23 +256,28 @@ def tfidf_topk(ds, k: int = 3, col: str = "text", small_vocab: int = SMALL_VOCAB
         df_terms = pa.array(df_pdf["term"], pa.string())
         df_counts = pa.array(df_pdf["df"].to_numpy(np.int64), pa.int64())
 
-        def score_and_rank(t: pa.Table) -> pa.Table:
+        def score_bcast(t: pa.Table) -> pa.Table:
             idx = pc.index_in(t["term"], value_set=df_terms)
             df = df_counts.take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
             tf = _i64(t["tf"])
             su = _round_even_u6(tf * np.log(float(n_docs) / df))
-            scored = pa.table(
+            d = _i64(t["doc_id"])
+            return pa.table(
                 {
                     "doc_id": t["doc_id"],
                     "term": t["term"],
                     "tf": t["tf"],
                     "df": pa.array(df, pa.int64()),
                     "score_u": pa.array(su, pa.int64()),
+                    "_cg": pa.array((d & 63).astype(np.int32)),
                 }
             )
-            return _rank_topk_scored(scored, k)
 
-        return tf_rows.map_batches(score_and_rank, batch_format="pyarrow")
+        scored = tf_rows.map_batches(score_bcast, batch_format="pyarrow")
+        return scored.groupby("_cg").map_groups(
+            lambda g: _rank_topk_scored(g.drop_columns(["_cg"]), k),
+            batch_format="pyarrow",
+        )
 
     # big-vocabulary path: DF joins onto the tf rows (both sides thin),
     # then a coarse-grouped per-doc ranking (doc rows scatter in the join)
@@ -384,6 +392,11 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
         return pa.table({id_col: t[id_col], "n_tok": n_tok})
 
     thin = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    if thin.count() == 0:  # min()/max() return None on an empty corpus
+        return pa.table(
+            {c: pa.array([], type=pa.int64())
+             for c in (id_col, "n_tok", "tok_start", "seq_first", "seq_last", "off_in_seq")}
+        )
     lo = int(thin.min(id_col))
     span = max(int(thin.max(id_col)) - lo + 1, 1)
 

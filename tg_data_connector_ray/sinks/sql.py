@@ -11,12 +11,14 @@ Reference semantics preserved:
 - batched ``executemany`` + commit per batch (the reference's
   batchSize-driven PreparedStatement loop :470-543).
 
-Ray shape: the writer is an ACTOR-POOL map_batches stage — one DB
-connection per actor opened in ``__init__``, one executemany per batch —
-emitting a one-row count table per batch so the pipeline streams (no
-driver materialization).  No JDBC in this sandbox: ``connection_factory``
-is any DB-API2 callable (tests use stdlib sqlite3; for MySQL/Postgres
-pass the driver's connect function — the plan is identical).
+Ray shape: the writer is a Datasink (``ds.write_datasink``) — one DB
+connection per write task, one executemany per ``batch_rows`` chunk,
+streaming with backpressure (no driver materialization); the task index
+from the Datasink TaskContext gives the exactly-once ledger its
+retry-stable batch identity.  No JDBC in this sandbox:
+``connection_factory`` is any DB-API2 callable (tests use stdlib
+sqlite3; for MySQL/Postgres pass the driver's connect function — the
+plan is identical).
 """
 
 from __future__ import annotations
@@ -38,12 +40,16 @@ class SqlSinkConfig:
     post_sql: tuple = ()
     date_format: str = "%Y-%m-%d %H:%M:%S"
     concurrency: int = 1  # sqlite is single-writer; raise for real RDBMS
-    # exactly_once=True records each batch's content hash in a
-    # `<table>__write_ledger` table inside the SAME transaction as the
-    # data, so a re-executed Ray task skips batches that already
-    # committed.  Caveat (documented): two DIFFERENT blocks with
-    # bit-identical content collide in the ledger — include a unique
-    # column (id, lsn) when exact duplicate batches are legitimate.
+    # exactly_once=True records each batch in a `<table>__write_ledger`
+    # table inside the SAME transaction as the data, so a re-executed Ray
+    # task skips batches that already committed.  Through `write_sql` the
+    # ledger key is (write task index, within-task batch ordinal, content
+    # hash) — the task index comes from the Datasink TaskContext and is
+    # stable across Ray task retries, so two DIFFERENT batches never
+    # collide even when their content is bit-identical (highly repetitive
+    # data + a fixed batch_rows makes identical batches common, not rare).
+    # Only direct `SqlWriter` use without an ordinal falls back to the
+    # content-hash-only key with the identical-batch caveat.
     exactly_once: bool = False
 
     def __post_init__(self):
@@ -104,11 +110,30 @@ def _rows_for_db(batch: pa.Table, cfg: SqlSinkConfig) -> "list[tuple]":
     return list(zip(*cols))
 
 
+def _ensure_transactional(conn) -> None:
+    """exactly_once requires the ledger INSERT and the data executemany to
+    commit ATOMICALLY — with an autocommit connection the ledger row
+    commits alone, and a crash before the data write then makes every
+    retry skip the batch forever (silent data loss).  DB-API2 defaults to
+    non-autocommit, but common factories override it; undo that here."""
+    try:
+        # sqlite3: isolation_level=None means autocommit; "" = deferred tx
+        if getattr(conn, "isolation_level", "") is None:
+            conn.isolation_level = ""
+    except Exception:
+        pass
+    try:
+        # DB-API extensions (psycopg, mysql-connector, sqlite3 on 3.12+)
+        if getattr(conn, "autocommit", False):
+            conn.autocommit = False
+    except Exception:
+        pass
+
+
 class SqlWriter:
-    """Actor-pool write stage.  The connection opens lazily, once per
-    worker THREAD (Ray Data runs actor UDF calls on a thread pool, and
-    DB-API drivers like sqlite3 are thread-bound), and is reused across
-    batches — the statement is prepared once per actor."""
+    """Per-batch write callable.  The connection opens lazily, once per
+    worker THREAD (DB-API drivers like sqlite3 are thread-bound), and is
+    reused across batches — the statement is prepared once per instance."""
 
     def __init__(self, connection_factory, cfg: SqlSinkConfig, write_uuid: str = ""):
         import threading
@@ -128,6 +153,8 @@ class SqlWriter:
             # connects are the transient-failure hot spot (reference wraps
             # them in RetryUtil, 9 tries); statement errors stay fail-fast
             conn = self._local.conn = retry_call(self._factory, tries=5)
+            if self.cfg.exactly_once:
+                _ensure_transactional(conn)
         return conn
 
     def _ledger_has(self, cur, batch_id: str) -> bool:
@@ -138,7 +165,7 @@ class SqlWriter:
         )
         return cur.fetchone() is not None
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table, ordinal_key: "str | None" = None) -> pa.Table:
         rows = _rows_for_db(batch, self.cfg)
         if not rows:
             return pa.table({"rows_written": pa.array([0], pa.int64())})
@@ -148,11 +175,17 @@ class SqlWriter:
             # idempotent re-execution: the ledger row commits atomically
             # WITH the data, so a Ray-retried task either sees the ledger
             # row (batch fully committed — skip) or neither (rolled back —
-            # safe to rewrite).  batch_id is the batch CONTENT hash, which
-            # is stable across retries of the same block.
+            # safe to rewrite).  `ordinal_key` (write-task index + batch
+            # ordinal, supplied by SqlDatasink) is stable across retries
+            # and unique across batches; the content hash rides along so a
+            # lineage-reconstructed block with DIFFERENT content under the
+            # same ordinal is re-written (at-least-once) rather than
+            # silently skipped.  Without an ordinal (direct use) the key
+            # degrades to content-hash-only: identical batches collide.
             import hashlib
 
-            batch_id = hashlib.sha256(repr(rows).encode()).hexdigest()
+            content = hashlib.sha256(repr(rows).encode()).hexdigest()
+            batch_id = f"{ordinal_key}:{content[:16]}" if ordinal_key else content
             try:
                 cur.execute(
                     f"INSERT INTO {self.cfg.ledger_table} "
@@ -188,18 +221,70 @@ def _run_side_sql(connection_factory, statements) -> None:
         conn.close()
 
 
+class SqlDatasink:
+    """Ray Datasink for the RDBMS write — the idiomatic terminal stage
+    (``ds.write_datasink``), chosen over a map_batches sink because write
+    tasks receive ``TaskContext.task_idx``: a retried task re-runs with
+    the SAME index over the SAME blocks, which is exactly the stable
+    batch identity the exactly-once ledger needs."""
+
+    def __init__(self, connection_factory, cfg: SqlSinkConfig, write_uuid: str):
+        self._factory = connection_factory
+        self.cfg = cfg
+        self.write_uuid = write_uuid
+        self.rows_written = 0
+
+    # Datasink interface ----------------------------------------------
+    def get_name(self) -> str:
+        return f"SQL({self.cfg.table})"
+
+    @property
+    def supports_distributed_writes(self) -> bool:
+        return True
+
+    @property
+    def min_rows_per_write(self):
+        return None
+
+    def on_write_start(self) -> None:
+        pass
+
+    def on_write_failed(self, error: Exception) -> None:
+        pass
+
+    def write(self, blocks, ctx) -> int:
+        import pandas as pd
+
+        writer = SqlWriter(self._factory, self.cfg, self.write_uuid)
+        total = 0
+        ordinal = 0
+        for block in blocks:
+            t = pa.Table.from_pandas(block) if isinstance(block, pd.DataFrame) else block
+            for off in range(0, t.num_rows, self.cfg.batch_rows):
+                chunk = t.slice(off, self.cfg.batch_rows)
+                out = writer(chunk, ordinal_key=f"{ctx.task_idx}:{ordinal}")
+                total += int(out["rows_written"][0].as_py())
+                ordinal += 1
+        return total
+
+    def on_write_complete(self, write_result) -> None:
+        # our write() returns rows ACTUALLY written (ledger skips excluded)
+        self.rows_written = int(sum(write_result.write_returns or []))
+
+
 def write_sql(ds, connection_factory, cfg: SqlSinkConfig) -> int:
     """Write a Dataset into an RDBMS table; returns rows written.
 
-    preSql -> streamed actor-pool write -> postSql, mirroring the
+    preSql -> distributed Datasink write -> postSql, mirroring the
     reference's master prepare / task write / master post lifecycle.
 
-    Delivery: with ``exactly_once`` the per-batch content ledger makes
-    re-executed Ray tasks skip already-committed batches.  Without it the
-    write stage runs with ``max_task_retries=0`` — a lost/failed task
-    fails the run loudly instead of silently double-inserting on retry
-    (the reference's plain JDBC inserts have the same at-least-once
-    hazard; failing the run is the safer default)."""
+    Delivery: with ``exactly_once`` the per-batch ledger (task-ordinal +
+    content key, atomic with the data) makes re-executed Ray tasks skip
+    already-committed batches.  Without it the write tasks run with
+    ``max_retries=0`` — a lost/failed task fails the run loudly instead
+    of silently double-inserting on retry (the reference's plain JDBC
+    inserts have the same at-least-once hazard; failing the run is the
+    safer default)."""
     from ..util import new_token
 
     write_uuid = new_token()
@@ -207,23 +292,26 @@ def write_sql(ds, connection_factory, cfg: SqlSinkConfig) -> int:
     if cfg.exactly_once:
         pre = [
             f"CREATE TABLE IF NOT EXISTS {cfg.ledger_table} "
-            "(write_uuid VARCHAR(64) NOT NULL, batch_id VARCHAR(64) NOT NULL, "
+            "(write_uuid VARCHAR(64) NOT NULL, batch_id VARCHAR(96) NOT NULL, "
             "n_rows BIGINT, PRIMARY KEY (write_uuid, batch_id))"
         ] + pre
     _run_side_sql(connection_factory, pre)
-    remote_args = {} if cfg.exactly_once else {"max_task_retries": 0}
-    out = ds.select_columns(list(cfg.columns)).map_batches(
-        SqlWriter,
-        batch_format="pyarrow",
-        batch_size=cfg.batch_rows,
-        concurrency=cfg.concurrency,
-        fn_constructor_kwargs={
-            "connection_factory": connection_factory,
-            "cfg": cfg,
-            "write_uuid": write_uuid,
-        },
-        **remote_args,
+    sink = _make_datasink(connection_factory, cfg, write_uuid)
+    remote_args = {} if cfg.exactly_once else {"max_retries": 0}
+    ds.select_columns(list(cfg.columns)).write_datasink(
+        sink, concurrency=cfg.concurrency, ray_remote_args=remote_args
     )
-    total = int(out.sum("rows_written") or 0)
+    total = sink.rows_written
     _run_side_sql(connection_factory, cfg.post_sql)
     return total
+
+
+def _make_datasink(connection_factory, cfg: SqlSinkConfig, write_uuid: str):
+    """Build the concrete Datasink subclass lazily (keeps the module
+    importable without a Ray session for pure-SQL template tests)."""
+    from ray.data import Datasink
+
+    class _Sink(SqlDatasink, Datasink):
+        pass
+
+    return _Sink(connection_factory, cfg, write_uuid)

