@@ -745,16 +745,25 @@ def _docs_prep_v2(sf_dir):
         )
     )
     bench = docs.filter(expr="doc_id < 20")
-    corpus = rep.filter(expr="doc_id >= 20").materialize()
-    hits = ngram_contamination(corpus, bench, k=5)
-    # materialize: clean feeds BOTH the hash pass and the final filter —
-    # lazy, the contamination anti-filter would re-execute per consumer
-    clean = filter_out_ids(corpus, hits).materialize()
-    thin = clean.map_batches(
+    # multi-consumer checkpoint: a parquet SPOOL, not materialize() — the
+    # corpus carries text, and materialize would pin the whole dataset in
+    # the object store; the spool is one partitioned write + three
+    # streaming reads (contamination scan, hash pass, final filter)
+    from tg_data_connector_ray.util import spool_checkpoint
+
+    corpus = spool_checkpoint(rep.filter(expr="doc_id >= 20"), "prep_corpus")
+    # hits/dropped are thin id rows (no text): materializing THEM is fine
+    # and avoids re-running the contamination scan per consumer
+    hits = ngram_contamination(corpus(), bench, k=5).materialize()
+    # dedup hashes the full spooled corpus, then drops contaminated ids
+    # from the THIN (doc_id, h1, h2) rows — identical semantics to
+    # hashing the decontaminated corpus, without another text pass
+    thin = corpus().map_batches(
         lambda b: content_hash_batch(b, "text"), batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    deduped = filter_out_ids(clean, exact_dedup_dropped_ids(thin))
+    dropped = exact_dedup_dropped_ids(filter_out_ids(thin, hits))
+    deduped = filter_out_ids(filter_out_ids(corpus(), hits), dropped)
     return pack_sequences(deduped, budget=2048)
 
 

@@ -17,7 +17,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .dedup import _TOKEN_RE, _i64
+from .dedup import _i64
 
 _U6 = 1_000_000.0
 
@@ -28,15 +28,16 @@ def _round_even_u6(x: np.ndarray) -> np.ndarray:
     return np.round(x * _U6).astype(np.int64)
 
 
-def _tokens_flat(texts: "list[str | None]") -> "tuple[np.ndarray, np.ndarray]":
+def _tokens_flat(texts) -> "tuple[np.ndarray, np.ndarray]":
     """All docs' lowercased tokens as one flat object array + doc offsets
     (split rule [A-Za-z0-9_]+, identical to ops.dedup and the SQL oracles'
-    regexp_extract_all)."""
-    toks = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
-    counts = np.array([len(x) for x in toks], dtype=np.int64)
-    offs = np.concatenate([[0], np.cumsum(counts)])
-    flat = np.array([w for ts in toks for w in ts], dtype=object)
-    return flat, offs
+    regexp_extract_all).  Tokenization is the shared vectorized
+    `_split_tokens_arrow` (one split_pattern_regex, no per-doc loop);
+    accepts a list or an Arrow string column."""
+    from .dedup import _split_tokens_arrow
+
+    flat, offs = _split_tokens_arrow(texts)
+    return flat.to_numpy(zero_copy_only=False), offs
 
 
 
@@ -87,7 +88,7 @@ def _kgram_runs(key_of: np.ndarray, cols: "list[np.ndarray]"):
 def bigram_counts_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     """Partial (ngram, n) counts for one batch — the combiner half of the
     global count.  Bigrams never cross document boundaries."""
-    flat, offs = _tokens_flat(batch[col].to_pylist())
+    flat, offs = _tokens_flat(batch[col])
     if len(flat) < 2:
         return pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     # int-code tokens once; count (a, b) id pairs with one lexsort +
@@ -144,7 +145,7 @@ def term_freq_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     terms int-coded per batch via np.unique, (doc, term_id) pairs counted
     with one lexsort + run-length pass."""
     ids = _i64(batch["doc_id"])
-    flat, offs = _tokens_flat(batch[col].to_pylist())
+    flat, offs = _tokens_flat(batch[col])
     if not len(flat):
         return pa.table(
             {
@@ -527,7 +528,7 @@ def _doc_gram_hashes(t: pa.Table, k: int, col: str = "text"):
     from .dedup import _md5_u64
 
     ids = _i64(t["doc_id"])
-    flat, offs = _tokens_flat(t[col].to_pylist())
+    flat, offs = _tokens_flat(t[col])
     if len(flat) < k:
         return np.zeros(0, np.int64), np.zeros(0, np.uint64)
     vocab, tid = np.unique(flat, return_inverse=True)

@@ -97,19 +97,56 @@ def _nonempty(ds):
 # ---------------------------------------------------------------------------
 # vectorized token + shingle hashing (shared by minhash / ngram-jaccard)
 
-def _token_hashes_flat(texts: "list[str | None]") -> "tuple[np.ndarray, np.ndarray]":
+def _split_tokens_arrow(texts) -> "tuple[pa.Array, np.ndarray]":
+    """Vectorized shared tokenizer for every dedup/corpus text stage:
+    ONE `pc.split_pattern_regex` over the lowered column (the LangId
+    idiom) yielding the identical token sequence to
+    ``_TOKEN_RE.findall(t.lower())`` — (flat nonempty token StringArray
+    grouped by doc, per-doc int64 offsets).  No per-doc Python loop; the
+    empty-string entries split produces at delimiter boundaries are
+    dropped with one vectorized mask."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    if not isinstance(texts, pa.Array):
+        texts = pa.array(list(texts), type=pa.string())
+    n = len(texts)
+    if n == 0:
+        return pa.array([], type=pa.string()), np.zeros(1, dtype=np.int64)
+    s = pc.fill_null(texts, "")
+    # lowered text contains no [A-Z], so splitting on [^a-z0-9_]+ equals
+    # findall([A-Za-z0-9_]+) over the lowered text
+    words = pc.split_pattern_regex(pc.utf8_lower(s), "[^a-z0-9_]+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offs_raw = words.offsets.to_numpy().astype(np.int64)
+    offs_raw = offs_raw - offs_raw[0]
+    flat = words.flatten()
+    lens = np.diff(offs_raw)
+    row_id = np.repeat(np.arange(n, dtype=np.int64), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    counts = np.bincount(row_id[nonempty], minlength=n).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return flat.filter(pa.array(nonempty)), offsets
+
+
+def _token_hashes_flat(texts) -> "tuple[np.ndarray, np.ndarray]":
     """All docs' token hashes as one flat uint64 array + doc offsets.
 
-    md5 runs once per UNIQUE token in the batch (process-stable identity);
-    everything else is numpy.  Tokens keep duplicates and order.
+    md5 runs once per UNIQUE token in the batch (process-stable identity,
+    the oracle contract); tokenization and the unique/gather are fully
+    vectorized (`_split_tokens_arrow` + pc.unique/index_in).  Tokens keep
+    duplicates and order.  Accepts a list of strings or an Arrow string
+    column.
     """
-    toks_per_doc = [_TOKEN_RE.findall(t.lower()) if t else [] for t in texts]
-    counts = np.array([len(x) for x in toks_per_doc], dtype=np.int64)
-    offsets = np.concatenate([[0], np.cumsum(counts)])
-    flat = [tok for toks in toks_per_doc for tok in toks]
-    if flat:
-        uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
-        uhash = np.array([_md5_u64(u) for u in uniq], dtype=np.uint64)
+    flat, offsets = _split_tokens_arrow(texts)
+    if len(flat):
+        uniq = flat.unique()
+        inv = (
+            pc.index_in(flat, value_set=uniq)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        uhash = np.array([_md5_u64(u) for u in uniq.to_pylist()], dtype=np.uint64)
         h = uhash[inv]
     else:
         h = np.empty(0, dtype=np.uint64)

@@ -264,7 +264,7 @@ def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     from .corpus import _tokens_flat
 
     n = batch.num_rows
-    flat, offs = _tokens_flat(batch[col].to_pylist())
+    flat, offs = _tokens_flat(batch[col])
     counts = np.diff(offs)
     if len(flat):
         _, tid = np.unique(flat, return_inverse=True)

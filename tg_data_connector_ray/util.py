@@ -220,6 +220,34 @@ def new_token() -> str:
     return uuid.uuid4().hex
 
 
+def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None):
+    """Checkpoint a Dataset to a Parquet spool; returns `read(columns=None)`
+    giving a fresh streaming reader per consumer.
+
+    The multi-consumer alternative to ``Dataset.materialize()``:
+    materialize pins EVERY block in the object store for the life of the
+    handle — a whole-dataset memory pin when the Dataset carries text —
+    while a spool is ONE parallel partitioned write plus per-consumer
+    column-pruned streaming reads, and on a cluster it lives on shared
+    storage instead of object-store memory (the CDC spool-exchange idiom,
+    cdc/pipeline.py)."""
+    import tempfile
+
+    import ray.data
+
+    path = os.path.join(
+        root or os.path.join(tempfile.gettempdir(), "graft_spools"),
+        f"{name}-{new_token()}",
+    )
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+
+    def read(columns: "list[str] | None" = None):
+        return ray.data.read_parquet(path, columns=columns)
+
+    return read
+
+
 def resolve_fs(path: str):
     """(pyarrow.fs.FileSystem, fs_path) for a local path or any fsspec-style
     URI (file://, s3://, gs://, ...) — the reference's GcsReader listing
