@@ -396,24 +396,55 @@ def _ivf_ann(sf_dir):
 
 
 def _pq_ann(sf_dir):
-    """Product-quantization ADC search (the memory-bound ANN scale path:
-    vectors compress to one uint8 per subspace, search is per-query LUT
-    gathers over the code table).  PQ similarity is approximate by design,
-    so there is no SQL oracle — the driver records the rows-only check;
-    recall vs brute force and codebook determinism are pytest-covered
-    (test_pq_recall, test_pq_search_deterministic)."""
+    """Product-quantization ADC search with a HARD oracle (the ivf_ann
+    nprobe=K idea transposed to PQ): vectors are sign-snapped to {-1,+1}
+    per component, so with m=dim (1-d subspaces) every subspace has two
+    distinct values, `PqIndex.fit`'s unique-value init makes the codebook
+    lossless, and the ADC similarity IS the exact cosine of the snapped
+    vectors — (dim - 2*hamming)/dim, a dyadic rational (dim=64) both
+    engines compute bit-exactly.  The full shipped machinery runs (hash
+    sample -> per-subspace k-means -> uint8 codes -> per-query LUT
+    gathers -> top-k); only the input is constructed so quantization
+    loses nothing.  The approximate-recall behavior on raw embeddings
+    stays pytest-covered (test_pq_recall, test_pq_search_deterministic)."""
     import numpy as np
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from tg_data_connector_ray.ops.similarity import PqIndex
+    from tg_data_connector_ray.ops.similarity import PqIndex, _emb_matrix
     from tg_data_connector_ray.util import sized_read_parquet
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path, columns=["embedding"]).slice(0, 3)
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    embs = sized_read_parquet(path)
-    idx = PqIndex(m=16, n_codes=256, iters=12).fit(embs)
-    return idx.search(idx.encode(embs), q, k=5).select(["query_id", "vec_id"])
+
+    def snap(t):
+        x = _emb_matrix(t)
+        s = np.where(x >= 0, 1.0, -1.0)
+        dim = x.shape[1]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(s.reshape(-1), pa.float64()), dim
+                ),
+            }
+        )
+
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, 3)
+    q = np.where(
+        np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        >= 0,
+        1.0,
+        -1.0,
+    )
+    embs = sized_read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        snap, batch_format="pyarrow", zero_copy_batch=True
+    )
+    idx = PqIndex(m=64, n_codes=256, iters=2).fit(embs)
+    out = idx.search(idx.encode(embs), q, k=5)
+    sim_u6 = pc.cast(pc.round(pc.multiply(out["sim"], 1e6)), pa.int64())
+    return pa.table(
+        {"query_id": out["query_id"], "vec_id": out["vec_id"], "sim_u6": sim_u6}
+    )
 
 
 def _text_top_bigrams(sf_dir):
@@ -1241,6 +1272,28 @@ def oracle_sql() -> dict[str, str]:
                                  e2.vec_id) AS rn
               FROM embeddings e CROSS JOIN embeddings e2
               WHERE e.vec_id < 3) t
+            WHERE rn <= 5
+        """,
+        # PQ over sign-snapped vectors is LOSSLESS (see _pq_ann), so the
+        # oracle is plain exact cosine over the same snapped vectors;
+        # sim = dot/64 is dyadic, sim*1e6 = dot*15625 an exact integer
+        "pq_ann": """
+            WITH s AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS v
+              FROM embeddings
+            )
+            SELECT query_id, vec_id, sim_u6 FROM (
+              SELECT q.vec_id AS query_id, s.vec_id AS vec_id,
+                     CAST(round(list_cosine_similarity(s.v, q.v) * 1e6) AS BIGINT)
+                       AS sim_u6,
+                     row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(s.v, q.v) DESC,
+                                 s.vec_id) AS rn
+              FROM s q CROSS JOIN s
+              WHERE q.vec_id < 3) t
             WHERE rn <= 5
         """,
         "text_quality": """

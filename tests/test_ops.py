@@ -480,3 +480,38 @@ def test_winnow_fingerprints_semantics(ray_session):
     assert len(by_doc[3]) == 1 and len(by_doc[4]) == 1
     # distinct: table rows == sum of set sizes
     assert out.num_rows == sum(len(v) for v in by_doc.values())
+
+
+def test_fit_sample_unbiased_on_sorted_input():
+    """ds.limit() trains on the FIRST blocks only — on a cluster-sorted
+    input that is a biased sample.  _fit_sample (hash membership) must see
+    every cluster, and IvfIndex.fit over the sorted input must produce
+    centroids covering all clusters."""
+    import ray.data
+
+    from tg_data_connector_ray.ops.similarity import IvfIndex, _fit_sample, _normalize
+
+    rng = np.random.default_rng(0)
+    centers = np.eye(4, 16) * 10.0  # four well-separated clusters in 16-d
+    vecs = np.concatenate(
+        [centers[i] + rng.normal(0, 0.05, (500, 16)) for i in range(4)]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(2000), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float64()), 16
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(8)  # cluster-sorted blocks
+    sample = _fit_sample(ds, 400)
+    assert 200 <= len(sample) <= 600  # ~400, not everything
+    labels = (np.asarray(sample["vec_id"], dtype=np.int64) // 500).tolist()
+    assert set(labels) == {0, 1, 2, 3}  # every cluster represented
+    # 8 centroids over 4 clusters: a balanced sample puts at least one
+    # centroid in every cluster (a limit() sample would leave clusters
+    # 2-4 with no centroid at all)
+    idx = IvfIndex(n_centroids=8, iters=8).fit(ds, sample_limit=400)
+    near = np.argmax(_normalize(centers.astype(np.float64)) @ idx.centroids.T, axis=1)
+    assert len(set(near.tolist())) == 4  # distinct nearest centroid per cluster

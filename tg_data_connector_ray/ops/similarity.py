@@ -82,6 +82,28 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _fit_sample(ds, limit: int, id_col: str = "vec_id", salt: str = "fit"):
+    """Deterministic UNBIASED k-means training sample as a DataFrame.
+
+    ``ds.limit(n)`` takes the first blocks only — on a sorted/clustered
+    input the codebook would train on a biased slice of the space.  Here
+    membership is a pure hash of the id (ops.sampling), so the sample is
+    uniform over the whole dataset, reproducible across runs and
+    partitionings, and the scan streams (no materialization beyond the
+    ~`limit` sampled rows)."""
+    n = ds.count()
+    if n <= limit:
+        return ds.to_pandas()
+    from .sampling import hash_sample_batch
+
+    frac = min(1.0, 1.05 * limit / n)  # small overshoot; bounds still ~limit
+    return ds.map_batches(
+        lambda t: hash_sample_batch(t, col=id_col, fraction=frac, salt=salt),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+
+
 class IvfIndex:
     """IVF (inverted-file) index: k-means centroids on a driver-side sample,
     assignment as a vectorized map_batches, probed search.
@@ -98,7 +120,7 @@ class IvfIndex:
         self.centroids: "np.ndarray | None" = None
 
     def fit(self, ds, sample_limit: int = 20_000) -> "IvfIndex":
-        sample = ds.limit(sample_limit).to_pandas()
+        sample = _fit_sample(ds, sample_limit)
         x = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
         rng = np.random.default_rng(self.seed)
         c = x[rng.choice(len(x), size=min(self.n_centroids, len(x)), replace=False)]
@@ -175,7 +197,7 @@ class PqIndex:
         return x.reshape(n, self.m, d // self.m)
 
     def fit(self, ds, sample_limit: int = 20_000) -> "PqIndex":
-        sample = ds.limit(sample_limit).to_pandas()
+        sample = _fit_sample(ds, sample_limit)
         x = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
         sub = self._split(x)
         rng = np.random.default_rng(self.seed)
@@ -183,7 +205,19 @@ class PqIndex:
         books = np.empty((self.m, n_codes, sub.shape[2]), dtype=np.float64)
         for mi in range(self.m):
             xs = sub[:, mi, :]
-            c = xs[rng.choice(len(xs), size=n_codes, replace=False)]
+            # init from UNIQUE subvectors (no duplicate centroids): when a
+            # subspace has <= n_codes distinct values, every one becomes
+            # its own centroid, Lloyd converges immediately, and coding is
+            # LOSSLESS — the property the pq_ann oracle-exact fixture
+            # (sign-snapped vectors: two values per 1-d subspace) relies
+            # on; on rich data it is simply a better spread than sampling
+            # rows with repetition
+            uniq = np.unique(xs, axis=0)
+            if len(uniq) <= n_codes:
+                pad = xs[rng.choice(len(xs), size=n_codes - len(uniq))] if len(uniq) < n_codes else np.empty((0, xs.shape[1]))
+                c = np.concatenate([uniq, pad])
+            else:
+                c = uniq[rng.choice(len(uniq), size=n_codes, replace=False)]
             for _ in range(self.iters):
                 # nearest by L2 = max (c.x - |c|^2/2) on the subvectors
                 score = xs @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
