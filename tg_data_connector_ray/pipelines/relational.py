@@ -226,12 +226,17 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
     raising B or pre-splitting the hot key (documented, not automatic).
 
     `right_unique=True` (caller-asserted: the right side has at most one
-    row per key — a dimension/lookup table) takes an all-Arrow fast path
-    for inner joins: one index_in + take per bucket, no pandas.
+    row per key — a dimension/lookup table) takes a one-gather fast path
+    for inner joins.  Every bucket body is ALL-Arrow (no pandas
+    round-trip anywhere): the general multi-match path sorts the bucket's
+    right side once, locates each left key's run with two searchsorted,
+    and expands matches with a segmented arange (run-length expansion).
     """
 
     if num_buckets & (num_buckets - 1):
         raise ValueError("num_buckets must be a power of two")
+    if how not in ("inner", "left", "anti"):
+        raise ValueError(f"how must be inner|left|anti, got {how}")
 
     left_types = _ds_types(left)
     right_types = _ds_types(right)
@@ -287,12 +292,59 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
                 if c != on:
                     cols[c] = r_tbl[c].combine_chunks().take(gather)
             return pa.table(cols)
-        l = l_tbl.to_pandas()
-        r = r_tbl.to_pandas()
-        out = l.merge(r, on=on, how=how)
-        return pa.table(
-            {c: pa.Array.from_pandas(out[c], type=all_types.get(c)) for c in out.columns}
+        # general multi-match path (inner/left, right NOT unique):
+        # SQL NULL-key semantics — null keys never match on either side
+        rk_arr = r_tbl[on].combine_chunks()
+        if r_tbl.num_rows and rk_arr.null_count:
+            keep_r = pc.is_valid(rk_arr)
+            r_tbl = r_tbl.filter(keep_r)
+            rk_arr = r_tbl[on].combine_chunks()
+        rk = (
+            rk_arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+            if r_tbl.num_rows
+            else np.empty(0, np.int64)
         )
+        lk_arr = l_tbl[on].combine_chunks()
+        lk_valid = (
+            pc.is_valid(lk_arr).to_numpy(zero_copy_only=False).astype(bool)
+            if l_tbl.num_rows
+            else np.empty(0, bool)
+        )
+        lk = (
+            pc.fill_null(lk_arr, 0)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            if l_tbl.num_rows
+            else np.empty(0, np.int64)
+        )
+        order_r = np.argsort(rk, kind="stable")
+        rk_sorted = rk[order_r]
+        lo = np.searchsorted(rk_sorted, lk, side="left")
+        hi = np.searchsorted(rk_sorted, lk, side="right")
+        counts = hi - lo
+        counts[~lk_valid] = 0
+        total = int(counts.sum())
+        seg = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        l_take = pa.array(np.repeat(np.arange(l_tbl.num_rows, dtype=np.int64), counts))
+        r_take = pa.array(order_r[np.repeat(lo, counts) + seg])
+        cols = {c: l_tbl[c].combine_chunks().take(l_take) for c in left_cols}
+        for c in right_cols:
+            if c != on:
+                cols[c] = r_tbl[c].combine_chunks().take(r_take)
+        out = pa.table({c: cols[c] for c in all_cols})
+        if how == "left":
+            un = counts == 0  # unmatched left rows (null keys included)
+            if un.any():
+                lmiss = l_tbl.filter(pa.array(un))
+                miss = {c: lmiss[c] for c in left_cols}
+                for c in right_cols:
+                    if c != on:
+                        miss[c] = pa.nulls(lmiss.num_rows, type=all_types[c])
+                out = pa.concat_tables([out, pa.table({c: miss[c] for c in all_cols})])
+        return out
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
