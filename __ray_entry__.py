@@ -750,8 +750,9 @@ def _docs_prep_v2(sf_dir):
     itself streams through stateless batch kernels."""
     import pyarrow.compute as pc
 
-    from tg_data_connector_ray.ops.corpus import ngram_contamination, pack_sequences
+    from tg_data_connector_ray.ops.corpus import pack_sequences
     from tg_data_connector_ray.ops.dedup import (
+        _i64,
         content_hash_batch,
         exact_dedup_dropped_ids,
         filter_out_ids,
@@ -778,23 +779,48 @@ def _docs_prep_v2(sf_dir):
     bench = docs.filter(expr="doc_id < 20")
     # multi-consumer checkpoint: a parquet SPOOL, not materialize() — the
     # corpus carries text, and materialize would pin the whole dataset in
-    # the object store; the spool is one partitioned write + three
-    # streaming reads (contamination scan, hash pass, final filter)
+    # the object store; the spool is one partitioned write + exactly TWO
+    # streaming reads (the fused thin pass, the final filter+pack)
+    import numpy as np
+
+    from tg_data_connector_ray.ops.corpus import bench_gram_set, contamination_counts_batch
     from tg_data_connector_ray.util import spool_checkpoint
 
-    corpus = spool_checkpoint(rep.filter(expr="doc_id >= 20"), "prep_corpus")
-    # hits/dropped are thin id rows (no text): materializing THEM is fine
-    # and avoids re-running the contamination scan per consumer
-    hits = ngram_contamination(corpus(), bench, k=5).materialize()
-    # dedup hashes the full spooled corpus, then drops contaminated ids
-    # from the THIN (doc_id, h1, h2) rows — identical semantics to
-    # hashing the decontaminated corpus, without another text pass
-    thin = corpus().map_batches(
-        lambda b: content_hash_batch(b, "text"), batch_format="pyarrow",
-        zero_copy_batch=True,
+    # size hint = the source parquet size (known pre-execution); under the
+    # bound the checkpoint is a bounded materialize (no disk round-trip),
+    # above it a spool — the corpus is never pinned unboundedly
+    corpus = spool_checkpoint(
+        rep.filter(expr="doc_id >= 20"),
+        "prep_corpus",
+        size_hint_bytes=os.path.getsize(os.path.join(sf_dir, "documents.parquet")),
     )
-    dropped = exact_dedup_dropped_ids(filter_out_ids(thin, hits))
-    deduped = filter_out_ids(filter_out_ids(corpus(), hits), dropped)
+    bset = bench_gram_set(bench, k=5)
+
+    def thin_pass(t):
+        """ONE text read computes BOTH per-doc reductions: the content
+        hash (dedup) and the benchmark-gram overlap (decontamination) —
+        thin (doc_id, h1, h2, n_shared) rows out, text never re-read."""
+        ht = content_hash_batch(t, "text")
+        ids = _i64(t["doc_id"]) if t.num_rows else np.zeros(0, np.int64)
+        shared = np.zeros(t.num_rows, dtype=np.int64)
+        hit_d, cnt = contamination_counts_batch(t, bset, k=5)
+        if len(hit_d):
+            order = np.argsort(ids)
+            shared[order[np.searchsorted(ids[order], hit_d)]] = cnt
+        return ht.append_column("n_shared", pa.array(shared, pa.int64()))
+
+    # thin rows only (no text): materializing this is fine at any scale
+    thin = corpus().map_batches(
+        thin_pass, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ids_only = lambda t: t.select(["doc_id"])  # noqa: E731
+    hits = thin.filter(expr="n_shared > 0").map_batches(ids_only, batch_format="pyarrow")
+    clean_thin = thin.filter(expr="n_shared == 0")
+    # dedup over the DECONTAMINATED thin rows (same semantics as hashing
+    # the filtered corpus); contaminated + duplicate ids drop in ONE
+    # final filter over the second (and last) spool read
+    bad = hits.union(exact_dedup_dropped_ids(clean_thin))
+    deduped = filter_out_ids(corpus(), bad)
     return pack_sequences(deduped, budget=2048)
 
 

@@ -161,12 +161,16 @@ def run_query_bench() -> dict:
             res.to_pandas()
         return time.monotonic() - t0
 
-    # best of two: the first call on a query often times one-off object
-    # store placement, not the operator; the repeat is the steady state
-    out = {}
+    # two runs per query: the first call often times one-off object-store
+    # placement, the second is the steady state.  `queries` keeps the
+    # historical best-of-two; `queries_steady` reports the second run
+    # alone — the honest long-lived-cluster number (judge round-3 ask)
+    best, steady = {}, {}
     for name in sample:
-        out[name] = round(min(once(name), once(name)), 3)
-    return out
+        first, second = once(name), once(name)
+        best[name] = round(min(first, second), 3)
+        steady[name] = round(second, 3)
+    return best, steady
 
 
 def main_single() -> dict:
@@ -184,7 +188,10 @@ def main_single() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     cdc = run_cdc_bench()
-    queries = {} if os.environ.get("GRAFT_BENCH_CDC_ONLY") else run_query_bench()
+    if os.environ.get("GRAFT_BENCH_CDC_ONLY"):
+        queries, queries_steady = {}, {}
+    else:
+        queries, queries_steady = run_query_bench()
     result = {
         "metric": "cdc_replay_sec",
         "value": round(cdc["sec"], 3),
@@ -192,6 +199,7 @@ def main_single() -> dict:
         "events": cdc["events"],
         "events_per_sec": round(cdc["events_per_sec"], 1),
         "queries": queries,
+        "queries_steady": queries_steady,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "bench_convs": BENCH_CONVS,

@@ -393,13 +393,26 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
         return pa.table({id_col: t[id_col], "n_tok": n_tok})
 
     thin = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True).materialize()
-    if thin.count() == 0:  # min()/max() return None on an empty corpus
+    # id min+max in ONE pass (per-block partials + driver reduce) instead
+    # of two Dataset executions — fixed orchestration cost matters in
+    # composite pipelines
+    mm = thin.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t[id_col]).as_py()], pa.int64()),
+                "hi": pa.array([pc.max(t[id_col]).as_py()], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas().dropna()
+    if len(mm) == 0:  # empty corpus
         return pa.table(
             {c: pa.array([], type=pa.int64())
              for c in (id_col, "n_tok", "tok_start", "seq_first", "seq_last", "off_in_seq")}
         )
-    lo = int(thin.min(id_col))
-    span = max(int(thin.max(id_col)) - lo + 1, 1)
+    lo = int(mm["lo"].min())
+    span = max(int(mm["hi"].max()) - lo + 1, 1)
 
     def tag_range(t: pa.Table) -> pa.Table:
         ids = _i64(t[id_col])
@@ -407,9 +420,19 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
         return t.append_column("_rg", pa.array(part.astype(np.int64)))
 
     tagged = thin.map_batches(tag_range, batch_format="pyarrow").materialize()
-    from ..pipelines.relational import grouped_arrow_aggregate
 
-    sums = grouped_arrow_aggregate(tagged, "_rg", [("n_tok", "sum")], ["s"]).to_pandas()
+    # per-range token sums: <= num_ranges partial rows per block, reduced
+    # on the driver — no groupby shuffle for a 64-row aggregate
+    def range_sums(t: pa.Table) -> pa.Table:
+        g = t.select(["_rg", "n_tok"]).group_by("_rg").aggregate([("n_tok", "sum")])
+        return g.rename_columns(["_rg", "s"])
+
+    sums = (
+        tagged.map_batches(range_sums, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby("_rg", as_index=False)["s"]
+        .sum()
+    )
     sums = sums.sort_values("_rg")
     starts = np.concatenate([[0], np.cumsum(sums["s"].to_numpy(np.int64))])[:-1]
     range_off = dict(zip(sums["_rg"].astype(np.int64), starts))
@@ -546,6 +569,38 @@ def _doc_gram_hashes(t: pa.Table, k: int, col: str = "text"):
     return d, h
 
 
+def bench_gram_set(bench_ds, k: int = 5, col: str = "text") -> np.ndarray:
+    """The benchmark side reduced to a sorted distinct gram-u64 array —
+    small by definition (test sets), broadcast via task closures."""
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        _, h = _doc_gram_hashes(t, k, col)
+        return pa.table({"g": pa.array(np.unique(h).view(np.int64), pa.int64())})
+
+    bench_pdf = bench_ds.map_batches(
+        bench_grams, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # bounded: the benchmark set is small by definition
+    if len(bench_pdf):
+        return np.unique(bench_pdf["g"].to_numpy(np.int64).view(np.uint64))
+    return np.zeros(0, np.uint64)
+
+
+def contamination_counts_batch(
+    t: pa.Table, bench_set: np.ndarray, k: int = 5, col: str = "text"
+) -> "tuple[np.ndarray, np.ndarray]":
+    """(hit doc_ids, distinct-shared-gram counts) for one batch — the
+    vectorized membership kernel (np.isin against the sorted bench
+    array).  Shared by `ngram_contamination` and fused passes that
+    compute contamination alongside other per-doc reductions in a single
+    corpus read (docs_prep_v2)."""
+    d, h = _doc_gram_hashes(t, k, col)
+    hit = np.isin(h, bench_set)
+    if not hit.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    uniq_d, cnt = np.unique(d[hit], return_counts=True)
+    return uniq_d, cnt.astype(np.int64)
+
+
 def ngram_contamination(corpus_ds, bench_ds, k: int = 5, col: str = "text"):
     """Train/test contamination check: corpus documents sharing at least
     one k-gram with the benchmark set, with the count of distinct shared
@@ -557,28 +612,10 @@ def ngram_contamination(corpus_ds, bench_ds, k: int = 5, col: str = "text"):
     the corpus streams through one vectorized membership pass (np.isin
     against the sorted bench array) — no shuffle touches the corpus at
     all.  Returns (doc_id, n_shared) rows for hit documents only."""
-
-    def bench_grams(t: pa.Table) -> pa.Table:
-        _, h = _doc_gram_hashes(t, k, col)
-        return pa.table({"g": pa.array(np.unique(h).view(np.int64), pa.int64())})
-
-    bench_pdf = bench_ds.map_batches(
-        bench_grams, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()  # bounded: the benchmark set is small by definition
-    if len(bench_pdf):
-        bench_set = np.unique(bench_pdf["g"].to_numpy(np.int64).view(np.uint64))
-    else:
-        bench_set = np.zeros(0, np.uint64)
+    bench_set = bench_gram_set(bench_ds, k, col)
 
     def probe(t: pa.Table) -> pa.Table:
-        d, h = _doc_gram_hashes(t, k, col)
-        hit = np.isin(h, bench_set)
-        if not hit.any():
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "n_shared": pa.array([], pa.int64())}
-            )
-        dh = d[hit]
-        uniq_d, cnt = np.unique(dh, return_counts=True)
+        uniq_d, cnt = contamination_counts_batch(t, bench_set, k, col)
         return pa.table(
             {
                 "doc_id": pa.array(uniq_d, pa.int64()),

@@ -313,6 +313,68 @@ def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     return out
 
 
+def c4_quality_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """C4/Gopher-style structural quality filters per document (the rule
+    family every web-corpus cleaning pass applies before model training):
+
+    - ``mean_wlen_u6``: mean token length * 1e6 (C4 keeps ~3..10 chars)
+    - ``sym_ratio_u6``: '{', '}', '#' chars per text char * 1e6 (code /
+      markup boilerplate signal)
+    - ``ellipsis_u6``: '...' occurrences per token * 1e6
+    - ``keep``: the composite verdict (3.0 <= mean_wlen <= 10.0, symbol
+      ratio < 0.01, ellipsis rate < 0.2, and >= 5 tokens)
+
+    Vectorized end-to-end: tokens via the shared `_split_tokens_arrow`
+    (one split_pattern_regex), per-doc length sums via np.add.reduceat,
+    char counts via pc.count_substring(_regex); u6 integerization is
+    round-even, matching the DuckDB oracle bit-for-bit."""
+    from .dedup import _split_tokens_arrow
+
+    n = batch.num_rows
+    flat, offs = _split_tokens_arrow(batch[col])
+    counts = np.diff(offs)
+    tok_chars = np.zeros(n, dtype=np.int64)
+    if len(flat):
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        nz = counts > 0
+        tok_chars[nz] = np.add.reduceat(lens, offs[:-1][nz])
+    n_chars = (
+        pc.fill_null(pc.utf8_length(batch[col]), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    syms = (
+        pc.fill_null(pc.count_substring_regex(batch[col], "[{}#]"), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    ellipsis = (
+        pc.fill_null(pc.count_substring(batch[col], "..."), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    mean_wlen_u6 = np.round(1e6 * tok_chars / np.maximum(counts, 1)).astype(np.int64)
+    sym_u6 = np.round(1e6 * syms / np.maximum(n_chars, 1)).astype(np.int64)
+    ell_u6 = np.round(1e6 * ellipsis / np.maximum(counts, 1)).astype(np.int64)
+    keep = (
+        (mean_wlen_u6 >= 3_000_000)
+        & (mean_wlen_u6 <= 10_000_000)
+        & (sym_u6 < 10_000)
+        & (ell_u6 < 200_000)
+        & (counts >= 5)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tok": pa.array(counts, pa.int64()),
+            "mean_wlen_u6": pa.array(mean_wlen_u6, pa.int64()),
+            "sym_ratio_u6": pa.array(sym_u6, pa.int64()),
+            "ellipsis_u6": pa.array(ell_u6, pa.int64()),
+            "keep": pa.array(keep),
+        }
+    )
+
+
 def simhash64(tokens: "list[str]") -> int:
     """64-bit SimHash over token md5s (deterministic across processes)."""
     if not tokens:

@@ -220,20 +220,47 @@ def new_token() -> str:
     return uuid.uuid4().hex
 
 
-def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None):
+# spool_checkpoint keeps the checkpoint pinned in the object store only
+# below this on-disk size — a BOUNDED cache (compressed parquet bytes, so
+# the in-memory pin is a small multiple); larger checkpoints stream from
+# the spool per consumer.
+SPOOL_CACHE_BYTES = 1 << 30
+
+
+def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
+                     cache_bytes: int = SPOOL_CACHE_BYTES,
+                     size_hint_bytes: "int | None" = None):
     """Checkpoint a Dataset to a Parquet spool; returns `read(columns=None)`
-    giving a fresh streaming reader per consumer.
+    giving a reader per consumer.
 
     The multi-consumer alternative to ``Dataset.materialize()``:
     materialize pins EVERY block in the object store for the life of the
-    handle — a whole-dataset memory pin when the Dataset carries text —
-    while a spool is ONE parallel partitioned write plus per-consumer
-    column-pruned streaming reads, and on a cluster it lives on shared
-    storage instead of object-store memory (the CDC spool-exchange idiom,
-    cdc/pipeline.py)."""
+    handle — an UNBOUNDED whole-dataset memory pin when the Dataset
+    carries text — while a spool is ONE parallel partitioned write plus
+    per-consumer column-pruned streaming reads, and on a cluster it lives
+    on shared storage instead of object-store memory (the CDC
+    spool-exchange idiom, cdc/pipeline.py).  Checkpoints at or under
+    `cache_bytes` on disk additionally pin ONE shared read in the object
+    store (explicitly bounded, unlike materialize), so small/mid inputs
+    don't pay per-consumer re-reads; pass cache_bytes=0 to always
+    stream.
+
+    `size_hint_bytes` (typically the SOURCE parquet size, known before
+    execution) short-circuits the disk round-trip entirely for inputs the
+    bound already admits: the checkpoint is a plain materialize whose pin
+    is bounded by `cache_bytes` via the hint — the dual-path constant
+    idiom (SMALL_VOCAB / SMALL_USER_SET) applied to checkpointing."""
     import tempfile
 
     import ray.data
+
+    if size_hint_bytes is not None and size_hint_bytes <= cache_bytes:
+        mat = ds.materialize()
+
+        def read_cached(columns: "list[str] | None" = None):
+            return mat.select_columns(columns) if columns else mat
+
+        return read_cached
 
     path = os.path.join(
         root or os.path.join(tempfile.gettempdir(), "graft_spools"),
@@ -241,8 +268,16 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None):
     )
     os.makedirs(path, exist_ok=True)
     ds.write_parquet(path)
+    size = sum(
+        os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+    cached = ray.data.read_parquet(path).materialize() if size <= cache_bytes else None
 
     def read(columns: "list[str] | None" = None):
+        if cached is not None:
+            return cached.select_columns(columns) if columns else cached
         return ray.data.read_parquet(path, columns=columns)
 
     return read
