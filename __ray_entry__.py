@@ -606,6 +606,34 @@ def _events_percent_rank(sf_dir):
     return events_percent_rank(sf_dir)
 
 
+def _late_shipment_priority(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import late_shipment_priority
+
+    return late_shipment_priority(sf_dir)
+
+
+def _events_heavy_hitters(sf_dir):
+    """Misra-Gries-guided EXACT heavy hitters over user_id: per-block
+    bounded summaries -> merged candidates (guaranteed superset at
+    phi > 1/(k+1)) -> one exact candidate-count pass.  phi=0.0075 of all
+    events."""
+    from tg_data_connector_ray.ops.sketches import heavy_hitters
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return heavy_hitters(ds, "user_id", phi=0.0075, k=1024)
+
+
+def _docs_c4_quality(sf_dir):
+    """C4/Gopher structural quality filters (mean word length, symbol
+    ratio, ellipsis rate + composite keep verdict), u6-integerized."""
+    from tg_data_connector_ray.ops.text import c4_quality_batch
+
+    return _docs(sf_dir).map_batches(
+        c4_quality_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _events_value_delta(sf_dir):
     from tg_data_connector_ray.pipelines.relational import events_value_delta
 
@@ -912,6 +940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _events_rollup,
         "events_percent_rank": _events_percent_rank,
         "events_value_delta": _events_value_delta,
+        "late_shipment_priority": _late_shipment_priority,
+        "events_heavy_hitters": _events_heavy_hitters,
+        "docs_c4_quality": _docs_c4_quality,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
         "users_in_both": _users_in_both,
@@ -1693,6 +1724,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(vu - lag(vu) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id), 0) AS BIGINT) AS delta_u
             FROM e
+        """,
+        "late_shipment_priority": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_late
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+            GROUP BY o.o_orderpriority
+        """,
+        "events_heavy_hitters": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY user_id
+            HAVING count(*) >= greatest(CAST(ceil(0.0075 *
+                     (SELECT count(*) FROM events)) AS BIGINT), 1)
+        """,
+        "docs_c4_quality": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks,
+                     length(text) AS n_chars
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tok,
+                     CAST(round_even(1e6 *
+                       coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                       / greatest(len(toks), 1), 0) AS BIGINT) AS mean_wlen_u6,
+                     CAST(round_even(1e6 *
+                       len(regexp_extract_all(text, '[{}#]'))
+                       / greatest(n_chars, 1), 0) AS BIGINT) AS sym_ratio_u6,
+                     CAST(round_even(1e6 *
+                       ((length(text) - length(replace(text, '...', ''))) / 3)
+                       / greatest(len(toks), 1), 0) AS BIGINT) AS ellipsis_u6
+              FROM t
+            )
+            SELECT doc_id, n_tok, mean_wlen_u6, sym_ratio_u6, ellipsis_u6,
+                   (mean_wlen_u6 >= 3000000 AND mean_wlen_u6 <= 10000000
+                    AND sym_ratio_u6 < 10000 AND ellipsis_u6 < 200000
+                    AND n_tok >= 5) AS keep
+            FROM m
         """,
         "events_user_hll": """
             WITH u AS (

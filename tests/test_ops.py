@@ -515,3 +515,29 @@ def test_fit_sample_unbiased_on_sorted_input():
     idx = IvfIndex(n_centroids=8, iters=8).fit(ds, sample_limit=400)
     near = np.argmax(_normalize(centers.astype(np.float64)) @ idx.centroids.T, axis=1)
     assert len(set(near.tolist())) == 4  # distinct nearest centroid per cluster
+
+
+def test_c4_quality_edge_cases():
+    from tg_data_connector_ray.ops.text import c4_quality_batch
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the quick brown foxes jumped over lazy dogs today",  # keep
+                    "{ } # { } # code soup",  # symbol-heavy
+                    None,  # null
+                    "a b c d e ... ... ... ... ...",  # ellipsis-heavy, short words
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = c4_quality_batch(batch)
+    keep = out["keep"].to_pylist()
+    assert keep[0] is True
+    assert keep[1] is False  # sym ratio over bound
+    assert keep[2] is False  # null -> 0 tokens
+    assert keep[3] is False
+    assert out["n_tok"].to_pylist()[2] == 0

@@ -76,3 +76,56 @@ def test_hll_small_range_correction():
         "g",
     )
     assert abs(est["x"] - 10) < 4
+
+
+def test_mg_compress_properties():
+    from tg_data_connector_ray.ops.sketches import _mg_compress
+
+    rng = np.random.default_rng(3)
+    keys = np.arange(1000, dtype=np.int64)
+    counts = rng.integers(1, 500, size=1000).astype(np.int64)
+    k = 64
+    ck, cc = _mg_compress(keys, counts, k)
+    assert len(ck) <= k
+    orig = dict(zip(keys.tolist(), counts.tolist()))
+    dec = min(orig[int(a)] - int(b) for a, b in zip(ck, cc)) if len(ck) else 0
+    # every surviving count underestimates by exactly the shared decrement
+    assert all(orig[int(a)] - int(b) >= 0 for a, b in zip(ck, cc))
+    # the top-k keys by true count all survive when counts are distinct enough
+    assert set(np.argsort(-counts)[: k // 4].tolist()) <= {int(a) for a in ck} or dec > 0
+
+
+def test_heavy_hitters_exact_on_skewed_stream(ray_session):
+    """Zipf-ish stream with forced compressions (small k): the output must
+    be EXACTLY the keys with count >= ceil(phi*N), with exact counts —
+    the MG sketch only guides candidate selection."""
+    import ray.data
+
+    from tg_data_connector_ray.ops.sketches import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    # 40 hot keys (~1000 each) + 200k long-tail rows over 50k keys
+    hot = np.repeat(np.arange(40, dtype=np.int64), 1000)
+    tail = rng.integers(1000, 51000, size=200_000).astype(np.int64)
+    ids = np.concatenate([hot, tail])
+    rng.shuffle(ids)
+    ds = ray.data.from_arrow(pa.table({"user_id": pa.array(ids, pa.int64())})).repartition(16)
+    phi = 0.002  # thresh = ceil(0.002 * 240k) = 480
+    got = heavy_hitters(ds, "user_id", phi=phi, k=512)
+    n = len(ids)
+    thresh = int(np.ceil(phi * n))
+    uniq, cnt = np.unique(ids, return_counts=True)
+    want = {int(u): int(c) for u, c in zip(uniq, cnt) if c >= thresh}
+    got_map = dict(zip(got["user_id"].to_pylist(), got["n"].to_pylist()))
+    assert got_map == want and len(want) >= 30
+
+
+def test_heavy_hitters_phi_guard(ray_session):
+    import pytest
+    import ray.data
+
+    from tg_data_connector_ray.ops.sketches import heavy_hitters
+
+    ds = ray.data.from_arrow(pa.table({"user_id": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(ValueError, match="MG guarantee"):
+        heavy_hitters(ds, "user_id", phi=1e-9, k=16)

@@ -119,3 +119,91 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, out_name: str = "
         [group_col, value_col],
     )
     return grouped_arrow_aggregate(pairs, group_col, [(value_col, "count")], [out_name])
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summary)
+
+
+def _mg_compress(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce a (key, count) summary to at most k counters: subtract the
+    (k+1)-th largest count from all and drop the non-positive — the
+    classic Misra-Gries decrement, vectorized.  Each key's surviving
+    count underestimates its true count by at most the subtracted value,
+    and the subtracted values across all compressions sum to at most
+    N/(k+1) (mergeable-summaries bound), so every key with true frequency
+    above N/(k+1) is guaranteed to survive."""
+    if len(keys) <= k:
+        return keys, counts
+    dec = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+    keep = counts > dec
+    return keys[keep], counts[keep] - dec
+
+
+def mg_partial_batch(batch: pa.Table, key_col: str, k: int) -> pa.Table:
+    """One block's Misra-Gries summary: exact in-block counts (np.unique)
+    compressed to <= k counters.  Emitting the summary instead of raw
+    counts bounds the shuffle at k rows per block no matter how many
+    distinct keys the block holds."""
+    ids = _i64(batch[key_col])
+    keys, counts = np.unique(ids, return_counts=True)
+    keys, counts = _mg_compress(keys, counts.astype(np.int64), k)
+    return pa.table(
+        {key_col: pa.array(keys, pa.int64()), "n": pa.array(counts, pa.int64())}
+    )
+
+
+def heavy_hitters(ds, key_col: str, phi: float = 0.001, k: int = 4096) -> pa.Table:
+    """EXACT heavy hitters: every key whose count >= ceil(phi * N), with
+    its exact count — sketch-guided, exactness restored by a verification
+    pass (the same oracle-able pattern as ivf_ann's nprobe=K).
+
+    Shape: (1) per-block Misra-Gries summaries (<= k rows each) merge on
+    the driver (sum by key, one final compress) — candidate keys are a
+    guaranteed SUPERSET of the true heavy hitters when phi > 1/(k+1),
+    asserted; (2) one streaming pass counts ONLY the <= k candidate keys
+    exactly (broadcast is_in filter + per-block partial counts, driver
+    reduce); (3) keep candidates whose exact count clears the threshold.
+    The raw keys never shuffle; driver state is O(k x blocks) partials."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    if phi <= 1.0 / (k + 1):
+        raise ValueError(f"phi={phi} must exceed 1/(k+1)={1/(k+1):.2e} for the MG guarantee")
+    n_total = ds.count()
+    thresh = int(np.ceil(phi * n_total)) if n_total else 0
+    parts = ds.map_batches(
+        lambda t: mg_partial_batch(t, key_col, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    if not len(parts):
+        return pa.table({key_col: pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    merged = parts.groupby(key_col, as_index=False)["n"].sum()
+    keys, counts = _mg_compress(
+        merged[key_col].to_numpy(np.int64), merged["n"].to_numpy(np.int64), k
+    )
+    cand = pa.array(np.sort(keys), pa.int64())
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        kc = t[key_col]
+        hit = pc.fill_null(pc.is_in(kc, value_set=cand), False)
+        ids = _i64(t.filter(hit)[key_col])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table(
+            {key_col: pa.array(u, pa.int64()), "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    ex = ds.map_batches(
+        exact_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    ex = ex.groupby(key_col, as_index=False)["n"].sum() if len(ex) else ex
+    out = ex[ex["n"] >= max(thresh, 1)].sort_values(key_col) if len(ex) else ex
+    if not len(out):
+        return pa.table({key_col: pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    return pa.table(
+        {
+            key_col: pa.array(out[key_col].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )

@@ -1347,6 +1347,53 @@ def users_heavy_tail(sf_dir: str, factor: int = 2):
     return agg.map_batches(having, batch_format="pyarrow")
 
 
+def late_shipment_priority(sf_dir: str, late_days: int = 60):
+    """TPC-H Q12-flavor: per order priority, how many lineitems shipped
+    >= `late_days` after the order date.  Exercises the MULTI-MATCH
+    bucketed hash join (orders left, lineitem right: many lines per
+    order) with only thin columns shuffling; the 5-row count finish is
+    per-block partials + a driver reduce (no groupby shuffle for a
+    priority-cardinality aggregate)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_shipdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = hash_join(orders, li, on="o_orderkey", how="inner")
+    late_us = late_days * 86_400_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks().cast(pa.int64())
+        odate = t["o_orderdate"].combine_chunks().cast(pa.int64())
+        late = pc.greater_equal(ship, pc.add(odate, pa.scalar(late_us, pa.int64())))
+        sub = t.filter(pc.fill_null(late, False))
+        g = (
+            sub.select(["o_orderpriority"])
+            .group_by("o_orderpriority")
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["o_orderpriority", "n_late"])
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_late": pa.array([], pa.int64()),
+            }
+        )
+    out = parts.groupby("o_orderpriority", as_index=False)["n_late"].sum().sort_values(
+        "o_orderpriority"
+    )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(out["o_orderpriority"], pa.string()),
+            "n_late": pa.array(out["n_late"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def events_percent_rank(sf_dir: str):
     """Rank-family window function: percent_rank of each event's value
     within its event_type (ties share the min rank, SQL rank() semantics).
