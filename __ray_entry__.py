@@ -447,6 +447,68 @@ def _pq_ann(sf_dir):
     )
 
 
+def _ivfpq_ann(sf_dir):
+    """IVF + PQ composed (the production ANN layout: coarse quantizer
+    partitions, PQ codes inside each partition): assign -> probe filter ->
+    encode -> ADC search chained end-to-end.  Exact by the same two
+    constructions the component queries use — nprobe = n_centroids makes
+    the IVF stage a pass-through, the sign-snapped fixture makes PQ
+    lossless — so the composition gets a hard cosine oracle while every
+    stage of the composed machinery runs for real."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.ops.similarity import IvfIndex, PqIndex, _emb_matrix
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def snap(t):
+        x = _emb_matrix(t)
+        s = np.where(x >= 0, 1.0, -1.0)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(s.reshape(-1), pa.float64()), x.shape[1]
+                ),
+            }
+        )
+
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, 3)
+    q = np.where(
+        np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        >= 0,
+        1.0,
+        -1.0,
+    )
+    embs = sized_read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        snap, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ivf = IvfIndex(n_centroids=8, iters=5).fit(embs)
+    assigned = ivf.assign(embs)
+    # probe ALL centroids (nprobe = n_centroids: IVF exact), then run the
+    # PQ pipeline over the probed subset — here the full set, so the ADC
+    # result is the exact snapped cosine
+    qn = np.asarray(q, dtype=np.float64)
+    probes = np.argsort(-(qn / np.maximum(np.linalg.norm(qn, axis=1, keepdims=True), 1e-12)) @ ivf.centroids.T, axis=1)[:, :8]
+    probe_set = pa.array(sorted({int(c) for row in probes for c in row}), pa.int32())
+    sub = assigned.map_batches(
+        lambda b: b.filter(
+            pc.is_in(pc.cast(b["centroid"], pa.int32()), value_set=probe_set)
+        ).drop_columns(["centroid"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    pqx = PqIndex(m=64, n_codes=256, iters=2).fit(embs)
+    out = pqx.search(pqx.encode(sub), q, k=5)
+    sim_u6 = pc.cast(pc.round(pc.multiply(out["sim"], 1e6)), pa.int64())
+    return pa.table(
+        {"query_id": out["query_id"], "vec_id": out["vec_id"], "sim_u6": sim_u6}
+    )
+
+
 def _text_top_bigrams(sf_dir):
     """Global top-50 bigram counts over the corpus (token rule shared with
     the dedup family; counts are pure integers, so the oracle hashes
@@ -920,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ivf_ann": _ivf_ann,
         "pq_ann": _pq_ann,
+        "ivfpq_ann": _ivfpq_ann,
         # --- text analysis ---
         "text_quality": _text_quality,
         "text_tokens_ext": _text_tokens_ext,
@@ -1329,6 +1392,28 @@ def oracle_sql() -> dict[str, str]:
                                  e2.vec_id) AS rn
               FROM embeddings e CROSS JOIN embeddings e2
               WHERE e.vec_id < 3) t
+            WHERE rn <= 5
+        """,
+        # IVF(nprobe=K) + lossless PQ composition: same exact-cosine oracle
+        # as pq_ann (the composed engine path must land on the identical
+        # snapped-cosine top-k)
+        "ivfpq_ann": """
+            WITH s AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                                    x -> CASE WHEN x >= 0 THEN 1.0 ELSE -1.0 END) AS v
+              FROM embeddings
+            )
+            SELECT query_id, vec_id, sim_u6 FROM (
+              SELECT q.vec_id AS query_id, s.vec_id AS vec_id,
+                     CAST(round(list_cosine_similarity(s.v, q.v) * 1e6) AS BIGINT)
+                       AS sim_u6,
+                     row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(s.v, q.v) DESC,
+                                 s.vec_id) AS rn
+              FROM s q CROSS JOIN s
+              WHERE q.vec_id < 3) t
             WHERE rn <= 5
         """,
         # PQ over sign-snapped vectors is LOSSLESS (see _pq_ann), so the
