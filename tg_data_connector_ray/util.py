@@ -76,18 +76,43 @@ def _hash_string_values(sa: "pa.Array") -> np.ndarray:
     lengths = stop - start
     max_len = int(lengths.max()) if n else 0
     if max_len <= _PADDED_MAX_LEN:
-        # Short-key fast path (partition-routing keys like conv_id):
-        # Horner over a padded n x max_len byte matrix.  Same polynomial,
-        # identical output, ~25x faster than the prefix-sum path because it
-        # avoids the four O(total_bytes) uint64 accumulate/cumsum arrays.
-        vals = np.zeros((n, max_len), dtype=np.uint64)
-        cols = np.arange(max_len, dtype=np.int64)
-        valid = cols[None, :] < lengths[:, None]
-        idx = (start - lo)[:, None] + cols[None, :]
-        vals[valid] = data[idx[valid]].astype(np.uint64) + np.uint64(1)
+        # Short-key fast path (partition-routing keys like conv_id): group
+        # rows by exact byte length; per group accumulate
+        # sum_t (byte_t + 1) * P^t — the identical polynomial the
+        # prefix-sum path computes — one position at a time through four
+        # PREALLOCATED flat buffers (index, uint8 gather, uint64 term,
+        # accumulator).  Flat-buffer reuse is the point: the (rows x len)
+        # matrix formulations measured 10-15x slower here because every
+        # 2-D intermediate is a fresh hundreds-of-MB allocation
+        # (page-fault bound), while these per-position passes stream
+        # through warm cache.  ~0.24 us/key at 2M 17-byte keys; routing
+        # sits on the CDC phase-A hot path.
+        pw = np.empty(max(max_len, 1), dtype=np.uint64)
+        pw[0] = 1
+        if max_len > 1:
+            np.multiply.accumulate(
+                np.full(max_len - 1, _POLY_P, dtype=np.uint64), out=pw[1:]
+            )
         h = np.zeros(n, dtype=np.uint64)
-        for j in range(max_len - 1, -1, -1):
-            np.copyto(h, h * _POLY_P + vals[:, j], where=valid[:, j])
+        starts0 = start - lo
+        ibuf = np.empty(n, dtype=np.int64)
+        g8 = np.empty(n, dtype=np.uint8)
+        g64 = np.empty(n, dtype=np.uint64)
+        for length in np.unique(lengths):
+            length = int(length)
+            if not length:
+                continue  # empty strings keep h=0 (matches prefix path)
+            rows = np.nonzero(lengths == length)[0]
+            nb = len(rows)
+            base = starts0[rows]
+            acc = np.zeros(nb, dtype=np.uint64)
+            for t in range(length):
+                np.add(base, t, out=ibuf[:nb])
+                np.take(data, ibuf[:nb], out=g8[:nb])
+                np.add(g8[:nb], np.uint64(1), out=g64[:nb], casting="unsafe")
+                np.multiply(g64[:nb], pw[t], out=g64[:nb])
+                np.add(acc, g64[:nb], out=acc)
+            h[rows] = acc
         out = _splitmix64(h ^ (lengths.astype(np.uint64) * _MIX))
         if sa.null_count:
             out[np.asarray(sa.is_null())] = 0
