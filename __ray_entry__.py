@@ -395,71 +395,19 @@ def _ivf_ann(sf_dir):
     return idx.search(idx.assign(embs), q, k=5, nprobe=16).select(["query_id", "vec_id"])
 
 
-def _pq_ann(sf_dir):
-    """Product-quantization ADC search with a HARD oracle (the ivf_ann
-    nprobe=K idea transposed to PQ): vectors are sign-snapped to {-1,+1}
-    per component, so with m=dim (1-d subspaces) every subspace has two
-    distinct values, `PqIndex.fit`'s unique-value init makes the codebook
-    lossless, and the ADC similarity IS the exact cosine of the snapped
-    vectors — (dim - 2*hamming)/dim, a dyadic rational (dim=64) both
-    engines compute bit-exactly.  The full shipped machinery runs (hash
-    sample -> per-subspace k-means -> uint8 codes -> per-query LUT
-    gathers -> top-k); only the input is constructed so quantization
-    loses nothing.  The approximate-recall behavior on raw embeddings
-    stays pytest-covered (test_pq_recall, test_pq_search_deterministic)."""
+def _snapped_embeddings(sf_dir, n_queries: int = 3):
+    """Shared oracle-exact ANN fixture: the embeddings sign-snapped to
+    {-1,+1} per component (engine-side) plus the first `n_queries`
+    vectors snapped the same way.  With m=dim (1-d subspaces) every
+    subspace holds two distinct values, so `PqIndex.fit`'s unique-value
+    init quantizes LOSSLESSLY and the ADC similarity is the exact cosine
+    of the snapped vectors — (dim - 2*hamming)/dim, a dyadic rational at
+    dim=64 both engines compute bit-exactly.  Returns
+    (snapped_ds, snapped_queries, n_rows)."""
     import numpy as np
-    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    from tg_data_connector_ray.ops.similarity import PqIndex, _emb_matrix
-    from tg_data_connector_ray.util import sized_read_parquet
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-
-    def snap(t):
-        x = _emb_matrix(t)
-        s = np.where(x >= 0, 1.0, -1.0)
-        dim = x.shape[1]
-        return pa.table(
-            {
-                "vec_id": t["vec_id"],
-                "embedding": pa.FixedSizeListArray.from_arrays(
-                    pa.array(s.reshape(-1), pa.float64()), dim
-                ),
-            }
-        )
-
-    qt = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, 3)
-    q = np.where(
-        np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-        >= 0,
-        1.0,
-        -1.0,
-    )
-    embs = sized_read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
-        snap, batch_format="pyarrow", zero_copy_batch=True
-    )
-    idx = PqIndex(m=64, n_codes=256, iters=2).fit(embs)
-    out = idx.search(idx.encode(embs), q, k=5)
-    sim_u6 = pc.cast(pc.round(pc.multiply(out["sim"], 1e6)), pa.int64())
-    return pa.table(
-        {"query_id": out["query_id"], "vec_id": out["vec_id"], "sim_u6": sim_u6}
-    )
-
-
-def _ivfpq_ann(sf_dir):
-    """IVF + PQ composed (the production ANN layout: coarse quantizer
-    partitions, PQ codes inside each partition): assign -> probe filter ->
-    encode -> ADC search chained end-to-end.  Exact by the same two
-    constructions the component queries use — nprobe = n_centroids makes
-    the IVF stage a pass-through, the sign-snapped fixture makes PQ
-    lossless — so the composition gets a hard cosine oracle while every
-    stage of the composed machinery runs for real."""
-    import numpy as np
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-
-    from tg_data_connector_ray.ops.similarity import IvfIndex, PqIndex, _emb_matrix
+    from tg_data_connector_ray.ops.similarity import _emb_matrix
     from tg_data_connector_ray.util import sized_read_parquet
 
     path = os.path.join(sf_dir, "embeddings.parquet")
@@ -476,17 +424,66 @@ def _ivfpq_ann(sf_dir):
             }
         )
 
-    qt = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, 3)
+    qt = pq.read_table(path, columns=["vec_id", "embedding"]).slice(0, n_queries)
     q = np.where(
         np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
         >= 0,
         1.0,
         -1.0,
     )
+    n_rows = pq.read_metadata(path).num_rows
     embs = sized_read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
         snap, batch_format="pyarrow", zero_copy_batch=True
     )
-    ivf = IvfIndex(n_centroids=8, iters=5).fit(embs)
+    return embs, q, n_rows
+
+
+def _pq_ann(sf_dir):
+    """Product-quantization ADC search with a HARD oracle (the ivf_ann
+    nprobe=K idea transposed to PQ) over the `_snapped_embeddings`
+    lossless fixture.  The full shipped machinery runs (hash sample ->
+    per-subspace k-means -> uint8 codes -> per-query LUT gathers ->
+    top-k); only the input is constructed so quantization loses nothing.
+    The approximate-recall behavior on raw embeddings stays
+    pytest-covered (test_pq_recall, test_pq_search_deterministic)."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.similarity import PqIndex
+
+    embs, q, n_rows = _snapped_embeddings(sf_dir)
+    idx = PqIndex(m=64, n_codes=256, iters=2).fit(embs, n_rows=n_rows)
+    out = idx.search(idx.encode(embs), q, k=5)
+    sim_u6 = pc.cast(pc.round(pc.multiply(out["sim"], 1e6)), pa.int64())
+    return pa.table(
+        {"query_id": out["query_id"], "vec_id": out["vec_id"], "sim_u6": sim_u6}
+    )
+
+
+def _ivfpq_ann(sf_dir):
+    """IVF + PQ composed (the production ANN layout: coarse quantizer
+    partitions, PQ codes inside each partition): assign -> probe filter ->
+    encode -> ADC search chained end-to-end.  Exact by the same two
+    constructions the component queries use — nprobe = n_centroids makes
+    the IVF stage a pass-through, the `_snapped_embeddings` fixture makes
+    PQ lossless — so the composition gets a hard cosine oracle while
+    every stage of the composed machinery runs for real."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.similarity import IvfIndex, PqIndex
+
+    snapped, q, n_rows = _snapped_embeddings(sf_dir)
+    # the snapped dataset feeds FOUR consumers (two fits, assign, encode):
+    # checkpoint once, bounded by the source parquet size
+    from tg_data_connector_ray.util import spool_checkpoint
+
+    read = spool_checkpoint(
+        snapped,
+        "ivfpq_snap",
+        size_hint_bytes=os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    embs = read()
+    ivf = IvfIndex(n_centroids=8, iters=5).fit(embs, n_rows=n_rows)
     assigned = ivf.assign(embs)
     # probe ALL centroids (nprobe = n_centroids: IVF exact), then run the
     # PQ pipeline over the probed subset — here the full set, so the ADC
@@ -501,7 +498,7 @@ def _ivfpq_ann(sf_dir):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    pqx = PqIndex(m=64, n_codes=256, iters=2).fit(embs)
+    pqx = PqIndex(m=64, n_codes=256, iters=2).fit(embs, n_rows=n_rows)
     out = pqx.search(pqx.encode(sub), q, k=5)
     sim_u6 = pc.cast(pc.round(pc.multiply(out["sim"], 1e6)), pa.int64())
     return pa.table(

@@ -120,7 +120,7 @@ def run_cdc_bench() -> dict:
     }
 
 
-def run_query_bench() -> dict:
+def run_query_bench() -> "tuple[dict, dict]":
     import __ray_entry__ as E
 
     qs = E.queries()

@@ -100,11 +100,19 @@ def _nonempty(ds):
 def _split_tokens_arrow(texts) -> "tuple[pa.Array, np.ndarray]":
     """Vectorized shared tokenizer for every dedup/corpus text stage:
     ONE `pc.split_pattern_regex` over the lowered column (the LangId
-    idiom) yielding the identical token sequence to
-    ``_TOKEN_RE.findall(t.lower())`` — (flat nonempty token StringArray
-    grouped by doc, per-doc int64 offsets).  No per-doc Python loop; the
-    empty-string entries split produces at delimiter boundaries are
-    dropped with one vectorized mask."""
+    idiom) — (flat nonempty token StringArray grouped by doc, per-doc
+    int64 offsets).  No per-doc Python loop; the empty-string entries
+    split produces at delimiter boundaries are dropped with one
+    vectorized mask.
+
+    Lowering semantics: Arrow's utf8_lower SIMPLE-maps (U+0130 'İ' ->
+    'i'), exactly like DuckDB's lower() — i.e. identical to the SQL
+    oracles' `regexp_extract_all(lower(text), '[a-z0-9_]+')` on ANY
+    input.  Python's str.lower() FULL-case-folds ('İ' -> 'i'+U+0307,
+    changing token boundaries), so this deliberately diverges from the
+    old per-doc `_TOKEN_RE.findall(t.lower())` on such characters — the
+    oracle contract, not Python, is canonical (verified empirically:
+    DuckDB lower('AİB')='aib')."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     if not isinstance(texts, pa.Array):

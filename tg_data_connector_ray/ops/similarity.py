@@ -82,7 +82,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def _fit_sample(ds, limit: int, id_col: str = "vec_id", salt: str = "fit"):
+def _fit_sample(ds, limit: int, id_col: str = "vec_id", salt: str = "fit",
+                n_rows: "int | None" = None):
     """Deterministic UNBIASED k-means training sample as a DataFrame.
 
     ``ds.limit(n)`` takes the first blocks only — on a sorted/clustered
@@ -90,8 +91,10 @@ def _fit_sample(ds, limit: int, id_col: str = "vec_id", salt: str = "fit"):
     membership is a pure hash of the id (ops.sampling), so the sample is
     uniform over the whole dataset, reproducible across runs and
     partitionings, and the scan streams (no materialization beyond the
-    ~`limit` sampled rows)."""
-    n = ds.count()
+    ~`limit` sampled rows).  Pass `n_rows` when the caller already knows
+    the count (parquet metadata) — ds.count() on a mapped pipeline
+    executes the whole upstream graph just to size the sample."""
+    n = ds.count() if n_rows is None else n_rows
     if n <= limit:
         return ds.to_pandas()
     from .sampling import hash_sample_batch
@@ -119,8 +122,8 @@ class IvfIndex:
         self.seed = seed
         self.centroids: "np.ndarray | None" = None
 
-    def fit(self, ds, sample_limit: int = 20_000) -> "IvfIndex":
-        sample = _fit_sample(ds, sample_limit)
+    def fit(self, ds, sample_limit: int = 20_000, n_rows: "int | None" = None) -> "IvfIndex":
+        sample = _fit_sample(ds, sample_limit, n_rows=n_rows)
         x = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
         rng = np.random.default_rng(self.seed)
         c = x[rng.choice(len(x), size=min(self.n_centroids, len(x)), replace=False)]
@@ -196,8 +199,8 @@ class PqIndex:
             raise ValueError(f"dim {d} not divisible by m={self.m} subspaces")
         return x.reshape(n, self.m, d // self.m)
 
-    def fit(self, ds, sample_limit: int = 20_000) -> "PqIndex":
-        sample = _fit_sample(ds, sample_limit)
+    def fit(self, ds, sample_limit: int = 20_000, n_rows: "int | None" = None) -> "PqIndex":
+        sample = _fit_sample(ds, sample_limit, n_rows=n_rows)
         x = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
         sub = self._split(x)
         rng = np.random.default_rng(self.seed)

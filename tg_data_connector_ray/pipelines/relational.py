@@ -324,10 +324,9 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
         hi = np.searchsorted(rk_sorted, lk, side="right")
         counts = hi - lo
         counts[~lk_valid] = 0
-        total = int(counts.sum())
-        seg = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(counts) - counts, counts
-        )
+        from ..ops.dedup import _segmented_arange
+
+        seg = _segmented_arange(counts)
         l_take = pa.array(np.repeat(np.arange(l_tbl.num_rows, dtype=np.int64), counts))
         r_take = pa.array(order_r[np.repeat(lo, counts) + seg])
         cols = {c: l_tbl[c].combine_chunks().take(l_take) for c in left_cols}

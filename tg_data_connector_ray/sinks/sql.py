@@ -115,7 +115,10 @@ def _ensure_transactional(conn) -> None:
     commit ATOMICALLY — with an autocommit connection the ledger row
     commits alone, and a crash before the data write then makes every
     retry skip the batch forever (silent data loss).  DB-API2 defaults to
-    non-autocommit, but common factories override it; undo that here."""
+    non-autocommit, but common factories override it; undo that here, and
+    RAISE if the connection detectably stays in autocommit mode — silently
+    degrading would reintroduce the exact loss mode this guard exists
+    for."""
     try:
         # sqlite3: isolation_level=None means autocommit; "" = deferred tx
         if getattr(conn, "isolation_level", "") is None:
@@ -128,6 +131,14 @@ def _ensure_transactional(conn) -> None:
             conn.autocommit = False
     except Exception:
         pass
+    if getattr(conn, "isolation_level", "") is None or bool(
+        getattr(conn, "autocommit", False)
+    ):
+        raise ValueError(
+            "exactly_once needs a transactional connection, but this "
+            "driver connection stayed in autocommit mode; use a "
+            "connection_factory that opens transactional connections"
+        )
 
 
 class SqlWriter:

@@ -151,6 +151,28 @@ except ImportError:  # pragma: no cover - polars is baked into the target env
 HASH_PROVIDER = "numpy-poly:1"
 
 
+def _hash_with_coercion(arr, leaf_hash, self_fn) -> np.ndarray:
+    """Shared preamble for the string-hash entry points: coerce
+    list/numpy/ChunkedArray input to one pa.Array, and for dictionary
+    input hash only the dictionary then gather (null indices -> 0).
+    `leaf_hash` handles the flat string array; `self_fn` recurses on the
+    dictionary values so each entry point keeps its own provider."""
+    if isinstance(arr, (list, np.ndarray)):
+        arr = pa.array(arr, type=pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        uniq_h = self_fn(arr.dictionary)
+        indices = arr.indices.to_numpy(zero_copy_only=False)
+        out = np.zeros(len(arr), dtype=np.uint64)
+        valid = np.ones(len(arr), dtype=bool)
+        if arr.indices.null_count:
+            valid = ~np.asarray(arr.indices.is_null())
+        out[valid] = uniq_h[indices[valid].astype(np.int64)]
+        return out
+    return leaf_hash(arr)
+
+
 def routing_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
     """Version-independent uint64 hash for PERSISTED partition routing.
 
@@ -161,52 +183,30 @@ def routing_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") 
     outlive a run (coarse buckets, salting, checksums); use this for any
     key -> partition mapping that is written to disk.
     """
-    if isinstance(arr, (list, np.ndarray)):
-        arr = pa.array(arr, type=pa.string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_dictionary(arr.type):
-        uniq_h = routing_hash_strings(arr.dictionary)
-        indices = arr.indices.to_numpy(zero_copy_only=False)
-        out = np.zeros(len(arr), dtype=np.uint64)
-        valid = np.ones(len(arr), dtype=bool)
-        if arr.indices.null_count:
-            valid = ~np.asarray(arr.indices.is_null())
-        out[valid] = uniq_h[indices[valid].astype(np.int64)]
-        return out
-    return _hash_string_values(arr)
+    return _hash_with_coercion(arr, _hash_string_values, routing_hash_strings)
 
 
 def stable_hash_strings(arr: "pa.Array | pa.ChunkedArray | np.ndarray | list") -> np.ndarray:
     """Deterministic uint64 hash of a string column, vectorized.
 
     Hot path: polars ``Series.hash`` (native xxhash, fixed seed —
-    deterministic across processes; across polars *versions* the mapping
-    is pinned by the state-format marker, see `HASH_PROVIDER`).  Fallback:
-    the pure-numpy polynomial hash (`_hash_string_values`).  Nulls hash
-    to 0 on both paths.  Dictionary input hashes only the dictionary then
+    deterministic across processes but NOT guaranteed across polars
+    versions, which is why persisted routing uses `routing_hash_strings`
+    instead).  Fallback: the pure-numpy polynomial hash.  Nulls hash to 0
+    on both paths.  Dictionary input hashes only the dictionary then
     gathers.
     """
-    if isinstance(arr, (list, np.ndarray)):
-        arr = pa.array(arr, type=pa.string())
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_dictionary(arr.type):
-        uniq_h = stable_hash_strings(arr.dictionary)
-        indices = arr.indices.to_numpy(zero_copy_only=False)
-        out = np.zeros(len(arr), dtype=np.uint64)
-        valid = np.ones(len(arr), dtype=bool)
-        if arr.indices.null_count:
-            valid = ~np.asarray(arr.indices.is_null())
-        out[valid] = uniq_h[indices[valid].astype(np.int64)]
+
+    def leaf(arr: pa.Array) -> np.ndarray:
+        if _pl is None:
+            return _hash_string_values(arr)
+        out = _pl.from_arrow(arr).hash(seed=0).to_numpy()
+        if arr.null_count:
+            out = out.copy()  # polars to_numpy may be zero-copy read-only
+            out[np.asarray(arr.is_null())] = 0
         return out
-    if _pl is None:
-        return _hash_string_values(arr)
-    out = _pl.from_arrow(arr).hash(seed=0).to_numpy()
-    if arr.null_count:
-        out = out.copy()  # polars to_numpy may be zero-copy read-only
-        out[np.asarray(arr.is_null())] = 0
-    return out
+
+    return _hash_with_coercion(arr, leaf, stable_hash_strings)
 
 
 def mix_hash(h: np.ndarray, ints: np.ndarray) -> np.ndarray:
@@ -243,6 +243,24 @@ def read_json(path: str) -> Any:
 
 def new_token() -> str:
     return uuid.uuid4().hex
+
+
+# Spool dirs created by spool_checkpoint this process, removed at exit —
+# each holds a full parquet copy of its dataset, so leaking them across
+# repeated runs would fill the scratch volume.
+_SPOOL_PATHS: "list[str]" = []
+
+
+def _cleanup_spools() -> None:  # pragma: no cover - exercised at exit
+    import shutil
+
+    for p in _SPOOL_PATHS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_spools)
 
 
 # spool_checkpoint keeps the checkpoint pinned in the object store only
@@ -292,6 +310,7 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
         f"{name}-{new_token()}",
     )
     os.makedirs(path, exist_ok=True)
+    _SPOOL_PATHS.append(path)  # reclaimed at interpreter exit (leak guard)
     ds.write_parquet(path)
     size = sum(
         os.path.getsize(os.path.join(path, f))
