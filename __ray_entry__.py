@@ -671,6 +671,18 @@ def _late_shipment_priority(sf_dir):
     return late_shipment_priority(sf_dir)
 
 
+def _q3_shipping_priority(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import q3_shipping_priority
+
+    return q3_shipping_priority(sf_dir)
+
+
+def _label_centroids(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import label_centroids
+
+    return label_centroids(sf_dir)
+
+
 def _events_heavy_hitters(sf_dir):
     """Misra-Gries-guided EXACT heavy hitters over user_id: per-block
     bounded summaries -> merged candidates (guaranteed superset at
@@ -1001,6 +1013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": _events_percent_rank,
         "events_value_delta": _events_value_delta,
         "late_shipment_priority": _late_shipment_priority,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "label_centroids": _label_centroids,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
         "revenue_by_region": _revenue_by_region,
@@ -1806,6 +1820,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(vu - lag(vu) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id), 0) AS BIGINT) AS delta_u
             FROM e
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, rev_u, o_orderdate FROM (
+              SELECT l.l_orderkey AS o_orderkey,
+                     CAST(sum(CAST(round_even(l.l_extendedprice*(1-l.l_discount)*1e6, 0) AS BIGINT)) AS BIGINT) AS rev_u,
+                     o.o_orderdate
+              FROM customer c
+              JOIN orders o ON o.o_custkey = c.c_custkey
+              JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1995-03-15'
+                AND l.l_shipdate >= TIMESTAMP '1995-03-15'
+              GROUP BY l.l_orderkey, o.o_orderdate
+            ) t
+            ORDER BY rev_u DESC, o_orderkey
+            LIMIT 10
+        """,
+        "label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label, dim,
+                   CAST(sum(CAST(round_even(CAST(v AS DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) AS sum_u,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT label,
+                     generate_subscripts(embedding, 1) AS dim,
+                     unnest(embedding) AS v
+              FROM embeddings
+            )
+            GROUP BY label, dim
         """,
         "late_shipment_priority": """
             SELECT o.o_orderpriority,

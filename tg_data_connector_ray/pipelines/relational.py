@@ -1346,6 +1346,140 @@ def users_heavy_tail(sf_dir: str, factor: int = 2):
     return agg.map_batches(having, batch_format="pyarrow")
 
 
+def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                         cutoff: str = "1995-03-15", k: int = 10):
+    """TPC-H Q3 flavor: top-k unshipped orders by revenue for one market
+    segment (o_orderdate < cutoff <= l_shipdate).
+
+    Scale shape: customer is filtered to the segment and reduced to a
+    BROADCAST custkey set (one small column — no customer x orders
+    shuffle); orders filters by date + is_in, thins to (orderkey, date);
+    lineitem filters by shipdate and pre-aggregates revenue per order in
+    each batch; the only exchange is the coarse-bucket sum of thin
+    (orderkey, rev) partials; the orders attributes come back via ONE
+    unique-right Arrow gather join and per-block top-k + a k-row driver
+    merge finishes — no global sort."""
+    cut = np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    ck = cust.map_batches(
+        lambda t: pa.table(
+            {"c_custkey": t.filter(pc.equal(t["c_mktsegment"], segment))["c_custkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # bounded: one segment's custkeys
+    ck_set = pa.array(ck["c_custkey"].to_numpy(np.int64))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ord_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(t["o_orderdate"].cast(pa.int64()), pa.scalar(int(cut), pa.int64())),
+            pc.fill_null(pc.is_in(t["o_custkey"], value_set=ck_set), False),
+        )
+        s = t.filter(keep)
+        return pa.table({"o_orderkey": s["o_orderkey"], "o_orderdate": s["o_orderdate"]})
+
+    thin_orders = orders.map_batches(ord_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        s = t.filter(
+            pc.greater_equal(t["l_shipdate"].cast(pa.int64()), pa.scalar(int(cut), pa.int64()))
+        )
+        r = pc.multiply(s["l_extendedprice"], pc.subtract(pa.scalar(1.0), s["l_discount"]))
+        r_u = pc.cast(pc.round(pc.multiply(r, pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table({"o_orderkey": s["l_orderkey"], "rev_u": r_u})
+            .group_by("o_orderkey")
+            .aggregate([("rev_u", "sum")])
+        )
+        return g.rename_columns(["o_orderkey", "rev_u"])
+
+    rev = grouped_arrow_aggregate(
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "o_orderkey",
+        [("rev_u", "sum")],
+        ["rev_u"],
+    )
+    joined = hash_join(rev, thin_orders, on="o_orderkey", right_unique=True)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        r = _np_i64(t["rev_u"])
+        okey = _np_i64(t["o_orderkey"])
+        order = np.lexsort((okey, -r))[:k]
+        return t.take(pa.array(order))
+
+    head = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    if head.empty:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "rev_u": pa.array([], pa.int64()),
+                "o_orderdate": pa.array([], pa.timestamp("us")),
+            }
+        )
+    head = head.sort_values(["rev_u", "o_orderkey"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(head.reset_index(drop=True), preserve_index=False)
+
+
+def label_centroids(sf_dir: str):
+    """Per-label embedding centroid as EXACT integers: each vector
+    component integerized to u6 first, then (label, dim) sums + counts —
+    output (label, dim, sum_u, n) so engine and oracle compare exact
+    int64s (a float mean would be summation-order-dependent).
+
+    Scale shape: one streaming pass; per batch the (labels x dim) partial
+    sums come from a one-hot matmul (labels are few), so the shuffle is
+    labels x dim x blocks partial rows, never the vectors; driver merge
+    is a tiny pandas groupby."""
+    import pandas as pd
+
+    from ..ops.similarity import _emb_matrix
+    from ..util import sized_read_parquet
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = sized_read_parquet(path, columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t)  # (n, dim) float64 (f32 -> f64 exact)
+        vu = np.round(x * 1e6).astype(np.int64)  # u6 integers, round-even
+        labels = _np_i64(t["label"])
+        uniq, inv = np.unique(labels, return_inverse=True)
+        onehot = np.zeros((len(uniq), len(labels)), dtype=np.int64)
+        onehot[inv, np.arange(len(labels))] = 1
+        sums = onehot @ vu  # (n_labels, dim) exact int64
+        counts = onehot.sum(axis=1)
+        dim = x.shape[1]
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1), len(uniq)), pa.int64()),
+                "sum_u": pa.array(sums.reshape(-1), pa.int64()),
+                "n": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = (
+        parts.groupby(["label", "dim"], as_index=False)[["sum_u", "n"]]
+        .sum()
+        .sort_values(["label", "dim"])
+    )
+    return pa.table(
+        {
+            "label": pa.array(out["label"].to_numpy(np.int64), pa.int64()),
+            "dim": pa.array(out["dim"].to_numpy(np.int64), pa.int64()),
+            "sum_u": pa.array(out["sum_u"].to_numpy(np.int64), pa.int64()),
+            "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def late_shipment_priority(sf_dir: str, late_days: int = 60):
     """TPC-H Q12-flavor: per order priority, how many lineitems shipped
     >= `late_days` after the order date.  Exercises the MULTI-MATCH
