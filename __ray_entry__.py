@@ -671,6 +671,12 @@ def _late_shipment_priority(sf_dir):
     return late_shipment_priority(sf_dir)
 
 
+def _events_props_extract(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_props_extract
+
+    return events_props_extract(sf_dir)
+
+
 def _q3_shipping_priority(sf_dir):
     from tg_data_connector_ray.pipelines.relational import q3_shipping_priority
 
@@ -1014,6 +1020,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_delta": _events_value_delta,
         "late_shipment_priority": _late_shipment_priority,
         "q3_shipping_priority": _q3_shipping_priority,
+        "events_props_extract": _events_props_extract,
         "label_centroids": _label_centroids,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
@@ -1820,6 +1827,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(vu - lag(vu) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id), 0) AS BIGINT) AS delta_u
             FROM e
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   CAST(sum(coalesce(CAST(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT), 0)) AS BIGINT) AS sum_k,
+                   CAST(sum(CASE WHEN nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_k
+            FROM events
+            GROUP BY event_type
         """,
         "q3_shipping_priority": """
             SELECT o_orderkey, rev_u, o_orderdate FROM (

@@ -1480,6 +1480,56 @@ def label_centroids(sf_dir: str):
     )
 
 
+def events_props_extract(sf_dir: str):
+    """Vectorized JSON-field extraction over the `props` string column
+    (the metadata-parsing step every event pipeline runs): extract the
+    integer field `k` with ONE `pc.extract_regex` per batch (no per-row
+    json.loads — the regex fast path for flat props objects), then
+    per-type sums/counts via per-batch Arrow partials + a driver reduce
+    (event_type cardinality is tiny)."""
+    from ..util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], '"k":\\s*(?P<k>\\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        g = (
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "sum_k": pc.fill_null(k, 0),
+                    "n_k": pc.cast(pc.is_valid(k), pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("sum_k", "sum"), ("n_k", "sum")])
+        )
+        return g.rename_columns(["event_type", "sum_k", "n_k"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "sum_k": pa.array([], pa.int64()),
+                "n_k": pa.array([], pa.int64()),
+            }
+        )
+    out = parts.groupby("event_type", as_index=False)[["sum_k", "n_k"]].sum().sort_values(
+        "event_type"
+    )
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "sum_k": pa.array(out["sum_k"].to_numpy(np.int64), pa.int64()),
+            "n_k": pa.array(out["n_k"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def late_shipment_priority(sf_dir: str, late_days: int = 60):
     """TPC-H Q12-flavor: per order priority, how many lineitems shipped
     >= `late_days` after the order date.  Exercises the MULTI-MATCH
