@@ -658,3 +658,99 @@ def test_sql_sink_exactly_once_autocommit_connection(tmp_path):
     assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 2
     assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 0  # retry skips
     assert w(batch, ordinal_key="0:1")["rows_written"][0].as_py() == 2  # new ordinal writes
+
+
+def test_sql_datasink_exactly_once_through_ray_retry(tmp_path):
+    """A write task that crashes after committing its first batch is
+    retried by Ray with the SAME task index; the ledger must make the
+    retry skip batch 1 and write only batch 2 — exact row count, no
+    duplicates, end-to-end through the real Datasink path."""
+    import sqlite3
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig, write_sql
+
+    class _FlakyConn:
+        """Wraps a sqlite3 connection; raises on executemany once per flag
+        file (simulating a mid-task crash AFTER the first batch committed)."""
+
+        def __init__(self, db, flag):
+            import sqlite3
+
+            self._c = sqlite3.connect(db)
+            self._flag = flag
+            self._calls = 0
+
+        def cursor(self):
+            outer = self
+
+            class _Cur:
+                def __init__(self):
+                    self._cur = outer._c.cursor()
+
+                def execute(self, *a):
+                    return self._cur.execute(*a)
+
+                def executemany(self, *a):
+                    outer._calls += 1
+                    if outer._calls == 2 and not os.path.exists(outer._flag):
+                        with open(outer._flag, "w") as f:
+                            f.write("x")
+                        raise RuntimeError("injected mid-task crash")
+                    return self._cur.executemany(*a)
+
+                def fetchone(self):
+                    return self._cur.fetchone()
+
+            return _Cur()
+
+        def commit(self):
+            return self._c.commit()
+
+        def rollback(self):
+            return self._c.rollback()
+
+        def close(self):
+            return self._c.close()
+
+        @property
+        def isolation_level(self):
+            return self._c.isolation_level
+
+        @isolation_level.setter
+        def isolation_level(self, v):
+            self._c.isolation_level = v
+
+
+    class _FlakyFactory:
+        def __init__(self, db, flag):
+            self.db = db
+            self.flag = flag
+
+        def __call__(self):
+            return _FlakyConn(self.db, self.flag)
+
+    db = str(tmp_path / "flaky.db")
+    flag = str(tmp_path / "crashed_once")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "id": pa.array(range(8), pa.int64()),
+                "name": pa.array([f"r{i}" for i in range(8)]),
+            }
+        )
+    ).repartition(1)  # one write task -> both batches in the crashing task
+    cfg = SqlSinkConfig(
+        table="t",
+        columns=("id", "name"),
+        batch_rows=4,  # 8 rows -> 2 batches; crash hits batch 2's executemany
+        exactly_once=True,
+        pre_sql=("CREATE TABLE IF NOT EXISTS t (id INTEGER, name TEXT)",),
+    )
+    assert write_sql(ds, _FlakyFactory(db, flag), cfg) == 4  # retry wrote batch 2 only
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT count(*), count(DISTINCT id) FROM t").fetchone()
+    leds = con.execute("SELECT count(*) FROM t__write_ledger").fetchone()[0]
+    con.close()
+    assert os.path.exists(flag)  # the crash really happened
+    assert rows == (8, 8)  # every row exactly once
+    assert leds == 2

@@ -308,7 +308,15 @@ def write_sql(ds, connection_factory, cfg: SqlSinkConfig) -> int:
         ] + pre
     _run_side_sql(connection_factory, pre)
     sink = _make_datasink(connection_factory, cfg, write_uuid)
-    remote_args = {} if cfg.exactly_once else {"max_retries": 0}
+    # exactly_once makes re-execution idempotent (ledger skips committed
+    # batches), so application-level exceptions (transient DB errors) are
+    # safe to retry — Ray only retries system failures by default.
+    # Without the ledger, any retry could double-insert: fail fast.
+    remote_args = (
+        {"retry_exceptions": True, "max_retries": 4}
+        if cfg.exactly_once
+        else {"max_retries": 0}
+    )
     ds.select_columns(list(cfg.columns)).write_datasink(
         sink, concurrency=cfg.concurrency, ray_remote_args=remote_args
     )
