@@ -185,25 +185,23 @@ class _SegmentRevenue(BroadcastLookup):
 def revenue_by_mktsegment(sf_dir: str, concurrency=None):
     """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment.
 
-    The lookup stage is memory-bound (index_in + take + tiny group_by),
-    so a small pool saturates it; actor spin-up is the dominant cost at
-    test scale (measured: pool of 2 warm ~1.3s vs 14 ~2.2s at sf0.1).
-    The per-block partials are |segments| rows each, so the final combine
-    is a DRIVER merge of segments x blocks rows (like the top-k pattern)
-    — measured 2x faster than a Ray groupby over the same partials, and
-    bounded: 100k blocks x 5 segments = 500k tiny rows worst case.  On a
-    real cluster size the pool to input blocks via `concurrency`."""
+    The lookup stage is an INSTANCE-SHIPPED task stage (the ann_topk
+    pattern): the dimension is read once on the driver, the pre-built
+    lookup rides the task closure (object-store-cached broadcast, never
+    re-shipped per batch), and plain tasks scale with blocks — actor
+    spin-up was the dominant cost of the previous pool shape at test
+    scale (pool of 2: ~1.1 s; this shape: ~0.5 s at sf0.1).  The
+    per-block partials are |segments| rows each, so the final combine is
+    a DRIVER merge of segments x blocks rows (like the top-k pattern) —
+    measured 2x faster than a Ray groupby over the same partials, and
+    bounded: 100k blocks x 5 segments = 500k tiny rows worst case."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     partials = orders.map_batches(
-        _SegmentRevenue,
+        _SegmentRevenue(
+            dim_path=_t(sf_dir, "customer"), key="c_custkey", value="c_mktsegment"
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 2,
-        fn_constructor_kwargs={
-            "dim_path": _t(sf_dir, "customer"),
-            "key": "c_custkey",
-            "value": "c_mktsegment",
-        },
     ).to_pandas()
     df = partials.groupby("c_mktsegment", as_index=False).agg(
         revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
@@ -1017,15 +1015,14 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 16, concurrency=None):
         right_unique=True,  # one orders row per orderkey
     )
 
+    # instance-shipped task stage (no actor spin-up; the composed dim
+    # rides the object-store-cached closure)
     partials = joined.map_batches(
-        _NationOfCustomer,
+        _NationOfCustomer(
+            cust_path=_t(sf_dir, "customer"), nation_path=_t(sf_dir, "nation")
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 2,
-        fn_constructor_kwargs={
-            "cust_path": _t(sf_dir, "customer"),
-            "nation_path": _t(sf_dir, "nation"),
-        },
     ).to_pandas()
     df = partials.groupby("n_name", as_index=False).agg(
         revenue_u=("revenue_u", "sum"), n_items=("n_items", "sum")
@@ -1186,15 +1183,13 @@ def revenue_by_region(sf_dir: str, concurrency=None):
     broadcast lookup, per-block Arrow partials, bounded driver merge."""
     items = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
     partials = items.map_batches(
-        _RegionOfSupplier,
+        _RegionOfSupplier(
+            supp_path=_t(sf_dir, "supplier"),
+            nation_path=_t(sf_dir, "nation"),
+            region_path=_t(sf_dir, "region"),
+        ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 2,
-        fn_constructor_kwargs={
-            "supp_path": _t(sf_dir, "supplier"),
-            "nation_path": _t(sf_dir, "nation"),
-            "region_path": _t(sf_dir, "region"),
-        },
     ).to_pandas()
     df = partials.groupby("r_name", as_index=False).agg(
         revenue_u=("revenue_u", "sum"), n_items=("n_items", "sum")
@@ -1232,15 +1227,9 @@ def promo_revenue_ratio(sf_dir: str, concurrency=None):
     ratio is re-derived from the exact integer sums on both sides."""
     items = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
     partials = items.map_batches(
-        _PromoShare,
+        _PromoShare(dim_path=_t(sf_dir, "part"), key="p_partkey", value="p_type"),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency or 2,
-        fn_constructor_kwargs={
-            "dim_path": _t(sf_dir, "part"),
-            "key": "p_partkey",
-            "value": "p_type",
-        },
     ).to_pandas()
     promo_u = int(partials["promo_u"].sum())
     total_u = int(partials["total_u"].sum())
