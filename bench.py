@@ -152,6 +152,12 @@ def run_query_bench() -> "tuple[dict, dict]":
         "events_user_hll",
         "revenue_by_nation",
         "docs_prep_v2",
+        # round 4 additions: multi-match join, Q3 composition, MG heavy
+        # hitters, C4 quality filters
+        "late_shipment_priority",
+        "q3_shipping_priority",
+        "events_heavy_hitters",
+        "docs_c4_quality",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
