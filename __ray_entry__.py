@@ -671,6 +671,12 @@ def _late_shipment_priority(sf_dir):
     return late_shipment_priority(sf_dir)
 
 
+def _events_window_distinct_users(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_window_distinct_users
+
+    return events_window_distinct_users(sf_dir)
+
+
 def _events_props_extract(sf_dir):
     from tg_data_connector_ray.pipelines.relational import events_props_extract
 
@@ -1021,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": _late_shipment_priority,
         "q3_shipping_priority": _q3_shipping_priority,
         "events_props_extract": _events_props_extract,
+        "events_window_distinct_users": _events_window_distinct_users,
         "label_centroids": _label_centroids,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
@@ -1827,6 +1834,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(vu - lag(vu) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id), 0) AS BIGINT) AS delta_u
             FROM e
+        """,
+        "events_window_distinct_users": """
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+            GROUP BY 1
         """,
         "events_props_extract": """
             SELECT event_type,

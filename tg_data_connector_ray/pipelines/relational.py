@@ -642,6 +642,37 @@ def events_hourly_window(sf_dir: str):
     return df[["event_type", "hour", "n", "sum_value"]]
 
 
+def events_window_distinct_users(sf_dir: str):
+    """Distinct users per tumbling 1h window — the windowed COUNT
+    DISTINCT a streaming engine treats as a first-class aggregate,
+    composed here from two existing primitives: per-batch distinct
+    (hour, user) pairs -> coarse-bucket global distinct (thin int rows,
+    hashed on the hour key) -> coarse-bucket count per hour.  Shuffle
+    volume is the distinct pairs, never the events."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return (
+            pa.table({"hour": hour, "user_id": t["user_id"]})
+            .group_by(["hour", "user_id"])
+            .aggregate([])
+        )
+
+    thin = ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = distinct_rows(thin, ["hour", "user_id"])
+    out = grouped_arrow_aggregate(
+        distinct, "hour", [("user_id", "count")], ["n_users"]
+    )
+    df = out.to_pandas().sort_values("hour").reset_index(drop=True)
+    return pa.table(
+        {
+            "hour": pa.Array.from_pandas(df["hour"], type=pa.timestamp("us")),
+            "n_users": pa.array(df["n_users"].to_numpy(np.int64), pa.int64()),
+        }
+    )
+
+
 def events_hopping_window(sf_dir: str, window_s: int = 3600, hop_s: int = 1800):
     """HOPPING (sliding) window aggregate: 1h windows advancing every 30min
     — each event lands in window_s/hop_s windows.  The explode happens in
