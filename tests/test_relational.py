@@ -407,3 +407,35 @@ def test_hash_join_right_unique_fast_path_equals_pandas_path(ray_session):
     fast = canon(hash_join(left, right, on="k", how="inner", right_unique=True))
     assert fast.equals(slow)
     assert fast["k"].tolist() == [1, 2, 2, 3]  # key 9 unmatched, dup key 2 kept
+
+
+def test_q3_and_label_centroids_empty_edges(tmp_path, ray_session):
+    """Parameter-triggered empty paths return typed empties instead of
+    crashing on grouped_arrow_aggregate's zero-schema output or
+    _emb_matrix's empty reshape."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import (
+        label_centroids,
+        q3_shipping_priority,
+    )
+
+    # q3 with a cutoff past every shipdate: no revenue rows anywhere
+    out = q3_shipping_priority("/root/testdata/sf0.001", cutoff="2099-01-01")
+    assert out.num_rows == 0
+    assert out.schema.field("o_orderdate").type == pa.timestamp("us")
+
+    # empty embeddings table
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    cent = label_centroids(str(tmp_path))
+    assert cent.num_rows == 0 and cent.column_names == ["label", "dim", "sum_u", "n"]

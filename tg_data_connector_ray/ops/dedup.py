@@ -87,6 +87,8 @@ def _nonempty(ds):
                 refs.append(ref)
     if not refs:
         schema = mat.schema()
+        if schema is None:  # zero-schema empty (no group task ever ran):
+            return mat  # nothing to rebuild; callers count()==0-guard
         empty = pa.table(
             {name: pa.array([], type=t) for name, t in zip(schema.names, schema.types)}
         )

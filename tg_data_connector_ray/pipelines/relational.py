@@ -151,11 +151,13 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
 # broadcast join (small dimension side)
 
 class BroadcastLookup:
-    """Broadcast-join actor stage: each actor reads the small dimension
-    table ONCE from storage in ``__init__`` (no driver broadcast, no
-    per-batch deserialize — at 256 nodes every actor pulls the same small
-    parquet from shared storage, the standard broadcast-join shape) and
-    joins per batch with vectorized ``pc.index_in`` + ``take``."""
+    """Broadcast-join lookup, used as an INSTANCE-SHIPPED task stage:
+    ``__init__`` runs once on the DRIVER at pipeline-construction time
+    (reads the small dimension from storage, folds any snowflake chain),
+    and the pre-built instance rides the task closure — Ray caches the
+    serialized closure in the object store, so the lookup broadcasts once
+    per node, never per batch, with no actor spin-up.  Per batch the join
+    is vectorized ``pc.index_in`` + ``take``."""
 
     def __init__(self, dim_path: str, key: str, value: str):
         import pyarrow.parquet as pq
@@ -182,7 +184,7 @@ class _SegmentRevenue(BroadcastLookup):
         return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
 
 
-def revenue_by_mktsegment(sf_dir: str, concurrency=None):
+def revenue_by_mktsegment(sf_dir: str):
     """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment.
 
     The lookup stage is an INSTANCE-SHIPPED task stage (the ann_topk
@@ -1013,7 +1015,7 @@ class _NationOfCustomer(BroadcastLookup):
         return g.rename_columns(["n_name", "revenue_u", "n_items"])
 
 
-def revenue_by_nation(sf_dir: str, num_buckets: int = 16, concurrency=None):
+def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
     """Four-table join: lineitem JOIN orders (both large: partitioned
     hash join on orderkey — the one real shuffle) -> customer/nation
     folded to a broadcast custkey->n_name lookup -> per-batch Arrow
@@ -1209,7 +1211,7 @@ class _RegionOfSupplier(BroadcastLookup):
         return g.rename_columns(["r_name", "revenue_u", "n_items"])
 
 
-def revenue_by_region(sf_dir: str, concurrency=None):
+def revenue_by_region(sf_dir: str):
     """lineitem -> supplier's region revenue: snowflake dims folded to one
     broadcast lookup, per-block Arrow partials, bounded driver merge."""
     items = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount"])
@@ -1252,7 +1254,7 @@ class _PromoShare(BroadcastLookup):
         )
 
 
-def promo_revenue_ratio(sf_dir: str, concurrency=None):
+def promo_revenue_ratio(sf_dir: str):
     """Q14-flavor: share of revenue from PROMO-type parts — broadcast
     p_type lookup, two-integer partials per block, one-row result whose
     ratio is re-derived from the exact integer sums on both sides."""
@@ -1420,12 +1422,27 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         )
         return g.rename_columns(["o_orderkey", "rev_u"])
 
+    _EMPTY_Q3 = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "rev_u": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+        }
+    )
     rev = grouped_arrow_aggregate(
         li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True),
         "o_orderkey",
         [("rev_u", "sum")],
         ["rev_u"],
     )
+    # grouped_arrow_aggregate's documented zero-schema empty output breaks
+    # joins: guard before feeding hash_join (an off-range cutoff/segment
+    # legitimately yields no revenue rows)
+    from ..ops.dedup import _nonempty
+
+    rev = _nonempty(rev)
+    if rev.count() == 0:
+        return _EMPTY_Q3
     joined = hash_join(rev, thin_orders, on="o_orderkey", right_unique=True)
 
     def block_topk(t: pa.Table) -> pa.Table:
@@ -1436,15 +1453,19 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
     head = joined.map_batches(block_topk, batch_format="pyarrow").to_pandas()
     if head.empty:
-        return pa.table(
-            {
-                "o_orderkey": pa.array([], pa.int64()),
-                "rev_u": pa.array([], pa.int64()),
-                "o_orderdate": pa.array([], pa.timestamp("us")),
-            }
-        )
+        return _EMPTY_Q3
     head = head.sort_values(["rev_u", "o_orderkey"], ascending=[False, True]).head(k)
-    return pa.Table.from_pandas(head.reset_index(drop=True), preserve_index=False)
+    # explicit Arrow rebuild: a from_pandas round-trip would promote the
+    # us-timestamps to ns, making empty and non-empty schemas diverge
+    return pa.table(
+        {
+            "o_orderkey": pa.array(head["o_orderkey"].to_numpy(np.int64), pa.int64()),
+            "rev_u": pa.array(head["rev_u"].to_numpy(np.int64), pa.int64()),
+            "o_orderdate": pa.Array.from_pandas(
+                head["o_orderdate"], type=pa.timestamp("us")
+            ),
+        }
+    )
 
 
 def label_centroids(sf_dir: str):
@@ -1457,15 +1478,22 @@ def label_centroids(sf_dir: str):
     sums come from a one-hot matmul (labels are few), so the shuffle is
     labels x dim x blocks partial rows, never the vectors; driver merge
     is a tiny pandas groupby."""
-    import pandas as pd
-
     from ..ops.similarity import _emb_matrix
-    from ..util import sized_read_parquet
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    ds = sized_read_parquet(path, columns=["label", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    _EMPTY_PART = pa.table(
+        {
+            "label": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "sum_u": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # _emb_matrix cannot reshape an empty batch
+            return _EMPTY_PART
         x = _emb_matrix(t)  # (n, dim) float64 (f32 -> f64 exact)
         vu = np.round(x * 1e6).astype(np.int64)  # u6 integers, round-even
         labels = _np_i64(t["label"])
@@ -1485,6 +1513,8 @@ def label_centroids(sf_dir: str):
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if parts.empty:
+        return _EMPTY_PART
     out = (
         parts.groupby(["label", "dim"], as_index=False)[["sum_u", "n"]]
         .sum()
@@ -1507,11 +1537,7 @@ def events_props_extract(sf_dir: str):
     json.loads — the regex fast path for flat props objects), then
     per-type sums/counts via per-batch Arrow partials + a driver reduce
     (event_type cardinality is tiny)."""
-    from ..util import sized_read_parquet
-
-    ds = sized_read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
-    )
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def partial(t: pa.Table) -> pa.Table:
         m = pc.extract_regex(t["props"], '"k":\\s*(?P<k>\\d+)')
