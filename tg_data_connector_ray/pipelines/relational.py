@@ -150,6 +150,20 @@ def q1_pricing_summary(sf_dir: str, cutoff: str = "1998-09-01"):
 # ---------------------------------------------------------------------------
 # broadcast join (small dimension side)
 
+# A dimension fold is built on the DRIVER and shipped via the task closure
+# ONLY below this estimated size (parquet footer metadata, no read); above
+# it the operator takes its distributed fallback (bucketed hash_join /
+# semi join) instead of pinning an unbounded table in the driver heap +
+# every worker's closure cache.  The users_in_both pattern, generalized.
+MAX_BROADCAST_BYTES = 256 << 20
+
+
+class BroadcastTooLarge(ValueError):
+    """Raised at stage-construction time when a driver-built broadcast
+    would exceed its byte bound; callers catch it and fall back to a
+    distributed join."""
+
+
 class BroadcastLookup:
     """Broadcast-join lookup, used as an INSTANCE-SHIPPED task stage:
     ``__init__`` runs once on the DRIVER at pipeline-construction time
@@ -159,9 +173,19 @@ class BroadcastLookup:
     per node, never per batch, with no actor spin-up.  Per batch the join
     is vectorized ``pc.index_in`` + ``take``."""
 
-    def __init__(self, dim_path: str, key: str, value: str):
+    def __init__(self, dim_path: str, key: str, value: str,
+                 max_broadcast_bytes: int = MAX_BROADCAST_BYTES):
         import pyarrow.parquet as pq
 
+        from ..util import parquet_bytes_hint
+
+        est = parquet_bytes_hint(dim_path, [key, value])
+        if est > max_broadcast_bytes:
+            raise BroadcastTooLarge(
+                f"dimension {dim_path}[{key},{value}] ~{est} B exceeds the "
+                f"{max_broadcast_bytes} B broadcast bound; use the caller's "
+                "distributed fallback (hash_join)"
+            )
         dim = pq.read_table(dim_path, columns=[key, value])
         self.keys = dim[key].combine_chunks()
         self.vals = dim[value].combine_chunks()
@@ -184,27 +208,67 @@ class _SegmentRevenue(BroadcastLookup):
         return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
 
 
-def revenue_by_mktsegment(sf_dir: str):
+def revenue_by_mktsegment(sf_dir: str,
+                          max_broadcast_bytes: int = MAX_BROADCAST_BYTES):
     """orders JOIN customer (broadcast) -> sum(o_totalprice) per segment.
 
-    The lookup stage is an INSTANCE-SHIPPED task stage (the ann_topk
-    pattern): the dimension is read once on the driver, the pre-built
-    lookup rides the task closure (object-store-cached broadcast, never
-    re-shipped per batch), and plain tasks scale with blocks — actor
-    spin-up was the dominant cost of the previous pool shape at test
-    scale (pool of 2: ~1.1 s; this shape: ~0.5 s at sf0.1).  The
-    per-block partials are |segments| rows each, so the final combine is
-    a DRIVER merge of segments x blocks rows (like the top-k pattern) —
-    measured 2x faster than a Ray groupby over the same partials, and
-    bounded: 100k blocks x 5 segments = 500k tiny rows worst case."""
+    Dual path on the estimated size of the customer dimension's joined
+    columns (footer metadata, no read):
+
+    - BELOW `max_broadcast_bytes`: an INSTANCE-SHIPPED task stage (the
+      ann_topk pattern) — the dimension is read once on the driver, the
+      pre-built lookup rides the task closure (object-store-cached
+      broadcast, never re-shipped per batch), plain tasks scale with
+      blocks.  Per-block partials are |segments| rows, so the final
+      combine is a DRIVER merge of segments x blocks rows — measured 2x
+      faster than a Ray groupby over the same partials, and bounded:
+      100k blocks x 5 segments = 500k tiny rows worst case.
+    - ABOVE it: the dimension never touches the driver — thin orders rows
+      meet thin customer rows in the bucketed `hash_join` (right-unique
+      gather), and the per-segment partial aggregate runs on the joined
+      stream.  Same result, one real shuffle instead of a broadcast."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    partials = orders.map_batches(
-        _SegmentRevenue(
-            dim_path=_t(sf_dir, "customer"), key="c_custkey", value="c_mktsegment"
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
+    try:
+        partials = orders.map_batches(
+            _SegmentRevenue(
+                dim_path=_t(sf_dir, "customer"), key="c_custkey",
+                value="c_mktsegment", max_broadcast_bytes=max_broadcast_bytes,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+    except BroadcastTooLarge:
+        from ..util import parquet_bytes_hint
+
+        def rev(t: pa.Table) -> pa.Table:
+            rev_u = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], pa.scalar(1e6))), pa.int64()
+            )
+            return pa.table({"o_custkey": t["o_custkey"], "rev_u": rev_u})
+
+        thin_orders = orders.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+        cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = hash_join(
+            thin_orders, cust, on="o_custkey", right_unique=True,
+            bytes_hint=parquet_bytes_hint(
+                _t(sf_dir, "orders"), ["o_custkey", "o_totalprice"]
+            )
+            + parquet_bytes_hint(_t(sf_dir, "customer"), ["c_custkey", "c_mktsegment"]),
+        )
+
+        def seg_partial(t: pa.Table) -> pa.Table:
+            g = (
+                pa.table({"c_mktsegment": t["c_mktsegment"], "revenue": t["rev_u"]})
+                .group_by("c_mktsegment")
+                .aggregate([("revenue", "sum"), ("revenue", "count")])
+            )
+            return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+
+        partials = joined.map_batches(seg_partial, batch_format="pyarrow").to_pandas()
     df = partials.groupby("c_mktsegment", as_index=False).agg(
         revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
     )
@@ -216,14 +280,61 @@ def revenue_by_mktsegment(sf_dir: str):
 # ---------------------------------------------------------------------------
 # explicit partitioned hash join (both sides large)
 
-def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
-              right_unique: bool = False):
+
+def _splitmix_buckets(arr, n_buckets: int) -> pa.Array:
+    """splitmix64-mix an integer/temporal Arrow array, then mask to
+    `n_buckets` (power of two).  Raw low bits are NOT a hash: stride-
+    aligned keys (even-only ids, hour-floored timestamps — multiples of
+    3.6e9 us) are all congruent mod any small power of two and collapse
+    into a few buckets; the mix spreads any stride uniformly.  Nulls
+    route to bucket 0 (callers' join semantics never match null keys)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    iv = (
+        pc.fill_null(arr.cast(pa.int64(), safe=False), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    z = iv.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = z ^ (z >> np.uint64(27))
+    return pa.array((z & np.uint64(n_buckets - 1)).astype(np.int32))
+
+
+# ~target bytes of (both sides') rows per join bucket when num_buckets is
+# derived from a bytes hint: small enough that one bucket's sort + gather
+# fits comfortably in a worker's heap share, large enough that the groupby
+# doesn't drown in tiny groups.
+_TARGET_BUCKET_BYTES = 128 << 20
+
+
+def _derive_num_buckets(bytes_hint: "int | None") -> int:
+    if not bytes_hint:
+        return 16
+    b = 1
+    while b * _TARGET_BUCKET_BYTES < bytes_hint and b < (1 << 16):
+        b <<= 1
+    return max(b, 16)
+
+
+def hash_join(left, right, on: str, num_buckets: "int | None" = None,
+              how: str = "inner", right_unique: bool = False,
+              bytes_hint: "int | None" = None):
     """Bucketed hash join of two Datasets on an int64 key.
 
-    Both sides get `bucket = key % B` and a side tag, union into ONE
-    dataset so a single groupby(bucket) co-locates matching buckets; the
-    per-bucket pandas merge runs in parallel tasks.  Skewed keys: salt by
-    raising B or pre-splitting the hot key (documented, not automatic).
+    Both sides get `bucket = splitmix64(key) & (B-1)` and a side tag,
+    union into ONE dataset so a single groupby(bucket) co-locates matching
+    buckets; the per-bucket Arrow merge runs in parallel tasks.  The mix
+    (see _splitmix_buckets) keeps stride-aligned keys balanced; *value*
+    skew (one hot key) is still salted by the caller (documented, not
+    automatic).
+
+    `num_buckets` defaults to a size DERIVED from `bytes_hint` (estimated
+    combined input bytes — pass `util.parquet_bytes_hint(...)` of the
+    joined projections) at ~128 MB of rows per bucket, clamped to
+    [16, 65536]; with neither given, 16 — fine for test scale, but any
+    at-scale call site should pass the hint (a static B means per-bucket
+    memory grows with the input).
 
     `right_unique=True` (caller-asserted: the right side has at most one
     row per key — a dimension/lookup table) takes a one-gather fast path
@@ -233,6 +344,8 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
     and expands matches with a segmented arange (run-length expansion).
     """
 
+    if num_buckets is None:
+        num_buckets = _derive_num_buckets(bytes_hint)
     if num_buckets & (num_buckets - 1):
         raise ValueError("num_buckets must be a power of two")
     if how not in ("inner", "left", "anti"):
@@ -251,9 +364,7 @@ def hash_join(left, right, on: str, num_buckets: int = 16, how: str = "inner",
     def tag(side: str, own: "set[str]"):
         def _f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            b = pc.cast(
-                pc.bit_wise_and(pc.cast(t[on], pa.int64()), num_buckets - 1), pa.int32()
-            )
+            b = _splitmix_buckets(t[on], num_buckets)
             out = pa.table(
                 {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
             )
@@ -393,14 +504,11 @@ def grouped_arrow_aggregate(
         # datasets), which pa.types predicates reject
         key_type = kc.type
         if pa.types.is_integer(key_type) or pa.types.is_temporal(key_type):
-            # splitmix64 mix before masking: raw int keys are often
-            # stride-aligned (hour-floored timestamps are multiples of
-            # 3.6e9 us — all congruent mod any small power of two)
-            iv = kc.cast(pa.int64(), safe=False).to_numpy(zero_copy_only=False)
-            z = iv.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            z = z ^ (z >> np.uint64(27))
-            cg = pa.array((z & np.uint64(n_coarse - 1)).astype(np.int32))
+            # splitmix64 mix before masking (see _splitmix_buckets): raw
+            # int keys are often stride-aligned (hour-floored timestamps
+            # are multiples of 3.6e9 us — all congruent mod any small
+            # power of two)
+            cg = _splitmix_buckets(kc, n_coarse)
         else:
             from ..util import stable_hash_strings
 
@@ -995,9 +1103,18 @@ class _NationOfCustomer(BroadcastLookup):
     small reads from shared storage; the composed dim is what broadcasts,
     so the per-batch work stays one index_in + take)."""
 
-    def __init__(self, cust_path: str, nation_path: str):
+    def __init__(self, cust_path: str, nation_path: str,
+                 max_broadcast_bytes: int = MAX_BROADCAST_BYTES):
         import pyarrow.parquet as pq
 
+        from ..util import parquet_bytes_hint
+
+        est = parquet_bytes_hint(cust_path, ["c_custkey", "c_nationkey"])
+        if est > max_broadcast_bytes:
+            raise BroadcastTooLarge(
+                f"customer dim ~{est} B exceeds the {max_broadcast_bytes} B "
+                "broadcast bound; use revenue_by_nation's hash_join fallback"
+            )
         cust = pq.read_table(cust_path, columns=["c_custkey", "c_nationkey"])
         nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
         idx = pc.index_in(cust["c_nationkey"].combine_chunks(),
@@ -1015,7 +1132,31 @@ class _NationOfCustomer(BroadcastLookup):
         return g.rename_columns(["n_name", "revenue_u", "n_items"])
 
 
-def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
+class _TinyNationName:
+    """Per-batch c_nationkey -> n_name attach + per-nation partial
+    aggregate, for revenue_by_nation's above-the-bound fallback.  The
+    nation table is 25 rows by schema — always broadcast-safe."""
+
+    def __init__(self, nation_path: str):
+        import pyarrow.parquet as pq
+
+        nation = pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+        self.nkeys = nation["n_nationkey"].combine_chunks()
+        self.nnames = nation["n_name"].combine_chunks()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["c_nationkey"], value_set=self.nkeys)
+        name = self.nnames.take(idx)
+        g = (
+            pa.table({"n_name": name, "revenue_u": t["revenue_u"]})
+            .group_by("n_name")
+            .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
+        )
+        return g.rename_columns(["n_name", "revenue_u", "n_items"])
+
+
+def revenue_by_nation(sf_dir: str, num_buckets: "int | None" = None,
+                      max_broadcast_bytes: int = MAX_BROADCAST_BYTES):
     """Four-table join: lineitem JOIN orders (both large: partitioned
     hash join on orderkey — the one real shuffle) -> customer/nation
     folded to a broadcast custkey->n_name lookup -> per-batch Arrow
@@ -1043,20 +1184,50 @@ def revenue_by_nation(sf_dir: str, num_buckets: int = 16):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    from ..util import parquet_bytes_hint
+
     joined = hash_join(
         thin_items, thin_orders, on="l_orderkey", num_buckets=num_buckets,
         right_unique=True,  # one orders row per orderkey
+        # revenue_u is 8 B/row like l_extendedprice, so the two source
+        # columns are a faithful proxy for the shuffled projection
+        bytes_hint=parquet_bytes_hint(
+            _t(sf_dir, "lineitem"), ["l_orderkey", "l_extendedprice"]
+        )
+        + parquet_bytes_hint(_t(sf_dir, "orders"), ["o_orderkey", "o_custkey"]),
     )
 
     # instance-shipped task stage (no actor spin-up; the composed dim
-    # rides the object-store-cached closure)
-    partials = joined.map_batches(
-        _NationOfCustomer(
-            cust_path=_t(sf_dir, "customer"), nation_path=_t(sf_dir, "nation")
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).to_pandas()
+    # rides the object-store-cached closure).  Above the broadcast bound
+    # the customer dim never touches the driver: a second bucketed
+    # hash_join attaches c_nationkey, and only the 25-row nation table
+    # broadcasts (always tiny by the TPC-H schema).
+    try:
+        partials = joined.map_batches(
+            _NationOfCustomer(
+                cust_path=_t(sf_dir, "customer"), nation_path=_t(sf_dir, "nation"),
+                max_broadcast_bytes=max_broadcast_bytes,
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).to_pandas()
+    except BroadcastTooLarge:
+        cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+            lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        with_nk = hash_join(
+            joined, cust, on="o_custkey", right_unique=True,
+            bytes_hint=parquet_bytes_hint(
+                _t(sf_dir, "lineitem"), ["l_orderkey", "l_extendedprice"]
+            )
+            + parquet_bytes_hint(_t(sf_dir, "customer"), ["c_custkey", "c_nationkey"]),
+        )
+        nation_stage = _TinyNationName(nation_path=_t(sf_dir, "nation"))
+        partials = with_nk.map_batches(
+            nation_stage, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
     df = partials.groupby("n_name", as_index=False).agg(
         revenue_u=("revenue_u", "sum"), n_items=("n_items", "sum")
     )
@@ -1132,7 +1303,15 @@ def orders_without_lineitems(sf_dir: str):
         lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return hash_join(thin_orders, item_keys, on="o_orderkey", how="anti")
+    from ..util import parquet_bytes_hint
+
+    return hash_join(
+        thin_orders, item_keys, on="o_orderkey", how="anti",
+        bytes_hint=parquet_bytes_hint(
+            _t(sf_dir, "orders"), ["o_orderkey", "o_totalprice"]
+        )
+        + parquet_bytes_hint(_t(sf_dir, "lineitem"), ["l_orderkey"]),
+    )
 
 
 def events_rollup(sf_dir: str):
@@ -1323,7 +1502,13 @@ def users_in_both(sf_dir: str, type_a: str = "view", type_b: str = "purchase"):
         )
         # distinct sets are key-unique: the inner join IS the semi join,
         # and right_unique keeps every bucket body all-Arrow
-        return hash_join(a_users, b_users, on="user_id", right_unique=True)
+        from ..util import parquet_bytes_hint
+
+        return hash_join(
+            a_users, b_users, on="user_id", right_unique=True,
+            # upper bound: both distinct sets came from this one column
+            bytes_hint=2 * parquet_bytes_hint(_t(sf_dir, "events"), ["user_id"]),
+        )
 
     bt = b_users.to_pandas()  # bounded by SMALL_USER_SET
     bset = pa.array(bt["user_id"].to_numpy(np.int64))
@@ -1369,40 +1554,69 @@ def users_heavy_tail(sf_dir: str, factor: int = 2):
 
 
 def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
-                         cutoff: str = "1995-03-15", k: int = 10):
+                         cutoff: str = "1995-03-15", k: int = 10,
+                         max_broadcast_bytes: int = MAX_BROADCAST_BYTES):
     """TPC-H Q3 flavor: top-k unshipped orders by revenue for one market
     segment (o_orderdate < cutoff <= l_shipdate).
 
     Scale shape: customer is filtered to the segment and reduced to a
-    BROADCAST custkey set (one small column — no customer x orders
-    shuffle); orders filters by date + is_in, thins to (orderkey, date);
-    lineitem filters by shipdate and pre-aggregates revenue per order in
-    each batch; the only exchange is the coarse-bucket sum of thin
-    (orderkey, rev) partials; the orders attributes come back via ONE
-    unique-right Arrow gather join and per-block top-k + a k-row driver
-    merge finishes — no global sort."""
+    custkey set; BELOW `max_broadcast_bytes` (checked by counting the
+    distributed thin set — 8 B/key) it broadcasts and orders filter with
+    one is_in per batch; ABOVE it the set never touches the driver and
+    the segment filter runs as a distributed semi join (right-unique
+    `hash_join` on the date-filtered thin orders).  Orders thins to
+    (orderkey, date); lineitem filters by shipdate and pre-aggregates
+    revenue per order in each batch; the only other exchange is the
+    coarse-bucket sum of thin (orderkey, rev) partials; the orders
+    attributes come back via ONE unique-right Arrow gather join and
+    per-block top-k + a k-row driver merge finishes — no global sort."""
     cut = np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    ck = cust.map_batches(
+    ck_thin = cust.map_batches(
         lambda t: pa.table(
-            {"c_custkey": t.filter(pc.equal(t["c_mktsegment"], segment))["c_custkey"]}
+            {"o_custkey": t.filter(pc.equal(t["c_mktsegment"], segment))["c_custkey"]}
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).to_pandas()  # bounded: one segment's custkeys
-    ck_set = pa.array(ck["c_custkey"].to_numpy(np.int64))
+    ).materialize()  # thin int64 column, held distributed in the object store
+    n_ck = ck_thin.count()
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def ord_filter(t: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.less(t["o_orderdate"].cast(pa.int64()), pa.scalar(int(cut), pa.int64())),
-            pc.fill_null(pc.is_in(t["o_custkey"], value_set=ck_set), False),
-        )
-        s = t.filter(keep)
-        return pa.table({"o_orderkey": s["o_orderkey"], "o_orderdate": s["o_orderdate"]})
+    def date_filter(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"].cast(pa.int64()), pa.scalar(int(cut), pa.int64()))
+        return t.filter(keep)
 
-    thin_orders = orders.map_batches(ord_filter, batch_format="pyarrow", zero_copy_batch=True)
+    if n_ck * 8 <= max_broadcast_bytes:
+        ck = ck_thin.to_pandas()  # bounded by the check above
+        ck_set = pa.array(ck["o_custkey"].to_numpy(np.int64))
+
+        def ord_filter(t: pa.Table) -> pa.Table:
+            s = date_filter(t)
+            s = s.filter(pc.fill_null(pc.is_in(s["o_custkey"], value_set=ck_set), False))
+            return pa.table({"o_orderkey": s["o_orderkey"], "o_orderdate": s["o_orderdate"]})
+
+        thin_orders = orders.map_batches(
+            ord_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        from ..util import parquet_bytes_hint
+
+        dated = orders.map_batches(date_filter, batch_format="pyarrow", zero_copy_batch=True)
+        # distinct custkeys are key-unique: the right-unique inner join IS
+        # the semi join; drop the key afterwards to keep the thin schema
+        semi = hash_join(
+            dated, ck_thin, on="o_custkey", right_unique=True,
+            bytes_hint=parquet_bytes_hint(
+                _t(sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_orderdate"]
+            )
+            + n_ck * 8,
+        )
+        thin_orders = semi.map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     li = _read(
         sf_dir, "lineitem",
@@ -1443,7 +1657,16 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     rev = _nonempty(rev)
     if rev.count() == 0:
         return _EMPTY_Q3
-    joined = hash_join(rev, thin_orders, on="o_orderkey", right_unique=True)
+    from ..util import parquet_bytes_hint
+
+    joined = hash_join(
+        rev, thin_orders, on="o_orderkey", right_unique=True,
+        # upper bound: both sides are date/segment-filtered projections
+        bytes_hint=parquet_bytes_hint(
+            _t(sf_dir, "lineitem"), ["l_orderkey", "l_extendedprice"]
+        )
+        + parquet_bytes_hint(_t(sf_dir, "orders"), ["o_orderkey", "o_orderdate"]),
+    )
 
     def block_topk(t: pa.Table) -> pa.Table:
         r = _np_i64(t["rev_u"])
@@ -1589,7 +1812,15 @@ def late_shipment_priority(sf_dir: str, late_days: int = 60):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    joined = hash_join(orders, li, on="o_orderkey", how="inner")
+    from ..util import parquet_bytes_hint
+
+    joined = hash_join(
+        orders, li, on="o_orderkey", how="inner",
+        bytes_hint=parquet_bytes_hint(
+            _t(sf_dir, "orders"), ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+        + parquet_bytes_hint(_t(sf_dir, "lineitem"), ["l_orderkey", "l_shipdate"]),
+    )
     late_us = late_days * 86_400_000_000
 
     def partial(t: pa.Table) -> pa.Table:

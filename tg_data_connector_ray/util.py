@@ -391,6 +391,37 @@ def sized_read_parquet(path, columns=None, small_block_bytes: int = 1 << 20,
     return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
 
 
+def parquet_bytes_hint(paths, columns=None) -> int:
+    """Estimated in-memory bytes of (a projection of) parquet inputs, from
+    footer metadata only — sums the column chunks' total_uncompressed_size
+    for the selected columns.  Used to size shuffle fan-out (hash_join's
+    num_buckets) from INPUT BYTES without executing anything; an upper
+    bound for filtered/pre-aggregated pipelines, which errs toward more
+    (cheap) buckets rather than fewer (memory-blowing) ones."""
+    import pyarrow.parquet as pq
+
+    if isinstance(paths, str):
+        paths = [paths]
+    total = 0
+    for path in paths:
+        fs, p = resolve_fs(path)
+        infos = [p]
+        if fs.get_file_info(p).type.name == "Directory":
+            infos = [
+                f for f in list_files(path, suffix=".parquet")
+            ]
+        for f in infos:
+            _, fp = resolve_fs(f)
+            md = pq.ParquetFile(fp, filesystem=fs).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    if columns is None or col.path_in_schema.split(".")[0] in columns:
+                        total += col.total_uncompressed_size
+    return total
+
+
 def open_input(path: str):
     """Readable binary stream for a local path or URI.  pyarrow's
     open_input_stream auto-detects gz/bz2 by extension and decompresses."""
