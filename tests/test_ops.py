@@ -541,3 +541,33 @@ def test_c4_quality_edge_cases():
     assert keep[2] is False  # null -> 0 tokens
     assert keep[3] is False
     assert out["n_tok"].to_pylist()[2] == 0
+
+
+def test_doc_image_channel_stats_matches_formula(ray_session):
+    """The oracle-checked multimodal pipeline: synth P6 encode -> REAL
+    PPM decode (actor pool) -> channel sums must equal the closed-form
+    arithmetic the SQL oracle uses."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.ops.multimodal import (
+        DocImageEncode,
+        ImageChannelStats,
+        doc_image_channel_stats,
+    )
+
+    ids = np.array([0, 1, 7, 123456], np.int64)
+    # stage-level round trip, no Ray
+    enc = DocImageEncode(width=8, height=4)(pa.table({"doc_id": pa.array(ids)}))
+    out = ImageChannelStats()(enc).to_pandas().set_index("doc_id")
+    i = np.arange(32, dtype=np.int64)
+    for d in ids:
+        for ci, col in enumerate(("sum_r", "sum_g", "sum_b")):
+            assert out.loc[d, col] == ((d * 31 + i * 7 + ci * 13) % 256).sum()
+        assert out.loc[d, "n_px"] == 32
+    # end-to-end Dataset path preserves rows and schema
+    ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    got = doc_image_channel_stats(ds, concurrency=1).to_pandas()
+    assert sorted(got.columns) == ["doc_id", "n_px", "sum_b", "sum_g", "sum_r"]
+    assert len(got) == len(ids)

@@ -259,6 +259,88 @@ def media_features(ds, codec: str = "fake", feature_dim: int = 16, concurrency: 
     )
 
 
+class DocImageEncode:
+    """Deterministic doc_id -> P6 image payload, the distributed fixture
+    half of the oracle-checked multimodal pipeline: pixel value at flat
+    index i, channel c is ``(doc_id*31 + i*7 + c*13) % 256`` — pure
+    integer arithmetic a SQL oracle reconstructs exactly (the pq_ann
+    fixture-oracle trick applied to media decode).  The value grid is
+    computed for the whole batch in ONE numpy broadcast; only the
+    byte-assembly of each variable-size payload is a per-row loop."""
+
+    def __init__(self, width: int = 8, height: int = 4):
+        self.w, self.h = width, height
+        self.codec = PpmCodec()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(self.w * self.h, dtype=np.int64)
+        c = np.arange(3, dtype=np.int64)
+        vals = (
+            (ids[:, None, None] * 31 + i[None, :, None] * 7 + c[None, None, :] * 13)
+            % 256
+        ).astype(np.uint8)
+        payloads = [
+            self.codec.encode_image(v.reshape(self.h, self.w, 3)) for v in vals
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
+class ImageChannelStats:
+    """Actor-pool decode stage (codec built once per actor): REAL P6 parse
+    per payload -> exact per-channel integer pixel sums + pixel count.
+    Integer outputs keep the paired SQL oracle bit-exact."""
+
+    def __init__(self):
+        self.codec = PpmCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        sums = np.zeros((n, 3), np.int64)
+        n_px = np.zeros(n, np.int64)
+        for j, p in enumerate(batch["payload"].to_pylist()):
+            img = self.codec.decode_image(p)
+            sums[j] = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            n_px[j] = img.shape[0] * img.shape[1]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_px": pa.array(n_px, pa.int64()),
+                "sum_r": pa.array(sums[:, 0], pa.int64()),
+                "sum_g": pa.array(sums[:, 1], pa.int64()),
+                "sum_b": pa.array(sums[:, 2], pa.int64()),
+            }
+        )
+
+
+def doc_image_channel_stats(ds_docs, width: int = 8, height: int = 4,
+                            concurrency: "int | None" = None):
+    """documents -> synth P6 payloads -> actor-pool decode -> channel-sum
+    features.  The encode stage is stateless tasks; the decode stage is a
+    right-sized actor pool with byte-aware batch size (the stage shape
+    real image decode uses — swap DocImageEncode for a storage read and
+    ImageChannelStats for a heavier codec at deployment)."""
+    from ..util import default_pool_size
+
+    media = ds_docs.map_batches(
+        DocImageEncode(width=width, height=height),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return media.map_batches(
+        ImageChannelStats,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+        concurrency=concurrency or default_pool_size(),
+    )
+
+
 def make_real_media_table(n: int = 12, seed: int = 9) -> pa.Table:
     """Deterministic REAL media: P6 images, multi-frame P6 'videos' and
     PCM WAV clips — decodable by PpmCodec/WavCodec with no external libs."""
