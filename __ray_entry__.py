@@ -137,6 +137,29 @@ def _run_cdc_snapshot(sf_dir: str):
     return final_table_arrow(cfg, sort=True)
 
 
+def _run_cdc_delta(sf_dir: str):
+    """LSM delta-merge mode through the driver surface: the t2 log applied
+    as two batches under merge_strategy='delta' — each run folds ONLY its
+    own events into a per-partition delta-run file (O(delta) per run,
+    base state untouched); the returned table exercises the read-side
+    base+delta fold, which must equal the one-shot global merge (the
+    LSN-register fold is associative).  Oracle: the same window-SQL
+    reconstruction over ALL events as cdc_replay."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2delta")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    files = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+    k = max(1, len(files) // 2)
+    apply_cdc(files[:k], cfg)  # idempotent per batch run_id
+    apply_cdc(files[k:], cfg)
+    return final_table_arrow(cfg, sort=True)
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -986,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_skew": _run_cdc_skew,
         "cdc_replay_evo": _run_cdc_evo,
         "cdc_replay_incremental": _run_cdc_incremental,
+        "cdc_replay_delta": _run_cdc_delta,
         "cdc_replay_snapshot": _run_cdc_snapshot,
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
@@ -1177,6 +1201,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dirty_replay": _cdc_dirty_oracle_sql(),
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
+        # LSM delta-run mode (O(delta) merges + read-side fold) converges
+        # to the identical global merge
+        "cdc_replay_delta": _cdc_oracle_sql("t2"),
         # snapshot bootstrap: the same merge contract over the union of
         # the snapshot (as lsn=0 full inserts) and the whole log
         "cdc_replay_snapshot": _cdc_oracle_sql("t2", with_snapshot=True),

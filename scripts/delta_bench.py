@@ -1,0 +1,87 @@
+"""Delta-vs-refold merge bench (round-4 verdict ask #3 done-criterion):
+per-run wall time in merge_strategy="delta" must scale with the DELTA
+size, not the state size, on a large-state/small-run fixture.
+
+Protocol: bootstrap a large state once (refold, all log files except the
+tail), then time ONE small incremental run under (a) refold — which
+re-reads, re-folds and rewrites full per-partition state — and (b) delta
+— which folds only the run's events into per-partition delta-run files.
+A second, larger delta run under (b) evidences the O(delta) slope.
+
+Usage: python scripts/delta_bench.py  [env: GRAFT_DELTA_CONVS=360000,
+RAY_GRAFT_CPUS=32, GRAFT_BENCH_OUT=/dev/shm/graft_delta_bench]
+Prints one JSON line; record results in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import ray
+
+
+def main() -> None:
+    from tg_data_connector_ray import __version__
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+    from tg_data_connector_ray.fixtures import FixtureSpec, write_fixture
+
+    convs = int(os.environ.get("GRAFT_DELTA_CONVS", "360000"))
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    parts = int(os.environ.get("GRAFT_BENCH_PARTITIONS", "96"))
+    root = os.environ.get("GRAFT_BENCH_OUT", "/dev/shm/graft_delta_bench")
+    cache = os.environ.get(
+        "GRAFT_FIXTURE_CACHE", f"/tmp/graft_fixture_cache_v{__version__}"
+    )
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    fx = write_fixture(cache, f"bench{convs}", FixtureSpec(n_convs=convs, n_files=64))
+    log = fx["cdc_log"]
+    files = sorted(os.path.join(log, f) for f in os.listdir(log) if f.endswith(".parquet"))
+    boot, small, big = files[:-5], files[-5:-4], files[-4:]
+    for p in files:  # page-cache warm: measure the engine, not cold disk
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    def timed_run(cfg: CdcConfig, batch: "list[str]") -> "tuple[float, int]":
+        t0 = time.monotonic()
+        s = apply_cdc(batch, cfg)
+        return time.monotonic() - t0, s["events_in"]
+
+    results: dict = {"metric": "delta_merge_bench", "unit": "sec",
+                     "convs": convs, "num_cpus": cpus, "num_partitions": parts}
+    for strategy in ("refold", "delta"):
+        out = os.path.join(root, strategy)
+        shutil.rmtree(out, ignore_errors=True)
+        boot_cfg = CdcConfig(out_dir=out, num_partitions=parts)
+        t_boot, ev_boot = timed_run(boot_cfg, boot)
+        cfg = CdcConfig(out_dir=out, num_partitions=parts, merge_strategy=strategy)
+        t_small, ev_small = timed_run(cfg, small)
+        t_big, ev_big = timed_run(cfg, big)
+        results[strategy] = {
+            "bootstrap_sec": round(t_boot, 3), "bootstrap_events": ev_boot,
+            "small_run_sec": round(t_small, 3), "small_run_events": ev_small,
+            "big_run_sec": round(t_big, 3), "big_run_events": ev_big,
+        }
+    r, d = results["refold"], results["delta"]
+    results["small_run_speedup"] = round(r["small_run_sec"] / d["small_run_sec"], 2)
+    results["big_run_speedup"] = round(r["big_run_sec"] / d["big_run_sec"], 2)
+    print(json.dumps(results))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

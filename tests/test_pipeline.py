@@ -411,3 +411,69 @@ def test_spool_checkpoint_both_paths(tmp_path, ray_session):
 
     dirs = _os.listdir(tmp_path)
     assert any(d.startswith("t_spool-") for d in dirs)
+
+
+def test_delta_merge_strategy_converges(t2, tmp_path):
+    """LSM delta mode: per-run cost is O(delta) — each run writes only a
+    delta-run file, never touching base state; the read path folds
+    base+deltas and must converge to the one-shot refold result.
+    compact() then folds the runs into the base and the fast read path
+    takes over, still converged."""
+    from tg_data_connector_ray.cdc.merge import partition_state_files
+    from tg_data_connector_ray.cdc.pipeline import (
+        _any_delta_files,
+        compact,
+        final_table_arrow,
+        verify_against,
+    )
+
+    exp = pq.read_table(t2["transcripts"])
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "delta"), num_partitions=8, merge_strategy="delta"
+    )
+    files = sorted(
+        os.path.join(t2["cdc_log"], f) for f in os.listdir(t2["cdc_log"])
+    )
+    k = len(files) // 3
+    for batch in (files[:k], files[k : 2 * k], files[2 * k :]):
+        apply_cdc(batch, cfg)
+
+    # no base state yet — only delta-run files, up to one per (run, part)
+    assert _any_delta_files(cfg)
+    some_dir = os.path.dirname(cfg.state_path(0))
+    base, deltas = partition_state_files(some_dir)
+    assert base is None and 1 <= len(deltas) <= 3
+
+    # delta-aware read paths: driver table, streaming dataset, verify
+    assert_converged(cfg, exp)
+    got_ds = read_final_table(cfg, sort=True).to_pandas()
+    assert len(got_ds) == exp.num_rows
+    assert verify_against(cfg, t2["transcripts"])["ok"]
+
+    # compaction folds runs into the base; results identical after
+    res = compact(cfg, tombstone_retention_lsn=0)
+    assert res["delta_runs_folded"] >= 8  # runs x partitions with rows
+    assert not _any_delta_files(cfg)
+    assert_converged(cfg, exp)
+    assert verify_against(cfg, t2["transcripts"])["ok"]
+
+
+def test_delta_redelivery_and_refold_guard(t1, tmp_path):
+    """Re-running the same batch in delta mode is exactly-once (lineage
+    skip), and a full re-delivery under a NEW run_id converges identically
+    (cross-run register merge is idempotent).  Switching back to refold
+    with uncompacted deltas must raise instead of silently ignoring them."""
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "d"), num_partitions=4, merge_strategy="delta"
+    )
+    s1 = apply_cdc(t1["cdc_log"], cfg)
+    s2 = apply_cdc(t1["cdc_log"], cfg)  # same run_id -> all skipped
+    assert s2["partitions_skipped"] == s2["partitions"]
+    # redelivery under a forced new run_id: new delta files, same table
+    apply_cdc(t1["cdc_log"], cfg, run_id="redelivery-run")
+    assert_converged(cfg, pq.read_table(t1["transcripts"]))
+
+    cfg_refold = CdcConfig(out_dir=cfg.out_dir, num_partitions=4)
+    with pytest.raises(Exception, match="uncompacted delta-run"):
+        apply_cdc(t1["cdc_log"], cfg_refold, run_id="refold-over-deltas")
+    assert s1["partitions"] == 4

@@ -90,6 +90,20 @@ class CdcConfig:
     # source's max replay lag).  None = keep all tombstones (bounded by
     # deleted-key count).
     tombstone_retention_lsn: "int | None" = None
+    # Merge strategy per run.  "refold" (default): read the partition's
+    # full state, decompose it to pseudo-events and fold with the run's
+    # events — one converged state file per partition, cost O(state) per
+    # run.  "delta" (LSM-style): fold ONLY the run's events into a sorted
+    # delta-run file written NEXT TO the base state — cost O(delta) per
+    # run, regardless of state size; readers and compact() fold
+    # base+deltas on demand (the LSN-register fold is associative, so any
+    # grouping converges identically — the same invariant incremental
+    # refold already relies on).  Right for steady small-delta ingest
+    # over huge state; call compact() periodically to fold runs back into
+    # the base and cap read amplification.  Lineage rows in delta mode
+    # report DELTA-scoped counts (rows_live/checksum of the run file, not
+    # the converged table).
+    merge_strategy: str = "refold"
     # Mid-run progress: log the aggregated per-partition lineage counters
     # every N seconds during the merge phase (the reference prints its
     # counter tree every 10 s — AbstractScheduler.java:78-87,

@@ -310,6 +310,38 @@ def _mk_events(rows: pa.Table, lsn, op: str, cols: dict) -> pa.Table:
     return pa.table({k: data[k] for k in _EVENT_TYPES})
 
 
+def partition_state_files(state_dir: str) -> "tuple[str | None, list[str]]":
+    """(base state.parquet or None, sorted delta-run files) of one
+    partition directory.  Delta files exist only under
+    merge_strategy="delta" between compactions."""
+    base = os.path.join(state_dir, "state.parquet")
+    if not os.path.isdir(state_dir):
+        return None, []
+    deltas = sorted(
+        os.path.join(state_dir, f)
+        for f in os.listdir(state_dir)
+        if f.startswith("delta-") and f.endswith(".parquet")
+    )
+    return (base if os.path.exists(base) else None), deltas
+
+
+def read_partition_state(state_dir: str, policy: str = "upsert") -> pa.Table:
+    """Converged state of ONE partition: the base state folded with any
+    LSM delta-run files (read amplification bounded by runs since the
+    last compact).  With no deltas this is a plain parquet read — the
+    refold-mode fast path.  `policy` is the orphan-update policy applied
+    at this (final) fold; delta-run files were folded with "upsert" so no
+    orphan is dropped before its I may arrive from another file."""
+    base, deltas = partition_state_files(state_dir)
+    if base is None and not deltas:
+        return pa.table({f.name: pa.array([], f.type) for f in STATE_SCHEMA})
+    if not deltas:
+        return pq.read_table(base)
+    pieces = [state_to_events(pq.read_table(f)) for f in ([base] if base else []) + deltas]
+    state, _ = fold(pa.concat_tables(pieces, promote_options="default"), policy=policy)
+    return state
+
+
 def state_checksum(state: pa.Table) -> str:
     """Order-insensitive content checksum over (conv_id, turn_idx, _lsn,
     _deleted) — cheap, deterministic, and sufficient to detect divergent
@@ -409,18 +441,38 @@ class MergeApply:
         )
 
         state_path = cfg.state_path(part)
+        delta_mode = cfg.merge_strategy == "delta"
+        _, prior_deltas = partition_state_files(cfg.state_dir(part))
+        if not delta_mode and prior_deltas:
+            raise ValueError(
+                f"partition {part} has {len(prior_deltas)} uncompacted delta-run "
+                "files but this run uses merge_strategy='refold', which would "
+                "silently ignore them — run compact() first or keep "
+                "merge_strategy='delta'"
+            )
         parts = [events]
-        if os.path.exists(state_path):
+        if not delta_mode and os.path.exists(state_path):
             parts.append(state_to_events(pq.read_table(state_path)))
         combined = pa.concat_tables(parts, promote_options="default")
 
-        state, stats = fold(combined, policy=self.policy)
+        # Delta mode folds the run's events ALONE (O(delta), never touching
+        # the base state) and always with policy "upsert": an orphan U in
+        # this run may pair with an I living in the base or another run, so
+        # the real orphan policy applies only at the final read/compact
+        # fold.  The LSN-register fold is associative (state decomposes
+        # losslessly into pseudo-events), so base + delta-runs folded later
+        # converge to exactly the one-shot global fold.
+        state, stats = fold(combined, policy="upsert" if delta_mode else self.policy)
+        if delta_mode:
+            stats["orphan_updates"] = 0  # decidable only at the final fold
 
         # tombstone GC: drop tombstones older than the retention horizon
         # (watermark - retention); a late event below the horizon can no
         # longer arrive by the operator's contract, so the guard they
-        # provide is no longer needed and the state stays bounded
-        if cfg.tombstone_retention_lsn is not None and state.num_rows:
+        # provide is no longer needed and the state stays bounded.
+        # Delta mode defers GC to compact() — a delta tombstone must
+        # survive to kill its base row.
+        if not delta_mode and cfg.tombstone_retention_lsn is not None and state.num_rows:
             wm_max = int(
                 pa.compute.max(state["_lsn"]).as_py() or 0
             )
@@ -444,7 +496,17 @@ class MergeApply:
 
         os.makedirs(cfg.state_dir(part), exist_ok=True)
         os.makedirs(ldir, exist_ok=True)
-        atomic_write_parquet(state_path, state)
+        if delta_mode:
+            # one sorted run file per (run, partition); the deterministic
+            # name makes a crash-retry rewrite the same file with the same
+            # content (fold is deterministic) — idempotent
+            if state.num_rows:
+                atomic_write_parquet(
+                    os.path.join(cfg.state_dir(part), f"delta-{self.run_id}.parquet"),
+                    state,
+                )
+        else:
+            atomic_write_parquet(state_path, state)
 
         lsn_np = _col_np(events, "lsn")
         new_wm = int(state["_lsn"].combine_chunks().to_numpy(zero_copy_only=False).max()) if state.num_rows else watermark

@@ -511,76 +511,130 @@ def _empty_final_table() -> pa.Table:
     )
 
 
-def _state_parquet_paths(cfg: CdcConfig) -> "list[str]":
+def _partition_state_dirs(cfg: CdcConfig) -> "list[str]":
     root = os.path.join(cfg.out_dir, "state")
     if not os.path.isdir(root):
         return []
     return sorted(
-        os.path.join(root, d, f)
-        for d in os.listdir(root)
-        if d.startswith("part=")
-        for f in os.listdir(os.path.join(root, d))
-        if f.endswith(".parquet")
+        os.path.join(root, d) for d in os.listdir(root) if d.startswith("part=")
+    )
+
+
+def _state_parquet_paths(cfg: CdcConfig) -> "list[str]":
+    """Base state files only — valid as THE table exactly when no
+    uncompacted delta-run files exist (see _any_delta_files)."""
+    return sorted(
+        os.path.join(d, f)
+        for d in _partition_state_dirs(cfg)
+        for f in os.listdir(d)
+        if f == "state.parquet"
+    )
+
+
+def _any_delta_files(cfg: CdcConfig) -> bool:
+    from .merge import partition_state_files
+
+    return any(partition_state_files(d)[1] for d in _partition_state_dirs(cfg))
+
+
+def _folded_state_dataset(cfg: CdcConfig) -> "ray.data.Dataset":
+    """Converged per-partition STATE rows (incl. tombstone flags) as a
+    streaming Dataset when LSM delta-run files exist: one fold task per
+    partition (read base + deltas, fold — bounded by the partition-sizing
+    rule), mapped over partition-dir descriptors."""
+    from .merge import read_partition_state
+
+    dirs = _partition_state_dirs(cfg)
+    policy = cfg.orphan_updates
+
+    def fold_dir(t: pa.Table) -> pa.Table:
+        outs = [read_partition_state(d, policy=policy) for d in t["part_dir"].to_pylist()]
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items([{"part_dir": d} for d in dirs]).map_batches(
+        fold_dir, batch_format="pyarrow", batch_size=1
     )
 
 
 def final_table_arrow(cfg: CdcConfig, sort: bool = False) -> pa.Table:
     """Driver-side converged table (small results / tests): the live view
     over per-partition state — project the user columns, filter tombstones.
-    For large tables use `read_final_table` (streaming Dataset)."""
+    With uncompacted LSM delta-run files the per-partition base+delta fold
+    runs as parallel Ray tasks first.  For large tables use
+    `read_final_table` (streaming Dataset)."""
     import pyarrow.dataset as pads
 
-    paths = _state_parquet_paths(cfg)
-    if not paths:
-        return _empty_final_table()
-    t = pads.dataset(paths).to_table(
-        columns=list(USER_COLS),
-        filter=pa.compute.field("_deleted") == False,  # noqa: E712
-    )
+    if _any_delta_files(cfg):
+        from .merge import read_partition_state
+
+        fold_task = ray.remote(num_cpus=1)(read_partition_state)
+        policy = cfg.orphan_updates
+        states = ray.get(
+            [fold_task.remote(d, policy) for d in _partition_state_dirs(cfg)]
+        )
+        t = pa.concat_tables(states)
+        t = t.filter(
+            pa.compute.equal(pa.compute.fill_null(t["_deleted"], False), False)
+        ).select(list(USER_COLS))
+    else:
+        paths = _state_parquet_paths(cfg)
+        if not paths:
+            return _empty_final_table()
+        t = pads.dataset(paths).to_table(
+            columns=list(USER_COLS),
+            filter=pa.compute.field("_deleted") == False,  # noqa: E712
+        )
     if sort:
         t = t.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     return t
 
 
 def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
-    """Maintenance compaction: rewrite every partition's state dropping
-    tombstones older than (partition watermark - retention).  Independent
-    per-partition Ray tasks; atomic rewrites; safe to re-run."""
-    import pyarrow.parquet as pq
-
+    """Maintenance compaction: fold any LSM delta-run files into each
+    partition's base state, then rewrite it dropping tombstones older
+    than (partition watermark - retention).  Independent per-partition
+    Ray tasks; atomic rewrites; safe to re-run (a crash between the base
+    rewrite and the delta unlink re-applies identical registers — the
+    fold is idempotent)."""
     from ..util import atomic_write_parquet
+    from .merge import partition_state_files, read_partition_state
 
     state_root = os.path.join(cfg.out_dir, "state")
     parts = sorted(
         int(d.split("=")[1]) for d in os.listdir(state_root) if d.startswith("part=")
     ) if os.path.isdir(state_root) else []
+    policy = cfg.orphan_updates
 
     @ray.remote(num_cpus=1)
-    def _compact(part: int) -> "tuple[int, int]":
-        sp = cfg.state_path(part)
-        state = pq.read_table(sp)
-        if state.num_rows == 0:
-            return (0, 0)
-        wm = int(pa.compute.max(state["_lsn"]).as_py() or 0)
+    def _compact(part: int) -> "tuple[int, int, int]":
+        sd = cfg.state_dir(part)
+        _, deltas = partition_state_files(sd)
+        state = read_partition_state(sd, policy=policy)
+        if state.num_rows == 0 and not deltas:
+            return (0, 0, 0)
+        wm = int(pa.compute.max(state["_lsn"]).as_py() or 0) if state.num_rows else 0
         horizon = wm - tombstone_retention_lsn
         keep = pa.compute.or_(
             pa.compute.equal(state["_deleted"], False),
             pa.compute.greater(state["_lsn"], horizon),
         )
-        new_state = state.filter(keep)
+        new_state = state.filter(keep) if state.num_rows else state
         dropped = state.num_rows - new_state.num_rows
-        if dropped:
-            atomic_write_parquet(sp, new_state)
+        if dropped or deltas:
+            atomic_write_parquet(cfg.state_path(part), new_state)
+            for f in deltas:  # folded into the base above
+                os.unlink(f)
         n_tomb = int(
             pa.compute.sum(new_state["_deleted"].cast(pa.int8())).as_py() or 0
         )
-        return (dropped, new_state.num_rows - n_tomb)
+        return (dropped, new_state.num_rows - n_tomb, len(deltas))
 
     results = ray.get([_compact.remote(p) for p in parts])
     return {
         "partitions": len(parts),
-        "tombstones_dropped": sum(d for d, _ in results),
-        "rows_live": sum(l for _, l in results),
+        "tombstones_dropped": sum(d for d, _, _ in results),
+        "rows_live": sum(l for _, l, _ in results),
+        "delta_runs_folded": sum(r for _, _, r in results),
     }
 
 
@@ -617,11 +671,12 @@ def _table_digest(paths, cols, filter=None) -> dict:
 
     if isinstance(paths, (list, tuple)) and not paths:
         return {"rows": 0, "full": (0, 0), "text": 0}
-    parts = (
-        ray.data.read_parquet(paths, columns=cols, filter=filter)
-        .map_batches(d, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
+    src = (
+        paths
+        if isinstance(paths, ray.data.Dataset)
+        else ray.data.read_parquet(paths, columns=cols, filter=filter)
     )
+    parts = src.map_batches(d, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
     return {
         "rows": int(parts["n"].sum()),
         "full": (
@@ -638,11 +693,14 @@ def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
     text equality (keyed by the stable (conv_id, turn_idx) identity) plus
     full-row equality and row counts, via streaming multiset digests."""
     cols = list(USER_COLS)
-    got = _table_digest(
-        _state_parquet_paths(cfg),
-        cols,
-        filter=pa.compute.field("_deleted") == False,  # noqa: E712
-    )
+    if _any_delta_files(cfg):
+        got = _table_digest(read_final_table(cfg), cols)
+    else:
+        got = _table_digest(
+            _state_parquet_paths(cfg),
+            cols,
+            filter=pa.compute.field("_deleted") == False,  # noqa: E712
+        )
     exp = _table_digest(expected_path, cols)
     res = {
         "rows": got["rows"],
@@ -658,15 +716,27 @@ def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
 def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":
     """The converged user-facing table as a streaming Dataset: the live
     view over per-partition state (tombstones filtered at the read, pushed
-    down to the parquet scan)."""
-    paths = _state_parquet_paths(cfg)
-    if not paths:
-        return ray.data.from_arrow(_empty_final_table())
-    ds = ray.data.read_parquet(
-        paths,
-        columns=list(USER_COLS),
-        filter=pa.compute.field("_deleted") == False,  # noqa: E712
-    )
+    down to the parquet scan).  With uncompacted LSM delta-run files each
+    partition folds base+deltas inside its read task instead."""
+    if _any_delta_files(cfg):
+        def live_view(t: pa.Table) -> pa.Table:
+            keep = pa.compute.equal(
+                pa.compute.fill_null(t["_deleted"], False), False
+            )
+            return t.filter(keep).select(list(USER_COLS))
+
+        ds = _folded_state_dataset(cfg).map_batches(
+            live_view, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        paths = _state_parquet_paths(cfg)
+        if not paths:
+            return ray.data.from_arrow(_empty_final_table())
+        ds = ray.data.read_parquet(
+            paths,
+            columns=list(USER_COLS),
+            filter=pa.compute.field("_deleted") == False,  # noqa: E712
+        )
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
     return ds
