@@ -64,8 +64,11 @@ def test_progress_reporter_emits_mid_run(t1, tmp_path, caplog):
 
     run_id = compute_run_id(_expand(t1["cdc_log"]), None)
     rep = _ProgressReporter(cfg, run_id, 8, 0)
-    done, events, live = rep._scan()
+    done, events, live, committed = rep._scan()
     assert done == 8 and events > 0 and live > 0
+    # watchdog inputs: every committed part reports (wall_s, commit mtime)
+    assert sorted(committed) == list(range(8))
+    assert all(w >= 0 and ts > 0 for w, ts in committed.values())
 
 
 def test_replay_from_file_uri(t1, tmp_path):
@@ -477,3 +480,25 @@ def test_delta_redelivery_and_refold_guard(t1, tmp_path):
     with pytest.raises(Exception, match="uncompacted delta-run"):
         apply_cdc(t1["cdc_log"], cfg_refold, run_id="refold-over-deltas")
     assert s1["partitions"] == 4
+
+
+def test_stalled_partition_watchdog_rule():
+    """TaskMonitor-analogue hang rule (pure, clock injected): flags the
+    uncommitted partitions only once the run is quiet for longer than
+    max(grace, factor x median committed wall)."""
+    from tg_data_connector_ray.cdc.pipeline import stalled_partitions
+
+    committed = {p: (2.0, 1000.0 + p) for p in range(7)}  # last commit t=1006
+
+    # healthy: quiet for 8s < grace 30s
+    assert stalled_partitions(8, committed, now=1014.0) == []
+    # stalled: quiet 40s > max(30, 4 x 2.0) with partition 7 missing
+    assert stalled_partitions(8, committed, now=1046.0) == [7]
+    # too little signal: under half committed -> never flags
+    assert stalled_partitions(8, {0: (2.0, 1000.0)}, now=2000.0) == []
+    # all committed -> nothing to flag
+    assert stalled_partitions(7, committed, now=9999.0) == []
+    # slow-but-normal partitions: median wall 60s -> quiet 100s < 4x60
+    slow = {p: (60.0, 1000.0 + p) for p in range(6)}
+    assert stalled_partitions(8, slow, now=1105.0) == []
+    assert stalled_partitions(8, slow, now=1300.0) == [6, 7]

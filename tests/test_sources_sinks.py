@@ -754,3 +754,54 @@ def test_sql_datasink_exactly_once_through_ray_retry(tmp_path):
     assert os.path.exists(flag)  # the crash really happened
     assert rows == (8, 8)  # every row exactly once
     assert leds == 2
+
+
+def test_fs_options_registry_reaches_pyarrow(tmp_path):
+    """Object-store credential pass-through (reference GcsReader's
+    service-account config): options registered for a scheme must reach
+    the pyarrow filesystem constructor, and every path helper must route
+    through the registered filesystem."""
+    import pyarrow.fs as pafs
+
+    from tg_data_connector_ray.util import (
+        clear_fs_options,
+        file_size,
+        filesystem_for,
+        list_files,
+        resolve_fs,
+        set_fs_options,
+    )
+
+    (tmp_path / "a.parquet").write_bytes(b"xx")
+    seen = {}
+
+    def factory(**kw):
+        seen.update(kw)
+        return pafs.LocalFileSystem()
+
+    try:
+        # fs:// stand-in: explicit factory records the kwargs it received
+        set_fs_options("mock", factory=factory, token="sekrit", project="p1")
+        files = list_files(f"mock://{tmp_path}", suffix=".parquet")
+        assert seen == {"token": "sekrit", "project": "p1"}
+        assert files == [f"mock://{tmp_path}/a.parquet"]
+        assert file_size(files[0]) == 2
+        assert isinstance(filesystem_for(files[0]), pafs.LocalFileSystem)
+
+        # real pyarrow class: S3 credentials consumed at construction
+        # (no network touched at construction time)
+        set_fs_options("s3", access_key="AK", secret_key="SK", region="r1")
+        fs, p = resolve_fs("s3://bucket/key")
+        assert isinstance(fs, pafs.S3FileSystem) and p == "bucket/key"
+
+        # unknown scheme without a factory is an explicit error
+        set_fs_options("weird", some_opt=1)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="no pyarrow filesystem"):
+            resolve_fs("weird://x/y")
+    finally:
+        clear_fs_options()
+    # after clearing, unregistered schemes fall back to from_uri
+    fs2, _ = resolve_fs(f"file://{tmp_path}")
+    assert isinstance(fs2, pafs.LocalFileSystem)

@@ -158,3 +158,42 @@ def test_sampled_split_string_pk_and_where(tmp_path):
     rows = ds.take_all()
     assert len(rows) == 40
     assert all(r["score"] >= 10 for r in rows)
+
+
+def test_hint_injection_build_query():
+    """Reference OracleReader `hint` (OracleReader.java:81-93): spliced
+    right after SELECT in table-mode AND querySql-mode queries."""
+    assert (
+        build_query(SqlSourceConfig(table="t", columns=("a",), hint="/*+ FULL(t) */"))
+        == "SELECT /*+ FULL(t) */ a FROM t"
+    )
+    assert (
+        build_query(SqlSourceConfig(query_sql="select a from t", hint="/*+ H */"))
+        == "select /*+ H */ a from t"
+    )
+
+
+def test_session_sqls_apply_per_connection(db_path):
+    """Reference OracleReader `session` config: session statements run on
+    EVERY new connection — the queried TEMP view exists only if they ran
+    on the read task's own connection."""
+    cfg = SqlSourceConfig(
+        query_sql="SELECT v FROM sess_v",
+        session_sqls=("CREATE TEMP VIEW sess_v AS SELECT 42 AS v",),
+    )
+    ds = read_sql_source(lambda: sqlite3.connect(db_path), cfg)
+    assert ds.take_all() == [{"v": 42}]
+
+
+def test_session_and_hint_through_split_path(db_path):
+    """PRAGMA-as-session stand-in + hint through the PK-range split:
+    every split connection (including the MIN/MAX probe) executes the
+    session statement; the hint (a comment to sqlite) rides every
+    generated split query without changing results."""
+    cfg = SqlSourceConfig(
+        table="items", columns=("id", "qty"), split_pk="id", num_splits=4,
+        session_sqls=("PRAGMA query_only = ON",),
+        hint="/*+ PARALLEL(4) */",
+    )
+    ds = read_sql_source(lambda: sqlite3.connect(db_path), cfg)
+    assert len(ds.take_all()) == 51

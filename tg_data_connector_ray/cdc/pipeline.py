@@ -48,6 +48,36 @@ class ErrorLimitExceeded(RuntimeError):
 _LOG = __import__("logging").getLogger("tg_data_connector_ray.cdc")
 
 
+def stalled_partitions(
+    total_parts: int,
+    committed: "dict[int, tuple[float, float]]",
+    now: float,
+    factor: float = 4.0,
+    grace_s: float = 30.0,
+) -> "list[int]":
+    """Hang-detection rule (the reference TaskMonitor analogue,
+    core/.../taskgroup/TaskMonitor.java:76-95 — there a 48h no-progress
+    watchdog; here lineage-age based and proportional to observed merge
+    cost): with at least half the partitions committed, the median
+    committed wall time calibrates what 'normal' is; if the run has then
+    gone QUIET — no new commit for more than max(grace_s, factor x median
+    wall) — while partitions remain, those partitions are flagged.
+
+    `committed` maps part -> (wall_s, commit_unix_ts).  Returns the sorted
+    uncommitted partition ids, or [] while progress looks healthy.  Pure
+    function (clock injected) so the rule itself is unit-testable."""
+    import statistics
+
+    pending = sorted(set(range(total_parts)) - set(committed))
+    if not pending or len(committed) < max(1, total_parts // 2):
+        return []
+    median_wall = statistics.median(w for w, _ in committed.values())
+    quiet_s = now - max(ts for _, ts in committed.values())
+    if quiet_s > max(grace_s, factor * median_wall):
+        return pending
+    return []
+
+
 class _ProgressReporter:
     """Mid-run merge progress (reference CommunicationTool.java:16-111 /
     AbstractScheduler.java:78-87: counter tree printed every 10 s).
@@ -76,18 +106,20 @@ class _ProgressReporter:
         if self._thread.is_alive():
             self._thread.join(timeout=2)
 
-    def _scan(self) -> "tuple[int, int, int]":
+    def _scan(self) -> "tuple[int, int, int, dict]":
         import json
 
         root = os.path.join(self.cfg.out_dir, "lineage")
         done = events = live = 0
+        committed: dict = {}
         if not os.path.isdir(root):
-            return 0, 0, 0
+            return 0, 0, 0, committed
         for d in os.listdir(root):
             p = os.path.join(root, d, f"{self.run_id}.json")
             try:
                 with open(p) as f:
                     rec = json.load(f)
+                mtime = os.path.getmtime(p)
             except OSError:
                 continue
             except ValueError:
@@ -96,14 +128,19 @@ class _ProgressReporter:
             done += 1
             events += int(rec.get("events_in", 0))
             live += int(rec.get("rows_live", 0))
-        return done, events, live
+            try:
+                part = int(d.split("=")[1])
+            except (IndexError, ValueError):
+                continue
+            committed[part] = (float(rec.get("wall_s", 0.0)), mtime)
+        return done, events, live, committed
 
     def _loop(self):
         import time
 
         t0 = time.time()
         while not self._stop.wait(self.interval):
-            done, events, live = self._scan()
+            done, events, live, committed = self._scan()
             dt = time.time() - t0
             _LOG.info(
                 "cdc run %s: %d/%d partitions committed, %s events applied "
@@ -111,6 +148,14 @@ class _ProgressReporter:
                 self.run_id, done, self.total, f"{events:,}",
                 events / max(dt, 1e-9), f"{live:,}", dt,
             )
+            stalled = stalled_partitions(self.total, committed, time.time())
+            if stalled:
+                _LOG.warning(
+                    "cdc run %s: %d partition(s) with NO commit while the run "
+                    "has gone quiet well past the median merge time — likely "
+                    "hung: %s",
+                    self.run_id, len(stalled), stalled[:20],
+                )
 
 
 def _write_ipc_spool_batch(t: pa.Table, *, spool: str, compression: str) -> pa.Table:

@@ -42,18 +42,47 @@ class SqlSourceConfig:
     # sqlite/postgres/duckdb (ORDER BY RANDOM()); Oracle would pass its
     # SAMPLE(pct) form here
     sample_sql: "str | None" = None
+    # per-connection session statements, executed on EVERY new connection
+    # (including each split task's) before any query — the reference's
+    # OracleReader `session` config (oraclereader/.../OracleReader.java:
+    # 45-60 wraps them in `alter session set ...`; here each entry is a
+    # full statement, so any dialect's session setup fits).
+    session_sqls: tuple = ()
+    # optimizer hint injected right after SELECT — the reference's
+    # OracleReader `hint` (OracleReader.java:81-93 splices it into the
+    # generated query).  Applied to table-mode queries AND to query_sql
+    # (first SELECT keyword).  E.g. "/*+ FULL(t) PARALLEL(4) */".
+    hint: "str | None" = None
+
+
+def _inject_hint(sql: str, hint: str) -> str:
+    m = re.search(r"select\b", sql, flags=re.IGNORECASE)
+    if not m:
+        return sql
+    return sql[: m.end()] + f" {hint}" + sql[m.end() :]
 
 
 def build_query(cfg: SqlSourceConfig) -> str:
     if cfg.query_sql:
-        return cfg.query_sql
+        return _inject_hint(cfg.query_sql, cfg.hint) if cfg.hint else cfg.query_sql
     if not cfg.table:
         raise ValueError("need table or query_sql")
     cols = ", ".join(cfg.columns) if cfg.columns else "*"
-    q = f"SELECT {cols} FROM {cfg.table}"
+    q = f"SELECT {f'{cfg.hint} ' if cfg.hint else ''}{cols} FROM {cfg.table}"
     if cfg.where:
         q += f" WHERE {cfg.where}"
     return q
+
+
+def _connect_with_session(connection_factory, session_sqls: tuple):
+    """Connection wrapper executing the configured session statements on
+    every new connection — module-level so the wrapped factory pickles
+    into ray.data.read_sql's tasks."""
+    conn = connection_factory()
+    cur = conn.cursor()
+    for s in session_sqls:
+        cur.execute(s)
+    return conn
 
 
 def split_string_range(lo: str, hi: str, n: int) -> "list[str]":
@@ -150,13 +179,21 @@ def sampled_split_wheres(connection_factory, cfg: SqlSourceConfig) -> "list[str]
 
 def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Dataset":
     """One Dataset from a SQL source; PK-range split when configured."""
+    if cfg.session_sqls:
+        from functools import partial
+
+        connection_factory = partial(
+            _connect_with_session, connection_factory, tuple(cfg.session_sqls)
+        )
     if cfg.query_sql or not cfg.split_pk:
         return ray.data.read_sql(build_query(cfg), connection_factory)
 
     if cfg.split_strategy == "sampled":
         queries = [
             build_query(
-                SqlSourceConfig(table=cfg.table, columns=cfg.columns, where=w)
+                SqlSourceConfig(
+                    table=cfg.table, columns=cfg.columns, where=w, hint=cfg.hint
+                )
             )
             for w in sampled_split_wheres(connection_factory, cfg)
         ]
@@ -187,6 +224,7 @@ def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Datas
                     SqlSourceConfig(
                         table=cfg.table,
                         columns=cfg.columns,
+                        hint=cfg.hint,
                         where=(
                             f"{base_where}{cfg.split_pk} >= {_sql_quote(bounds[i])}"
                             f" AND {cfg.split_pk} {upper_op} {_sql_quote(bounds[i + 1])}"
@@ -199,6 +237,7 @@ def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Datas
                 SqlSourceConfig(
                     table=cfg.table,
                     columns=cfg.columns,
+                    hint=cfg.hint,
                     where=f"{base_where}{cfg.split_pk} IS NULL",
                 )
             )
@@ -214,6 +253,7 @@ def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Datas
                     SqlSourceConfig(
                         table=cfg.table,
                         columns=cfg.columns,
+                        hint=cfg.hint,
                         where=f"{base_where}{cfg.split_pk} >= {b} AND {cfg.split_pk} < {e}",
                     )
                 )
@@ -225,6 +265,7 @@ def read_sql_source(connection_factory, cfg: SqlSourceConfig) -> "ray.data.Datas
                 SqlSourceConfig(
                     table=cfg.table,
                     columns=cfg.columns,
+                    hint=cfg.hint,
                     where=f"{base_where}{cfg.split_pk} IS NULL",
                 )
             )

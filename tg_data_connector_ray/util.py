@@ -327,13 +327,83 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
     return read
 
 
+# scheme -> (factory | None, kwargs): object-store credentials/options
+# registered via set_fs_options and consulted by resolve_fs.
+_FS_FACTORIES: "dict[str, tuple]" = {}
+
+
+def set_fs_options(scheme: str, factory=None, **options) -> None:
+    """Register credentials/options for a URI scheme — the reference
+    GcsReader's service-account JSON config (gcsreader/.../GcsReader.java:
+    56-134 builds a Storage client from an inline key) generalized to any
+    pyarrow filesystem: `options` are the constructor kwargs of the
+    scheme's pyarrow.fs class (GcsFileSystem: access_token,
+    target_service_account, anonymous...; S3FileSystem: access_key,
+    secret_key, session_token, region...), or of an explicit `factory`
+    callable.  Every listing/open/size helper in this module routes
+    through resolve_fs and therefore picks these up.
+
+    Scope note: the registry is per-process.  Driver-side path expansion
+    (list_files, file_size, spool scans) is covered automatically; for
+    the READ TASKS of a Ray Dataset pass `filesystem=filesystem_for(uri)`
+    to read_parquet/read_csv — the constructed filesystem object is
+    serialized into the tasks, so credentials never need to exist on
+    worker disks."""
+    _FS_FACTORIES[scheme.lower()] = (factory, options)
+
+
+def clear_fs_options(scheme: "str | None" = None) -> None:
+    if scheme is None:
+        _FS_FACTORIES.clear()
+    else:
+        _FS_FACTORIES.pop(scheme.lower(), None)
+
+
+def _fs_from_registry(scheme: str):
+    entry = _FS_FACTORIES.get(scheme)
+    if entry is None:
+        return None
+    factory, options = entry
+    if factory is None:
+        from pyarrow import fs as pafs
+
+        classes = {
+            "s3": pafs.S3FileSystem,
+            "gs": pafs.GcsFileSystem,
+            "gcs": pafs.GcsFileSystem,
+            "hdfs": pafs.HadoopFileSystem,
+            "file": pafs.LocalFileSystem,
+        }
+        if scheme not in classes:
+            raise ValueError(
+                f"no pyarrow filesystem class known for scheme {scheme!r}; "
+                "register with an explicit factory"
+            )
+        factory = classes[scheme]
+    return factory(**options)
+
+
+def filesystem_for(path: str):
+    """The pyarrow filesystem resolve_fs would use for `path` — pass this
+    as `filesystem=` to ray.data.read_parquet/read_csv so read TASKS use
+    the registered credentials too (Ray serializes the object into the
+    tasks)."""
+    return resolve_fs(path)[0]
+
+
 def resolve_fs(path: str):
     """(pyarrow.fs.FileSystem, fs_path) for a local path or any fsspec-style
     URI (file://, s3://, gs://, ...) — the reference's GcsReader listing
-    generalized to every pyarrow-supported object store."""
+    generalized to every pyarrow-supported object store.  URIs whose scheme
+    has registered credentials (set_fs_options) construct that filesystem;
+    everything else uses pyarrow's ambient-credential from_uri."""
     from pyarrow import fs as pafs
 
     if "://" in path:
+        scheme, rest = path.split("://", 1)
+        fs = _fs_from_registry(scheme.lower())
+        if fs is not None:
+            return fs, rest
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
 
