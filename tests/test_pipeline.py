@@ -502,3 +502,38 @@ def test_stalled_partition_watchdog_rule():
     slow = {p: (60.0, 1000.0 + p) for p in range(6)}
     assert stalled_partitions(8, slow, now=1105.0) == []
     assert stalled_partitions(8, slow, now=1300.0) == [6, 7]
+
+
+def test_spool_checkpoint_reclaim(tmp_path, ray_session):
+    """The spool directory is reclaimed by read.cleanup() and by reader
+    garbage collection — not only at interpreter exit."""
+    import gc
+    import os as _os
+
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.util import spool_checkpoint
+
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(range(100))}))
+
+    # explicit cleanup handle
+    read = spool_checkpoint(ds, name="reclaim1", root=str(tmp_path), cache_bytes=0)
+    spools = _os.listdir(tmp_path)
+    assert len(spools) == 1
+    assert read().count() == 100
+    read.cleanup()
+    assert not _os.path.exists(_os.path.join(tmp_path, spools[0]))
+
+    # GC-driven reclaim
+    read2 = spool_checkpoint(ds, name="reclaim2", root=str(tmp_path), cache_bytes=0)
+    spool2 = [d for d in _os.listdir(tmp_path) if d.startswith("reclaim2")]
+    assert len(spool2) == 1
+    del read2
+    gc.collect()
+    assert not _os.path.exists(_os.path.join(tmp_path, spool2[0]))
+
+    # bounded-materialize path exposes a no-op cleanup for API symmetry
+    read3 = spool_checkpoint(ds, name="r3", root=str(tmp_path), size_hint_bytes=1)
+    read3.cleanup()
+    assert read3().count() == 100

@@ -129,3 +129,30 @@ def test_heavy_hitters_phi_guard(ray_session):
     ds = ray.data.from_arrow(pa.table({"user_id": pa.array([1, 2], pa.int64())}))
     with pytest.raises(ValueError, match="MG guarantee"):
         heavy_hitters(ds, "user_id", phi=1e-9, k=16)
+
+
+def test_heavy_hitters_two_pass_and_degenerate_block(ray_session):
+    """N now derives from block_rows carried on the MG partials (no
+    ds.count() pass), including the degenerate block whose compress drops
+    every counter (all counts equal, > k distinct keys); mapped pipelines
+    can materialize once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.ops.sketches import heavy_hitters, mg_partial_batch
+
+    # degenerate block: 5 distinct keys, all count 1, k=2 -> summary would
+    # be empty; the zero-count carrier row must preserve block_rows
+    t = pa.table({"u": pa.array(np.arange(5, dtype=np.int64))})
+    p = mg_partial_batch(t, "u", k=2)
+    assert p.num_rows == 1 and p["n"][0].as_py() == 0
+    assert p["block_rows"][0].as_py() == 5
+
+    keys = np.concatenate([np.zeros(60, np.int64), np.arange(1, 41, dtype=np.int64)])
+    ds = ray.data.from_arrow(pa.table({"u": pa.array(keys)})).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    got = heavy_hitters(ds, "u", phi=0.3, k=8, materialize_input=True).to_pandas()
+    # key 0 holds 60/100 = 0.6 >= 0.3; every other key is 1%
+    assert got["u"].tolist() == [0] and got["n"].tolist() == [60]

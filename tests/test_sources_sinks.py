@@ -372,7 +372,9 @@ def test_sql_sink_exactly_once_skips_replayed_batch(tmp_path):
     w = SqlWriter(lambda: sqlite3.connect(db), cfg, write_uuid="run1")
     batch = pa.table({"id": pa.array([1, 2], pa.int64()), "name": pa.array(["a", "b"])})
     assert w(batch)["rows_written"][0].as_py() == 2
-    assert w(batch)["rows_written"][0].as_py() == 0  # simulated task retry
+    # simulated task retry: the ledger skip still reports the batch's rows
+    # as COMMITTED (they are in the table), so totals match ds.count()
+    assert w(batch)["rows_written"][0].as_py() == 2
     con = sqlite3.connect(db)
     assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 2
     con.close()
@@ -656,7 +658,8 @@ def test_sql_sink_exactly_once_autocommit_connection(tmp_path):
     assert conn.isolation_level is not None  # transactional mode restored
     batch = pa.table({"id": pa.array([1, 2], pa.int64())})
     assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 2
-    assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 0  # retry skips
+    # retry: ledger skip, but the batch's rows count as COMMITTED
+    assert w(batch, ordinal_key="0:0")["rows_written"][0].as_py() == 2
     assert w(batch, ordinal_key="0:1")["rows_written"][0].as_py() == 2  # new ordinal writes
 
 
@@ -746,7 +749,10 @@ def test_sql_datasink_exactly_once_through_ray_retry(tmp_path):
         exactly_once=True,
         pre_sql=("CREATE TABLE IF NOT EXISTS t (id INTEGER, name TEXT)",),
     )
-    assert write_sql(ds, _FlakyFactory(db, flag), cfg) == 4  # retry wrote batch 2 only
+    # the retry re-runs both batches: batch 1 is a ledger skip (counted as
+    # committed), batch 2 writes — the return equals ds.count(), so a
+    # caller's loss check sees no phantom shortfall
+    assert write_sql(ds, _FlakyFactory(db, flag), cfg) == 8
     con = sqlite3.connect(db)
     rows = con.execute("SELECT count(*), count(DISTINCT id) FROM t").fetchone()
     leds = con.execute("SELECT count(*) FROM t__write_ledger").fetchone()[0]

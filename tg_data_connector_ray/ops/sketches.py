@@ -144,34 +144,59 @@ def mg_partial_batch(batch: pa.Table, key_col: str, k: int) -> pa.Table:
     """One block's Misra-Gries summary: exact in-block counts (np.unique)
     compressed to <= k counters.  Emitting the summary instead of raw
     counts bounds the shuffle at k rows per block no matter how many
-    distinct keys the block holds."""
+    distinct keys the block holds.
+
+    The block's ROW COUNT rides along on the first summary row
+    (`block_rows`; 0 elsewhere), so the driver derives N = sum(block_rows)
+    from this same pass — no separate ds.count() execution.  A non-empty
+    block whose compress drops every counter (all counts equal, > k keys)
+    emits one zero-count counter to carry it; an extra candidate never
+    breaks the MG superset guarantee."""
     ids = _i64(batch[key_col])
     keys, counts = np.unique(ids, return_counts=True)
     keys, counts = _mg_compress(keys, counts.astype(np.int64), k)
+    if batch.num_rows and not len(keys):
+        keys = ids[:1]
+        counts = np.zeros(1, np.int64)
+    block_rows = np.zeros(len(keys), np.int64)
+    if len(keys):
+        block_rows[0] = batch.num_rows
     return pa.table(
-        {key_col: pa.array(keys, pa.int64()), "n": pa.array(counts, pa.int64())}
+        {
+            key_col: pa.array(keys, pa.int64()),
+            "n": pa.array(counts, pa.int64()),
+            "block_rows": pa.array(block_rows, pa.int64()),
+        }
     )
 
 
-def heavy_hitters(ds, key_col: str, phi: float = 0.001, k: int = 4096) -> pa.Table:
+def heavy_hitters(ds, key_col: str, phi: float = 0.001, k: int = 4096,
+                  materialize_input: bool = False) -> pa.Table:
     """EXACT heavy hitters: every key whose count >= ceil(phi * N), with
     its exact count — sketch-guided, exactness restored by a verification
     pass (the same oracle-able pattern as ivf_ann's nprobe=K).
 
-    Shape: (1) per-block Misra-Gries summaries (<= k rows each) merge on
-    the driver (sum by key, one final compress) — candidate keys are a
-    guaranteed SUPERSET of the true heavy hitters when phi > 1/(k+1),
-    asserted; (2) one streaming pass counts ONLY the <= k candidate keys
-    exactly (broadcast is_in filter + per-block partial counts, driver
-    reduce); (3) keep candidates whose exact count clears the threshold.
-    The raw keys never shuffle; driver state is O(k x blocks) partials."""
+    Shape: (1) per-block Misra-Gries summaries (<= k rows each, carrying
+    the block row count) merge on the driver (sum by key, one final
+    compress; N = sum of block_rows — no separate ds.count() execution) —
+    candidate keys are a guaranteed SUPERSET of the true heavy hitters
+    when phi > 1/(k+1), asserted; (2) one streaming pass counts ONLY the
+    <= k candidate keys exactly (broadcast is_in filter + per-block
+    partial counts, driver reduce); (3) keep candidates whose exact count
+    clears the threshold.  The raw keys never shuffle; driver state is
+    O(k x blocks) partials.
+
+    Two executions of `ds` total (the exact-verify minimum).  When `ds`
+    is a mapped PIPELINE rather than a bare read, each execution re-runs
+    its upstream graph — pass `materialize_input=True` to pin the (thin)
+    input once in the object store instead."""
     import pandas as pd
     import pyarrow.compute as pc
 
     if phi <= 1.0 / (k + 1):
         raise ValueError(f"phi={phi} must exceed 1/(k+1)={1/(k+1):.2e} for the MG guarantee")
-    n_total = ds.count()
-    thresh = int(np.ceil(phi * n_total)) if n_total else 0
+    if materialize_input:
+        ds = ds.materialize()
     parts = ds.map_batches(
         lambda t: mg_partial_batch(t, key_col, k),
         batch_format="pyarrow",
@@ -179,6 +204,8 @@ def heavy_hitters(ds, key_col: str, phi: float = 0.001, k: int = 4096) -> pa.Tab
     ).to_pandas()
     if not len(parts):
         return pa.table({key_col: pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+    n_total = int(parts["block_rows"].sum())
+    thresh = int(np.ceil(phi * n_total)) if n_total else 0
     merged = parts.groupby(key_col, as_index=False)["n"].sum()
     keys, counts = _mg_compress(
         merged[key_col].to_numpy(np.int64), merged["n"].to_numpy(np.int64), k

@@ -206,9 +206,13 @@ class SqlWriter:
                 )
             except Exception:
                 conn.rollback()
-                # conflict (already committed) vs transient error: re-check
+                # conflict (already committed) vs transient error: re-check.
+                # A ledger hit means this batch's rows ARE in the table
+                # (committed by a prior attempt), so they count toward the
+                # returned total — a caller comparing the return value to
+                # ds.count() must see equality, not a phantom loss.
                 if self._ledger_has(cur, batch_id):
-                    return pa.table({"rows_written": pa.array([0], pa.int64())})
+                    return pa.table({"rows_written": pa.array([len(rows)], pa.int64())})
                 raise
         try:
             cur.executemany(self.sql, rows)
@@ -279,12 +283,17 @@ class SqlDatasink:
         return total
 
     def on_write_complete(self, write_result) -> None:
-        # our write() returns rows ACTUALLY written (ledger skips excluded)
+        # write() counts COMMITTED rows: written this attempt plus ledger
+        # skips (committed by a prior attempt) — the total equals the
+        # dataset's row count, so callers can use it as a loss check
         self.rows_written = int(sum(write_result.write_returns or []))
 
 
 def write_sql(ds, connection_factory, cfg: SqlSinkConfig) -> int:
-    """Write a Dataset into an RDBMS table; returns rows written.
+    """Write a Dataset into an RDBMS table; returns the rows COMMITTED to
+    the table for this dataset — including batches a retried task found
+    already committed via the exactly-once ledger, so the return always
+    matches ds.count() on success.
 
     preSql -> distributed Datasink write -> postSql, mirroring the
     reference's master prepare / task write / master post lifecycle.

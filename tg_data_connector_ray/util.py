@@ -292,8 +292,17 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
     execution) short-circuits the disk round-trip entirely for inputs the
     bound already admits: the checkpoint is a plain materialize whose pin
     is bounded by `cache_bytes` via the hint — the dual-path constant
-    idiom (SMALL_VOCAB / SMALL_USER_SET) applied to checkpointing."""
+    idiom (SMALL_VOCAB / SMALL_USER_SET) applied to checkpointing.
+
+    Reclamation: the spool directory is removed when the returned reader
+    is garbage-collected (weakref finalizer) or when its explicit
+    ``read.cleanup()`` is called after the last consumer finishes — a
+    long-lived driver checkpointing per request no longer accumulates
+    corpus copies until process exit (which remains the backstop).  Keep
+    the reader referenced until every Dataset it produced has been
+    consumed: streaming reads resolve the spool path lazily."""
     import tempfile
+    import weakref
 
     import ray.data
 
@@ -303,6 +312,7 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
         def read_cached(columns: "list[str] | None" = None):
             return mat.select_columns(columns) if columns else mat
 
+        read_cached.cleanup = lambda: None  # no spool to reclaim
         return read_cached
 
     path = os.path.join(
@@ -310,7 +320,7 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
         f"{name}-{new_token()}",
     )
     os.makedirs(path, exist_ok=True)
-    _SPOOL_PATHS.append(path)  # reclaimed at interpreter exit (leak guard)
+    _SPOOL_PATHS.append(path)  # reclaimed at interpreter exit (backstop)
     ds.write_parquet(path)
     size = sum(
         os.path.getsize(os.path.join(path, f))
@@ -324,6 +334,17 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
             return cached.select_columns(columns) if columns else cached
         return ray.data.read_parquet(path, columns=columns)
 
+    def _reclaim():
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        try:
+            _SPOOL_PATHS.remove(path)
+        except ValueError:
+            pass
+
+    weakref.finalize(read, _reclaim)
+    read.cleanup = _reclaim
     return read
 
 
