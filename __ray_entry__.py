@@ -743,6 +743,17 @@ def _multimodal_image_stats(sf_dir):
     return doc_image_channel_stats(ds)
 
 
+def _multimodal_audio_stats(sf_dir):
+    """Audio sibling of _multimodal_image_stats: deterministic int16 WAV
+    clips synthed from doc_id, REAL stdlib-wave decode in an actor pool,
+    exact integer sample sums the DuckDB oracle reconstructs."""
+    from tg_data_connector_ray.ops.multimodal import doc_audio_sample_stats
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    return doc_audio_sample_stats(ds)
+
+
 def _docs_c4_quality(sf_dir):
     """C4/Gopher structural quality filters (mean word length, symbol
     ratio, ellipsis rate + composite keep verdict), u6-integerized."""
@@ -1014,8 +1025,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_merge_events": R.cdc_merge_events,
-        # --- multimodal (oracle-checked real PPM decode) ---
+        # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
+        "multimodal_audio_stats": _multimodal_audio_stats,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "late_shipment_priority": _late_shipment_priority,
@@ -1951,6 +1963,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((d.doc_id*31 + t.i*7 + 13) % 256) AS BIGINT) AS sum_g,
                    CAST(SUM((d.doc_id*31 + t.i*7 + 26) % 256) AS BIGINT) AS sum_b
             FROM documents d CROSS JOIN range(0, 32) t(i)
+            GROUP BY d.doc_id
+        """,
+        # int16 mono WAV synthed from doc_id: sample i =
+        # ((doc_id*7 + i*3) % 65536) - 32768 over 64 samples
+        # (ops/multimodal.DocAudioEncode) — same fixture-oracle trick
+        "multimodal_audio_stats": """
+            SELECT d.doc_id,
+                   CAST(64 AS BIGINT) AS n_samples,
+                   CAST(SUM((d.doc_id*7 + t.i*3) % 65536 - 32768) AS BIGINT) AS sum_s,
+                   CAST(SUM(ABS((d.doc_id*7 + t.i*3) % 65536 - 32768)) AS BIGINT) AS sum_abs
+            FROM documents d CROSS JOIN range(0, 64) t(i)
             GROUP BY d.doc_id
         """,
         "docs_c4_quality": """

@@ -571,3 +571,22 @@ def test_doc_image_channel_stats_matches_formula(ray_session):
     got = doc_image_channel_stats(ds, concurrency=1).to_pandas()
     assert sorted(got.columns) == ["doc_id", "n_px", "sum_b", "sum_g", "sum_r"]
     assert len(got) == len(ids)
+
+
+def test_doc_audio_sample_stats_matches_formula(ray_session):
+    """WAV sibling of the image-stats oracle: synth int16 encode -> REAL
+    stdlib-wave decode -> exact sample sums equal the closed form."""
+    import numpy as np
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.multimodal import AudioSampleStats, DocAudioEncode
+
+    ids = np.array([0, 5, 99991], np.int64)
+    enc = DocAudioEncode(n_samples=64)(pa.table({"doc_id": pa.array(ids)}))
+    out = AudioSampleStats()(enc).to_pandas().set_index("doc_id")
+    i = np.arange(64, dtype=np.int64)
+    for d in ids:
+        s = (d * 7 + i * 3) % 65536 - 32768
+        assert out.loc[d, "sum_s"] == s.sum()
+        assert out.loc[d, "sum_abs"] == np.abs(s).sum()
+        assert out.loc[d, "n_samples"] == 64

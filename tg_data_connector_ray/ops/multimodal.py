@@ -341,6 +341,83 @@ def doc_image_channel_stats(ds_docs, width: int = 8, height: int = 4,
     )
 
 
+class DocAudioEncode:
+    """Deterministic doc_id -> PCM WAV payload (int16 mono), the audio
+    half of the oracle-checked multimodal family: sample i is
+    ``((doc_id*7 + i*3) % 65536) - 32768`` — pure integer arithmetic the
+    SQL oracle reconstructs exactly.  Whole-batch numpy broadcast for the
+    sample grid; stdlib wave encode per row."""
+
+    def __init__(self, n_samples: int = 64, rate: int = 8000):
+        self.n = n_samples
+        self.rate = rate
+        self.codec = WavCodec()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["media_id" if "media_id" in t.column_names else "doc_id"]
+        ids = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(self.n, dtype=np.int64)
+        samples = ((ids[:, None] * 7 + i[None, :] * 3) % 65536) - 32768
+        payloads = [
+            self.codec.encode_audio(s.astype(np.int16), self.rate) for s in samples
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
+class AudioSampleStats:
+    """Actor-pool decode stage: REAL WAV parse (stdlib wave) per payload ->
+    exact integer sample sum / absolute sum / count — bit-exact against
+    the paired SQL oracle."""
+
+    def __init__(self):
+        self.codec = WavCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        n_samples = np.zeros(n, np.int64)
+        sum_s = np.zeros(n, np.int64)
+        sum_abs = np.zeros(n, np.int64)
+        for j, p in enumerate(batch["payload"].to_pylist()):
+            x, _rate = self.codec.decode_audio(p)
+            xi = x.astype(np.int64)
+            n_samples[j] = len(xi)
+            sum_s[j] = xi.sum()
+            sum_abs[j] = np.abs(xi).sum()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "sum_s": pa.array(sum_s, pa.int64()),
+                "sum_abs": pa.array(sum_abs, pa.int64()),
+            }
+        )
+
+
+def doc_audio_sample_stats(ds_docs, n_samples: int = 64,
+                           concurrency: "int | None" = None):
+    """documents -> synth WAV payloads -> actor-pool decode -> exact
+    sample statistics (the audio sibling of doc_image_channel_stats)."""
+    from ..util import default_pool_size
+
+    media = ds_docs.map_batches(
+        DocAudioEncode(n_samples=n_samples),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return media.map_batches(
+        AudioSampleStats,
+        batch_format="pyarrow",
+        batch_size=DEFAULT_BATCH_SIZE,
+        concurrency=concurrency or default_pool_size(),
+    )
+
+
 def make_real_media_table(n: int = 12, seed: int = 9) -> pa.Table:
     """Deterministic REAL media: P6 images, multi-frame P6 'videos' and
     PCM WAV clips — decodable by PpmCodec/WavCodec with no external libs."""
