@@ -152,3 +152,31 @@ def test_verify_against(t1, tmp_path):
     pq2.write_table(mut, mutp)
     res3 = verify_against(cfg, mutp)
     assert res3["rows_equal"] and not res3["text_equal"] and not res3["ok"]
+
+
+def test_cli_migrate_verb(t1, tmp_path):
+    """`migrate` CLI: routing-change migration end-to-end in a subprocess
+    (old 4-partition dir -> fresh 2-partition dir), row counts preserved."""
+    import subprocess
+    import sys
+
+    old = str(tmp_path / "mold")
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+
+    apply_cdc(t1["cdc_log"], CdcConfig(out_dir=old, num_partitions=4))
+    new = str(tmp_path / "mnew")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "migrate",
+            "--from", old, "--out", new, "--partitions", "2",
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["partitions"] == 2
+    assert res["rows_live"] == pq.read_table(t1["transcripts"]).num_rows

@@ -537,3 +537,34 @@ def test_spool_checkpoint_reclaim(tmp_path, ray_session):
     read3 = spool_checkpoint(ds, name="r3", root=str(tmp_path), size_hint_bytes=1)
     read3.cleanup()
     assert read3().count() == 100
+
+
+def test_migrate_state_reroutes_and_preserves_watermarks(t1, tmp_path):
+    """Routing migration: state replayed at 8 partitions re-routes into a
+    fresh 4-partition out_dir with per-key LSN registers intact — the
+    table is identical, verify passes, and a full redelivery of the log
+    on the MIGRATED dir is a structural no-op (watermarks survived, so
+    every event folds as a redelivery, unlike a snapshot re-bootstrap)."""
+    from tg_data_connector_ray.cdc.pipeline import migrate_state, verify_against
+
+    exp = pq.read_table(t1["transcripts"])
+    old_cfg = CdcConfig(out_dir=str(tmp_path / "old"), num_partitions=8)
+    apply_cdc(t1["cdc_log"], old_cfg)
+
+    new_cfg = CdcConfig(out_dir=str(tmp_path / "new"), num_partitions=4)
+    res = migrate_state(old_cfg.out_dir, new_cfg)
+    assert res["partitions"] == 4
+    assert res["rows_live"] == exp.num_rows
+    assert_converged(new_cfg, exp)
+    assert verify_against(new_cfg, t1["transcripts"])["ok"]
+    assert os.path.exists(os.path.join(new_cfg.out_dir, "_FORMAT.json"))
+
+    # the migrated dir keeps absorbing the tail: full redelivery is a no-op
+    apply_cdc(t1["cdc_log"], new_cfg, run_id="post-migrate-redelivery")
+    assert_converged(new_cfg, exp)
+
+    # target-not-fresh and same-dir misuse are loud errors
+    with pytest.raises(ValueError, match="already has state"):
+        migrate_state(old_cfg.out_dir, new_cfg)
+    with pytest.raises(ValueError, match="FRESH out_dir"):
+        migrate_state(old_cfg.out_dir, old_cfg)

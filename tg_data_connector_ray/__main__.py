@@ -42,6 +42,16 @@ def main(argv=None) -> int:
     ver.add_argument("--out", required=True)
     ver.add_argument("--expected", required=True)
 
+    mig = sub.add_parser(
+        "migrate",
+        help="re-route persisted state into a fresh out dir under the "
+        "current hash provider / partition count (routing-change migration; "
+        "preserves per-key LSN watermarks and tombstones)",
+    )
+    mig.add_argument("--from", dest="from_dir", required=True)
+    mig.add_argument("--out", required=True)
+    mig.add_argument("--partitions", type=int, default=64)
+
     args = p.parse_args(argv)
 
     import ray
@@ -82,6 +92,14 @@ def main(argv=None) -> int:
             out = compact(
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
                 tombstone_retention_lsn=args.retention,
+            )
+        elif args.cmd == "migrate":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import migrate_state
+
+            out = migrate_state(
+                args.from_dir,
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions),
             )
         else:
             from .cdc.config import CdcConfig

@@ -158,16 +158,26 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
     # partitions on disk), so it must be library-version-independent
     # (`routing_hash_strings`, provider pinned in the _FORMAT.json marker);
     # salted for hot keys
-    h = routing_hash_strings(clean["conv_id"])
+    part = assign_parts(clean["conv_id"], clean["turn_idx"], cfg)
+    return clean.append_column("part", pa.array(part, type=pa.int32()))
+
+
+def assign_parts(conv_id, turn_idx, cfg: CdcConfig) -> np.ndarray:
+    """conv_id -> partition id under the CURRENT provider/config (hot keys
+    salted by turn_idx).  The single definition of the persisted routing —
+    shared by normalize and by pipeline.migrate_state so a migration lands
+    every key exactly where a fresh replay would."""
+    h = routing_hash_strings(conv_id)
     if cfg.hot_keys:
         hot = np.asarray(
-            pc.fill_null(pc.is_in(clean["conv_id"], value_set=pa.array(list(cfg.hot_keys))), False)
+            pc.fill_null(pc.is_in(conv_id, value_set=pa.array(list(cfg.hot_keys))), False)
         )
-        turn = clean["turn_idx"].combine_chunks().to_numpy(zero_copy_only=False)
+        if isinstance(turn_idx, pa.ChunkedArray):
+            turn_idx = turn_idx.combine_chunks()
+        turn = turn_idx.to_numpy(zero_copy_only=False)
         salted = mix_hash(h, turn.astype(np.int64))
         h = np.where(hot, salted, h)
-    part = (h % np.uint64(cfg.num_partitions)).astype(np.int32)
-    return clean.append_column("part", pa.array(part, type=pa.int32()))
+    return (h % np.uint64(cfg.num_partitions)).astype(np.int32)
 
 
 def _empty_clean() -> pa.Table:

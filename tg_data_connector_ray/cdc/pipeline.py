@@ -683,6 +683,110 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     }
 
 
+def migrate_state(old_out_dir: str, cfg: CdcConfig) -> dict:
+    """Explicit migration for PERSISTED-ROUTING changes (hash provider or
+    `num_partitions`, see _check_state_format / README "State
+    compatibility"): re-route the old table's per-key LSN REGISTERS into
+    a fresh out_dir under the current provider.  Unlike a snapshot
+    re-bootstrap, this preserves per-key watermarks, per-column setter
+    LSNs and tombstones exactly — a late redelivery of an already-applied
+    event is still structurally ignored after migration.
+
+    Shape: one Ray task per OLD partition reads its converged state
+    (folding any LSM delta runs) and tags rows with their NEW partition
+    (the same `assign_parts` normalize uses); a groupby exchange lands
+    each new partition in one task that sorts by key and atomically
+    commits state + lineage.  The old dir is never written."""
+    import pyarrow.compute as _pc
+
+    from ..util import atomic_write_parquet
+    from .merge import LINEAGE_SCHEMA, read_partition_state, state_checksum
+    from .normalize import assign_parts
+
+    old_root = os.path.join(old_out_dir, "state")
+    old_dirs = sorted(
+        os.path.join(old_root, d) for d in os.listdir(old_root) if d.startswith("part=")
+    ) if os.path.isdir(old_root) else []
+    if not old_dirs:
+        raise ValueError(f"no state partitions under {old_out_dir}")
+    if os.path.abspath(old_out_dir) == os.path.abspath(cfg.out_dir):
+        raise ValueError("migrate_state needs a FRESH out_dir (old dir is read-only)")
+    if glob.glob(os.path.join(cfg.out_dir, "state", "part=*")):
+        raise ValueError(f"target {cfg.out_dir} already has state partitions")
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    _check_state_format(cfg)  # stamps the CURRENT provider marker
+
+    policy = cfg.orphan_updates
+
+    def reroute(t: pa.Table) -> pa.Table:
+        outs = []
+        for d in t["part_dir"].to_pylist():
+            st = read_partition_state(d, policy=policy)
+            if st.num_rows:
+                part = assign_parts(st["conv_id"], st["turn_idx"], cfg)
+                outs.append(st.append_column("part", pa.array(part, type=pa.int32())))
+        if not outs:
+            from .merge import STATE_SCHEMA
+
+            empty = pa.table({f.name: pa.array([], f.type) for f in STATE_SCHEMA})
+            return empty.append_column("part", pa.array([], pa.int32()))
+        return pa.concat_tables(outs)
+
+    run_id = "migrate-" + hashlib.sha256(
+        os.path.abspath(old_out_dir).encode()
+    ).hexdigest()[:12]
+
+    def commit_part(g: pa.Table) -> pa.Table:
+        part = int(g["part"][0].as_py())
+        state = g.drop_columns(["part"]).sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")]
+        )
+        os.makedirs(cfg.state_dir(part), exist_ok=True)
+        ldir = cfg.lineage_dir(part)
+        os.makedirs(ldir, exist_ok=True)
+        atomic_write_parquet(cfg.state_path(part), state)
+        n_tomb = int(_pc.sum(state["_deleted"].cast(pa.int8())).as_py() or 0)
+        wm = int(_pc.max(state["_lsn"]).as_py() or -1)
+        rec = {
+            "part": part,
+            "run_id": run_id,
+            "status": "migrated",
+            "events_in": 0,
+            "events_prefiltered": 0,
+            "dups_dropped": 0,
+            "orphan_updates": 0,
+            "rows_live": state.num_rows - n_tomb,
+            "rows_tombstone": n_tomb,
+            "min_lsn": -1,
+            "max_lsn": wm,
+            "watermark": wm,
+            "checksum": state_checksum(state),
+            "wall_s": 0.0,
+        }
+        atomic_write_json(os.path.join(ldir, f"{run_id}.json"), rec)
+        atomic_write_json(
+            os.path.join(ldir, "_latest.json"),
+            {"run_id": run_id, "watermark": wm, "checksum": rec["checksum"]},
+        )
+        return pa.table(
+            {f.name: pa.array([rec.get(f.name)], type=f.type) for f in LINEAGE_SCHEMA}
+        )
+
+    lin = (
+        ray.data.from_items([{"part_dir": d} for d in old_dirs])
+        .map_batches(reroute, batch_format="pyarrow", batch_size=1)
+        .groupby("part")
+        .map_groups(commit_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return {
+        "run_id": run_id,
+        "partitions": int(len(lin)),
+        "rows_live": int(lin["rows_live"].sum()) if len(lin) else 0,
+        "rows_tombstone": int(lin["rows_tombstone"].sum()) if len(lin) else 0,
+    }
+
+
 def _table_digest(paths, cols, filter=None) -> dict:
     """Streaming order-insensitive table digest: per batch, two independent
     64-bit row hashes (polars hash_rows, fixed seeds) XOR-reduced, plus a
