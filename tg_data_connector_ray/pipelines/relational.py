@@ -1570,6 +1570,8 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
     coarse-bucket sum of thin (orderkey, rev) partials; the orders
     attributes come back via ONE unique-right Arrow gather join and
     per-block top-k + a k-row driver merge finishes — no global sort."""
+    from ..util import parquet_bytes_hint
+
     cut = np.datetime64(cutoff, "us").astype("datetime64[us]").astype(np.int64)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
     ck_thin = cust.map_batches(
@@ -1578,8 +1580,16 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()  # thin int64 column, held distributed in the object store
-    n_ck = ck_thin.count()
+    )
+    # cheap pre-check: if the WHOLE key column fits the bound (footer
+    # metadata only), the filtered subset certainly does — skip the
+    # materialize + count barrier; otherwise hold the thin set distributed
+    # and decide on its exact size
+    if parquet_bytes_hint(_t(sf_dir, "customer"), ["c_custkey"]) <= max_broadcast_bytes:
+        n_ck = -1  # statically admitted
+    else:
+        ck_thin = ck_thin.materialize()  # thin int64 column, object store
+        n_ck = ck_thin.count()
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -1587,8 +1597,8 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
         keep = pc.less(t["o_orderdate"].cast(pa.int64()), pa.scalar(int(cut), pa.int64()))
         return t.filter(keep)
 
-    if n_ck * 8 <= max_broadcast_bytes:
-        ck = ck_thin.to_pandas()  # bounded by the check above
+    if n_ck < 0 or n_ck * 8 <= max_broadcast_bytes:
+        ck = ck_thin.to_pandas()  # bounded by one of the checks above
         ck_set = pa.array(ck["o_custkey"].to_numpy(np.int64))
 
         def ord_filter(t: pa.Table) -> pa.Table:
