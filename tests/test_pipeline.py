@@ -568,3 +568,44 @@ def test_migrate_state_reroutes_and_preserves_watermarks(t1, tmp_path):
         migrate_state(old_cfg.out_dir, new_cfg)
     with pytest.raises(ValueError, match="FRESH out_dir"):
         migrate_state(old_cfg.out_dir, old_cfg)
+
+
+def test_delta_auto_compaction_threshold(t2, tmp_path):
+    """delta_compact_runs=2: the second delta run per partition folds
+    base+runs into a fresh base inline, so run files never accumulate past
+    the threshold and the converged table is unchanged."""
+    from tg_data_connector_ray.cdc.merge import partition_state_files
+    from tg_data_connector_ray.cdc.pipeline import _partition_state_dirs
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "ac"), num_partitions=4,
+        merge_strategy="delta", delta_compact_runs=2,
+    )
+    files = sorted(
+        os.path.join(t2["cdc_log"], f) for f in os.listdir(t2["cdc_log"])
+    )
+    k = len(files) // 3
+    for batch in (files[:k], files[k : 2 * k], files[2 * k :]):
+        apply_cdc(batch, cfg)
+    # every partition stays under the threshold; a base exists after the
+    # first inline compaction
+    for d in _partition_state_dirs(cfg):
+        base, deltas = partition_state_files(d)
+        assert len(deltas) < 2
+        assert base is not None
+    assert_converged(cfg, pq.read_table(t2["transcripts"]))
+
+
+def test_delta_mode_with_schema_evolution(fixture_root, tmp_path):
+    """F3 evolution fixture under merge_strategy='delta': the normalize
+    reconciliation happens before the merge, so delta runs compose with
+    schema evolution exactly as refold does."""
+    fx = write_fixture(fixture_root, "t2evo")
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "evod"), num_partitions=8, merge_strategy="delta"
+    )
+    apply_cdc(fx["cdc_log"], cfg)
+    exp = pq.read_table(fx["transcripts"])
+    assert_converged(cfg, exp)
+    got = final_table_sorted(cfg)
+    assert got.schema.field("tool").type == pa.string()

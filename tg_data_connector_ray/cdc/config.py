@@ -104,6 +104,13 @@ class CdcConfig:
     # report DELTA-scoped counts (rows_live/checksum of the run file, not
     # the converged table).
     merge_strategy: str = "refold"
+    # delta mode only: when a partition's delta-run count would reach this
+    # many files, the merge task folds base+runs into a fresh base INLINE
+    # (classic LSM auto-compaction) — read amplification is bounded by
+    # (delta_compact_runs - 1) run files per partition, and the O(state)
+    # fold cost is amortized to 1/threshold of runs.  None = never
+    # auto-compact (call compact() explicitly).
+    delta_compact_runs: "int | None" = None
     # Mid-run progress: log the aggregated per-partition lineage counters
     # every N seconds during the merge phase (the reference prints its
     # counter tree every 10 s — AbstractScheduler.java:78-87,

@@ -505,6 +505,29 @@ class MergeApply:
                     os.path.join(cfg.state_dir(part), f"delta-{self.run_id}.parquet"),
                     state,
                 )
+                if (
+                    cfg.delta_compact_runs is not None
+                    and len(prior_deltas) + 1 >= cfg.delta_compact_runs
+                ):
+                    # inline LSM auto-compaction: fold base + all runs
+                    # (including this one) into a fresh base, then drop the
+                    # run files.  Crash between the base write and the
+                    # unlinks just re-applies identical registers on the
+                    # next read — idempotent.
+                    sd = cfg.state_dir(part)
+                    full = read_partition_state(sd, policy=self.policy)
+                    if cfg.tombstone_retention_lsn is not None and full.num_rows:
+                        wm_max = int(pa.compute.max(full["_lsn"]).as_py() or 0)
+                        horizon = wm_max - cfg.tombstone_retention_lsn
+                        full = full.filter(
+                            pa.compute.or_(
+                                pa.compute.equal(full["_deleted"], False),
+                                pa.compute.greater(full["_lsn"], horizon),
+                            )
+                        )
+                    atomic_write_parquet(state_path, full)
+                    for f in partition_state_files(sd)[1]:
+                        os.unlink(f)
         else:
             atomic_write_parquet(state_path, state)
 
