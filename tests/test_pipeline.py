@@ -502,6 +502,11 @@ def test_stalled_partition_watchdog_rule():
     slow = {p: (60.0, 1000.0 + p) for p in range(6)}
     assert stalled_partitions(8, slow, now=1105.0) == []
     assert stalled_partitions(8, slow, now=1300.0) == [6, 7]
+    # resumed run: prior-attempt lineage has hour-old mtimes, but this
+    # attempt just started — quietness measures from started_ts, so the
+    # first ticks stay silent and only a genuinely quiet resume flags
+    assert stalled_partitions(8, committed, now=5006.0, started_ts=5000.0) == []
+    assert stalled_partitions(8, committed, now=5046.0, started_ts=5000.0) == [7]
 
 
 def test_spool_checkpoint_reclaim(tmp_path, ray_session):
@@ -525,11 +530,18 @@ def test_spool_checkpoint_reclaim(tmp_path, ray_session):
     read.cleanup()
     assert not _os.path.exists(_os.path.join(tmp_path, spools[0]))
 
-    # GC-driven reclaim
+    # GC-driven reclaim — but a live Dataset produced by the reader pins
+    # the spool even after the reader itself is dropped (lazy reads must
+    # not lose their files mid-pipeline)
     read2 = spool_checkpoint(ds, name="reclaim2", root=str(tmp_path), cache_bytes=0)
     spool2 = [d for d in _os.listdir(tmp_path) if d.startswith("reclaim2")]
     assert len(spool2) == 1
+    pinned = read2()
     del read2
+    gc.collect()
+    assert _os.path.exists(_os.path.join(tmp_path, spool2[0]))
+    assert pinned.count() == 100  # still readable
+    del pinned
     gc.collect()
     assert not _os.path.exists(_os.path.join(tmp_path, spool2[0]))
 

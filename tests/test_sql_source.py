@@ -197,3 +197,13 @@ def test_session_and_hint_through_split_path(db_path):
     )
     ds = read_sql_source(lambda: sqlite3.connect(db_path), cfg)
     assert len(ds.take_all()) == 51
+
+
+def test_hint_not_injected_into_cte_or_leading_comment():
+    """Anchored injection: a WITH/CTE querySql (or one led by a comment
+    containing 'select') is returned unchanged rather than hinting the
+    wrong query block."""
+    cte = "WITH t AS (SELECT a FROM x) SELECT * FROM t"
+    assert build_query(SqlSourceConfig(query_sql=cte, hint="/*+ H */")) == cte
+    led = "/* select note */ SELECT a FROM x"
+    assert build_query(SqlSourceConfig(query_sql=led, hint="/*+ H */")) == led

@@ -543,8 +543,10 @@ class MergeApply:
             "orphan_updates": stats["orphan_updates"],
             "rows_live": live_rows,
             "rows_tombstone": n_tomb,
-            "min_lsn": int(pa.compute.min(lsn_np).as_py() or -1) if events.num_rows else -1,
-            "max_lsn": int(pa.compute.max(lsn_np).as_py() or -1) if events.num_rows else -1,
+            # explicit emptiness check, not `or -1`: lsn 0 is legitimate
+            # (snapshot pseudo-events) and must not falsiness-map to -1
+            "min_lsn": int(pa.compute.min(lsn_np).as_py()) if events.num_rows else -1,
+            "max_lsn": int(pa.compute.max(lsn_np).as_py()) if events.num_rows else -1,
             "watermark": max(new_wm, watermark),
             "checksum": state_checksum(state),
             "wall_s": time.monotonic() - t0,

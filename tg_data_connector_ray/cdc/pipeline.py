@@ -54,6 +54,7 @@ def stalled_partitions(
     now: float,
     factor: float = 4.0,
     grace_s: float = 30.0,
+    started_ts: float = 0.0,
 ) -> "list[int]":
     """Hang-detection rule (the reference TaskMonitor analogue,
     core/.../taskgroup/TaskMonitor.java:76-95 — there a 48h no-progress
@@ -63,7 +64,11 @@ def stalled_partitions(
     gone QUIET — no new commit for more than max(grace_s, factor x median
     wall) — while partitions remain, those partitions are flagged.
 
-    `committed` maps part -> (wall_s, commit_unix_ts).  Returns the sorted
+    `committed` maps part -> (wall_s, commit_unix_ts).  `started_ts` is
+    when THIS attempt began: a resumed run sees the prior attempt's
+    lineage files (hour-old mtimes) immediately, so quietness is measured
+    from the later of the last commit and the attempt start — otherwise
+    the first tick of every resume would cry hung.  Returns the sorted
     uncommitted partition ids, or [] while progress looks healthy.  Pure
     function (clock injected) so the rule itself is unit-testable."""
     import statistics
@@ -72,7 +77,7 @@ def stalled_partitions(
     if not pending or len(committed) < max(1, total_parts // 2):
         return []
     median_wall = statistics.median(w for w, _ in committed.values())
-    quiet_s = now - max(ts for _, ts in committed.values())
+    quiet_s = now - max(started_ts, max(ts for _, ts in committed.values()))
     if quiet_s > max(grace_s, factor * median_wall):
         return pending
     return []
@@ -148,7 +153,9 @@ class _ProgressReporter:
                 self.run_id, done, self.total, f"{events:,}",
                 events / max(dt, 1e-9), f"{live:,}", dt,
             )
-            stalled = stalled_partitions(self.total, committed, time.time())
+            stalled = stalled_partitions(
+                self.total, committed, time.time(), started_ts=t0
+            )
             if stalled:
                 _LOG.warning(
                     "cdc run %s: %d partition(s) with NO commit while the run "
@@ -746,7 +753,10 @@ def migrate_state(old_out_dir: str, cfg: CdcConfig) -> dict:
         os.makedirs(ldir, exist_ok=True)
         atomic_write_parquet(cfg.state_path(part), state)
         n_tomb = int(_pc.sum(state["_deleted"].cast(pa.int8())).as_py() or 0)
-        wm = int(_pc.max(state["_lsn"]).as_py() or -1)
+        # explicit None check: `or -1` would map a legitimate max LSN of 0
+        # (snapshot-bootstrapped, never-updated keys) to -1 via falsiness
+        wm_v = _pc.max(state["_lsn"]).as_py() if state.num_rows else None
+        wm = int(wm_v) if wm_v is not None else -1
         rec = {
             "part": part,
             "run_id": run_id,

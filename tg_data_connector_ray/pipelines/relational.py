@@ -196,16 +196,23 @@ class BroadcastLookup:
         return self.vals.take(idx)
 
 
+def _segment_revenue_partial(seg, rev_u) -> pa.Table:
+    """Per-batch (segment, revenue) partial aggregate — ONE definition
+    shared by the broadcast stage and the hash_join fallback so the two
+    paths (asserted equal by test) cannot desynchronize."""
+    g = (
+        pa.table({"c_mktsegment": seg, "revenue": rev_u})
+        .group_by("c_mktsegment")
+        .aggregate([("revenue", "sum"), ("revenue", "count")])
+    )
+    return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+
+
 class _SegmentRevenue(BroadcastLookup):
     def __call__(self, t: pa.Table) -> pa.Table:
         seg = self.lookup(t["o_custkey"])
         rev_u = pc.cast(pc.round(pc.multiply(t["o_totalprice"], pa.scalar(1e6))), pa.int64())
-        g = (
-            pa.table({"c_mktsegment": seg, "revenue": rev_u})
-            .group_by("c_mktsegment")
-            .aggregate([("revenue", "sum"), ("revenue", "count")])
-        )
-        return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+        return _segment_revenue_partial(seg, rev_u)
 
 
 def revenue_by_mktsegment(sf_dir: str,
@@ -261,12 +268,7 @@ def revenue_by_mktsegment(sf_dir: str,
         )
 
         def seg_partial(t: pa.Table) -> pa.Table:
-            g = (
-                pa.table({"c_mktsegment": t["c_mktsegment"], "revenue": t["rev_u"]})
-                .group_by("c_mktsegment")
-                .aggregate([("revenue", "sum"), ("revenue", "count")])
-            )
-            return g.rename_columns(["c_mktsegment", "revenue", "n_orders"])
+            return _segment_revenue_partial(t["c_mktsegment"], t["rev_u"])
 
         partials = joined.map_batches(seg_partial, batch_format="pyarrow").to_pandas()
     df = partials.groupby("c_mktsegment", as_index=False).agg(
@@ -1123,13 +1125,18 @@ class _NationOfCustomer(BroadcastLookup):
         self.vals = nation["n_name"].combine_chunks().take(idx)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        name = self.lookup(t["o_custkey"])
-        g = (
-            pa.table({"n_name": name, "revenue_u": t["revenue_u"]})
-            .group_by("n_name")
-            .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
-        )
-        return g.rename_columns(["n_name", "revenue_u", "n_items"])
+        return _nation_revenue_partial(self.lookup(t["o_custkey"]), t["revenue_u"])
+
+
+def _nation_revenue_partial(name, rev_u) -> pa.Table:
+    """Per-batch (nation, revenue) partial — shared by the broadcast stage
+    and the hash_join fallback (same rationale as _segment_revenue_partial)."""
+    g = (
+        pa.table({"n_name": name, "revenue_u": rev_u})
+        .group_by("n_name")
+        .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
+    )
+    return g.rename_columns(["n_name", "revenue_u", "n_items"])
 
 
 class _TinyNationName:
@@ -1146,13 +1153,7 @@ class _TinyNationName:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         idx = pc.index_in(t["c_nationkey"], value_set=self.nkeys)
-        name = self.nnames.take(idx)
-        g = (
-            pa.table({"n_name": name, "revenue_u": t["revenue_u"]})
-            .group_by("n_name")
-            .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
-        )
-        return g.rename_columns(["n_name", "revenue_u", "n_items"])
+        return _nation_revenue_partial(self.nnames.take(idx), t["revenue_u"])
 
 
 def revenue_by_nation(sf_dir: str, num_buckets: "int | None" = None,

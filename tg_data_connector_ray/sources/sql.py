@@ -51,12 +51,20 @@ class SqlSourceConfig:
     # optimizer hint injected right after SELECT — the reference's
     # OracleReader `hint` (OracleReader.java:81-93 splices it into the
     # generated query).  Applied to table-mode queries AND to query_sql
-    # (first SELECT keyword).  E.g. "/*+ FULL(t) PARALLEL(4) */".
+    # when it BEGINS with SELECT (a WITH/CTE querySql is left untouched —
+    # hint the outer block in the querySql itself).
+    # E.g. "/*+ FULL(t) PARALLEL(4) */".
     hint: "str | None" = None
 
 
 def _inject_hint(sql: str, hint: str) -> str:
-    m = re.search(r"select\b", sql, flags=re.IGNORECASE)
+    """Splice the hint after a LEADING SELECT only.  Anchoring at the
+    start (not the first 'select' anywhere) keeps CTE bodies, string
+    literals and comments untouched — a `WITH ... SELECT` querySql is
+    returned unchanged (hint the outer block yourself in the querySql
+    when you need it), matching the reference's behavior of splicing
+    hints only into queries IT generates."""
+    m = re.match(r"\s*select\b", sql, flags=re.IGNORECASE)
     if not m:
         return sql
     return sql[: m.end()] + f" {hint}" + sql[m.end() :]

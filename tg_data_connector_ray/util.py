@@ -295,12 +295,13 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
     idiom (SMALL_VOCAB / SMALL_USER_SET) applied to checkpointing.
 
     Reclamation: the spool directory is removed when the returned reader
-    is garbage-collected (weakref finalizer) or when its explicit
-    ``read.cleanup()`` is called after the last consumer finishes — a
+    AND every Dataset it produced are garbage-collected (each returned
+    Dataset holds a keepalive to the spool lease, so dropping the reader
+    while a lazily-streaming Dataset is still unconsumed cannot delete
+    the files under it), or eagerly via ``read.cleanup()`` after the last
+    consumer finishes.  Interpreter exit remains the backstop — a
     long-lived driver checkpointing per request no longer accumulates
-    corpus copies until process exit (which remains the backstop).  Keep
-    the reader referenced until every Dataset it produced has been
-    consumed: streaming reads resolve the spool path lazily."""
+    corpus copies until then."""
     import tempfile
     import weakref
 
@@ -329,10 +330,17 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
     )
     cached = ray.data.read_parquet(path).materialize() if size <= cache_bytes else None
 
+    lease = _SpoolLease()  # finalized only when reader AND datasets are gone
+
     def read(columns: "list[str] | None" = None):
         if cached is not None:
-            return cached.select_columns(columns) if columns else cached
-        return ray.data.read_parquet(path, columns=columns)
+            ds = cached.select_columns(columns) if columns else cached
+        else:
+            ds = ray.data.read_parquet(path, columns=columns)
+        # the Dataset reads the spool lazily: pin the lease to it so the
+        # reclaim can't fire while any produced Dataset is still alive
+        ds._spool_keepalive = lease
+        return ds
 
     def _reclaim():
         import shutil
@@ -343,9 +351,15 @@ def spool_checkpoint(ds, name: str = "ds", root: "str | None" = None,
         except ValueError:
             pass
 
-    weakref.finalize(read, _reclaim)
+    weakref.finalize(lease, _reclaim)
+    read._spool_keepalive = lease
     read.cleanup = _reclaim
     return read
+
+
+class _SpoolLease:
+    """Weakref-able token tying a spool directory's lifetime to its reader
+    and every Dataset the reader produced (see spool_checkpoint)."""
 
 
 # scheme -> (factory | None, kwargs): object-store credentials/options
@@ -412,6 +426,13 @@ def filesystem_for(path: str):
     return resolve_fs(path)[0]
 
 
+# schemes whose URI authority names the SERVER (a filesystem-constructor
+# concern, e.g. the HDFS namenode), not part of the filesystem path —
+# bucket-style stores (s3/gs) keep the authority as the path's first
+# segment, matching pyarrow's own from_uri conventions.
+_AUTHORITY_IS_SERVER = {"hdfs", "viewfs", "file"}
+
+
 def resolve_fs(path: str):
     """(pyarrow.fs.FileSystem, fs_path) for a local path or any fsspec-style
     URI (file://, s3://, gs://, ...) — the reference's GcsReader listing
@@ -424,6 +445,11 @@ def resolve_fs(path: str):
         scheme, rest = path.split("://", 1)
         fs = _fs_from_registry(scheme.lower())
         if fs is not None:
+            if scheme.lower() in _AUTHORITY_IS_SERVER and not rest.startswith("/"):
+                # hdfs://host:port/a/b -> path /a/b (host is a constructor
+                # kwarg of the registered filesystem, not a path segment)
+                rest = rest.split("/", 1)
+                rest = "/" + (rest[1] if len(rest) > 1 else "")
             return fs, rest
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
