@@ -100,3 +100,61 @@ def test_any_log_any_batching_matches_golden(events, cut):
     exp = golden.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     assert got.num_rows == exp.num_rows
     assert got.equals(exp), f"\ngot: {got.to_pylist()}\nexp: {exp.to_pylist()}"
+
+
+def run_engine_delta(batches, compact_every: "int | None" = None) -> pa.Table:
+    """The LSM delta-mode shape at fold granularity: each batch folds
+    ALONE (policy upsert, like a delta-run file); the read is a final fold
+    over all run registers.  With `compact_every`, accumulated runs fold
+    into a 'base' register periodically (the inline auto-compaction)."""
+    runs = []
+    for i, b in enumerate(batches):
+        t = to_table(b)
+        if t.num_rows == 0:
+            continue
+        t = t.append_column("_prio", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        delta, _ = fold(t, policy="upsert")
+        if delta.num_rows:
+            runs.append(delta)
+        if compact_every and len(runs) >= compact_every:
+            merged, _ = fold(
+                pa.concat_tables(
+                    [state_to_events(r) for r in runs], promote_options="default"
+                ),
+                policy="upsert",
+            )
+            runs = [merged]
+    if not runs:
+        return to_table([]).select(
+            ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+    state, _ = fold(
+        pa.concat_tables([state_to_events(r) for r in runs], promote_options="default")
+    )
+    live = state.filter(pa.compute.equal(state["_deleted"], False))
+    return live.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"]).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    events=event_log(),
+    cut=st.lists(st.integers(0, 45), max_size=4),
+    compact_every=st.sampled_from([None, 1, 2, 3]),
+)
+def test_delta_mode_any_batching_matches_golden(events, cut, compact_every):
+    """The LSM delta-merge associativity claim, adversarially: ANY random
+    log split into ANY run batches, folded per-run with deferred final
+    (and optionally periodic) folds, must equal the golden one-shot
+    reducer — the invariant cdc/merge.py's delta mode rests on."""
+    golden = golden_apply([to_table(events)])
+    bounds = sorted({min(c, len(events)) for c in cut})
+    batches, prev = [], 0
+    for b in bounds + [len(events)]:
+        batches.append(events[prev:b])
+        prev = b
+    got = run_engine_delta(batches, compact_every=compact_every)
+    exp = golden.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+    assert got.num_rows == exp.num_rows
+    assert got.equals(exp), f"\ngot: {got.to_pylist()}\nexp: {exp.to_pylist()}"
