@@ -158,6 +158,9 @@ def run_query_bench() -> "tuple[dict, dict]":
         "q3_shipping_priority",
         "events_heavy_hitters",
         "docs_c4_quality",
+        # round 5 additions: oracle-checked real-codec multimodal decode
+        "multimodal_image_stats",
+        "multimodal_audio_stats",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

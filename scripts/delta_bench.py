@@ -47,8 +47,12 @@ def main() -> None:
 
     DataContext.get_current().enable_progress_bars = False
 
-    fx = write_fixture(cache, f"bench{convs}", FixtureSpec(n_convs=convs, n_files=64))
-    log = fx["cdc_log"]
+    fx_dir = os.environ.get("GRAFT_DELTA_FIXTURE_DIR")
+    if fx_dir:  # pre-generated fixture (e.g. the chunked 3M tier)
+        log = os.path.join(fx_dir, "cdc_log")
+    else:
+        fx = write_fixture(cache, f"bench{convs}", FixtureSpec(n_convs=convs, n_files=64))
+        log = fx["cdc_log"]
     files = sorted(os.path.join(log, f) for f in os.listdir(log) if f.endswith(".parquet"))
     boot, small, big = files[:-5], files[-5:-4], files[-4:]
     for p in files:  # page-cache warm: measure the engine, not cold disk
