@@ -568,7 +568,7 @@ def test_doc_image_channel_stats_matches_formula(ray_session):
         assert out.loc[d, "n_px"] == 32
     # end-to-end Dataset path preserves rows and schema
     ds = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
-    got = doc_image_channel_stats(ds, concurrency=1).to_pandas()
+    got = doc_image_channel_stats(ds).to_pandas()
     assert sorted(got.columns) == ["doc_id", "n_px", "sum_b", "sum_g", "sum_r"]
     assert len(got) == len(ids)
 

@@ -319,25 +319,24 @@ class ImageChannelStats:
         )
 
 
-def doc_image_channel_stats(ds_docs, width: int = 8, height: int = 4,
-                            concurrency: "int | None" = None):
-    """documents -> synth P6 payloads -> actor-pool decode -> channel-sum
-    features.  The encode stage is stateless tasks; the decode stage is a
-    right-sized actor pool with byte-aware batch size (the stage shape
-    real image decode uses — swap DocImageEncode for a storage read and
-    ImageChannelStats for a heavier codec at deployment)."""
-    from ..util import default_pool_size
-
+def doc_image_channel_stats(ds_docs, width: int = 8, height: int = 4):
+    """documents -> synth P6 payloads -> PPM decode -> channel-sum
+    features.  Both stages are INSTANCE-SHIPPED task stages (the repo's
+    idiom for trivial-constructor callables): PpmCodec holds no state
+    worth an actor, and plain tasks skip pool spin-up — measured 0.2 s
+    vs 1.1-2.3 s for a right-sized actor pool on the sf0.1 table.  A
+    HEAVY codec (model weights, native handles) should instead use the
+    actor-pool shape `media_features` demonstrates (class + concurrency +
+    byte-aware batch_size)."""
     media = ds_docs.map_batches(
         DocImageEncode(width=width, height=height),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     return media.map_batches(
-        ImageChannelStats,
+        ImageChannelStats(),
         batch_format="pyarrow",
         batch_size=DEFAULT_BATCH_SIZE,
-        concurrency=concurrency or default_pool_size(),
     )
 
 
@@ -399,22 +398,19 @@ class AudioSampleStats:
         )
 
 
-def doc_audio_sample_stats(ds_docs, n_samples: int = 64,
-                           concurrency: "int | None" = None):
-    """documents -> synth WAV payloads -> actor-pool decode -> exact
-    sample statistics (the audio sibling of doc_image_channel_stats)."""
-    from ..util import default_pool_size
-
+def doc_audio_sample_stats(ds_docs, n_samples: int = 64):
+    """documents -> synth WAV payloads -> stdlib-wave decode -> exact
+    sample statistics (the audio sibling of doc_image_channel_stats;
+    same instance-shipped task-stage rationale)."""
     media = ds_docs.map_batches(
         DocAudioEncode(n_samples=n_samples),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
     return media.map_batches(
-        AudioSampleStats,
+        AudioSampleStats(),
         batch_format="pyarrow",
         batch_size=DEFAULT_BATCH_SIZE,
-        concurrency=concurrency or default_pool_size(),
     )
 
 
