@@ -158,3 +158,82 @@ def test_udf_row_drop_counts_as_filtered():
         T(a=pa.array(["x", "y", "z"])), [TransformSpec("dx_udf", None, {"udf": "drop_first"})]
     )
     assert r.table.num_rows == 2 and r.filtered == 1
+
+
+def test_dx_py_vector_and_row_modes():
+    """Inline-config code strings (the dx_groovy analogue): vector mode
+    evaluates once per batch over the pyarrow column; row mode is the
+    record-at-a-time escape hatch with DROP semantics."""
+    from tg_data_connector_ray.stages.transforms import compile_py_transformer
+
+    t = T(a=pa.array(["ab", "cd", None]), b=pa.array([1, 2, 3], pa.int64()))
+
+    up = compile_py_transformer("pc.utf8_upper(col)", col="a")
+    out = apply_chain(t, [TransformSpec("dx_udf", None, {"fn": up})])
+    assert out.table["a"].to_pylist() == ["AB", "CD", None]
+
+    # positional addressing + numpy in scope
+    dbl = compile_py_transformer("pa.array(np.asarray(col) * 2)", col=1)
+    out2 = apply_chain(t, [TransformSpec("dx_udf", None, {"fn": dbl})])
+    assert out2.table["b"].to_pylist() == [2, 4, 6]
+
+    # row mode: transform + DROP sentinel; drops count as filtered
+    rowfn = compile_py_transformer(
+        "DROP if value is None else value + '!'", col="a", mode="row"
+    )
+    out3 = apply_chain(t, [TransformSpec("dx_udf", None, {"fn": rowfn})])
+    assert out3.table["a"].to_pylist() == ["ab!", "cd!"]
+    assert out3.filtered == 1
+
+    # compile errors surface at config time
+    import pytest as _pytest
+
+    with _pytest.raises(SyntaxError):
+        compile_py_transformer("def nope(:", col="a")
+
+
+def test_dx_py_through_job_runner(tmp_path):
+    """dx_py in job JSON: compiled at spec-build time, runs as a chain
+    UDF through the full reader -> chain -> writer path."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.runner import run_job
+
+    src = str(tmp_path / "in.csv")
+    with open(src, "w") as f:
+        f.write("id,name\n1,alice\n2,bob\n")
+    outdir = str(tmp_path / "out")
+    cfg = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "csv",
+                        "parameter": {
+                            "path": str(tmp_path),
+                            "skipHeader": True,
+                            "column": [
+                                {"index": 0, "type": "long", "name": "id"},
+                                {"index": 1, "type": "string", "name": "name"},
+                            ],
+                        },
+                    },
+                    "transformer": [
+                        {
+                            "name": "dx_py",
+                            "parameter": {"column": "name", "code": "pc.utf8_upper(col)"},
+                        }
+                    ],
+                    "writer": {"name": "parquet", "parameter": {"path": outdir}},
+                }
+            ]
+        }
+    }
+    run_job(cfg)
+    import pyarrow.dataset as pads
+
+    got = pads.dataset(outdir).to_table().sort_by([("id", "ascending")])
+    assert got["name"].to_pylist() == ["ALICE", "BOB"]

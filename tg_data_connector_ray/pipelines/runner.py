@@ -279,14 +279,25 @@ def run_job(config: dict) -> dict:
         raise JobConfigError(f"unknown reader {reader['name']!r}")
     if writer["name"] not in WRITERS:
         raise JobConfigError(f"unknown writer {writer['name']!r}")
-    specs = [
-        TransformSpec(
+    def _spec(t: dict) -> TransformSpec:
+        param = t.get("parameter", {})
+        col = param.get("columnIndex", param.get("column"))
+        if t["name"] == "dx_py":
+            # inline-config code string (the reference's dx_groovy shape):
+            # compiled ONCE here, then runs as a plain chain UDF
+            from ..stages.transforms import compile_py_transformer
+
+            fn = compile_py_transformer(
+                param["code"], col=col, mode=param.get("mode", "vector")
+            )
+            return TransformSpec(name="dx_udf", params={"fn": fn})
+        return TransformSpec(
             name=t["name"],
-            col=t.get("parameter", {}).get("columnIndex", t.get("parameter", {}).get("column")),
-            params={k: v for k, v in t.get("parameter", {}).items() if k not in ("columnIndex", "column")},
+            col=col,
+            params={k: v for k, v in param.items() if k not in ("columnIndex", "column")},
         )
-        for t in transformers
-    ]
+
+    specs = [_spec(t) for t in transformers]
 
     if setting.get("dryRun"):
         # preCheck: inputs exist, writer dir viable, transformer names known
@@ -294,6 +305,8 @@ def run_job(config: dict) -> dict:
         if p and not os.path.exists(p):
             raise JobConfigError(f"reader path missing: {p}")
         for s in specs:
+            # dx_py already compiled to dx_udf above (compile errors in the
+            # inline code string surface at config time, like preCheck wants)
             if s.name not in ("dx_substr", "dx_pad", "dx_replace", "dx_filter", "dx_udf"):
                 raise JobConfigError(f"unknown transformer {s.name}")
         return {"dry_run": True, "config": mask_sensitive(config)}

@@ -192,6 +192,66 @@ def get_udf(name: str):
     return _UDF_REGISTRY[name]
 
 
+_DX_PY_DROP = object()  # row-mode sentinel: drop this row (dx_groovy's null)
+
+
+def compile_py_transformer(code: str, col: "str | int | None" = None,
+                           mode: str = "vector"):
+    """The dx_groovy analogue: an INLINE-CONFIG code string compiled once
+    into a chain UDF (reference GroovyTransformer.java:25-88 compiles the
+    config's groovy source per chain; here the config carries a Python
+    expression — same trust model, the job config is code).
+
+    mode="vector" (the idiomatic path): `code` is an expression evaluated
+    once per BATCH with `col` bound to the selected column (pyarrow
+    Array) and pa/pc/np in scope; it returns the replacement column.
+    mode="row": `code` is evaluated once per ROW with `value` bound to
+    the cell (the reference's record-at-a-time groovy shape — slow,
+    compatibility escape hatch); returning DROP drops the row.
+
+    Returns a table->table callable for the dx_udf chain step; row drops
+    are counted as FILTERED by the chain driver, like any UDF."""
+    compiled = compile(code, "<dx_py>", "eval")
+    base_env = {
+        "pa": pa, "pc": pc, "np": np, "DROP": _DX_PY_DROP,
+        "__builtins__": {
+            "len": len, "str": str, "int": int, "float": float, "bool": bool,
+            "min": min, "max": max, "abs": abs, "round": round, "None": None,
+            "True": True, "False": False,
+        },
+    }
+
+    def _resolve(table: pa.Table) -> str:
+        if isinstance(col, int):
+            return table.column_names[col]
+        return col
+
+    def _fn(table: pa.Table) -> pa.Table:
+        name = _resolve(table)
+        arr = table[name].combine_chunks() if name is not None else None
+        if mode == "vector":
+            out = eval(compiled, dict(base_env), {"col": arr, "table": table})
+            if not isinstance(out, (pa.Array, pa.ChunkedArray)):
+                out = pa.array(out)
+            i = table.column_names.index(name)
+            return table.set_column(i, name, out)
+        # row mode: value-at-a-time, DROP sentinel removes the row
+        vals, keep = [], []
+        for v in (arr.to_pylist() if arr is not None else [None] * table.num_rows):
+            r = eval(compiled, dict(base_env), {"value": v})
+            keep.append(r is not _DX_PY_DROP)
+            vals.append(None if r is _DX_PY_DROP else r)
+        if name is not None:
+            i = table.column_names.index(name)
+            table = table.set_column(
+                i, name, pa.array(vals, type=arr.type if arr is not None else None)
+            )
+        mask = pa.array(keep)
+        return table.filter(mask)
+
+    return _fn
+
+
 @dataclass
 class TransformSpec:
     """One step of a transformer chain (the job-JSON `transformer[]` item)."""
