@@ -754,6 +754,19 @@ def _multimodal_audio_stats(sf_dir):
     return doc_audio_sample_stats(ds)
 
 
+def _docs_bigram_lm(sf_dir):
+    """Corpus-frequency char-bigram LM proxy (the KenLM quality-filter
+    dataflow): distributed train pass -> broadcast count model -> exact
+    int64 per-doc scores; the oracle recomputes both passes in SQL."""
+    from tg_data_connector_ray.ops.text import bigram_lm_scores
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bigram_lm_scores(ds)
+
+
 def _docs_c4_quality(sf_dir):
     """C4/Gopher structural quality filters (mean word length, symbol
     ratio, ellipsis rate + composite keep verdict), u6-integerized."""
@@ -1032,6 +1045,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
+        # --- corpus LM-proxy quality score (train -> broadcast -> score) ---
+        "docs_bigram_lm": _docs_bigram_lm,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "late_shipment_priority": _late_shipment_priority,
@@ -1978,6 +1993,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM((d.doc_id*7 + t.i*3) % 65536 - 32768) AS BIGINT) AS sum_s,
                    CAST(SUM(ABS((d.doc_id*7 + t.i*3) % 65536 - 32768)) AS BIGINT) AS sum_abs
             FROM documents d CROSS JOIN range(0, 64) t(i)
+            GROUP BY d.doc_id
+        """,
+        # both passes reconstructed in SQL: corpus-wide char-bigram counts,
+        # then per-doc sum of its bigrams' corpus counts (text is ASCII in
+        # the fixtures, so byte and char bigrams coincide)
+        "docs_bigram_lm": """
+            WITH bg AS (
+              -- this DuckDB build rejects correlated range() bounds, so a
+              -- generous literal upper bound + length filter stands in
+              -- (fixture docs max out under 600 chars at every scale)
+              SELECT d.doc_id, substr(d.text, CAST(t.i AS INTEGER), 2) AS g
+              FROM documents d, range(1, 4096) t(i)
+              WHERE t.i <= length(d.text) - 1
+            ), cnt AS (
+              SELECT g, COUNT(*) AS c FROM bg GROUP BY g
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(COUNT(b.g), 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(SUM(c.c), 0) AS BIGINT) AS bigram_score
+            FROM documents d
+            LEFT JOIN bg b ON b.doc_id = d.doc_id
+            LEFT JOIN cnt c ON c.g = b.g
             GROUP BY d.doc_id
         """,
         "docs_c4_quality": """

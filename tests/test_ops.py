@@ -590,3 +590,32 @@ def test_doc_audio_sample_stats_matches_formula(ray_session):
         assert out.loc[d, "sum_s"] == s.sum()
         assert out.loc[d, "sum_abs"] == np.abs(s).sum()
         assert out.loc[d, "n_samples"] == 64
+
+
+def test_bigram_lm_scores_edges_and_formula(ray_session):
+    """Corpus bigram LM proxy: empty/one-char/null docs score 0; scores
+    equal the closed form (sum of corpus counts of each doc's bigrams),
+    including a sliced-buffer batch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.ops.text import (
+        BigramLmScore,
+        _char_bigram_codes,
+        bigram_lm_scores,
+    )
+
+    texts = ["abab", "ba", "", "a", None]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": pa.array(texts)})
+    )
+    got = bigram_lm_scores(ds).to_pandas().set_index("doc_id").sort_index()
+    # corpus counts: ab=2, ba=2 -> "abab" = ab+ba+ab = 6; "ba" = 2
+    assert got["bigram_score"].tolist() == [6, 2, 0, 0, 0]
+    assert got["n_bigrams"].tolist() == [3, 1, 0, 0, 0]
+
+    # sliced array path hits the buffer-offset arithmetic
+    arr = pa.chunked_array([pa.array(["xx", "yy", "zz"])]).combine_chunks().slice(1)
+    codes, counts = _char_bigram_codes(arr)
+    assert counts.tolist() == [1, 1] and len(codes) == 2

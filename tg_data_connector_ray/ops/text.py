@@ -418,3 +418,95 @@ def token_stats_batch(batch: pa.Table, col: str = "text") -> pa.Table:
     ]:
         out = out.append_column(name, arr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# corpus-frequency char-bigram LM proxy (the KenLM-style quality-filter shape)
+
+
+def _char_bigram_codes(arr) -> "tuple[np.ndarray, np.ndarray]":
+    """(bigram codes concatenated across docs, per-doc bigram counts) for
+    an Arrow string array, fully vectorized over the raw UTF-8 buffers
+    (the test corpora are ASCII, so byte bigrams == char bigrams — the
+    property the SQL oracle relies on; non-ASCII corpora still score
+    consistently, just on byte rather than codepoint pairs)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    b = arr.cast(pa.large_binary())
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    # raw buffers (this pyarrow's LargeBinaryArray has no .offsets accessor):
+    # buffers = [validity, int64 offsets, data]; offsets are absolute into
+    # the shared data buffer, shifted by the array's own offset
+    obuf, data = b.buffers()[1], b.buffers()[2]
+    offs = np.frombuffer(obuf, np.int64)[b.offset : b.offset + len(b) + 1]
+    values = (
+        np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
+    )
+    starts, ends = offs[:-1], offs[1:]
+    counts = np.maximum(ends - starts - 1, 0)
+    from .dedup import _segmented_arange
+
+    pos = np.repeat(starts, counts) + _segmented_arange(counts)
+    codes = values[pos].astype(np.int32) * 256 + values[pos + 1]
+    return codes, counts
+
+
+def bigram_count_partial(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Pass 1 (train): one block's corpus-wide char-bigram counts as
+    (code, n) pairs — mergeable partials, <= 65536 rows per block no
+    matter the block size."""
+    codes, _ = _char_bigram_codes(batch[col])
+    cnt = np.bincount(codes, minlength=65536).astype(np.int64)
+    nz = np.flatnonzero(cnt)
+    return pa.table(
+        {"code": pa.array(nz.astype(np.int32)), "n": pa.array(cnt[nz])}
+    )
+
+
+class BigramLmScore:
+    """Pass 2 (score): instance-shipped task stage holding the broadcast
+    'model' (the 65536-entry corpus count table, ~512 KB — object-store
+    cached once per node).  Per doc: score = sum of the corpus counts of
+    its bigrams, computed exactly in int64 via a prefix-sum gather (no
+    per-doc loop).  Swapping the count table for KenLM logprobs gives the
+    classic perplexity filter with the identical dataflow."""
+
+    def __init__(self, model: np.ndarray, col: str = "text"):
+        self.model = model.astype(np.int64)
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        codes, counts = _char_bigram_codes(t[self.col])
+        vals = self.model[codes]
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        ends = np.cumsum(counts)
+        scores = cs[ends] - cs[ends - counts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(counts.astype(np.int64)),
+                "bigram_score": pa.array(scores.astype(np.int64)),
+            }
+        )
+
+
+def bigram_lm_scores(ds_docs, col: str = "text"):
+    """Two-pass corpus LM-proxy scoring: train (distributed bigram counts,
+    driver merge of <=65536-row partials) then score (broadcast model,
+    stateless tasks).  100-TB shape: pass 1's shuffle-free partials are
+    bounded by 65536 rows/block; the model is one ray.put-style closure
+    broadcast; pass 2 streams."""
+    parts = ds_docs.map_batches(
+        lambda t: bigram_count_partial(t, col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=None,
+    ).to_pandas()
+    model = np.zeros(65536, np.int64)
+    if len(parts):
+        np.add.at(model, parts["code"].to_numpy(np.int32), parts["n"].to_numpy(np.int64))
+    return ds_docs.map_batches(
+        BigramLmScore(model, col=col), batch_format="pyarrow", zero_copy_batch=True
+    )
