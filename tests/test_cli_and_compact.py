@@ -180,3 +180,35 @@ def test_cli_migrate_verb(t1, tmp_path):
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["partitions"] == 2
     assert res["rows_live"] == pq.read_table(t1["transcripts"]).num_rows
+
+
+def test_lineage_summary_and_cli(t1, tmp_path):
+    """lineage verb: metadata-only health snapshot — watermarks, state
+    sizes, delta-run counts (non-zero in delta mode, zero after compact)."""
+    import subprocess
+    import sys
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, compact, lineage_summary
+
+    out = str(tmp_path / "lh")
+    cfg = CdcConfig(out_dir=out, num_partitions=4, merge_strategy="delta")
+    apply_cdc(t1["cdc_log"], cfg)
+    s = lineage_summary(cfg)
+    assert s["partitions"] == 4
+    assert s["delta_runs_total"] == 4  # one run file per partition
+    assert s["watermark_max"] > 0 and s["state_bytes"] == 0  # no base yet
+
+    compact(cfg)
+    s2 = lineage_summary(cfg)
+    assert s2["delta_runs_total"] == 0 and s2["state_bytes"] > 0
+    assert s2["watermark_max"] == s["watermark_max"]
+
+    r = subprocess.run(
+        [sys.executable, "-m", "tg_data_connector_ray", "lineage", "--out", out],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["partitions"] == 4 and "parts" not in res

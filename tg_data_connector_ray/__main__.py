@@ -52,6 +52,12 @@ def main(argv=None) -> int:
     mig.add_argument("--out", required=True)
     mig.add_argument("--partitions", type=int, default=64)
 
+    lin = sub.add_parser(
+        "lineage", help="per-partition watermark/state/delta-run health summary"
+    )
+    lin.add_argument("--out", required=True)
+    lin.add_argument("--parts", action="store_true", help="include per-partition rows")
+
     args = p.parse_args(argv)
 
     import ray
@@ -93,6 +99,13 @@ def main(argv=None) -> int:
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
                 tombstone_retention_lsn=args.retention,
             )
+        elif args.cmd == "lineage":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import lineage_summary
+
+            out = lineage_summary(CdcConfig(out_dir=args.out))
+            if not args.parts:
+                out.pop("parts")
         elif args.cmd == "migrate":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import migrate_state

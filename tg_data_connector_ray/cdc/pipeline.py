@@ -690,6 +690,44 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     }
 
 
+def lineage_summary(cfg: CdcConfig) -> dict:
+    """Operational snapshot of a CDC table dir: per-partition watermark /
+    checksum / last run from `_latest.json`, state file sizes, and
+    uncompacted delta-run counts — the at-a-glance health view an
+    operator checks before/after runs and compactions.  Driver-side
+    metadata only (tiny JSON + file stats); never reads table data."""
+    from ..util import read_json
+    from .merge import partition_state_files
+
+    parts = []
+    for d in _partition_state_dirs(cfg):
+        part = int(os.path.basename(d).split("=")[1])
+        base, deltas = partition_state_files(d)
+        latest_path = os.path.join(cfg.lineage_dir(part), "_latest.json")
+        latest = read_json(latest_path) if os.path.exists(latest_path) else {}
+        parts.append(
+            {
+                "part": part,
+                "watermark": latest.get("watermark", -1),
+                "run_id": latest.get("run_id"),
+                "checksum": latest.get("checksum"),
+                "state_bytes": os.path.getsize(base) if base else 0,
+                "delta_runs": len(deltas),
+                "delta_bytes": sum(os.path.getsize(f) for f in deltas),
+            }
+        )
+    return {
+        "out_dir": cfg.out_dir,
+        "partitions": len(parts),
+        "watermark_min": min((p["watermark"] for p in parts), default=-1),
+        "watermark_max": max((p["watermark"] for p in parts), default=-1),
+        "state_bytes": sum(p["state_bytes"] for p in parts),
+        "delta_runs_total": sum(p["delta_runs"] for p in parts),
+        "delta_bytes": sum(p["delta_bytes"] for p in parts),
+        "parts": parts,
+    }
+
+
 def migrate_state(old_out_dir: str, cfg: CdcConfig) -> dict:
     """Explicit migration for PERSISTED-ROUTING changes (hash provider or
     `num_partitions`, see _check_state_format / README "State
