@@ -621,3 +621,51 @@ def test_delta_mode_with_schema_evolution(fixture_root, tmp_path):
     assert_converged(cfg, exp)
     got = final_table_sorted(cfg)
     assert got.schema.field("tool").type == pa.string()
+
+
+def test_dead_letter_retry_after_config_fix(tmp_path):
+    """Dead-letter replay workflow: rows dirtied by an unparseable ts
+    format re-ingest through the NORMAL apply path once the operator adds
+    the format to the config (the dirty side-output carries every column
+    stringified; normalize ignores the extra _reason column).  Rows that
+    remain invalid (bad op) route to the new run's dirty output again."""
+    import glob as _glob
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "dl"), num_partitions=4)
+    log = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3], pa.int64()),
+            "op": pa.array(["I", "I", "X"], pa.string()),  # X = invalid op
+            "conv_id": pa.array(["c1", "c2", "c3"], pa.string()),
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": pa.array(["user"] * 3, pa.string()),
+            "text": pa.array(["ok", "euro ts", "bad op"], pa.string()),
+            "tool": pa.array([None, None, None], pa.string()),
+            # row 2 uses a format outside the default ts_formats
+            "ts": pa.array(
+                ["2026-01-01 00:00:01", "01/02/2026 10:00:00", "2026-01-01 00:00:03"],
+                pa.string(),
+            ),
+        }
+    )
+    src = str(tmp_path / "log")
+    os.makedirs(src)
+    pq.write_table(log, os.path.join(src, "events.parquet"))
+
+    s1 = apply_cdc(src, cfg)
+    assert s1["rows_live"] == 1 and s1["dirty_records"] == 2
+
+    dirty_files = _glob.glob(os.path.join(cfg.out_dir, "dirty", "*", "*.parquet"))
+    assert dirty_files
+    # operator fix: accept the European format, then replay the dead letters
+    cfg2 = CdcConfig(
+        out_dir=cfg.out_dir, num_partitions=4,
+        ts_formats=("%Y-%m-%d %H:%M:%S", "%d/%m/%Y %H:%M:%S"),
+    )
+    s2 = apply_cdc(dirty_files, cfg2)
+    assert s2["rows_live"] >= 1 and s2["dirty_records"] == 1  # bad op stays dirty
+
+    got = final_table_sorted(cfg2)
+    assert got.num_rows == 2
+    assert got["conv_id"].to_pylist() == ["c1", "c2"]
+    assert str(got["ts"][1]) == "2026-02-01 10:00:00"
