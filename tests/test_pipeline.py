@@ -669,3 +669,25 @@ def test_dead_letter_retry_after_config_fix(tmp_path):
     assert got.num_rows == 2
     assert got["conv_id"].to_pylist() == ["c1", "c2"]
     assert str(got["ts"][1]) == "2026-02-01 10:00:00"
+
+
+def test_delta_mode_with_hot_key_salting(fixture_root, tmp_path):
+    """Hot-key salting composes with delta mode: routing (assign_parts)
+    is identical in both strategies, so a salted skewed log under delta
+    runs converges to the one-shot golden table."""
+    from tg_data_connector_ray.cdc.pipeline import detect_hot_keys
+
+    fx = write_fixture(fixture_root, "t2skew")
+    hot = detect_hot_keys(fx["cdc_log"], threshold_frac=0.05)
+    assert hot  # the fixture really has hot conversations
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "dsk"), num_partitions=8,
+        hot_keys=tuple(hot), merge_strategy="delta",
+    )
+    files = sorted(
+        os.path.join(fx["cdc_log"], f) for f in os.listdir(fx["cdc_log"])
+    )
+    k = len(files) // 2
+    apply_cdc(files[:k], cfg)
+    apply_cdc(files[k:], cfg)
+    assert_converged(cfg, pq.read_table(fx["transcripts"]))
