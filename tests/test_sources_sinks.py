@@ -811,3 +811,37 @@ def test_fs_options_registry_reaches_pyarrow(tmp_path):
     # after clearing, unregistered schemes fall back to from_uri
     fs2, _ = resolve_fs(f"file://{tmp_path}")
     assert isinstance(fs2, pafs.LocalFileSystem)
+
+
+def test_sql_sink_rate_limit_rows_per_s(tmp_path):
+    """Per-write-task rows/s cap (the reference's per-channel record cap):
+    200 rows at 400 rows/s must take >= ~0.5 s; uncapped is unconstrained
+    and row counts are identical either way."""
+    import sqlite3
+    import time
+
+    import ray.data
+
+    from tg_data_connector_ray.sinks.sql import SqlSinkConfig, write_sql
+
+    db = str(tmp_path / "rl.db")
+    t = pa.table(
+        {
+            "id": pa.array(range(200), pa.int64()),
+            "name": pa.array([f"r{i}" for i in range(200)]),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(1)
+    base = dict(
+        table="t", columns=("id", "name"),
+        pre_sql=("CREATE TABLE IF NOT EXISTS t (id INTEGER, name TEXT)",),
+        batch_rows=50,
+    )
+    t0 = time.monotonic()
+    n = write_sql(ds, lambda: sqlite3.connect(db), SqlSinkConfig(**base, rate_limit_rows_per_s=400))
+    capped = time.monotonic() - t0
+    assert n == 200
+    assert capped >= 0.45  # 200 rows / 400 rows/s
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 200
+    con.close()

@@ -51,6 +51,13 @@ class SqlSinkConfig:
     # Only direct `SqlWriter` use without an ordinal falls back to the
     # content-hash-only key with the identical-batch caveat.
     exactly_once: bool = False
+    # per-WRITE-TASK rate cap in rows/second (the reference's per-channel
+    # record cap, Channel.java:56-57 — its shipped config disables it, and
+    # so does None here).  Ray's backpressure handles engine-internal flow
+    # control; this knob exists for POLITENESS to an external database:
+    # each write task sleeps to keep its own committed-row rate at or
+    # under the cap, so global throughput <= cap x concurrent write tasks.
+    rate_limit_rows_per_s: "float | None" = None
 
     def __post_init__(self):
         if self.write_mode not in ("insert", "replace", "update"):
@@ -268,11 +275,14 @@ class SqlDatasink:
         pass
 
     def write(self, blocks, ctx) -> int:
+        import time as _time
+
         import pandas as pd
 
         writer = SqlWriter(self._factory, self.cfg, self.write_uuid)
         total = 0
         ordinal = 0
+        t0 = _time.monotonic()
         for block in blocks:
             t = pa.Table.from_pandas(block) if isinstance(block, pd.DataFrame) else block
             for off in range(0, t.num_rows, self.cfg.batch_rows):
@@ -280,6 +290,14 @@ class SqlDatasink:
                 out = writer(chunk, ordinal_key=f"{ctx.task_idx}:{ordinal}")
                 total += int(out["rows_written"][0].as_py())
                 ordinal += 1
+                cap = self.cfg.rate_limit_rows_per_s
+                if cap:
+                    # token-bucket pacing: sleep until this task's committed
+                    # rows fit under cap * elapsed (the reference's
+                    # per-channel sleep throttle, Channel.java)
+                    ahead_s = total / cap - (_time.monotonic() - t0)
+                    if ahead_s > 0:
+                        _time.sleep(ahead_s)
         return total
 
     def on_write_complete(self, write_result) -> None:
