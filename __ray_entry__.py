@@ -754,6 +754,20 @@ def _multimodal_audio_stats(sf_dir):
     return doc_audio_sample_stats(ds)
 
 
+def _docs_mix_to_budget(sf_dir):
+    """Balanced source mixing at a 60k-char budget: per-source totals ->
+    integer keep thresholds -> deterministic md5-bucket sampling; the
+    oracle reproduces thresholds and membership bit-exactly."""
+    from tg_data_connector_ray.ops.sampling import mix_to_budget
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return mix_to_budget(ds, budget_chars=60_000)
+
+
 def _docs_bigram_lm(sf_dir):
     """Corpus-frequency char-bigram LM proxy (the KenLM quality-filter
     dataflow): distributed train pass -> broadcast count model -> exact
@@ -1047,6 +1061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_stats": _multimodal_audio_stats,
         # --- corpus LM-proxy quality score (train -> broadcast -> score) ---
         "docs_bigram_lm": _docs_bigram_lm,
+        # --- balanced source mixing at a size budget ---
+        "docs_mix_to_budget": _docs_mix_to_budget,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "late_shipment_priority": _late_shipment_priority,
@@ -1998,6 +2014,31 @@ def oracle_sql() -> dict[str, str]:
         # both passes reconstructed in SQL: corpus-wide char-bigram counts,
         # then per-doc sum of its bigrams' corpus counts (text is ASCII in
         # the fixtures, so byte and char bigrams coincide)
+        # thresholds are pure integer math over per-source totals; bucket =
+        # first 4 md5 bytes of 'mix:<doc_id>' mod 10000 (the established
+        # hash-sampling oracle idiom)
+        "docs_mix_to_budget": """
+            WITH tot AS (
+              SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sc
+              FROM documents GROUP BY source
+            ), thr AS (
+              SELECT source,
+                     LEAST(10000,
+                       ((60000 // (SELECT COUNT(*) FROM tot)) * 10000) // sc
+                     ) AS th
+              FROM tot
+            ), h AS (
+              SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('mix:' || CAST(doc_id AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM documents
+            )
+            SELECT h.doc_id, h.source, h.n_chars
+            FROM h JOIN thr ON thr.source = h.source
+            WHERE h.b < thr.th
+        """,
         "docs_bigram_lm": """
             WITH bg AS (
               -- this DuckDB build rejects correlated range() bounds, so a

@@ -619,3 +619,39 @@ def test_bigram_lm_scores_edges_and_formula(ray_session):
     arr = pa.chunked_array([pa.array(["xx", "yy", "zz"])]).combine_chunks().slice(1)
     codes, counts = _char_bigram_codes(arr)
     assert counts.tolist() == [1, 1] and len(codes) == 2
+
+
+def test_mix_to_budget_rates_and_determinism(ray_session):
+    """Balanced source mixing: per-source kept chars land near
+    min(budget/n_sources, available); membership is a pure key function
+    (identical across runs); a tiny source under its target keeps ALL."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.ops.sampling import mix_to_budget
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    sources = np.array(["big0", "big1"])[rng.integers(0, 2, n)]
+    chars = rng.integers(50, 150, n)
+    # a tiny third source far below its target share
+    ids = np.arange(n + 3)
+    sources = np.concatenate([sources, ["tiny"] * 3])
+    chars = np.concatenate([chars, [10, 20, 30]])
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array(chars, pa.int64()),
+        }
+    )
+    budget = 60_000  # 20k per source; big sources hold ~200k chars each
+    got = mix_to_budget(ray.data.from_arrow(t), budget).to_pandas()
+    got2 = mix_to_budget(ray.data.from_arrow(t), budget).to_pandas()
+    assert got.sort_values("doc_id").equals(got2.sort_values("doc_id"))
+    per = got.groupby("source")["n_chars"].sum()
+    assert per["tiny"] == 60  # under target -> keep everything
+    for s in ("big0", "big1"):
+        # expected = target +- sampling noise (rate ~10%, ~200 kept docs)
+        assert 0.6 * 20_000 < per[s] < 1.4 * 20_000

@@ -54,3 +54,54 @@ def hash_sample_batch(
     b = _key_buckets(batch[col].to_pylist(), salt)
     keep = b < round(fraction * _DENOM)
     return batch.filter(pa.array(keep))
+
+
+def mix_to_budget(ds_docs, budget_chars: int, source_col: str = "source",
+                  size_col: str = "n_chars", id_col: str = "doc_id",
+                  salt: str = "mix"):
+    """Balanced multi-source corpus mixing at a size budget — the
+    "sample each source at a rate that hits the target mix" step every
+    training-data pipeline runs before tokenization.
+
+    Pass 1 aggregates per-source totals (sources are low-cardinality:
+    per-batch partials, tiny driver merge); each source's keep threshold
+    is then PURE INTEGER math — ``thr = min(10000, (budget //
+    n_sources) * 10000 // source_total)`` — so a SQL oracle reproduces
+    the exact kept set.  Pass 2 streams, keeping rows whose deterministic
+    md5 bucket falls under their source's threshold: expected kept chars
+    per source ~= min(budget / n_sources, available), membership is a
+    pure key function (stable across re-runs/backfills), and no shuffle
+    happens anywhere."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select([source_col, size_col])
+            .group_by(source_col)
+            .aggregate([(size_col, "sum")])
+        )
+        return g.rename_columns([source_col, "total"])
+
+    parts = ds_docs.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_pandas()
+    totals = parts.groupby(source_col)["total"].sum()
+    target = int(budget_chars) // max(1, len(totals))
+    thr = {
+        s: min(_DENOM, (target * _DENOM) // int(tot)) if int(tot) > 0 else _DENOM
+        for s, tot in totals.items()
+    }
+
+    def keep(t: pa.Table) -> pa.Table:
+        b = _key_buckets(t[id_col].to_pylist(), salt)
+        th = np.array([thr.get(s, _DENOM) for s in t[source_col].to_pylist()])
+        out = t.filter(pa.array(b < th))
+        return pa.table(
+            {
+                id_col: out[id_col],
+                source_col: out[source_col],
+                size_col: pc.cast(out[size_col], pa.int64()),
+            }
+        )
+
+    return ds_docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
