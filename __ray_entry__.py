@@ -754,6 +754,31 @@ def _multimodal_audio_stats(sf_dir):
     return doc_audio_sample_stats(ds)
 
 
+def _dedup_exact_incremental(sf_dir):
+    """Streaming-ingest exact dedup: two successive doc batches (ids
+    < 250, then the rest) dedupe against persistent hash-partitioned
+    seen-state — the second batch never re-reads the first.  Batches are
+    id-ordered, so first-seen == global min id per text and the oracle
+    is the same GROUP BY text as one-shot dedup_exact."""
+    import shutil
+
+    from tg_data_connector_ray.ops.dedup import exact_dedup_incremental
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    state = os.path.join(
+        _CDC_OUT, f"dedup_state_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh per invocation
+    kept1 = exact_dedup_incremental(
+        docs.filter(expr="doc_id < 250"), state
+    ).to_pandas()  # executes batch 1 fully before batch 2 reads the state
+    kept2 = exact_dedup_incremental(docs.filter(expr="doc_id >= 250"), state).to_pandas()
+    import pandas as pd
+
+    out = pd.concat([kept1, kept2], ignore_index=True).sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
+
+
 def _docs_mix_to_budget(sf_dir):
     """Balanced source mixing at a 60k-char budget: per-source totals ->
     integer keep thresholds -> deterministic md5-bucket sampling; the
@@ -1063,6 +1088,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_lm": _docs_bigram_lm,
         # --- balanced source mixing at a size budget ---
         "docs_mix_to_budget": _docs_mix_to_budget,
+        # --- streaming-ingest dedup against persistent seen-state ---
+        "dedup_exact_incremental": _dedup_exact_incremental,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "late_shipment_priority": _late_shipment_priority,
@@ -1395,6 +1422,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT (lang = 'en') AND NOT (n_chars < 50)
         """,
         "dedup_exact": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # batches are id-ordered, so incremental first-seen == global min
+        "dedup_exact_incremental": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
         # shared shingle CTE for the jaccard-family oracles: word 3-grams of
         # [a-z0-9_]+ tokens on lowered text; <3 tokens -> one combined gram;
         # no tokens -> a sentinel (matches ops/dedup._shingle_hashes exactly)

@@ -655,3 +655,41 @@ def test_mix_to_budget_rates_and_determinism(ray_session):
     for s in ("big0", "big1"):
         # expected = target +- sampling noise (rate ~10%, ~200 kept docs)
         assert 0.6 * 20_000 < per[s] < 1.4 * 20_000
+
+
+def test_exact_dedup_incremental_first_seen_wins(tmp_path, ray_session):
+    """Persistent-state dedup: batch 2's duplicates of batch-1 texts drop
+    without re-reading batch 1; within-batch dups keep the min id; state
+    survives for a third batch; O(new) state writes (one run file per
+    touched partition per batch)."""
+    import os
+
+    from tg_data_connector_ray.ops.dedup import exact_dedup_incremental
+
+    state = str(tmp_path / "seen")
+
+    def batch(ids, texts):
+        return ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+        )
+
+    k1 = sorted(
+        r["doc_id"]
+        for r in exact_dedup_incremental(batch([1, 2, 3], ["a", "b", "a"]), state).take_all()
+    )
+    assert k1 == [1, 2]  # 3 is a within-batch dup of 1
+    k2 = sorted(
+        r["doc_id"]
+        for r in exact_dedup_incremental(batch([4, 5], ["a", "c"]), state).take_all()
+    )
+    assert k2 == [5]  # "a" seen in batch 1
+    k3 = exact_dedup_incremental(batch([6], ["c"]), state).take_all()
+    assert k3 == []  # "c" seen in batch 2
+    # run files accumulate per batch (append-only commits), never rewritten
+    files = [
+        f
+        for d in os.listdir(state)
+        for f in os.listdir(os.path.join(state, d))
+        if f.endswith(".parquet")
+    ]
+    assert 2 <= len(files) <= 5

@@ -1069,3 +1069,90 @@ def embedding_near_dup_pairs(
     from ..pipelines.relational import distinct_rows
 
     return distinct_rows(pairs, ["a", "b"])
+
+
+# ---------------------------------------------------------------------------
+# incremental exact dedup against persistent seen-corpus state
+
+
+class _IncrementalDedupPart:
+    """Per-partition step of exact_dedup_incremental (map_groups body):
+    owns ONE hash partition end-to-end — read its seen-state slice, drop
+    batch rows whose content hash was ever seen, commit the new uniques.
+
+    State layout is LSM-ish: `part=NNN/seen-<token>.parquet` run files of
+    (h1, h2, doc_id) rows; a commit APPENDS one file (O(new uniques), via
+    temp + os.replace — crash-safe), so per-batch cost never grows with
+    corpus history on the write side; reads merge the runs (bounded by
+    batches-per-partition; hash partitioning keeps slices small)."""
+
+    def __init__(self, state_dir: str, num_parts: int):
+        self.state_dir = state_dir
+        self.num_parts = num_parts
+
+    def __call__(self, g: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..util import new_token
+
+        part = int(g["_part"][0].as_py())
+        pdir = os.path.join(self.state_dir, f"part={part:05d}")
+        os.makedirs(pdir, exist_ok=True)
+        # within-batch first-seen: min doc_id per (h1, h2)
+        cand = (
+            g.select(["h1", "h2", "doc_id"])
+            .group_by(["h1", "h2"])
+            .aggregate([("doc_id", "min")])
+            .rename_columns(["h1", "h2", "doc_id"])
+        )
+        files = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+        )
+        if files:
+            seen = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"]) for f in files)
+            cand = cand.join(seen, keys=["h1", "h2"], join_type="left anti")
+        if cand.num_rows:
+            tmp = os.path.join(pdir, f".tmp-{new_token()}")
+            pq.write_table(cand, tmp)
+            os.replace(tmp, os.path.join(pdir, f"seen-{new_token()}.parquet"))
+        return pa.table({"doc_id": cand["doc_id"].combine_chunks().cast(pa.int64())})
+
+
+def exact_dedup_incremental(ds_new, state_dir: str, col: str = "text",
+                            num_parts: int = 16):
+    """Exact-dedup a NEW batch against the ENTIRE seen corpus without
+    re-reading it: 128-bit content hashes route to hash partitions (thin
+    shuffle — bodies never move), each partition task anti-joins its
+    bounded state slice and appends the new uniques.  First-seen wins
+    across batches; returns the batch's KEPT doc_ids.  The streaming-
+    ingest sibling of exact_dedup_ids (which is one-shot over a full
+    corpus); at 10^10 docs the state is just the hash triples, hash-
+    partitioned, with O(new) writes per batch."""
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+    thin = ds_new.map_batches(
+        lambda b: content_hash_batch(b, col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        # h1 is already a uniform hash: mask directly for the partition id
+        p = pc.cast(pc.bit_wise_and(t["h1"], num_parts - 1), pa.int32())
+        return t.append_column("_part", p)
+
+    from functools import partial
+
+    return (
+        thin.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_part")
+        .map_groups(
+            partial(_incremental_dedup_group, state_dir=state_dir, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _incremental_dedup_group(g: pa.Table, *, state_dir: str, num_parts: int) -> pa.Table:
+    """Task-mode wrapper (map_groups wants a plain function)."""
+    return _IncrementalDedupPart(state_dir, num_parts)(g)
