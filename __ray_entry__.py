@@ -1109,20 +1109,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_prep_v2": _docs_prep_v2,
         "docs_prep_pipeline": _docs_prep_pipeline,
         "docs_hash_split": _docs_hash_split,
-        # --- stream windows over the events table ---
-        "events_hourly_window": R.events_hourly_window,
-        "events_hopping_window": R.events_hopping_window,
+        # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
-        "events_late_data": R.late_events,
-        "events_value_band_join": R.events_value_band_join,
-        # --- relational flagships ---
+        # --- relational flagships (the real joins) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
         "revenue_by_nation": _revenue_by_nation,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "orders_without_lineitems": _orders_without_lineitems,
-        "events_rolling_sum": _events_rolling_sum,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1137,6 +1132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- corpus analytics ---
         "events_quantiles": _events_quantiles,
         "docs_pack_sequences": _docs_pack_sequences,
+        # --- stream windows over the events table (long-stable) ---
+        "events_hourly_window": R.events_hourly_window,
+        "events_hopping_window": R.events_hopping_window,
+        "events_late_data": R.late_events,
+        "events_value_band_join": R.events_value_band_join,
+        "events_rolling_sum": _events_rolling_sum,
         "text_tfidf": _text_tfidf,
         "text_top_bigrams": _text_top_bigrams,
         "docs_contamination": _docs_contamination,
