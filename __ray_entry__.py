@@ -800,6 +800,19 @@ def _docs_bigram_lm(sf_dir):
     from tg_data_connector_ray.ops.text import bigram_lm_scores
     from tg_data_connector_ray.util import sized_read_parquet
 
+    # the paired oracle enumerates bigram positions up to a 4096 literal
+    # (this DuckDB rejects correlated range() bounds); fail LOUDLY here if
+    # a future fixture ever exceeds it instead of silently diverging
+    import duckdb
+
+    max_len = duckdb.sql(
+        f"SELECT COALESCE(MAX(length(text)), 0) FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
+    ).fetchone()[0]
+    if max_len >= 4096:
+        raise ValueError(
+            f"docs_bigram_lm oracle caps positions at 4096 but a document "
+            f"has {max_len} chars — raise the literal in oracle_sql() too"
+        )
     ds = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )

@@ -50,6 +50,7 @@ def main() -> None:
     fx_dir = os.environ.get("GRAFT_DELTA_FIXTURE_DIR")
     if fx_dir:  # pre-generated fixture (e.g. the chunked 3M tier)
         log = os.path.join(fx_dir, "cdc_log")
+        convs = None  # unknown here; the fixture dir is the identity
     else:
         fx = write_fixture(cache, f"bench{convs}", FixtureSpec(n_convs=convs, n_files=64))
         log = fx["cdc_log"]
@@ -66,7 +67,8 @@ def main() -> None:
         return time.monotonic() - t0, s["events_in"]
 
     results: dict = {"metric": "delta_merge_bench", "unit": "sec",
-                     "convs": convs, "num_cpus": cpus, "num_partitions": parts}
+                     "convs": convs, "fixture": fx_dir or f"bench{convs}",
+                     "num_cpus": cpus, "num_partitions": parts}
     for strategy in ("refold", "delta"):
         out = os.path.join(root, strategy)
         shutil.rmtree(out, ignore_errors=True)

@@ -685,11 +685,24 @@ def test_exact_dedup_incremental_first_seen_wins(tmp_path, ray_session):
     assert k2 == [5]  # "a" seen in batch 1
     k3 = exact_dedup_incremental(batch([6], ["c"]), state).take_all()
     assert k3 == []  # "c" seen in batch 2
+    # re-consuming ONE batch's Dataset must not self-shadow (the own-token
+    # exclusion): both consumptions report the same kept set
+    ds4 = exact_dedup_incremental(batch([7, 8], ["d", "d"]), state)
+    first = sorted(r["doc_id"] for r in ds4.take_all())
+    again = sorted(r["doc_id"] for r in ds4.take_all())
+    assert first == again == [7]
     # run files accumulate per batch (append-only commits), never rewritten
     files = [
         f
         for d in os.listdir(state)
+        if os.path.isdir(os.path.join(state, d))
         for f in os.listdir(os.path.join(state, d))
         if f.endswith(".parquet")
     ]
-    assert 2 <= len(files) <= 5
+    assert 3 <= len(files) <= 7
+    # persisted-routing guard: a different num_parts over the same state
+    # dir is a loud error, not silent duplicate-keeping
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition routing"):
+        exact_dedup_incremental(batch([9], ["e"]), state, num_parts=8)

@@ -815,8 +815,8 @@ def test_fs_options_registry_reaches_pyarrow(tmp_path):
 
 def test_sql_sink_rate_limit_rows_per_s(tmp_path):
     """Per-write-task rows/s cap (the reference's per-channel record cap):
-    200 rows at 400 rows/s must take >= ~0.5 s; uncapped is unconstrained
-    and row counts are identical either way."""
+    200 rows at 400 rows/s in 50-row chunks must pace >= ~0.375 s; row
+    counts are identical either way."""
     import sqlite3
     import time
 
@@ -841,7 +841,8 @@ def test_sql_sink_rate_limit_rows_per_s(tmp_path):
     n = write_sql(ds, lambda: sqlite3.connect(db), SqlSinkConfig(**base, rate_limit_rows_per_s=400))
     capped = time.monotonic() - t0
     assert n == 200
-    assert capped >= 0.45  # 200 rows / 400 rows/s
+    # pre-commit pacing: 3 inter-chunk waits of 50/400 s each
+    assert capped >= 0.35
     con = sqlite3.connect(db)
     assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 200
     con.close()

@@ -1075,53 +1075,77 @@ def embedding_near_dup_pairs(
 # incremental exact dedup against persistent seen-corpus state
 
 
-class _IncrementalDedupPart:
+def _incremental_dedup_part(g: pa.Table, *, state_dir: str, batch_token: str) -> pa.Table:
     """Per-partition step of exact_dedup_incremental (map_groups body):
     owns ONE hash partition end-to-end — read its seen-state slice, drop
     batch rows whose content hash was ever seen, commit the new uniques.
 
-    State layout is LSM-ish: `part=NNN/seen-<token>.parquet` run files of
-    (h1, h2, doc_id) rows; a commit APPENDS one file (O(new uniques), via
-    temp + os.replace — crash-safe), so per-batch cost never grows with
-    corpus history on the write side; reads merge the runs (bounded by
-    batches-per-partition; hash partitioning keeps slices small)."""
+    State layout is LSM-ish: `part=NNN/seen-<batch_token>.parquet` run
+    files of (h1, h2, doc_id) rows; a commit APPENDS one file (O(new
+    uniques), temp + os.replace — crash-safe), so per-batch write cost
+    never grows with corpus history; reads merge the runs (bounded by
+    batches-per-partition).  The run-file name carries the BATCH token
+    and the anti-join EXCLUDES this batch's own file, so a Ray task
+    retry (or a re-consumed/lineage-reconstructed Dataset) recomputes
+    the identical kept set and rewrites the same file — idempotent,
+    never self-shadowing."""
+    import os
 
-    def __init__(self, state_dir: str, num_parts: int):
-        self.state_dir = state_dir
-        self.num_parts = num_parts
+    import pyarrow.parquet as pq
 
-    def __call__(self, g: pa.Table) -> pa.Table:
-        import os
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, f"part={part:05d}")
+    os.makedirs(pdir, exist_ok=True)
+    # within-batch first-seen: min doc_id per (h1, h2)
+    cand = (
+        g.select(["h1", "h2", "doc_id"])
+        .group_by(["h1", "h2"])
+        .aggregate([("doc_id", "min")])
+        .rename_columns(["h1", "h2", "doc_id"])
+    )
+    own = f"seen-{batch_token}.parquet"
+    files = sorted(
+        os.path.join(pdir, f)
+        for f in os.listdir(pdir)
+        if f.endswith(".parquet") and f != own
+    )
+    if files:
+        seen = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"]) for f in files)
+        cand = cand.join(seen, keys=["h1", "h2"], join_type="left anti")
+    if cand.num_rows:
+        tmp = os.path.join(pdir, f".tmp-{batch_token}")
+        pq.write_table(cand, tmp)
+        os.replace(tmp, os.path.join(pdir, own))
+    return pa.table({"doc_id": cand["doc_id"].combine_chunks().cast(pa.int64())})
 
-        import pyarrow.parquet as pq
 
-        from ..util import new_token
+def _check_dedup_state_format(state_dir: str, num_parts: int) -> None:
+    """Pin the persisted hash-partition layout (the CDC _FORMAT.json rule
+    applied here): a changed num_parts would route a seen hash to a
+    different partition and silently keep its duplicates."""
+    import json
+    import os
 
-        part = int(g["_part"][0].as_py())
-        pdir = os.path.join(self.state_dir, f"part={part:05d}")
-        os.makedirs(pdir, exist_ok=True)
-        # within-batch first-seen: min doc_id per (h1, h2)
-        cand = (
-            g.select(["h1", "h2", "doc_id"])
-            .group_by(["h1", "h2"])
-            .aggregate([("doc_id", "min")])
-            .rename_columns(["h1", "h2", "doc_id"])
-        )
-        files = sorted(
-            os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
-        )
-        if files:
-            seen = pa.concat_tables(pq.read_table(f, columns=["h1", "h2"]) for f in files)
-            cand = cand.join(seen, keys=["h1", "h2"], join_type="left anti")
-        if cand.num_rows:
-            tmp = os.path.join(pdir, f".tmp-{new_token()}")
-            pq.write_table(cand, tmp)
-            os.replace(tmp, os.path.join(pdir, f"seen-{new_token()}.parquet"))
-        return pa.table({"doc_id": cand["doc_id"].combine_chunks().cast(pa.int64())})
+    marker = os.path.join(state_dir, "_FORMAT.json")
+    want = {"hash": "polars-ahash:51AB/D00D", "num_parts": num_parts}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            got = json.load(f)
+        if got != want:
+            raise ValueError(
+                f"dedup state at {state_dir} was written with {got}, this call "
+                f"uses {want}; partition routing would not match existing "
+                "state — re-bootstrap into a fresh state_dir"
+            )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        from ..util import atomic_write_json
+
+        atomic_write_json(marker, want)
 
 
 def exact_dedup_incremental(ds_new, state_dir: str, col: str = "text",
-                            num_parts: int = 16):
+                            num_parts: int = 16, batch_token: "str | None" = None):
     """Exact-dedup a NEW batch against the ENTIRE seen corpus without
     re-reading it: 128-bit content hashes route to hash partitions (thin
     shuffle — bodies never move), each partition task anti-joins its
@@ -1129,9 +1153,20 @@ def exact_dedup_incremental(ds_new, state_dir: str, col: str = "text",
     across batches; returns the batch's KEPT doc_ids.  The streaming-
     ingest sibling of exact_dedup_ids (which is one-shot over a full
     corpus); at 10^10 docs the state is just the hash triples, hash-
-    partitioned, with O(new) writes per batch."""
+    partitioned, with O(new) writes per batch.
+
+    `batch_token` names this batch's state commit (default: a fresh
+    token per call): per-partition tasks exclude their OWN run file from
+    the anti-join, so retries and re-consumption of the returned Dataset
+    are idempotent.  Pass a stable token (e.g. derived from the input
+    file list, like cdc.compute_run_id) to make whole-batch REPLAYS
+    no-ops that return the same kept set."""
+    from ..util import new_token
+
     if num_parts & (num_parts - 1):
         raise ValueError("num_parts must be a power of two")
+    _check_dedup_state_format(state_dir, num_parts)
+    batch_token = batch_token or new_token()
     thin = ds_new.map_batches(
         lambda b: content_hash_batch(b, col), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -1147,12 +1182,9 @@ def exact_dedup_incremental(ds_new, state_dir: str, col: str = "text",
         thin.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_part")
         .map_groups(
-            partial(_incremental_dedup_group, state_dir=state_dir, num_parts=num_parts),
+            partial(
+                _incremental_dedup_part, state_dir=state_dir, batch_token=batch_token
+            ),
             batch_format="pyarrow",
         )
     )
-
-
-def _incremental_dedup_group(g: pa.Table, *, state_dir: str, num_parts: int) -> pa.Table:
-    """Task-mode wrapper (map_groups wants a plain function)."""
-    return _IncrementalDedupPart(state_dir, num_parts)(g)

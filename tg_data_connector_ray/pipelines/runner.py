@@ -284,12 +284,19 @@ def run_job(config: dict) -> dict:
         col = param.get("columnIndex", param.get("column"))
         if t["name"] == "dx_py":
             # inline-config code string (the reference's dx_groovy shape):
-            # compiled ONCE here, then runs as a plain chain UDF
+            # compiled ONCE here, then runs as a plain chain UDF; malformed
+            # configs (missing code, bad mode/column, syntax errors) must
+            # surface as JobConfigError like every other config problem
             from ..stages.transforms import compile_py_transformer
 
-            fn = compile_py_transformer(
-                param["code"], col=col, mode=param.get("mode", "vector")
-            )
+            if "code" not in param:
+                raise JobConfigError("dx_py transformer needs parameter.code")
+            try:
+                fn = compile_py_transformer(
+                    param["code"], col=col, mode=param.get("mode", "vector")
+                )
+            except (SyntaxError, ValueError) as e:
+                raise JobConfigError(f"dx_py config invalid: {e}") from e
             return TransformSpec(name="dx_udf", params={"fn": fn})
         return TransformSpec(
             name=t["name"],

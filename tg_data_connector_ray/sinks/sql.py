@@ -60,6 +60,11 @@ class SqlSinkConfig:
     rate_limit_rows_per_s: "float | None" = None
 
     def __post_init__(self):
+        if self.rate_limit_rows_per_s is not None and self.rate_limit_rows_per_s <= 0:
+            raise ValueError(
+                f"rate_limit_rows_per_s must be positive or None, got "
+                f"{self.rate_limit_rows_per_s}"
+            )
         if self.write_mode not in ("insert", "replace", "update"):
             raise ValueError(f"writeMode must be insert|replace|update, got {self.write_mode}")
         if self.write_mode == "update" and self.dialect != "mysql" and not self.conflict_keys:
@@ -283,21 +288,23 @@ class SqlDatasink:
         total = 0
         ordinal = 0
         t0 = _time.monotonic()
+        cap = self.cfg.rate_limit_rows_per_s
         for block in blocks:
             t = pa.Table.from_pandas(block) if isinstance(block, pd.DataFrame) else block
             for off in range(0, t.num_rows, self.cfg.batch_rows):
                 chunk = t.slice(off, self.cfg.batch_rows)
-                out = writer(chunk, ordinal_key=f"{ctx.task_idx}:{ordinal}")
-                total += int(out["rows_written"][0].as_py())
-                ordinal += 1
-                cap = self.cfg.rate_limit_rows_per_s
                 if cap:
-                    # token-bucket pacing: sleep until this task's committed
-                    # rows fit under cap * elapsed (the reference's
-                    # per-channel sleep throttle, Channel.java)
+                    # token-bucket pacing BEFORE each commit: wait until the
+                    # rows already committed fit under cap * elapsed (the
+                    # reference's per-channel sleep throttle, Channel.java).
+                    # Pacing pre-commit means no dead sleep after the final
+                    # chunk — the task ends the moment its last write lands.
                     ahead_s = total / cap - (_time.monotonic() - t0)
                     if ahead_s > 0:
                         _time.sleep(ahead_s)
+                out = writer(chunk, ordinal_key=f"{ctx.task_idx}:{ordinal}")
+                total += int(out["rows_written"][0].as_py())
+                ordinal += 1
         return total
 
     def on_write_complete(self, write_result) -> None:

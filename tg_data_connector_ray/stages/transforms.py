@@ -211,6 +211,13 @@ def compile_py_transformer(code: str, col: "str | int | None" = None,
 
     Returns a table->table callable for the dx_udf chain step; row drops
     are counted as FILTERED by the chain driver, like any UDF."""
+    if mode not in ("vector", "row"):
+        raise TransformError(f"dx_py mode must be vector|row, got {mode!r}")
+    if mode == "vector" and col is None:
+        raise TransformError(
+            "dx_py vector mode needs a column (columnIndex/column) — the "
+            "expression's `col` binding has nothing to point at"
+        )
     compiled = compile(code, "<dx_py>", "eval")
     base_env = {
         "pa": pa, "pc": pc, "np": np, "DROP": _DX_PY_DROP,
@@ -221,13 +228,8 @@ def compile_py_transformer(code: str, col: "str | int | None" = None,
         },
     }
 
-    def _resolve(table: pa.Table) -> str:
-        if isinstance(col, int):
-            return table.column_names[col]
-        return col
-
     def _fn(table: pa.Table) -> pa.Table:
-        name = _resolve(table)
+        name = _resolve_col(table, col) if col is not None else None
         arr = table[name].combine_chunks() if name is not None else None
         if mode == "vector":
             out = eval(compiled, dict(base_env), {"col": arr, "table": table})
