@@ -212,3 +212,38 @@ def test_lineage_summary_and_cli(t1, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     res = json.loads(r.stdout.strip().splitlines()[-1])
     assert res["partitions"] == 4 and "parts" not in res
+
+
+def test_cli_cdc_delta_mode(t1, tmp_path):
+    """The cdc verb reaches delta mode + inline auto-compaction from the
+    command line; verify confirms convergence against the golden table."""
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "clid")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "cdc",
+            "--events", t1["cdc_log"], "--out", out, "--partitions", "4",
+            "--merge-strategy", "delta", "--delta-compact-runs", "1",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rv = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "verify",
+            "--out", out, "--expected", t1["transcripts"],
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert rv.returncode == 0, rv.stderr[-2000:]
+    assert json.loads(rv.stdout.strip().splitlines()[-1])["ok"]
+    # auto-compaction at threshold 1 folded the single run into the base
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import lineage_summary
+
+    s = lineage_summary(CdcConfig(out_dir=out))
+    assert s["delta_runs_total"] == 0 and s["state_bytes"] > 0

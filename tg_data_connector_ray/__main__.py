@@ -32,6 +32,14 @@ def main(argv=None) -> int:
     cdcp.add_argument("--partitions", type=int, default=64)
     cdcp.add_argument("--detect-hot-keys", action="store_true")
     cdcp.add_argument("--orphan-updates", default="upsert", choices=["upsert", "drop"])
+    cdcp.add_argument(
+        "--merge-strategy", default="refold", choices=["refold", "delta"],
+        help="delta = LSM run files, O(delta) per run (compact to fold)",
+    )
+    cdcp.add_argument(
+        "--delta-compact-runs", type=int, default=None,
+        help="delta mode: auto-compact a partition at this many run files",
+    )
 
     comp = sub.add_parser("compact", help="compact partitions (tombstone GC)")
     comp.add_argument("--out", required=True)
@@ -83,7 +91,10 @@ def main(argv=None) -> int:
                 "out": args.out,
                 "numPartitions": args.partitions,
                 "orphanUpdates": args.orphan_updates,
+                "mergeStrategy": args.merge_strategy,
             }
+            if args.delta_compact_runs is not None:
+                cdc["deltaCompactRuns"] = args.delta_compact_runs
             if args.snapshot:
                 cdc["snapshot"] = args.snapshot
             if args.detect_hot_keys:

@@ -234,6 +234,8 @@ def run_cdc_job(config: dict) -> dict:
                          "snapshot": <path?>, "numPartitions": N,
                          "hotKeys": [...], "detectHotKeys": bool,
                          "orphanUpdates": "upsert"|"drop",
+                         "mergeStrategy": "refold"|"delta",
+                         "deltaCompactRuns": int?,
                          "nullFormat": str?, "tombstoneRetentionLsn": int?,
                          "errorLimit": {"record": N, "percentage": P}}}}
     """
@@ -249,6 +251,8 @@ def run_cdc_job(config: dict) -> dict:
         out_dir=c["out"],
         num_partitions=int(c.get("numPartitions", 64)),
         orphan_updates=c.get("orphanUpdates", "upsert"),
+        merge_strategy=c.get("mergeStrategy", "refold"),
+        delta_compact_runs=c.get("deltaCompactRuns"),
         null_format=c.get("nullFormat"),
         hot_keys=hot,
         tombstone_retention_lsn=c.get("tombstoneRetentionLsn"),
