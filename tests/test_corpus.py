@@ -310,3 +310,38 @@ def test_users_in_both_no_matching_events(tmp_path):
     )
     out = users_in_both(str(tmp_path))
     assert out.num_rows == 0 and out.column_names == ["user_id"]
+
+
+def test_null_text_and_null_strata_edges(ray_session):
+    """Review-pass regressions: pack_sequences treats null text as 0
+    tokens (no NaN-poisoned offsets); stratified_sample treats a null
+    stratum as its own group (SQL semantics) instead of a lexsort
+    TypeError."""
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.ops.corpus import pack_sequences, stratified_sample
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["one two", None, "three"], pa.string()),
+            }
+        )
+    )
+    out = pack_sequences(docs, budget=4).to_pandas().set_index("doc_id").sort_index()
+    assert out["n_tok"].tolist() == [2, 0, 1]
+
+    strat = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", None, "en", None], pa.string()),
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+    )
+    got = stratified_sample(strat, "lang", "doc_id", k=1).to_pandas()
+    # one row per stratum, null being a stratum of its own
+    assert len(got) == 2
+    assert got["lang"].isna().sum() == 1

@@ -691,3 +691,37 @@ def test_delta_mode_with_hot_key_salting(fixture_root, tmp_path):
     apply_cdc(files[:k], cfg)
     apply_cdc(files[k:], cfg)
     assert_converged(cfg, pq.read_table(fx["transcripts"]))
+
+
+def test_normalize_numeric_narrowing_and_extreme_ts(tmp_path):
+    """Review-pass regressions: (1) an out-of-int32-range int64 turn_idx
+    and a fractional float lsn dirty-route their ROWS instead of
+    ArrowInvalid-killing the task; (2) a timestamp outside pandas'
+    datetime64[ns] range (year 3000) is VALID for the timestamp[us]
+    schema; (3) a dirty row alongside a nested (list) extra column still
+    writes to the dirty channel."""
+    cfg = CdcConfig(out_dir=str(tmp_path / "nn"), num_partitions=2)
+    log = pa.table(
+        {
+            "lsn": pa.array([1.0, 2.5, 3.0, 4.0], pa.float64()),  # 2.5 dirty
+            "op": pa.array(["I", "I", "I", "X"], pa.string()),  # X dirty
+            "conv_id": pa.array(["a", "b", "c", "d"], pa.string()),
+            "turn_idx": pa.array([0, 0, 2**40, 0], pa.int64()),  # 2^40 dirty
+            "role": pa.array(["user"] * 4, pa.string()),
+            "text": pa.array(["t1", "t2", "t3", "t4"], pa.string()),
+            "tool": pa.array([None] * 4, pa.string()),
+            "ts": pa.array(
+                ["3000-01-01 00:00:00"] * 4, pa.string()
+            ),  # beyond ns range, within us range
+            "tags": pa.array([["x"], [], None, ["y", "z"]], pa.list_(pa.string())),
+        }
+    )
+    src = str(tmp_path / "log")
+    os.makedirs(src)
+    pq.write_table(log, os.path.join(src, "events.parquet"))
+    s = apply_cdc(src, cfg)
+    assert s["rows_live"] == 1  # only row a survives
+    assert s["dirty_records"] == 3
+    got = final_table_sorted(cfg)
+    assert got["conv_id"].to_pylist() == ["a"]
+    assert str(got["ts"][0]) == "3000-01-01 00:00:00"

@@ -44,6 +44,10 @@ def _parse_ts_multi(arr: pa.ChunkedArray, formats) -> "tuple[pa.Array, np.ndarra
     """String -> timestamp[us] with multi-format fallback.
 
     Returns (values, bad_mask); bad = non-null input that no format parsed.
+    pandas (ns precision) is the vectorized fast path; values OUTSIDE the
+    datetime64[ns] range (years < 1678 or > 2262) that a format otherwise
+    matches are retried through pyarrow strptime at us precision — the
+    target schema is timestamp[us], so they are valid, not dirty.
     """
     s = arr.to_pandas()
     out = pd.to_datetime(s, format=formats[0], errors="coerce")
@@ -53,7 +57,35 @@ def _parse_ts_multi(arr: pa.ChunkedArray, formats) -> "tuple[pa.Array, np.ndarra
             break
         out[miss] = pd.to_datetime(s[miss], format=fmt, errors="coerce")
     bad = (out.isna() & s.notna()).to_numpy()
-    return pa.Array.from_pandas(out, type=pa.timestamp("us")), bad
+    vals = pa.Array.from_pandas(out, type=pa.timestamp("us"))
+    if bad.any():
+        import pyarrow.compute as pc
+
+        ca = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        idx = np.flatnonzero(bad)
+        sub = ca.take(pa.array(idx))
+        best = pa.nulls(len(idx), pa.timestamp("us"))
+        for fmt in formats:
+            try:
+                parsed = pc.strptime(sub, format=fmt, unit="us", error_is_null=True)
+            except pa.ArrowInvalid:
+                continue
+            best = pc.if_else(pc.is_valid(best), best, parsed)
+        ok = np.asarray(pc.is_valid(best))
+        if ok.any():
+            # int64 merge via fill_null (a nullable->numpy round-trip goes
+            # through float64, which loses exactness past 2^53 us ~ 2255 CE)
+            us = np.zeros(len(vals), np.int64)
+            valid0 = np.asarray(pc.is_valid(vals))
+            v0 = pc.fill_null(vals.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+            us[valid0] = v0[valid0]
+            b0 = pc.fill_null(best.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+            us[idx[ok]] = b0[ok]
+            bad = bad.copy()
+            bad[idx[ok]] = False
+            null_mask = ~(valid0 | np.isin(np.arange(len(vals)), idx[ok]))
+            vals = pa.array(us, type=pa.timestamp("us"), mask=null_mask)
+    return vals, bad
 
 
 def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table:
@@ -100,8 +132,33 @@ def normalize_batch(batch: pa.Table, *, cfg: CdcConfig, run_id: str) -> pa.Table
                 v = np.where(oor, 0, v)
             cols[name] = pa.array(v, type=tgt, mask=isnull)
             bad_casts.append((bad, f"uncastable_{name}"))
+        elif pa.types.is_integer(tgt) and (
+            pa.types.is_integer(col.type) or pa.types.is_floating(col.type)
+        ):
+            # numeric NARROWING (int64 turn_idx from pandas-default parquet,
+            # float lsn from a lax producer): range/integrality failures
+            # must dirty-route the ROW, not ArrowInvalid-kill the task —
+            # same contract as the string-cast branch above
+            if pa.types.is_floating(col.type):
+                fv = col.combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+                isnull = np.isnan(fv)
+                frac = ~isnull & (np.floor(fv) != fv)
+                v = np.where(isnull | frac, 0, fv)
+            else:
+                iv = col.cast(pa.int64(), safe=False)
+                isnull = np.asarray(pc.is_null(iv))
+                frac = np.zeros(n, dtype=bool)
+                v = np.asarray(pc.fill_null(iv, 0)).astype(np.float64)
+            lo = float(-(1 << (tgt.bit_width - 1)))
+            hi = float((1 << (tgt.bit_width - 1)) - 1)
+            oor = (~isnull) & ((v < lo) | (v > hi))
+            bad = frac | oor
+            v64 = np.where(bad | isnull, 0, v).astype(np.int64)
+            cols[name] = pa.array(v64, type=tgt, mask=isnull | bad)
+            if bad.any():
+                bad_casts.append((bad, f"uncastable_{name}"))
         else:
-            cols[name] = col.cast(tgt)  # int widening etc.
+            cols[name] = col.cast(tgt)  # string widening, same-family casts
 
     # nullFormat: exact string equality -> null (reference
     # UnstructuredStorageReaderUtil.java:352-353, equals not ignore-case).
@@ -193,7 +250,17 @@ def _write_dirty(batch: pa.Table, reasons, mask, cfg: CdcConfig, run_id: str) ->
         c = batch[name]
         if pa.types.is_dictionary(c.type):
             c = c.cast(c.type.value_type)
-        cols[name] = c.filter(idx).cast(pa.string())
+        sub = c.filter(idx)
+        try:
+            cols[name] = sub.cast(pa.string())
+        except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+            # nested extra columns (list/struct) have no Arrow string cast;
+            # the dirty channel must never fail the batch it exists to save,
+            # so fall back to Python repr for just these rows
+            cols[name] = pa.array(
+                [None if v is None else str(v) for v in sub.to_pylist()],
+                type=pa.string(),
+            )
     cols["_reason"] = pa.array(reasons[mask], type=pa.string())
     d = cfg.dirty_dir(run_id)
     os.makedirs(d, exist_ok=True)

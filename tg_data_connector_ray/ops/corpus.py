@@ -329,10 +329,14 @@ def stratified_sample(ds, strata_col: str, key_col: str = "doc_id", k: int = 100
     from .sampling import _key_buckets
 
     def _head(s: np.ndarray, b: np.ndarray, key: np.ndarray, with_b: bool) -> pa.Table:
-        """Shared (stratum, bucket, key)-ordered per-stratum head."""
-        order = np.lexsort((key, b, s))
-        s, b, key = s[order], b[order], key[order]
-        new_s = np.concatenate([[True], s[1:] != s[:-1]])
+        """Shared (stratum, bucket, key)-ordered per-stratum head.  A null
+        stratum is its own group (SQL GROUP BY semantics): the sort key
+        maps None to a NUL sentinel (object arrays with None are not
+        lexsortable), while the OUTPUT keeps the real null."""
+        s_key = np.where(s == None, "\x00<null>", s).astype(object)  # noqa: E711
+        order = np.lexsort((key, b, s_key))
+        s, s_key, b, key = s[order], s_key[order], b[order], key[order]
+        new_s = np.concatenate([[True], s_key[1:] != s_key[:-1]])
         starts = np.nonzero(new_s)[0]
         pos = np.arange(len(s)) - starts[np.cumsum(new_s) - 1]
         keep = pos < k
@@ -384,12 +388,15 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
     assigns offsets with a local cumsum.  Shuffle volume is the thin
     pairs; driver state is O(num_ranges) — at 10^10 docs the exchange is
     two int64 columns and the driver holds 64 numbers."""
-    import pyarrow.compute as pc
-
-    from .dedup import _i64
-
     def tok_counts(t: pa.Table) -> pa.Table:
-        n_tok = pc.count_substring_regex(t[col], "[A-Za-z0-9_]+").cast(pa.int64())
+        # null text counts as 0 tokens (a null count would NaN-poison the
+        # prefix sums).  Counting runs on the RAW text deliberately:
+        # packing budgets tokens as written, and the paired SQL oracle
+        # counts the same raw-text regex — the lowered tokenization is a
+        # dedup/shingling convention, not a packing one.
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(t[col], ""), "[A-Za-z0-9_]+"
+        ).cast(pa.int64())
         return pa.table({id_col: t[id_col], "n_tok": n_tok})
 
     thin = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True).materialize()
@@ -480,6 +487,10 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
 
     def hist(t: pa.Table) -> pa.Table:
         g = t[group_col].combine_chunks().to_numpy(zero_copy_only=False)
+        # null group = its own group; the sentinel is the SORT key only
+        # (object arrays with None are not lexsortable) — output keeps
+        # the real null (see stratified_sample._head)
+        g_key = np.where(g == None, "\x00<null>", g).astype(object)  # noqa: E711
         v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False)
         cent = np.round(v * scale)
         if not np.allclose(cent / scale, v, rtol=0, atol=1e-9):
@@ -487,9 +498,11 @@ def grouped_quantiles(ds, group_col: str, value_col: str,
                 f"{value_col} not on the 1/{scale} grid; raise `scale` or use a sort-based path"
             )
         cent = cent.astype(np.int64)
-        order = np.lexsort((cent, g))
-        g, cent = g[order], cent[order]
-        first = np.concatenate([[True], (g[1:] != g[:-1]) | (cent[1:] != cent[:-1])])
+        order = np.lexsort((cent, g_key))
+        g, g_key, cent = g[order], g_key[order], cent[order]
+        first = np.concatenate(
+            [[True], (g_key[1:] != g_key[:-1]) | (cent[1:] != cent[:-1])]
+        )
         starts = np.nonzero(first)[0]
         n = np.diff(np.append(starts, len(g)))
         return pa.table(

@@ -64,6 +64,26 @@ class TopKScorer:
         )
 
 
+def _topk_reduce(partials, k: int) -> pa.Table:
+    """Shared driver-side final reduce over (query_id, vec_id, sim)
+    partials, with the typed-empty guard: an all-empty partials dataset
+    (empty/fully-pruned input — Ray emits zero-schema empty blocks, see
+    ops/dedup._nonempty) yields a zero-column DataFrame where sort_values
+    would KeyError."""
+    df = partials.to_pandas()
+    if df.empty:
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
     """Exact cosine top-k for each query row; returns (query_id, vec_id,
     sim) sorted by (query_id, -sim, vec_id)."""
@@ -76,10 +96,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10) -> pa.Table:
         batch_format="pyarrow",
     )
     # driver-side final reduce over n_blocks*k*q partial rows (tiny)
-    df = partials.to_pandas()
-    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-    out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return _topk_reduce(partials, k)
 
 
 def _fit_sample(ds, limit: int, id_col: str = "vec_id", salt: str = "fit",
@@ -187,6 +204,11 @@ class PqIndex:
     """
 
     def __init__(self, m: int = 8, n_codes: int = 256, iters: int = 12, seed: int = 5):
+        if not 1 <= n_codes <= 256:
+            raise ValueError(
+                f"n_codes must be in [1, 256] (codes are stored as uint8; "
+                f"larger would silently wrap), got {n_codes}"
+            )
         self.m = m
         self.n_codes = n_codes
         self.iters = iters
@@ -240,7 +262,10 @@ class PqIndex:
         m = self.m
 
         def _encode(batch: pa.Table) -> pa.Table:
-            x = self._split(_normalize(_emb_matrix(batch)))
+            # reshape inline (not self._split): capturing self would ship
+            # the codebooks TWICE per task closure alongside `books`
+            xm = _normalize(_emb_matrix(batch))
+            x = xm.reshape(xm.shape[0], m, xm.shape[1] // m)
             codes = np.empty((x.shape[0], m), dtype=np.uint8)
             for mi in range(m):
                 score = x[:, mi, :] @ books[mi].T - half_norms[mi][None, :]
@@ -290,7 +315,4 @@ class PqIndex:
             )
 
         partials = encoded_ds.map_batches(_score, batch_format="pyarrow")
-        df = partials.to_pandas()
-        df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
-        out = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _topk_reduce(partials, k)
