@@ -106,6 +106,7 @@ def _read_csv(param: dict) -> "ray.data.Dataset":
         ]
     return read_csv_source(
         param["path"],
+        compress=param.get("compress"),
         delimiter=param.get("fieldDelimiter", ","),
         skip_header=param.get("skipHeader", False),
         null_format=param.get("nullFormat"),

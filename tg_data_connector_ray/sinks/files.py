@@ -29,8 +29,35 @@ class WriteModeError(RuntimeError):
 
 
 def prepare_output_dir(path: str, mode: str = "truncate") -> None:
+    """Enforce writeMode on the target dir — local paths AND object-store
+    URIs (resolve_fs): an s3://... target must truncate/conflict-check the
+    REMOTE prefix, not silently create a junk local './s3:/...' tree."""
     if mode not in ("truncate", "append", "nonConflict"):
         raise ValueError(f"writeMode must be truncate|append|nonConflict, got {mode}")
+    if "://" in path:
+        from pyarrow import fs as pafs
+
+        from ..util import resolve_fs
+
+        fs, p = resolve_fs(path)
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            fs.create_dir(p, recursive=True)
+            return
+        sel = pafs.FileSelector(p, recursive=False)
+        entries = [
+            e for e in fs.get_file_info(sel)
+            if not os.path.basename(e.path).startswith(".")
+        ]
+        if mode == "truncate":
+            for e in entries:
+                if e.type == pafs.FileType.Directory:
+                    fs.delete_dir(e.path)
+                else:
+                    fs.delete_file(e.path)
+        elif mode == "nonConflict" and entries:
+            raise WriteModeError(f"nonConflict: output dir {path} is not empty")
+        return
     if not os.path.exists(path):
         os.makedirs(path, exist_ok=True)
         return
@@ -52,11 +79,17 @@ def _serialize_batch(
         if isinstance(c, pa.ChunkedArray):
             c = c.combine_chunks()
         if pa.types.is_timestamp(c.type):
-            # arrow's %S prints fractional seconds; truncate to seconds first
-            c = pc.strftime(
-                c.cast(pa.timestamp("s"), safe=False),
-                format=date_format or "%Y-%m-%d %H:%M:%S",
-            )
+            fmt = date_format or "%Y-%m-%d %H:%M:%S"
+            # arrow has no %f directive (it would print LITERALLY) — but
+            # its %S already emits fractional digits at sub-second units.
+            # So a format asking for fractions maps to: strip the %f, keep
+            # microsecond precision; whole-second formats truncate to
+            # seconds first so %S stays integral.
+            if "%f" in fmt:
+                unit, fmt = "us", fmt.replace(".%f", "").replace("%f", "")
+            else:
+                unit = "s"
+            c = pc.strftime(c.cast(pa.timestamp(unit), safe=False), format=fmt)
         elif not (pa.types.is_string(c.type) or pa.types.is_large_string(c.type)):
             c = c.cast(pa.string())
         cols[name] = pc.fill_null(c, null_format)

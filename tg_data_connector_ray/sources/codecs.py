@@ -151,10 +151,14 @@ def snappy_compress(data: bytes) -> bytes:
 _HADOOP_BLOCK = 256 * 1024
 
 
-def hadoop_snappy_uncompress(data: bytes) -> bytes:
+def hadoop_snappy_uncompress(data: bytes, limit: "int | None" = None) -> bytes:
+    """`limit`: stop after at least this many OUTPUT bytes (frame-aligned)
+    — lets a sniffer decode a prefix instead of a multi-GB whole file."""
     out = bytearray()
     pos, n = 0, len(data)
     while pos < n:
+        if limit is not None and len(out) >= limit:
+            break
         (block_len,) = struct.unpack(">I", data[pos : pos + 4])
         pos += 4
         got = 0
@@ -216,10 +220,13 @@ def _masked_crc32c(data: bytes) -> int:
 _STREAM_ID = b"\xff\x06\x00\x00sNaPpY"
 
 
-def framing_snappy_uncompress(data: bytes, verify_checksums: bool = True) -> bytes:
+def framing_snappy_uncompress(data: bytes, verify_checksums: bool = True,
+                              limit: "int | None" = None) -> bytes:
     out = bytearray()
     pos, n = 0, len(data)
     while pos < n:
+        if limit is not None and len(out) >= limit:
+            break
         kind = data[pos]
         ln = int.from_bytes(data[pos + 1 : pos + 4], "little")
         pos += 4
@@ -430,7 +437,8 @@ _F_H_FILTER = 0x0800
 _F_H_CRC32 = 0x1000
 
 
-def lzop_uncompress(data: bytes, verify_checksums: bool = True) -> bytes:
+def lzop_uncompress(data: bytes, verify_checksums: bool = True,
+                    limit: "int | None" = None) -> bytes:
     if data[: len(_LZOP_MAGIC)] != _LZOP_MAGIC:
         raise ValueError("lzo: bad lzop magic")
     pos = len(_LZOP_MAGIC)
@@ -468,13 +476,23 @@ def lzop_uncompress(data: bytes, verify_checksums: bool = True) -> bytes:
     out = bytearray()
     n = len(data)
     while pos < n:
+        if limit is not None and len(out) >= limit:
+            break
         ulen = u32()
         if ulen == 0:
             break
         clen = u32()
-        d_check = u32() if flags & (_F_ADLER32_D | _F_CRC32_D) else None
-        if flags & (_F_ADLER32_C | _F_CRC32_C) and clen < ulen:
-            u32()  # compressed checksum (omitted for stored blocks)
+        # format-legal files may set BOTH checksum variants per side —
+        # each set flag contributes its own 4-byte word
+        d_adler = u32() if flags & _F_ADLER32_D else None
+        if flags & _F_CRC32_D:
+            u32()  # crc32_d (not verified; position must still advance)
+        d_check = d_adler
+        if clen < ulen:
+            if flags & _F_ADLER32_C:
+                u32()  # adler32_c (omitted for stored blocks)
+            if flags & _F_CRC32_C:
+                u32()
         block = data[pos : pos + clen]
         pos += clen
         piece = block if clen == ulen else lzo1x_decompress(block, ulen)
