@@ -380,6 +380,18 @@ def _embedding_near_dup(sf_dir):
     return embedding_near_dup_pairs(seeded, threshold=0.99)
 
 
+def _first_query_vectors(path: str, n: int = 3):
+    """First `n` embedding rows WITHOUT loading the whole parquet on the
+    driver: one column-projected batch off the first row group."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    batch = next(pq.ParquetFile(path).iter_batches(batch_size=n, columns=["embedding"]))
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in batch["embedding"].to_pylist()[:n]]
+    )
+
+
 def _ann_topk(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
@@ -388,8 +400,7 @@ def _ann_topk(sf_dir):
     from tg_data_connector_ray.ops.similarity import brute_force_topk
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path).slice(0, 3)
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    q = _first_query_vectors(path, 3)
     from tg_data_connector_ray.util import sized_read_parquet
 
     embs = sized_read_parquet(path)
@@ -405,8 +416,7 @@ def _ivf_ann(sf_dir):
     from tg_data_connector_ray.ops.similarity import IvfIndex
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(path).slice(0, 3)
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    q = _first_query_vectors(path, 3)
     from tg_data_connector_ray.util import sized_read_parquet
 
     embs = sized_read_parquet(path)
@@ -808,7 +818,7 @@ def _docs_bigram_lm(sf_dir):
     max_len = duckdb.sql(
         f"SELECT COALESCE(MAX(length(text)), 0) FROM '{os.path.join(sf_dir, 'documents.parquet')}'"
     ).fetchone()[0]
-    if max_len >= 4096:
+    if max_len >= 4097:  # positions 1..len-1 <= 4095 are covered at len 4096
         raise ValueError(
             f"docs_bigram_lm oracle caps positions at 4096 but a document "
             f"has {max_len} chars — raise the literal in oracle_sql() too"
@@ -1219,8 +1229,12 @@ def _merge_contract_sql(src: str, with_watermark: bool = False) -> str:
     wm_col = ", k.lsn_wm AS lsn_wm" if with_watermark else ""
     return f"""
         WITH raw AS (
+          -- deterministic duplicate pick: today's redeliveries are
+          -- bit-identical so any row works, but an unordered row_number()
+          -- would flip arbitrarily if payloads ever diverged
           SELECT *,
-                 row_number() OVER (PARTITION BY conv_id, turn_idx, lsn) AS rdup
+                 row_number() OVER (PARTITION BY conv_id, turn_idx, lsn
+                                    ORDER BY role, text, tool, ts) AS rdup
           FROM ({src})
         ), ev AS (
           SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts

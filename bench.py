@@ -1,6 +1,6 @@
 """Benchmark harness.
 
-Headline: the flagship CDC replay — a deterministic ~2M-event transcript
+Headline: the flagship CDC replay — a deterministic ~5.9M-event transcript
 change log (FIXTURES.md bench tier, cached under /tmp) replayed end-to-end
 into converged partitioned Parquet.  Metric: wall seconds (and derived
 events/sec) — the BASELINE.json target metric.
@@ -72,7 +72,9 @@ def run_cdc_bench() -> dict:
 
     fx = ensure_bench_fixture()
     log_dir = fx["cdc_log"]
-    files = [os.path.join(log_dir, f) for f in sorted(os.listdir(log_dir))]
+    from tg_data_connector_ray.util import list_files
+
+    files = list_files(log_dir, suffix=".parquet")
     warm_page_cache(files)
     # warmup: force Ray worker spawn + library imports in every worker so
     # the timed section measures the pipeline, not session cold-start
@@ -197,7 +199,7 @@ def main_single() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     cdc = run_cdc_bench()
-    if os.environ.get("GRAFT_BENCH_CDC_ONLY"):
+    if os.environ.get("GRAFT_BENCH_CDC_ONLY", "").lower() not in ("", "0", "false", "no"):
         queries, queries_steady = {}, {}
     else:
         queries, queries_steady = run_query_bench()
@@ -224,13 +226,20 @@ def run_subprocess(ncpu: int, cdc_only: bool = True) -> dict:
     env.setdefault("GRAFT_BENCH_TRIALS", "1")
     if cdc_only:
         env["GRAFT_BENCH_CDC_ONLY"] = "1"
-    out = subprocess.run(
+    proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
-        check=True,
-    ).stdout
+    )
+    if proc.returncode != 0:
+        # surface the child's actual traceback — a bare CalledProcessError
+        # discards minutes of diagnostics
+        raise RuntimeError(
+            f"scaling leg at {ncpu} CPUs failed (rc {proc.returncode}):\n"
+            f"{proc.stderr[-4000:]}"
+        )
+    out = proc.stdout
     return json.loads(out.strip().splitlines()[-1])
 
 
@@ -264,7 +273,10 @@ def main():
                 (run_subprocess(ncpu) for _ in range(trials)),
                 key=lambda r: r["value"],
             )
-            return runs[len(runs) // 2]
+            # LOWER median on even counts (the headline's convention):
+            # upper would report the noisiest of two runs, amplifying the
+            # daemon-variance this medianing exists to damp
+            return runs[(len(runs) - 1) // 2]
 
         lo = median_run(lo_cpus)
         hi = median_run(hi_cpus)
