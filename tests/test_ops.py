@@ -706,3 +706,40 @@ def test_exact_dedup_incremental_first_seen_wins(tmp_path, ray_session):
 
     with _pytest.raises(ValueError, match="partition routing"):
         exact_dedup_incremental(batch([9], ["e"]), state, num_parts=8)
+
+
+def test_winnow_empty_batch_and_shared_tokenizer():
+    """Empty blocks (Ray emits them) return a typed empty instead of an
+    IndexError; tokenization goes through the shared simple-lower
+    tokenizer so U+0130-class chars match the SQL oracle's lower()."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.text import winnow_fingerprints_batch
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    out = winnow_fingerprints_batch(empty)
+    assert out.num_rows == 0 and out.column_names == ["doc_id", "fp"]
+
+    # 'AİB' simple-lowers to one token 'aib' (full case folding would
+    # split it into two and diverge from DuckDB's lower())
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["AİB", None])}
+    )
+    got = winnow_fingerprints_batch(t)
+    assert got.num_rows == 2  # one fingerprint per doc (short-doc + empty paths)
+
+
+def test_write_fixture_spec_cache_guard(tmp_path):
+    """A cached fixture tier re-requested with a DIFFERENT spec raises
+    instead of silently returning the stale layout."""
+    import pytest
+
+    from tg_data_connector_ray.fixtures import FixtureSpec, write_fixture
+
+    write_fixture(str(tmp_path), "guard", FixtureSpec(n_convs=20, n_files=2))
+    # identical spec: cache hit
+    write_fixture(str(tmp_path), "guard", FixtureSpec(n_convs=20, n_files=2))
+    with pytest.raises(ValueError, match="different spec"):
+        write_fixture(str(tmp_path), "guard", FixtureSpec(n_convs=20, n_files=4))

@@ -47,3 +47,46 @@ def test_scan_schemas_groups_by_fingerprint(tmp_path):
     assert sizes == [1, 2]
     assert unified.field("a").type == pa.int32()
     assert "b" in unified.names
+
+
+def test_promote_mixed_signedness_widens_commutatively():
+    """Mixed signed/unsigned promotion must be commutative and lossless
+    (picking either side loses half the range of the other)."""
+    import pyarrow as pa
+    import pytest
+
+    from tg_data_connector_ray.cdc.schema import promote
+
+    assert promote(pa.int32(), pa.uint32()) == pa.int64()
+    assert promote(pa.uint32(), pa.int32()) == pa.int64()
+    assert promote(pa.int64(), pa.uint32()) == pa.int64()
+    assert promote(pa.uint8(), pa.int8()) == pa.int16()
+    with pytest.raises(TypeError, match="uint64"):
+        promote(pa.uint64(), pa.int64())
+    # tz is semantics: preserved when shared, a loud error when mixed
+    assert promote(
+        pa.timestamp("ms", tz="UTC"), pa.timestamp("us", tz="UTC")
+    ) == pa.timestamp("us", tz="UTC")
+    with pytest.raises(TypeError, match="tz mismatch"):
+        promote(pa.timestamp("us", tz="UTC"), pa.timestamp("us"))
+
+
+def test_scan_schemas_unify_false_skips_unpromotable_extras(tmp_path):
+    """The CDC read path only needs the GROUPS; an un-promotable extra
+    column (never consumed) must not kill the replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tg_data_connector_ray.cdc.schema import scan_schemas
+
+    a = str(tmp_path / "a.parquet")
+    b = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"x": pa.array([1]), "dbg": pa.array([True])}), a)
+    pq.write_table(
+        pa.table({"x": pa.array([1]), "dbg": pa.array([0], pa.timestamp("us"))}), b
+    )
+    groups, unified = scan_schemas([a, b], unify=False)
+    assert len(groups) == 2 and unified is None
+    with pytest.raises(TypeError):
+        scan_schemas([a, b])

@@ -384,7 +384,7 @@ def build_events_dataset(
         cpus = int(ray.cluster_resources().get("CPU", 8))
         sizes = {f: file_size(f) for f in files}
         total_bytes = max(1, sum(sizes.values()))
-        groups, _unified = scan_schemas(files)
+        groups, _ = scan_schemas(files, unify=False)  # normalize targets the fixed CDC schema
         for _fp, grp_files in sorted(groups.items()):
             gb = sum(sizes[f] for f in grp_files)
             # block count: enough to keep every CPU busy, but no smaller

@@ -46,7 +46,21 @@ def promote(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if a.equals(b):
         return a
     if pa.types.is_integer(a) and pa.types.is_integer(b):
-        return a if _INT_ORDER[a] >= _INT_ORDER[b] else b
+        sa, sb = pa.types.is_signed_integer(a), pa.types.is_signed_integer(b)
+        ra, rb = _INT_ORDER[a], _INT_ORDER[b]
+        if sa == sb:
+            return a if ra >= rb else b
+        # mixed signedness: widen to the signed type ONE RANK above the
+        # larger unsigned operand so its full range fits — commutative and
+        # lossless (int32+uint32 -> int64), unlike picking either side
+        urank = max(r for r, signed in ((ra, sa), (rb, sb)) if not signed)
+        srank = max((r for r, signed in ((ra, sa), (rb, sb)) if signed), default=-1)
+        need = max(srank, urank + 1)
+        if need > 3:
+            raise TypeError(
+                f"no lossless promotion for {a} vs {b} (uint64 exceeds int64)"
+            )
+        return (pa.int8(), pa.int16(), pa.int32(), pa.int64())[need]
     if (pa.types.is_integer(a) or pa.types.is_floating(a)) and (
         pa.types.is_integer(b) or pa.types.is_floating(b)
     ):
@@ -54,7 +68,11 @@ def promote(a: pa.DataType, b: pa.DataType) -> pa.DataType:
     if {a, b} == {pa.string(), pa.large_string()}:
         return pa.large_string()
     if pa.types.is_timestamp(a) and pa.types.is_timestamp(b):
-        return pa.timestamp("us")
+        # tz is SEMANTICS, not precision: silently dropping it would
+        # reinterpret instants as wall times
+        if a.tz != b.tz:
+            raise TypeError(f"timestamp tz mismatch: {a.tz!r} vs {b.tz!r}")
+        return pa.timestamp("us", tz=a.tz)
     # string vs anything castable: the typed side wins; normalize() casts
     # per-row with dirty routing for failures.
     if pa.types.is_string(a) or pa.types.is_large_string(a):
@@ -79,9 +97,14 @@ def unify_schemas(schemas: "list[pa.Schema]") -> pa.Schema:
     return pa.schema([pa.field(n, types[n], nullable=True) for n in order])
 
 
-def scan_schemas(paths: "list[str]") -> "tuple[dict[str, list[str]], pa.Schema]":
+def scan_schemas(
+    paths: "list[str]", unify: bool = True
+) -> "tuple[dict[str, list[str]], pa.Schema | None]":
     """Group files by schema fingerprint (footer metadata only) and return
-    (groups, unified_schema)."""
+    (groups, unified_schema).  `unify=False` skips the unification (and
+    its potential TypeError on un-promotable EXTRA columns) for callers
+    that only need the groups — the CDC read path normalizes to the fixed
+    CDC schema and never consumes the unified one."""
     groups: dict[str, list[str]] = defaultdict(list)
     reps: dict[str, pa.Schema] = {}
     from ..util import resolve_fs
@@ -92,5 +115,5 @@ def scan_schemas(paths: "list[str]") -> "tuple[dict[str, list[str]], pa.Schema]"
         key = str(s.remove_metadata())
         groups[key].append(p)
         reps.setdefault(key, s)
-    unified = unify_schemas(list(reps.values()))
+    unified = unify_schemas(list(reps.values())) if unify else None
     return dict(groups), unified

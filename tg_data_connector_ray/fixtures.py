@@ -418,6 +418,9 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
 
     Layout: transcripts.parquet + cdc_log/evt-NNNN.parquet.  Returns paths.
     """
+    import dataclasses
+    import json
+
     spec = spec or TIERS[tier]
     d = os.path.join(root, tier)
     done = os.path.join(d, "_DONE")
@@ -426,7 +429,22 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
         "transcripts": os.path.join(d, "transcripts.parquet"),
         "cdc_log": os.path.join(d, "cdc_log"),
     }
+    spec_json = json.dumps(dataclasses.asdict(spec), sort_keys=True)
     if os.path.exists(done):
+        # the cache is sound only if the REQUESTED spec generated it —
+        # a tier name encodes n_convs but nothing else (n_files, seed,
+        # edit rates); silently returning a mismatched layout would make
+        # benchmarks measure the wrong fixture
+        with open(done) as f:
+            cached = f.read().strip()
+        # legacy markers contain just "ok" (pre-guard generations):
+        # provenance unknown, accept as before
+        if cached not in ("", "ok") and cached != spec_json:
+            raise ValueError(
+                f"fixture tier {tier!r} at {d} was generated with a "
+                f"different spec:\n  cached:    {cached}\n  requested: "
+                f"{spec_json}\nUse a new tier name or delete the dir."
+            )
         return out
     if spec.n_convs > CHUNK_CONVS:
         if spec.hot_convs:
@@ -447,7 +465,7 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
     with open(os.path.join(d, "stats.json"), "w") as f:
         json.dump(fx.stats, f, indent=1)
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(spec_json)
     return out
 
 
@@ -528,8 +546,11 @@ def write_fixture_chunked(
 
     with open(os.path.join(d, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
+    import dataclasses as _dc
+    import json as _json
+
     with open(done, "w") as f:
-        f.write("ok")
+        f.write(_json.dumps(_dc.asdict(spec), sort_keys=True))
     return out
 
 

@@ -168,12 +168,20 @@ def winnow_fingerprints_batch(
     hash the \\x01 sentinel — so every doc has >= 1 fingerprint.  fp is
     the int64 bit-view of the u64 hash (native through Arrow/DuckDB).
     """
-    from .dedup import _TOKEN_RE, _md5_u64, _segmented_arange
+    from .dedup import _md5_u64, _segmented_arange, _split_tokens_arrow
 
-    texts = batch[col].to_pylist()
+    if batch.num_rows == 0:  # Ray emits empty blocks; d[first] would IndexError
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "fp": pa.array([], pa.int64())}
+        )
+    # the SHARED simple-lower tokenizer (not Python str.lower(), which
+    # full-case-folds U+0130-class chars and diverges from the SQL
+    # oracle's lower()) — see _split_tokens_arrow's docstring
+    flat_toks, toffs = _split_tokens_arrow(batch[col])
+    tl = flat_toks.to_pylist()
     grams_per_doc = []
-    for t in texts:
-        toks = _TOKEN_RE.findall(t.lower()) if t else []
+    for i in range(batch.num_rows):
+        toks = tl[toffs[i] : toffs[i + 1]]
         if not toks:
             grams = ["\x01"]
         elif len(toks) < k:

@@ -110,6 +110,7 @@ def cast_string_to_bool(arr) -> "tuple[pa.Array, np.ndarray]":
 
 def cast_string_to_date(arr, formats=DEFAULT_DATE_FORMATS) -> "tuple[pa.Array, np.ndarray]":
     s = arr.to_pandas() if not isinstance(arr, pd.Series) else arr
+    s = s.str.strip()  # symmetric with the long/double/bool casters
     out = pd.to_datetime(s, format=formats[0], errors="coerce")
     for fmt in formats[1:]:
         miss = out.isna() & s.notna()
