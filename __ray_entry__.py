@@ -160,6 +160,41 @@ def _run_cdc_delta(sf_dir: str):
     return final_table_arrow(cfg, sort=True)
 
 
+def _cdc_travel_prefix(fx) -> "tuple[list[list[str]], int]":
+    """Deterministic 3-way batch split of a fixture's log, shared by the
+    time-travel query and its oracle so both see the identical prefix."""
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+    k = max(1, len(files) // 3)
+    return [files[:k], files[k : 2 * k], files[2 * k :]], 2 * k
+
+
+def _run_cdc_time_travel(sf_dir: str):
+    """As-of-run time travel through the driver surface: the t2 log lands
+    as three delta-mode runs, then the table is read AS OF the second run
+    — base + only the delta files journaled at or before it (LSM
+    semantics; fold associativity makes the subset fold exact).  Oracle:
+    the same window-SQL merge contract restricted to the first two runs'
+    exact file prefix — any leakage from run 3 (or a mis-filtered delta)
+    is a row/hash mismatch."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, time_travel
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2travel")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    batches, _ = _cdc_travel_prefix(fx)
+    applied = []
+    for i, b in enumerate(batches, start=1):
+        if b:
+            apply_cdc(b, cfg, run_id=f"tt-r{i}")
+            if i <= 2:
+                applied.append(f"tt-r{i}")
+    return time_travel(cfg, applied[-1], sort=True)
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1100,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_evo": _run_cdc_evo,
         "cdc_replay_incremental": _run_cdc_incremental,
         "cdc_replay_delta": _run_cdc_delta,
+        "cdc_time_travel": _run_cdc_time_travel,
         "cdc_replay_snapshot": _run_cdc_snapshot,
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
@@ -1222,6 +1258,21 @@ def _cdc_oracle_sql(tier: str, with_snapshot: bool = False, with_watermark: bool
     return _merge_contract_sql(src, with_watermark=with_watermark)
 
 
+def _cdc_time_travel_oracle_sql() -> str:
+    """Merge-contract reconstruction over EXACTLY the first two runs'
+    file prefix of the t2 log (same deterministic split as
+    _run_cdc_time_travel) — the as-of-run read must match it bit-for-bit."""
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    batches, _ = _cdc_travel_prefix(fx)
+    flist = ", ".join(f"'{f}'" for f in (batches[0] + batches[1]))
+    src = f"""SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts
+          FROM read_parquet([{flist}], union_by_name=true)"""
+    return _merge_contract_sql(src)
+
+
 def _merge_contract_sql(src: str, with_watermark: bool = False) -> str:
     """The window-SQL merge contract over an arbitrary event source
     (shared by every CDC oracle; `src` must yield lsn, op, conv_id,
@@ -1306,6 +1357,8 @@ def oracle_sql() -> dict[str, str]:
         # LSM delta-run mode (O(delta) merges + read-side fold) converges
         # to the identical global merge
         "cdc_replay_delta": _cdc_oracle_sql("t2"),
+        # as-of-run read = the merge contract over the journaled prefix
+        "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         # snapshot bootstrap: the same merge contract over the union of
         # the snapshot (as lsn=0 full inserts) and the whole log
         "cdc_replay_snapshot": _cdc_oracle_sql("t2", with_snapshot=True),

@@ -725,3 +725,78 @@ def test_normalize_numeric_narrowing_and_extreme_ts(tmp_path):
     got = final_table_sorted(cfg)
     assert got["conv_id"].to_pylist() == ["a"]
     assert str(got["ts"][0]) == "3000-01-01 00:00:00"
+
+
+def test_time_travel_as_of_run(t2, tmp_path):
+    """As-of-run reads over the LSM delta state: folding base + only the
+    delta files journaled at or before run R must equal a fresh replay of
+    exactly R's prefix of the log (the fold is associative, so a delta
+    subset IS the one-shot fold of those runs).  Compaction moves the
+    horizon: earlier as-of points raise TimeTravelError afterwards."""
+    from tg_data_connector_ray.cdc.merge import TimeTravelError
+    from tg_data_connector_ray.cdc.pipeline import compact, time_travel
+
+    files = sorted(
+        os.path.join(t2["cdc_log"], f) for f in os.listdir(t2["cdc_log"])
+    )
+    k = max(1, len(files) // 3)
+    prefixes = [files[:k], files[: 2 * k], files]
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "tt"), num_partitions=8, merge_strategy="delta"
+    )
+    for i, batch in enumerate(
+        (files[:k], files[k : 2 * k], files[2 * k :]), start=1
+    ):
+        apply_cdc(batch, cfg, run_id=f"r{i}")
+
+    truth = []
+    for i, prefix in enumerate(prefixes, start=1):
+        tcfg = CdcConfig(out_dir=str(tmp_path / f"truth{i}"), num_partitions=8)
+        apply_cdc(prefix, tcfg)
+        truth.append(final_table_sorted(tcfg))
+
+    for i in (1, 2, 3):
+        got = time_travel(cfg, f"r{i}", sort=True)
+        assert got.equals(truth[i - 1]), f"as-of r{i} diverged"
+
+    with pytest.raises(ValueError, match="not in"):
+        time_travel(cfg, "never-ran")
+
+    # compaction folds every journaled run into the base: later as-of
+    # points still serve (base folds exactly an allowed set), earlier
+    # ones are past the horizon and must refuse loudly
+    compact(cfg, tombstone_retention_lsn=0)
+    assert time_travel(cfg, "r3", sort=True).equals(truth[2])
+    with pytest.raises(TimeTravelError, match="horizon|folds runs"):
+        time_travel(cfg, "r1")
+
+    # inline auto-compaction (delta_compact_runs) writes the same
+    # folded-runs record: as-of the compaction point works, before it not
+    acfg = CdcConfig(
+        out_dir=str(tmp_path / "auto"),
+        num_partitions=8,
+        merge_strategy="delta",
+        delta_compact_runs=2,
+    )
+    for i, batch in enumerate(
+        (files[:k], files[k : 2 * k], files[2 * k :]), start=1
+    ):
+        apply_cdc(batch, acfg, run_id=f"r{i}")
+    assert time_travel(acfg, "r3", sort=True).equals(truth[2])
+    try:
+        assert time_travel(acfg, "r2", sort=True).equals(truth[1])
+    except TimeTravelError:
+        pass  # legal: a partition first touched by (r1, r3) compacts past r2
+    with pytest.raises(TimeTravelError):
+        time_travel(acfg, "r1")
+
+    # refold mode compacts every run: only the latest journaled run is
+    # reachable (its base folds all prior runs)
+    rcfg = CdcConfig(out_dir=str(tmp_path / "refold"), num_partitions=8)
+    apply_cdc(files[:k], rcfg, run_id="r1")
+    apply_cdc(files[k:], rcfg, run_id="r2")
+    assert time_travel(rcfg, "r2", sort=True).equals(
+        final_table_sorted(rcfg)
+    )
+    with pytest.raises(TimeTravelError):
+        time_travel(rcfg, "r1")

@@ -27,6 +27,7 @@ commit state/table/lineage (temp file + os.replace), per SURVEY.md §7.4.1.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -325,14 +326,89 @@ def partition_state_files(state_dir: str) -> "tuple[str | None, list[str]]":
     return (base if os.path.exists(base) else None), deltas
 
 
-def read_partition_state(state_dir: str, policy: str = "upsert") -> pa.Table:
+# --- as-of-run (time-travel) support ------------------------------------
+# Base state files record WHICH runs they fold in parquet schema metadata;
+# delta-run files carry their run in the filename.  Together an as-of read
+# is decidable per partition: serve it iff the base folds only allowed
+# runs, then filter the delta files.  Reaches back exactly to the last
+# compaction (LSM semantics) — refold mode compacts every run, so only
+# merge_strategy="delta" tables can travel.
+
+_FOLDED_RUNS_KEY = b"tg.folded_runs"
+
+
+class TimeTravelError(RuntimeError):
+    """An as-of-run read cannot be served: the base state already folds
+    runs past the requested point (compaction horizon), or predates run
+    tracking (written by an older version or by migrate_state)."""
+
+
+def _delta_run_id(path: str) -> str:
+    return os.path.basename(path)[len("delta-"):-len(".parquet")]
+
+
+def folded_runs_of(base_path: str) -> "list[str] | None":
+    """Runs folded into a base state file, or None if unrecorded."""
+    meta = pq.read_schema(base_path).metadata or {}
+    raw = meta.get(_FOLDED_RUNS_KEY)
+    return None if raw is None else json.loads(raw.decode())
+
+
+def with_folded_runs(state: pa.Table, runs: "list[str] | None") -> pa.Table:
+    """Attach (or, with runs=None, leave absent) the folded-runs record."""
+    if runs is None:
+        return state
+    meta = dict(state.schema.metadata or {})
+    meta[_FOLDED_RUNS_KEY] = json.dumps(sorted(set(runs))).encode()
+    return state.replace_schema_metadata(meta)
+
+
+def next_folded_runs(
+    prior: "list[str] | None", base_exists: bool, new_runs: "list[str]"
+) -> "list[str] | None":
+    """Folded-runs record for a base about to be (re)written.  Unknown
+    stays unknown: a legacy base without the record poisons the rewrite
+    (None), so a later as-of read fails loudly instead of lying."""
+    if base_exists and prior is None:
+        return None
+    return sorted(set(prior or []) | set(new_runs))
+
+
+def read_partition_state(
+    state_dir: str, policy: str = "upsert", runs: "frozenset[str] | None" = None
+) -> pa.Table:
     """Converged state of ONE partition: the base state folded with any
     LSM delta-run files (read amplification bounded by runs since the
     last compact).  With no deltas this is a plain parquet read — the
     refold-mode fast path.  `policy` is the orphan-update policy applied
     at this (final) fold; delta-run files were folded with "upsert" so no
-    orphan is dropped before its I may arrive from another file."""
+    orphan is dropped before its I may arrive from another file.
+
+    `runs` (an allow-set of run ids) serves an AS-OF read: delta files
+    outside the set are skipped, and the base must fold only allowed runs
+    — else TimeTravelError (the requested point predates the compaction
+    horizon or run tracking).  Sound because the fold is associative:
+    base + any delta subset = the one-shot fold of exactly those runs."""
     base, deltas = partition_state_files(state_dir)
+    if runs is not None:
+        runs = frozenset(runs)
+        if base is not None:
+            folded = folded_runs_of(base)
+            if folded is None:
+                raise TimeTravelError(
+                    f"{base} has no folded-runs record (written before run "
+                    "tracking, or by migrate_state) — as-of reads need a "
+                    "base whose folded runs are known"
+                )
+            beyond = sorted(set(folded) - runs)
+            if beyond:
+                raise TimeTravelError(
+                    f"{base} already folds runs {beyond[:5]} beyond the "
+                    "requested as-of point — compaction moved the horizon "
+                    "past it; time travel reaches back only to the last "
+                    "compacted base"
+                )
+        deltas = [f for f in deltas if _delta_run_id(f) in runs]
     if base is None and not deltas:
         return pa.table({f.name: pa.array([], f.type) for f in STATE_SCHEMA})
     if not deltas:
@@ -451,8 +527,13 @@ class MergeApply:
                 "merge_strategy='delta'"
             )
         parts = [events]
-        if not delta_mode and os.path.exists(state_path):
-            parts.append(state_to_events(pq.read_table(state_path)))
+        base_exists = os.path.exists(state_path)
+        prior_folded: "list[str] | None" = None
+        if not delta_mode and base_exists:
+            base_tbl = pq.read_table(state_path)
+            raw = (base_tbl.schema.metadata or {}).get(_FOLDED_RUNS_KEY)
+            prior_folded = None if raw is None else json.loads(raw.decode())
+            parts.append(state_to_events(base_tbl))
         combined = pa.concat_tables(parts, promote_options="default")
 
         # Delta mode folds the run's events ALONE (O(delta), never touching
@@ -515,6 +596,14 @@ class MergeApply:
                     # unlinks just re-applies identical registers on the
                     # next read — idempotent.
                     sd = cfg.state_dir(part)
+                    delta_ids = [
+                        _delta_run_id(f) for f in partition_state_files(sd)[1]
+                    ]
+                    folded = next_folded_runs(
+                        folded_runs_of(state_path) if base_exists else None,
+                        base_exists,
+                        delta_ids,
+                    )
                     full = read_partition_state(sd, policy=self.policy)
                     if cfg.tombstone_retention_lsn is not None and full.num_rows:
                         wm_max = int(pa.compute.max(full["_lsn"]).as_py() or 0)
@@ -525,11 +614,17 @@ class MergeApply:
                                 pa.compute.greater(full["_lsn"], horizon),
                             )
                         )
-                    atomic_write_parquet(state_path, full)
+                    atomic_write_parquet(state_path, with_folded_runs(full, folded))
                     for f in partition_state_files(sd)[1]:
                         os.unlink(f)
         else:
-            atomic_write_parquet(state_path, state)
+            atomic_write_parquet(
+                state_path,
+                with_folded_runs(
+                    state,
+                    next_folded_runs(prior_folded, base_exists, [self.run_id]),
+                ),
+            )
 
         lsn_np = _col_np(events, "lsn")
         new_wm = int(state["_lsn"].combine_chunks().to_numpy(zero_copy_only=False).max()) if state.num_rows else watermark

@@ -515,6 +515,7 @@ def apply_cdc(
     _check_state_format(cfg)
 
     lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
+    _journal_run(cfg.out_dir, run_id)
 
     n_dirty = count_dirty(cfg, run_id)
     events_in = int(lin["events_in"].sum()) if len(lin) else 0
@@ -608,22 +609,65 @@ def _folded_state_dataset(cfg: CdcConfig) -> "ray.data.Dataset":
     )
 
 
-def final_table_arrow(cfg: CdcConfig, sort: bool = False) -> pa.Table:
+def _journal_run(out_dir: str, run_id: str) -> None:
+    """Append run_id to the table's run journal (`runs.log`, one id per
+    line, apply-completion order) — the ordering an as-of-run read uses.
+    Idempotent: a re-run of the same run_id appends nothing.  Driver-side
+    only (one writer per table dir, same assumption as the spool)."""
+    path = os.path.join(out_dir, "runs.log")
+    existing: "list[str]" = []
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read().split()
+    if run_id not in existing:
+        with open(path, "a") as f:
+            f.write(run_id + "\n")
+
+
+def time_travel_runs(cfg: CdcConfig, as_of_run: str) -> "frozenset[str]":
+    """The run-id allow-set for an as-of read: every journaled run up to
+    and including `as_of_run` (apply order, see _journal_run)."""
+    path = os.path.join(cfg.out_dir, "runs.log")
+    order: "list[str]" = []
+    if os.path.exists(path):
+        with open(path) as f:
+            order = f.read().split()
+    if as_of_run not in order:
+        raise ValueError(
+            f"run {as_of_run!r} not in {path} (journaled runs: {order})"
+        )
+    return frozenset(order[: order.index(as_of_run) + 1])
+
+
+def time_travel(cfg: CdcConfig, as_of_run: str, sort: bool = False) -> pa.Table:
+    """The converged live table AS OF a past run: fold each partition's
+    base plus only the delta-run files journaled at or before
+    `as_of_run`.  LSM semantics — reaches back to the last compaction;
+    beyond it (or on a refold-mode table, which compacts every run)
+    raises merge.TimeTravelError.  Requires merge_strategy='delta'."""
+    return final_table_arrow(cfg, sort=sort, runs=time_travel_runs(cfg, as_of_run))
+
+
+def final_table_arrow(
+    cfg: CdcConfig, sort: bool = False, runs: "frozenset[str] | None" = None
+) -> pa.Table:
     """Driver-side converged table (small results / tests): the live view
     over per-partition state — project the user columns, filter tombstones.
     With uncompacted LSM delta-run files the per-partition base+delta fold
     runs as parallel Ray tasks first.  For large tables use
-    `read_final_table` (streaming Dataset)."""
+    `read_final_table` (streaming Dataset).  `runs` restricts the fold to
+    an as-of-run allow-set (see `time_travel`)."""
     import pyarrow.dataset as pads
 
-    if _any_delta_files(cfg):
+    if runs is not None or _any_delta_files(cfg):
         from .merge import read_partition_state
 
         fold_task = ray.remote(num_cpus=1)(read_partition_state)
         policy = cfg.orphan_updates
-        states = ray.get(
-            [fold_task.remote(d, policy) for d in _partition_state_dirs(cfg)]
-        )
+        dirs = _partition_state_dirs(cfg)
+        if not dirs:
+            return _empty_final_table()
+        states = ray.get([fold_task.remote(d, policy, runs) for d in dirs])
         t = pa.concat_tables(states)
         t = t.filter(
             pa.compute.equal(pa.compute.fill_null(t["_deleted"], False), False)
@@ -649,7 +693,14 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     rewrite and the delta unlink re-applies identical registers — the
     fold is idempotent)."""
     from ..util import atomic_write_parquet
-    from .merge import partition_state_files, read_partition_state
+    from .merge import (
+        _delta_run_id,
+        folded_runs_of,
+        next_folded_runs,
+        partition_state_files,
+        read_partition_state,
+        with_folded_runs,
+    )
 
     state_root = os.path.join(cfg.out_dir, "state")
     parts = sorted(
@@ -660,7 +711,12 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
     @ray.remote(num_cpus=1)
     def _compact(part: int) -> "tuple[int, int, int]":
         sd = cfg.state_dir(part)
-        _, deltas = partition_state_files(sd)
+        base, deltas = partition_state_files(sd)
+        folded = next_folded_runs(
+            folded_runs_of(base) if base else None,
+            base is not None,
+            [_delta_run_id(f) for f in deltas],
+        )
         state = read_partition_state(sd, policy=policy)
         if state.num_rows == 0 and not deltas:
             return (0, 0, 0)
@@ -673,7 +729,9 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
         new_state = state.filter(keep) if state.num_rows else state
         dropped = state.num_rows - new_state.num_rows
         if dropped or deltas:
-            atomic_write_parquet(cfg.state_path(part), new_state)
+            atomic_write_parquet(
+                cfg.state_path(part), with_folded_runs(new_state, folded)
+            )
             for f in deltas:  # folded into the base above
                 os.unlink(f)
         n_tomb = int(
