@@ -691,6 +691,12 @@ def _orders_without_lineitems(sf_dir):
     return orders_without_lineitems(sf_dir)
 
 
+def _customer_order_activity(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import customer_order_activity
+
+    return customer_order_activity(sf_dir)
+
+
 def _events_rolling_sum(sf_dir):
     from tg_data_connector_ray.pipelines.relational import events_rolling_sum
 
@@ -701,6 +707,12 @@ def _events_rollup(sf_dir):
     from tg_data_connector_ray.pipelines.relational import events_rollup
 
     return events_rollup(sf_dir)
+
+
+def _events_cube(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_cube
+
+    return events_cube(sf_dir)
 
 
 def _revenue_by_region(sf_dir):
@@ -1159,6 +1171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct_users": _events_window_distinct_users,
         "label_centroids": _label_centroids,
         "events_rollup": _events_rollup,
+        "events_cube": _events_cube,
         "events_value_delta": _events_value_delta,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
@@ -1177,6 +1190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _revenue_by_nation,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "orders_without_lineitems": _orders_without_lineitems,
+        "customer_order_activity": _customer_order_activity,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1958,6 +1972,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         """,
+        "customer_order_activity": """
+            SELECT COALESCE(l.c_custkey, r.c_custkey) AS c_custkey,
+                   l.order_count, r.c_acctbal
+            FROM (SELECT o_custkey AS c_custkey,
+                         CAST(count(*) AS BIGINT) AS order_count
+                  FROM orders GROUP BY 1) l
+            FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+                             WHERE c_acctbal > 5000) r
+              ON l.c_custkey = r.c_custkey
+        """,
         "events_rolling_sum": """
             WITH e AS (
               SELECT event_id, user_id, ts,
@@ -1980,6 +2004,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(vu) AS BIGINT) AS sum_u
             FROM b GROUP BY ROLLUP(event_type, day)
+        """,
+        "events_cube": """
+            WITH b AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+                     CAST(round_even(value * 1e6, 0) AS BIGINT) AS vu
+              FROM events
+            )
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(day, 'ALL') AS day,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(vu) AS BIGINT) AS sum_u
+            FROM b GROUP BY CUBE(event_type, day)
         """,
         "revenue_by_region": """
             SELECT r.r_name,

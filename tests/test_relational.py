@@ -498,3 +498,54 @@ def test_broadcast_bound_fallbacks_match_broadcast_path(ray_session):
     q3_b = q3_shipping_priority(SF)
     q3_d = q3_shipping_priority(SF, max_broadcast_bytes=1)
     assert q3_d.equals(q3_b)
+
+
+def test_hash_join_full_outer_matches_duckdb(ray_session):
+    """Full outer join in the bucketed hash_join: matched rows join,
+    unmatched-left rows carry null right payload, unmatched-right rows
+    carry null left payload with the key coalesced from the right, and
+    null keys never match but survive from BOTH sides (SQL FULL OUTER
+    semantics)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    lk = rng.integers(0, 40, 200).astype("int64").tolist() + [None, None]
+    rk = rng.integers(20, 60, 150).astype("int64").tolist() + [None]
+    lt = pa.table(
+        {
+            "k": pa.array(lk, pa.int64()),
+            "x": pa.array(range(len(lk)), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rk, pa.int64()),
+            "y": pa.array(range(1000, 1000 + len(rk)), pa.int64()),
+        }
+    )
+    got = (
+        hash_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt), on="k", how="outer"
+        )
+        .to_pandas()
+        .sort_values(["k", "x", "y"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    exp = con.execute(
+        """SELECT COALESCE(l.k, r.k) AS k, l.x, r.y
+           FROM l FULL OUTER JOIN r ON l.k = r.k
+           ORDER BY k NULLS LAST, x NULLS LAST, y NULLS LAST"""
+    ).df()
+    assert len(got) == len(exp)
+    for c in ("k", "x", "y"):
+        assert got[c].astype("float64").fillna(-1).tolist() == exp[
+            c
+        ].astype("float64").fillna(-1).tolist(), c

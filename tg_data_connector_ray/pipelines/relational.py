@@ -350,8 +350,8 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
         num_buckets = _derive_num_buckets(bytes_hint)
     if num_buckets & (num_buckets - 1):
         raise ValueError("num_buckets must be a power of two")
-    if how not in ("inner", "left", "anti"):
-        raise ValueError(f"how must be inner|left|anti, got {how}")
+    if how not in ("inner", "left", "anti", "outer"):
+        raise ValueError(f"how must be inner|left|anti|outer, got {how}")
 
     left_types = _ds_types(left)
     right_types = _ds_types(right)
@@ -405,11 +405,16 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 if c != on:
                     cols[c] = r_tbl[c].combine_chunks().take(gather)
             return pa.table(cols)
-        # general multi-match path (inner/left, right NOT unique):
+        # general multi-match path (inner/left/outer, right NOT unique):
         # SQL NULL-key semantics — null keys never match on either side
         rk_arr = r_tbl[on].combine_chunks()
+        r_null_tbl = None
         if r_tbl.num_rows and rk_arr.null_count:
             keep_r = pc.is_valid(rk_arr)
+            if how == "outer":
+                # null-key right rows never match but DO survive a full
+                # outer join as unmatched-right output
+                r_null_tbl = r_tbl.filter(pc.invert(keep_r))
             r_tbl = r_tbl.filter(keep_r)
             rk_arr = r_tbl[on].combine_chunks()
         rk = (
@@ -441,13 +446,14 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
 
         seg = _segmented_arange(counts)
         l_take = pa.array(np.repeat(np.arange(l_tbl.num_rows, dtype=np.int64), counts))
-        r_take = pa.array(order_r[np.repeat(lo, counts) + seg])
+        r_pos = order_r[np.repeat(lo, counts) + seg]
+        r_take = pa.array(r_pos)
         cols = {c: l_tbl[c].combine_chunks().take(l_take) for c in left_cols}
         for c in right_cols:
             if c != on:
                 cols[c] = r_tbl[c].combine_chunks().take(r_take)
         out = pa.table({c: cols[c] for c in all_cols})
-        if how == "left":
+        if how in ("left", "outer"):
             un = counts == 0  # unmatched left rows (null keys included)
             if un.any():
                 lmiss = l_tbl.filter(pa.array(un))
@@ -456,6 +462,22 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                     if c != on:
                         miss[c] = pa.nulls(lmiss.num_rows, type=all_types[c])
                 out = pa.concat_tables([out, pa.table({c: miss[c] for c in all_cols})])
+        if how == "outer":
+            # unmatched-right rows: never gathered above; the key column
+            # comes from the RIGHT side (coalesce semantics), left payload
+            # columns are null.  Null-key right rows join them.
+            hit_r = np.zeros(r_tbl.num_rows, dtype=bool)
+            hit_r[r_pos] = True
+            rmiss = r_tbl.filter(pa.array(~hit_r))
+            if r_null_tbl is not None and r_null_tbl.num_rows:
+                rmiss = pa.concat_tables([rmiss, r_null_tbl])
+            if rmiss.num_rows:
+                miss = {
+                    c: (rmiss[c] if c in right_cols or c == on
+                        else pa.nulls(rmiss.num_rows, type=all_types[c]))
+                    for c in all_cols
+                }
+                out = pa.concat_tables([out, pa.table(miss)])
         return out
 
     return tagged.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
@@ -1315,12 +1337,55 @@ def orders_without_lineitems(sf_dir: str):
     )
 
 
-def events_rollup(sf_dir: str):
-    """ROLLUP-style grouping sets — (event_type, day), (event_type), ()
-    with 'ALL' sentinels: the finest level is the one distributed
-    aggregate (coarse-bucket, partials shuffle); the coarser levels fold
-    FROM level-1's tiny output (types x days rows), never re-reading the
-    input — the standard rollup-from-finest-grain plan."""
+def customer_order_activity(sf_dir: str):
+    """FULL OUTER join, both sides derived and partially disjoint:
+    per-customer order counts (only customers that placed orders) FULL
+    OUTER JOIN the high-balance customer roster (c_acctbal > 5000).
+    Rows survive unmatched from BOTH sides — active low-balance
+    customers keep a null c_acctbal, inactive high-balance customers a
+    null order_count, with the key coalesced.  The count side
+    pre-aggregates per batch so only (custkey, n) partials reach the
+    coarse-bucket finish; the join is the same bucketed exchange as
+    every hash_join (how="outer")."""
+    from ..util import parquet_bytes_hint
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"c_custkey": t["o_custkey"]})
+            .group_by("c_custkey")
+            .aggregate([("c_custkey", "count")])
+        )
+        agg_cols = [c for c in g.column_names if c != "c_custkey"]
+        return g.select(["c_custkey"] + agg_cols).rename_columns(["c_custkey", "n"])
+
+    counts = grouped_arrow_aggregate(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "c_custkey",
+        [("n", "sum")],
+        ["order_count"],
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], 5000.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return hash_join(
+        counts,
+        cust,
+        on="c_custkey",
+        how="outer",
+        bytes_hint=parquet_bytes_hint(_t(sf_dir, "orders"), ["o_custkey"])
+        + parquet_bytes_hint(_t(sf_dir, "customer"), ["c_custkey", "c_acctbal"]),
+    )
+
+
+def _events_day_grain(sf_dir: str) -> "pd.DataFrame":
+    """Finest-grain (event_type, day) sum/count — the ONE distributed
+    aggregate (coarse-bucket, partials shuffle) that rollup and cube
+    both fold their coarser grouping sets from (types x days rows on the
+    driver; the input is never re-read)."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1333,24 +1398,50 @@ def events_rollup(sf_dir: str):
         )
         return g.rename_columns(["event_type", "day", "sum_u", "n"])
 
-    lvl1 = grouped_arrow_aggregate(
+    return grouped_arrow_aggregate(
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None),
         ["event_type", "day"],
         [("sum_u", "sum"), ("n", "sum")],
         ["sum_u", "n"],
     ).to_pandas()
-    lvl2 = (
-        lvl1.groupby("event_type", as_index=False)[["sum_u", "n"]].sum().assign(day="ALL")
-    )
-    lvl3 = pd.DataFrame(
-        [{"event_type": "ALL", "day": "ALL", "sum_u": lvl1["sum_u"].sum(), "n": lvl1["n"].sum()}]
-    )
-    out = pd.concat([lvl1, lvl2, lvl3], ignore_index=True)[
-        ["event_type", "day", "n", "sum_u"]
-    ]
+
+
+def _finish_grouping_sets(lvl1: "pd.DataFrame", sets: "list[tuple[str, ...]]"):
+    """Fold coarser grouping sets from the finest grain, 'ALL' sentinels
+    for rolled-up dimensions; shared tail of events_rollup/events_cube."""
+    dims = ["event_type", "day"]
+    outs = [lvl1]
+    for keep in sets:
+        if keep:
+            g = lvl1.groupby(list(keep), as_index=False)[["sum_u", "n"]].sum()
+        else:
+            g = pd.DataFrame([{"sum_u": lvl1["sum_u"].sum(), "n": lvl1["n"].sum()}])
+        for d in dims:
+            if d not in keep:
+                g[d] = "ALL"
+        outs.append(g)
+    out = pd.concat(outs, ignore_index=True)[["event_type", "day", "n", "sum_u"]]
     out["n"] = out["n"].astype("int64")
     out["sum_u"] = out["sum_u"].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+def events_rollup(sf_dir: str):
+    """ROLLUP-style grouping sets — (event_type, day), (event_type), ()
+    with 'ALL' sentinels: the finest level is the one distributed
+    aggregate; the coarser levels fold FROM level-1's tiny output —
+    the standard rollup-from-finest-grain plan."""
+    return _finish_grouping_sets(_events_day_grain(sf_dir), [("event_type",), ()])
+
+
+def events_cube(sf_dir: str):
+    """CUBE grouping sets — (event_type, day), (event_type), (day), ()
+    with 'ALL' sentinels: rollup plus the cross-dimension (day) slice,
+    all three coarse sets folded from the same single distributed
+    finest-grain aggregate."""
+    return _finish_grouping_sets(
+        _events_day_grain(sf_dir), [("event_type",), ("day",), ()]
+    )
 
 
 class _RegionOfSupplier(BroadcastLookup):
