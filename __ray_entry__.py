@@ -1172,9 +1172,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _label_centroids,
         "events_rollup": _events_rollup,
         "events_cube": _events_cube,
-        "events_value_delta": _events_value_delta,
-        "revenue_by_region": _revenue_by_region,
-        "promo_revenue_ratio": _promo_revenue_ratio,
         "users_in_both": _users_in_both,
         "users_heavy_tail": _users_heavy_tail,
         "events_user_hll": _events_user_hll,
@@ -1208,6 +1205,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stream windows over the events table (long-stable) ---
         "events_hourly_window": R.events_hourly_window,
         "events_hopping_window": R.events_hopping_window,
+        # demoted from the prefix (simple shapes whose families stay
+        # represented above: broadcast agg, scalar ratio, lag window)
+        "events_value_delta": _events_value_delta,
+        "revenue_by_region": _revenue_by_region,
+        "promo_revenue_ratio": _promo_revenue_ratio,
         "events_late_data": R.late_events,
         "events_value_band_join": R.events_value_band_join,
         "events_rolling_sum": _events_rolling_sum,
