@@ -247,3 +247,48 @@ def test_cli_cdc_delta_mode(t1, tmp_path):
 
     s = lineage_summary(CdcConfig(out_dir=out))
     assert s["delta_runs_total"] == 0 and s["state_bytes"] > 0
+
+
+def test_cli_export_as_of(t1, tmp_path):
+    """The export verb writes the live table as parquet, and --as-of
+    serves the time-travel view: exporting as of run 1 of a two-run
+    delta-mode table must equal a fresh replay of batch 1 alone."""
+    import subprocess
+    import sys
+
+    import pyarrow.dataset as pads
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+
+    files = sorted(
+        os.path.join(t1["cdc_log"], f) for f in os.listdir(t1["cdc_log"])
+    )
+    k = max(1, len(files) // 2)
+    out = str(tmp_path / "exp")
+    cfg = CdcConfig(out_dir=out, num_partitions=4, merge_strategy="delta")
+    apply_cdc(files[:k], cfg, run_id="e1")
+    apply_cdc(files[k:], cfg, run_id="e2")
+
+    tcfg = CdcConfig(out_dir=str(tmp_path / "truth"), num_partitions=4)
+    apply_cdc(files[:k], tcfg)
+    truth = final_table_arrow(tcfg, sort=True)
+
+    dest = str(tmp_path / "dest")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "export",
+            "--out", out, "--dest", dest, "--as-of", "e1", "--partitions", "4",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == truth.num_rows and rep["as_of"] == "e1"
+    got = (
+        pads.dataset(dest)
+        .to_table(columns=list(truth.column_names))
+        .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    )
+    assert got.equals(truth)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -49,6 +50,16 @@ def main(argv=None) -> int:
     ver = sub.add_parser("verify", help="verify converged table vs expected parquet")
     ver.add_argument("--out", required=True)
     ver.add_argument("--expected", required=True)
+
+    exp = sub.add_parser(
+        "export",
+        help="write the converged live table as parquet, optionally AS OF "
+        "a past run (LSM delta tables; see runs.log)",
+    )
+    exp.add_argument("--out", required=True, help="CDC table dir")
+    exp.add_argument("--dest", required=True, help="destination parquet dir")
+    exp.add_argument("--as-of", dest="as_of", help="journaled run id to read as of")
+    exp.add_argument("--partitions", type=int, default=64)
 
     mig = sub.add_parser(
         "migrate",
@@ -125,6 +136,23 @@ def main(argv=None) -> int:
                 args.from_dir,
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
             )
+        elif args.cmd == "export":
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import read_final_table, time_travel_runs
+
+            cfg = CdcConfig(out_dir=args.out, num_partitions=args.partitions)
+            runs = time_travel_runs(cfg, args.as_of) if args.as_of else None
+            read_final_table(cfg, runs=runs).write_parquet(args.dest)
+            # row count from the written footers — no second execution
+            rows = sum(
+                _pq.read_metadata(f).num_rows
+                for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
+            )
+            out = {"rows": rows, "dest": args.dest, "as_of": args.as_of}
         else:
             from .cdc.config import CdcConfig
             from .cdc.pipeline import verify_against

@@ -590,18 +590,24 @@ def _any_delta_files(cfg: CdcConfig) -> bool:
     return any(partition_state_files(d)[1] for d in _partition_state_dirs(cfg))
 
 
-def _folded_state_dataset(cfg: CdcConfig) -> "ray.data.Dataset":
+def _folded_state_dataset(
+    cfg: CdcConfig, runs: "frozenset[str] | None" = None
+) -> "ray.data.Dataset":
     """Converged per-partition STATE rows (incl. tombstone flags) as a
     streaming Dataset when LSM delta-run files exist: one fold task per
     partition (read base + deltas, fold — bounded by the partition-sizing
-    rule), mapped over partition-dir descriptors."""
+    rule), mapped over partition-dir descriptors.  `runs` restricts the
+    fold to an as-of-run allow-set (see `time_travel`)."""
     from .merge import read_partition_state
 
     dirs = _partition_state_dirs(cfg)
     policy = cfg.orphan_updates
 
     def fold_dir(t: pa.Table) -> pa.Table:
-        outs = [read_partition_state(d, policy=policy) for d in t["part_dir"].to_pylist()]
+        outs = [
+            read_partition_state(d, policy=policy, runs=runs)
+            for d in t["part_dir"].to_pylist()
+        ]
         return pa.concat_tables(outs)
 
     return ray.data.from_items([{"part_dir": d} for d in dirs]).map_batches(
@@ -968,19 +974,22 @@ def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
     return res
 
 
-def read_final_table(cfg: CdcConfig, sort: bool = False) -> "ray.data.Dataset":
+def read_final_table(
+    cfg: CdcConfig, sort: bool = False, runs: "frozenset[str] | None" = None
+) -> "ray.data.Dataset":
     """The converged user-facing table as a streaming Dataset: the live
     view over per-partition state (tombstones filtered at the read, pushed
     down to the parquet scan).  With uncompacted LSM delta-run files each
-    partition folds base+deltas inside its read task instead."""
-    if _any_delta_files(cfg):
+    partition folds base+deltas inside its read task instead.  `runs`
+    restricts the fold to an as-of-run allow-set (see `time_travel`)."""
+    if runs is not None or _any_delta_files(cfg):
         def live_view(t: pa.Table) -> pa.Table:
             keep = pa.compute.equal(
                 pa.compute.fill_null(t["_deleted"], False), False
             )
             return t.filter(keep).select(list(USER_COLS))
 
-        ds = _folded_state_dataset(cfg).map_batches(
+        ds = _folded_state_dataset(cfg, runs=runs).map_batches(
             live_view, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
