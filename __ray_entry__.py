@@ -697,6 +697,12 @@ def _customer_order_activity(sf_dir):
     return customer_order_activity(sf_dir)
 
 
+def _docs_source_profile(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import docs_source_profile
+
+    return docs_source_profile(sf_dir)
+
+
 def _events_rolling_sum(sf_dir):
     from tg_data_connector_ray.pipelines.relational import events_rolling_sum
 
@@ -1177,7 +1183,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
         "docs_prep_pipeline": _docs_prep_pipeline,
-        "docs_hash_split": _docs_hash_split,
         # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
@@ -1188,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "orders_without_lineitems": _orders_without_lineitems,
         "customer_order_activity": _customer_order_activity,
+        "docs_source_profile": _docs_source_profile,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1206,7 +1212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": R.events_hourly_window,
         "events_hopping_window": R.events_hopping_window,
         # demoted from the prefix (simple shapes whose families stay
-        # represented above: broadcast agg, scalar ratio, lag window)
+        # represented above: broadcast agg, scalar ratio, lag window,
+        # deterministic hash split)
+        "docs_hash_split": _docs_hash_split,
         "events_value_delta": _events_value_delta,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
@@ -1983,6 +1991,14 @@ def oracle_sql() -> dict[str, str]:
             FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
                              WHERE c_acctbal > 5000) r
               ON l.c_custkey = r.c_custkey
+        """,
+        "docs_source_profile": """
+            SELECT d.doc_id, d.lang || '/' || d.source AS key, g.src_docs
+            FROM documents d
+            JOIN (SELECT lang || '/' || source AS key,
+                         CAST(count(*) AS BIGINT) AS src_docs
+                  FROM documents GROUP BY 1) g
+              ON (d.lang || '/' || d.source) = g.key
         """,
         "events_rolling_sum": """
             WITH e AS (

@@ -549,3 +549,77 @@ def test_hash_join_full_outer_matches_duckdb(ray_session):
         assert got[c].astype("float64").fillna(-1).tolist() == exp[
             c
         ].astype("float64").fillna(-1).tolist(), c
+
+
+def _string_join_fixture():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    keys = [f"conv-{i:04d}" for i in range(60)]
+    lk = [keys[i] for i in rng.integers(0, 40, 180)] + [None, None]
+    rk = [keys[i] for i in rng.integers(20, 60, 140)] + [None]
+    lt = pa.table(
+        {"k": pa.array(lk, pa.string()), "x": pa.array(range(len(lk)), pa.int64())}
+    )
+    rt = pa.table(
+        {
+            "k": pa.array(rk, pa.string()),
+            "y": pa.array(range(1000, 1000 + len(rk)), pa.int64()),
+        }
+    )
+    return lt, rt
+
+
+def _join_vs_duckdb(lt, rt, how, **kw):
+    import duckdb
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    got = hash_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt), on="k", how=how, **kw
+    ).to_pandas()
+    got = got.sort_values(
+        [c for c in ("k", "x", "y") if c in got.columns], na_position="last"
+    ).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    sql = {
+        "inner": "SELECT l.k, l.x, r.y FROM l JOIN r ON l.k = r.k",
+        "left": "SELECT l.k, l.x, r.y FROM l LEFT JOIN r ON l.k = r.k",
+        "outer": "SELECT COALESCE(l.k, r.k) AS k, l.x, r.y FROM l FULL OUTER JOIN r ON l.k = r.k",
+        "anti": "SELECT l.k, l.x FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+    }[how]
+    exp = con.execute(
+        f"SELECT * FROM ({sql}) ORDER BY k NULLS LAST, x NULLS LAST"
+        + (", y NULLS LAST" if how != "anti" else "")
+    ).df()
+    assert len(got) == len(exp), (how, len(got), len(exp))
+    for c in exp.columns:
+        g = got[c].fillna("~") if got[c].dtype == object else got[c].fillna(-1)
+        e = exp[c].fillna("~") if exp[c].dtype == object else exp[c].fillna(-1)
+        assert g.tolist() == e.tolist(), (how, c)
+
+
+def test_hash_join_string_keys_match_duckdb(ray_session):
+    """String-key joins (hash-bucketed candidates + exact-equality
+    verification) across every join kind, null keys included."""
+    lt, rt = _string_join_fixture()
+    for how in ("inner", "left", "outer", "anti"):
+        _join_vs_duckdb(lt, rt, how)
+
+
+def test_hash_join_string_collisions_stay_exact(ray_session):
+    """The collision seam: a degenerate hasher that maps EVERY key to the
+    same 64-bit value makes all candidates collide — the post-gather
+    string-equality verification must still produce the exact join."""
+    import numpy as np
+
+    def awful_hasher(arr):
+        return np.zeros(len(arr), np.uint64)
+
+    lt, rt = _string_join_fixture()
+    for how in ("inner", "left", "outer"):
+        _join_vs_duckdb(lt, rt, how, _key_hasher=awful_hasher)

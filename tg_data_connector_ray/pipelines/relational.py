@@ -303,6 +303,21 @@ def _splitmix_buckets(arr, n_buckets: int) -> pa.Array:
     return pa.array((z & np.uint64(n_buckets - 1)).astype(np.int32))
 
 
+def _bucket_ids(arr, n_buckets: int, hasher=None) -> pa.Array:
+    """Bucket id per key for int/temporal (splitmix64 mix) OR string
+    (stable 64-bit string hash) keys.  The type check uses the batch's
+    OWN Arrow type: a driver-side ds.schema() may report numpy dtypes
+    (pandas-block datasets), which pa.types predicates reject.  `hasher`
+    overrides the string hash (test seam for collision handling)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type) or pa.types.is_temporal(arr.type):
+        return _splitmix_buckets(arr, n_buckets)
+    if hasher is None:
+        from ..util import stable_hash_strings as hasher
+    return pa.array((hasher(arr) % np.uint64(n_buckets)).astype(np.int32))
+
+
 # ~target bytes of (both sides') rows per join bucket when num_buckets is
 # derived from a bytes hint: small enough that one bucket's sort + gather
 # fits comfortably in a worker's heap share, large enough that the groupby
@@ -321,8 +336,12 @@ def _derive_num_buckets(bytes_hint: "int | None") -> int:
 
 def hash_join(left, right, on: str, num_buckets: "int | None" = None,
               how: str = "inner", right_unique: bool = False,
-              bytes_hint: "int | None" = None):
-    """Bucketed hash join of two Datasets on an int64 key.
+              bytes_hint: "int | None" = None, _key_hasher=None):
+    """Bucketed hash join of two Datasets on an int64/temporal OR string
+    key.  String keys bucket and sort by a 64-bit hash, then every
+    candidate pair is verified by EXACT string equality after the
+    gather — a hash collision can cost a spurious candidate, never a
+    wrong row (`_key_hasher` is a test seam that forces collisions).
 
     Both sides get `bucket = splitmix64(key) & (B-1)` and a side tag,
     union into ONE dataset so a single groupby(bucket) co-locates matching
@@ -366,7 +385,7 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
     def tag(side: str, own: "set[str]"):
         def _f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            b = _splitmix_buckets(t[on], num_buckets)
+            b = _bucket_ids(t[on], num_buckets, hasher=_key_hasher)
             out = pa.table(
                 {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
             )
@@ -417,24 +436,45 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 r_null_tbl = r_tbl.filter(pc.invert(keep_r))
             r_tbl = r_tbl.filter(keep_r)
             rk_arr = r_tbl[on].combine_chunks()
-        rk = (
-            rk_arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
-            if r_tbl.num_rows
-            else np.empty(0, np.int64)
-        )
         lk_arr = l_tbl[on].combine_chunks()
+        str_key = not (
+            pa.types.is_integer(lk_arr.type) or pa.types.is_temporal(lk_arr.type)
+        )
+        if str_key:
+            if _key_hasher is None:
+                from ..util import stable_hash_strings as _hasher
+            else:
+                _hasher = _key_hasher
+            # sort/searchsorted run over the 64-bit key hash; candidate
+            # pairs are verified by exact string equality after the gather
+            rk = (
+                _hasher(rk_arr).view(np.int64)
+                if r_tbl.num_rows
+                else np.empty(0, np.int64)
+            )
+            lk = (
+                _hasher(lk_arr).view(np.int64)
+                if l_tbl.num_rows
+                else np.empty(0, np.int64)
+            )
+        else:
+            rk = (
+                rk_arr.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.int64)
+                if r_tbl.num_rows
+                else np.empty(0, np.int64)
+            )
+            lk = (
+                pc.fill_null(lk_arr, 0)
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                if l_tbl.num_rows
+                else np.empty(0, np.int64)
+            )
         lk_valid = (
             pc.is_valid(lk_arr).to_numpy(zero_copy_only=False).astype(bool)
             if l_tbl.num_rows
             else np.empty(0, bool)
-        )
-        lk = (
-            pc.fill_null(lk_arr, 0)
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            if l_tbl.num_rows
-            else np.empty(0, np.int64)
         )
         order_r = np.argsort(rk, kind="stable")
         rk_sorted = rk[order_r]
@@ -445,8 +485,20 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
         from ..ops.dedup import _segmented_arange
 
         seg = _segmented_arange(counts)
-        l_take = pa.array(np.repeat(np.arange(l_tbl.num_rows, dtype=np.int64), counts))
+        l_rep = np.repeat(np.arange(l_tbl.num_rows, dtype=np.int64), counts)
         r_pos = order_r[np.repeat(lo, counts) + seg]
+        if str_key and l_rep.size:
+            # exact-equality verification of hash-matched candidates:
+            # collisions produce spurious candidates, never wrong rows
+            okm = (
+                pc.equal(lk_arr.take(pa.array(l_rep)), rk_arr.take(pa.array(r_pos)))
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            if not okm.all():
+                l_rep = l_rep[okm]
+                r_pos = r_pos[okm]
+        l_take = pa.array(l_rep)
         r_take = pa.array(r_pos)
         cols = {c: l_tbl[c].combine_chunks().take(l_take) for c in left_cols}
         for c in right_cols:
@@ -454,7 +506,11 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 cols[c] = r_tbl[c].combine_chunks().take(r_take)
         out = pa.table({c: cols[c] for c in all_cols})
         if how in ("left", "outer"):
-            un = counts == 0  # unmatched left rows (null keys included)
+            # unmatched left rows (null keys and collision-only
+            # candidates included): not present in the verified pairs
+            matched_l = np.zeros(l_tbl.num_rows, dtype=bool)
+            matched_l[l_rep] = True
+            un = ~matched_l
             if un.any():
                 lmiss = l_tbl.filter(pa.array(un))
                 miss = {c: lmiss[c] for c in left_cols}
@@ -520,24 +576,7 @@ def grouped_arrow_aggregate(
     out_names = out_names or [c for c, _ in aggs]
 
     def tag(t: pa.Table) -> pa.Table:
-        kc = t[keys[0]]
-        if isinstance(kc, pa.ChunkedArray):
-            kc = kc.combine_chunks()
-        # decide the hash path from the batch's OWN Arrow type: a
-        # driver-side ds.schema() may report numpy dtypes (pandas-block
-        # datasets), which pa.types predicates reject
-        key_type = kc.type
-        if pa.types.is_integer(key_type) or pa.types.is_temporal(key_type):
-            # splitmix64 mix before masking (see _splitmix_buckets): raw
-            # int keys are often stride-aligned (hour-floored timestamps
-            # are multiples of 3.6e9 us — all congruent mod any small
-            # power of two)
-            cg = _splitmix_buckets(kc, n_coarse)
-        else:
-            from ..util import stable_hash_strings
-
-            cg = pa.array((stable_hash_strings(kc) % np.uint64(n_coarse)).astype(np.int32))
-        return t.append_column("_cg", cg)
+        return t.append_column("_cg", _bucket_ids(t[keys[0]], n_coarse))
 
     def agg_bucket(g: pa.Table) -> pa.Table:
         out = g.drop_columns(["_cg"]).group_by(keys).aggregate(aggs)
@@ -1378,6 +1417,43 @@ def customer_order_activity(sf_dir: str):
         how="outer",
         bytes_hint=parquet_bytes_hint(_t(sf_dir, "orders"), ["o_custkey"])
         + parquet_bytes_hint(_t(sf_dir, "customer"), ["c_custkey", "c_acctbal"]),
+    )
+
+
+def docs_source_profile(sf_dir: str):
+    """STRING-key hash join through the driver surface: every document
+    joined to the per-(lang/source) corpus profile on the composite
+    string key — exercising hash_join's string path end-to-end
+    (64-bit-hash bucketing + sort, exact-equality verification after the
+    gather).  The profile side is a distributed string-keyed aggregate
+    (grouped_arrow_aggregate shares the same string bucketing)."""
+    from ..util import parquet_bytes_hint
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(t["lang"], t["source"], "/")
+        return pa.table({"doc_id": t["doc_id"], "key": key})
+
+    left = docs.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select(["key"]).group_by("key").aggregate([("key", "count")])
+        agg_cols = [c for c in g.column_names if c != "key"]
+        return g.select(["key"] + agg_cols).rename_columns(["key", "n"])
+
+    profile = grouped_arrow_aggregate(
+        left.map_batches(partial, batch_format="pyarrow"),
+        "key",
+        [("n", "sum")],
+        ["src_docs"],
+    )
+    return hash_join(
+        left,
+        profile,
+        on="key",
+        how="inner",
+        bytes_hint=2 * parquet_bytes_hint(_t(sf_dir, "documents"), ["lang", "source"]),
     )
 
 
