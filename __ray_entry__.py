@@ -703,6 +703,20 @@ def _docs_source_profile(sf_dir):
     return docs_source_profile(sf_dir)
 
 
+def _embedding_kmeans(sf_dir):
+    """Lloyd's k-means (k=4, 2 iterations) over the embeddings table —
+    deterministic min-vec_id init and pure-int64 micro-unit arithmetic
+    (exact integer distances, trunc-div centroid updates) so the DuckDB
+    oracle replays both iterations bit-for-bit."""
+    from tg_data_connector_ray.ops.similarity import kmeans_clusters
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kmeans_clusters(ds, k=4, iters=2)
+
+
 def _events_rolling_sum(sf_dir):
     from tg_data_connector_ray.pipelines.relational import events_rolling_sum
 
@@ -1175,7 +1189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": _events_props_extract,
         "events_percent_rank": _events_percent_rank,
         "events_window_distinct_users": _events_window_distinct_users,
-        "label_centroids": _label_centroids,
         "events_rollup": _events_rollup,
         "events_cube": _events_cube,
         "users_in_both": _users_in_both,
@@ -1205,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _ivf_ann,
         "pq_ann": _pq_ann,
         "ivfpq_ann": _ivfpq_ann,
+        "embedding_kmeans": _embedding_kmeans,
         # --- corpus analytics ---
         "events_quantiles": _events_quantiles,
         "docs_pack_sequences": _docs_pack_sequences,
@@ -1213,7 +1227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_window": R.events_hopping_window,
         # demoted from the prefix (simple shapes whose families stay
         # represented above: broadcast agg, scalar ratio, lag window,
-        # deterministic hash split)
+        # deterministic hash split, per-label centroid — generalized by
+        # embedding_kmeans)
+        "label_centroids": _label_centroids,
         "docs_hash_split": _docs_hash_split,
         "events_value_delta": _events_value_delta,
         "revenue_by_region": _revenue_by_region,
@@ -1671,6 +1687,75 @@ def oracle_sql() -> dict[str, str]:
               FROM s q CROSS JOIN s
               WHERE q.vec_id < 3) t
             WHERE rn <= 5
+        """,
+        # Lloyd's k-means replayed exactly: micro-unit integer vectors,
+        # exact integer squared distances (ties -> lowest cluster), and
+        # trunc-div centroid updates (DuckDB's // truncates toward zero;
+        # the engine mirrors it in pure int64) — two iterations then the
+        # final assignment's per-cluster size / inertia / |centroid| l1
+        "embedding_kmeans": """
+            WITH x AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(round_even(CAST(unnest(embedding) AS DOUBLE) * 1e6, 0)
+                          AS BIGINT) AS xu
+              FROM embeddings
+            ),
+            init AS (
+              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ),
+            c0 AS (SELECT i.cluster, x.dim, x.xu AS cu
+                   FROM init i JOIN x USING (vec_id)),
+            d0 AS (SELECT x.vec_id, c.cluster,
+                          CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+                   FROM x JOIN c0 c USING (dim) GROUP BY x.vec_id, c.cluster),
+            a0 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM d0) WHERE rn = 1),
+            s0 AS (SELECT a.cluster, x.dim, CAST(sum(x.xu) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM a0 a JOIN x USING (vec_id) GROUP BY a.cluster, x.dim),
+            c1 AS (SELECT c0.cluster, c0.dim,
+                          CAST(coalesce(s0.s // s0.n, c0.cu) AS BIGINT) AS cu
+                   FROM c0 LEFT JOIN s0
+                     ON s0.cluster = c0.cluster AND s0.dim = c0.dim),
+            d1 AS (SELECT x.vec_id, c.cluster,
+                          CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+                   FROM x JOIN c1 c USING (dim) GROUP BY x.vec_id, c.cluster),
+            a1 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM d1) WHERE rn = 1),
+            s1 AS (SELECT a.cluster, x.dim, CAST(sum(x.xu) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM a1 a JOIN x USING (vec_id) GROUP BY a.cluster, x.dim),
+            c2 AS (SELECT c1.cluster, c1.dim,
+                          CAST(coalesce(s1.s // s1.n, c1.cu) AS BIGINT) AS cu
+                   FROM c1 LEFT JOIN s1
+                     ON s1.cluster = c1.cluster AND s1.dim = c1.dim),
+            df AS (SELECT x.vec_id, c.cluster,
+                          CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+                   FROM x JOIN c2 c USING (dim) GROUP BY x.vec_id, c.cluster),
+            af AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM df) WHERE rn = 1),
+            stats AS (SELECT a.cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+                             CAST(sum(dd.d2) AS BIGINT) AS inertia_u
+                      FROM af a JOIN df dd
+                        ON dd.vec_id = a.vec_id AND dd.cluster = a.cluster
+                      GROUP BY a.cluster),
+            cl AS (SELECT cluster, CAST(sum(abs(cu)) AS BIGINT) AS cent_l1_u
+                   FROM c2 GROUP BY cluster)
+            SELECT cl.cluster, CAST(coalesce(st.n_vecs, 0) AS BIGINT) AS n_vecs,
+                   CAST(coalesce(st.inertia_u, 0) AS BIGINT) AS inertia_u,
+                   cl.cent_l1_u
+            FROM cl LEFT JOIN stats st USING (cluster)
+            ORDER BY cl.cluster
         """,
         # PQ over sign-snapped vectors is LOSSLESS (see _pq_ann), so the
         # oracle is plain exact cosine over the same snapped vectors;

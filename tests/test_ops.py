@@ -743,3 +743,44 @@ def test_write_fixture_spec_cache_guard(tmp_path):
     write_fixture(str(tmp_path), "guard", FixtureSpec(n_convs=20, n_files=2))
     with pytest.raises(ValueError, match="different spec"):
         write_fixture(str(tmp_path), "guard", FixtureSpec(n_convs=20, n_files=4))
+
+
+def test_kmeans_trunc_div_ties_and_empty_clusters(ray_session):
+    """The cross-engine contracts of kmeans_clusters: integer division
+    truncates toward zero (DuckDB // semantics, NOT numpy floor), exact
+    integer distances break argmin ties to the lowest cluster, and an
+    emptied cluster keeps its centroid."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.similarity import _trunc_div, kmeans_clusters
+
+    s = np.array([-7, 7, -6, 6, 0], np.int64)
+    n = np.array([2, 2, 3, 3, 5], np.int64)
+    assert _trunc_div(s, n).tolist() == [-3, 3, -2, 2, 0]  # floor would give -4/-2
+
+    # vec 3 duplicates vec 2: assignment ties between clusters 2 and 3
+    # -> lowest cluster wins, cluster 3 empties and keeps its centroid
+    vecs = [
+        [0.0, 0.0],
+        [10.0, 0.0],
+        [0.0, 10.0],
+        [0.0, 10.0],
+        [0.1, 0.1],
+        [9.9, -0.3],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = kmeans_clusters(ray.data.from_arrow(t), k=4, iters=2)
+    got = {r["cluster"]: r for r in out.to_pylist()}
+    assert sum(r["n_vecs"] for r in got.values()) == len(vecs)
+    assert got[3]["n_vecs"] == 0 and got[3]["inertia_u"] == 0
+    # empty cluster 3 kept its init centroid (|0| + |10e6| in micro-units)
+    assert got[3]["cent_l1_u"] == 10_000_000
+    # the duplicate pair landed in cluster 2 with zero spread
+    assert got[2]["n_vecs"] == 2 and got[2]["inertia_u"] == 0

@@ -316,3 +316,131 @@ class PqIndex:
 
         partials = encoded_ds.map_batches(_score, batch_format="pyarrow")
         return _topk_reduce(partials, k)
+
+
+# --- Lloyd's k-means clustering (semantic grouping / dedup-prep) --------
+
+def _u6(x: np.ndarray) -> np.ndarray:
+    """Micro-unit integerization (x1e6, round-half-even — np.round ==
+    DuckDB round_even; float32 -> float64 is exact first)."""
+    return np.round(x.astype(np.float64) * 1e6).astype(np.int64)
+
+
+def _trunc_div(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Integer division truncating toward zero (DuckDB's // semantics;
+    numpy's // floors, which differs on negative sums) — pure int64 ops,
+    no float round-trip anywhere."""
+    q = s // n
+    return q + ((s % n != 0) & (s < 0)).astype(np.int64)
+
+
+def _kmeans_partials(t: pa.Table, cent_u: np.ndarray) -> pa.Table:
+    """Per-batch k-means partials against broadcast integer centroids:
+    EXACT integer squared distances (no float tie ambiguity — argmin
+    ties break to the lowest cluster, matching the oracle's ORDER BY
+    d2, cluster), then per-cluster component sums / counts / inertia as
+    a long (cluster, dim, s) table.  dim -1 carries counts, dim -2
+    assigned-distance sums; k*(d+2) rows per batch regardless of batch
+    size — the shuffle-free partial the driver folds."""
+    k, d = cent_u.shape
+    empty = pa.table(
+        {
+            "cluster": pa.array([], pa.int64()),
+            "dim": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+        }
+    )
+    if t.num_rows == 0:
+        return empty
+    xu = _u6(_emb_matrix(t))
+    n = xu.shape[0]
+    d2 = np.empty((n, k), np.int64)
+    for j in range(k):
+        diff = xu - cent_u[j]
+        d2[:, j] = np.einsum("nd,nd->n", diff, diff)
+    a = d2.argmin(axis=1)
+    chosen = d2[np.arange(n), a]
+    sums = np.zeros((k, d), np.int64)
+    ns = np.zeros(k, np.int64)
+    inert = np.zeros(k, np.int64)
+    for j in range(k):
+        m = a == j
+        if m.any():
+            sums[j] = xu[m].sum(axis=0)
+            ns[j] = int(m.sum())
+            inert[j] = int(chosen[m].sum())
+    cl = np.repeat(np.arange(k, dtype=np.int64), d)
+    dim = np.tile(np.arange(d, dtype=np.int64), k)
+    return pa.table(
+        {
+            "cluster": pa.array(np.concatenate([cl, np.arange(k), np.arange(k)])),
+            "dim": pa.array(
+                np.concatenate([dim, np.full(k, -1, np.int64), np.full(k, -2, np.int64)])
+            ),
+            "s": pa.array(np.concatenate([sums.ravel(), ns, inert])),
+        }
+    )
+
+
+def kmeans_clusters(ds, k: int = 4, iters: int = 2) -> pa.Table:
+    """Lloyd's k-means over an embedding Dataset, fully deterministic and
+    integer-exact so a SQL oracle can reproduce it bit-for-bit:
+
+    - init: the k lowest-vec_id vectors (micro-unit integerized);
+    - each iteration: ONE streaming pass emitting k*(d+2)-row partials
+      per batch (centroids ride the task closure — k*d int64, a few KB);
+      the driver fold is a tiny pandas groupby (k*d rows), new centroid
+      = trunc(sum/n) in pure int64 (empty clusters keep their centroid);
+    - a final pass yields per-cluster size / inertia / |centroid| l1.
+
+    Scale shape: pass count = iters+1 over the input with nothing but
+    partials shuffled; at 100 TB feed a spooled/checkpointed dataset so
+    re-execution does not re-read the source, and sample-fit the init
+    (as IvfIndex does) if vec_ids are not cheap to min-k.
+    """
+    from functools import partial as _partial
+
+    init = ds.sort("vec_id").limit(k).take_all()
+    rows = sorted(init, key=lambda r: r["vec_id"])
+    if len(rows) < k:
+        raise ValueError(f"need >= {k} vectors, got {len(rows)}")
+    cent_u = np.stack([_u6(np.asarray(r["embedding"], np.float64)) for r in rows])
+    kk, d = cent_u.shape
+
+    def one_pass(c_u: np.ndarray):
+        pf = (
+            ds.map_batches(
+                _partial(_kmeans_partials, cent_u=c_u),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .to_pandas()
+            .groupby(["cluster", "dim"], as_index=False)["s"]
+            .sum()
+        )
+        sums = np.zeros((kk, d), np.int64)
+        ns = np.zeros(kk, np.int64)
+        inert = np.zeros(kk, np.int64)
+        comp = pf[pf["dim"] >= 0]
+        sums[comp["cluster"].to_numpy(), comp["dim"].to_numpy()] = comp["s"].to_numpy()
+        cnt = pf[pf["dim"] == -1]
+        ns[cnt["cluster"].to_numpy()] = cnt["s"].to_numpy()
+        ine = pf[pf["dim"] == -2]
+        inert[ine["cluster"].to_numpy()] = ine["s"].to_numpy()
+        return sums, ns, inert
+
+    for _ in range(iters):
+        sums, ns, _ = one_pass(cent_u)
+        nz = ns > 0
+        upd = _trunc_div(sums[nz], ns[nz][:, None])
+        cent_u = cent_u.copy()
+        cent_u[nz] = upd
+    _, ns, inert = one_pass(cent_u)
+    return pa.table(
+        {
+            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+            "n_vecs": pa.array(ns),
+            "inertia_u": pa.array(inert),
+            "cent_l1_u": pa.array(np.abs(cent_u).sum(axis=1)),
+        }
+    )
