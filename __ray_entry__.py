@@ -703,6 +703,12 @@ def _docs_source_profile(sf_dir):
     return docs_source_profile(sf_dir)
 
 
+def _events_user_type_profile(sf_dir):
+    from tg_data_connector_ray.pipelines.relational import events_user_type_profile
+
+    return events_user_type_profile(sf_dir)
+
+
 def _embedding_kmeans(sf_dir):
     """Lloyd's k-means (k=4, 2 iterations) over the embeddings table —
     deterministic min-vec_id init and pure-int64 micro-unit arithmetic
@@ -1186,7 +1192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": _late_shipment_priority,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
-        "events_props_extract": _events_props_extract,
         "events_percent_rank": _events_percent_rank,
         "events_window_distinct_users": _events_window_distinct_users,
         "events_rollup": _events_rollup,
@@ -1207,6 +1212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems": _orders_without_lineitems,
         "customer_order_activity": _customer_order_activity,
         "docs_source_profile": _docs_source_profile,
+        "events_user_type_profile": _events_user_type_profile,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1228,9 +1234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted from the prefix (simple shapes whose families stay
         # represented above: broadcast agg, scalar ratio, lag window,
         # deterministic hash split, per-label centroid — generalized by
-        # embedding_kmeans)
+        # embedding_kmeans), regex props extraction
         "label_centroids": _label_centroids,
         "docs_hash_split": _docs_hash_split,
+        "events_props_extract": _events_props_extract,
         "events_value_delta": _events_value_delta,
         "revenue_by_region": _revenue_by_region,
         "promo_revenue_ratio": _promo_revenue_ratio,
@@ -2084,6 +2091,14 @@ def oracle_sql() -> dict[str, str]:
                          CAST(count(*) AS BIGINT) AS src_docs
                   FROM documents GROUP BY 1) g
               ON (d.lang || '/' || d.source) = g.key
+        """,
+        "events_user_type_profile": """
+            SELECT e.event_id, e.user_id, e.event_type, g.n_same
+            FROM events e
+            JOIN (SELECT user_id, event_type,
+                         CAST(count(*) AS BIGINT) AS n_same
+                  FROM events GROUP BY 1, 2) g
+              ON e.user_id = g.user_id AND e.event_type = g.event_type
         """,
         "events_rolling_sum": """
             WITH e AS (

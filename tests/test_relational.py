@@ -623,3 +623,113 @@ def test_hash_join_string_collisions_stay_exact(ray_session):
     lt, rt = _string_join_fixture()
     for how in ("inner", "left", "outer"):
         _join_vs_duckdb(lt, rt, how, _key_hasher=awful_hasher)
+
+
+def test_hash_join_composite_keys_match_duckdb(ray_session):
+    """Composite (int, string) join keys across every join kind: bucketed
+    by a combined 64-bit hash, candidates verified component-wise.  Null
+    in ANY component never matches but survives left/outer as unmatched;
+    anti keeps exactly the rows with no verified match."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(23)
+    n_l, n_r = 220, 160
+    la = rng.integers(0, 12, n_l).astype("int64").tolist() + [None, 3]
+    lb = [f"t{i}" for i in rng.integers(0, 9, n_l)] + ["t1", None]
+    ra = rng.integers(5, 18, n_r).astype("int64").tolist() + [None]
+    rb = [f"t{i}" for i in rng.integers(4, 12, n_r)] + ["t2"]
+    lt = pa.table(
+        {
+            "a": pa.array(la, pa.int64()),
+            "b": pa.array(lb, pa.string()),
+            "x": pa.array(range(len(la)), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array(ra, pa.int64()),
+            "b": pa.array(rb, pa.string()),
+            "y": pa.array(range(5000, 5000 + len(ra)), pa.int64()),
+        }
+    )
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    sqls = {
+        "inner": "SELECT l.a, l.b, l.x, r.y FROM l JOIN r ON l.a = r.a AND l.b = r.b",
+        "left": "SELECT l.a, l.b, l.x, r.y FROM l LEFT JOIN r ON l.a = r.a AND l.b = r.b",
+        "outer": """SELECT COALESCE(l.a, r.a) AS a, COALESCE(l.b, r.b) AS b, l.x, r.y
+                    FROM l FULL OUTER JOIN r ON l.a = r.a AND l.b = r.b""",
+        "anti": """SELECT l.a, l.b, l.x FROM l WHERE NOT EXISTS
+                   (SELECT 1 FROM r WHERE r.a = l.a AND r.b = l.b)""",
+    }
+    for how, sql in sqls.items():
+        got = hash_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt), on=["a", "b"], how=how
+        ).to_pandas()
+        order = [c for c in ("a", "b", "x", "y") if c in got.columns]
+        got = got.sort_values(order, na_position="last").reset_index(drop=True)
+        exp = con.execute(
+            f"SELECT * FROM ({sql}) ORDER BY "
+            + ", ".join(f"{c} NULLS LAST" for c in order)
+        ).df()
+        assert len(got) == len(exp), (how, len(got), len(exp))
+        for c in order:
+            g = got[c].fillna("~") if got[c].dtype == object else got[c].fillna(-1)
+            e = exp[c].fillna("~") if exp[c].dtype == object else exp[c].fillna(-1)
+            assert g.tolist() == e.tolist(), (how, c)
+
+
+def test_hash_join_composite_collisions_stay_exact(ray_session):
+    """Composite keys under a degenerate hasher (every string hashes
+    equal, so the combined hash depends only on the int part): the
+    component-wise verification must still produce the exact join."""
+    import numpy as np
+    import pyarrow as pa
+
+    def awful_hasher(arr):
+        return np.full(len(arr), 7, np.uint64)
+
+    lt = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array(["u", "v", "u", "w", "u"], pa.string()),
+            "x": pa.array(range(5), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 4], pa.int64()),
+            "b": pa.array(["u", "z", "w", "u"], pa.string()),
+            "y": pa.array([10, 11, 12, 13], pa.int64()),
+        }
+    )
+    import duckdb
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    got = (
+        hash_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt), on=["a", "b"],
+            how="inner", _key_hasher=awful_hasher,
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "x", "y"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", lt)
+    con.register("r", rt)
+    exp = con.execute(
+        """SELECT * FROM (
+             SELECT l.a, l.b, l.x, r.y FROM l JOIN r ON l.a = r.a AND l.b = r.b
+           ) ORDER BY a, b, x, y"""
+    ).df()
+    assert got[["a", "x", "y"]].values.tolist() == exp[["a", "x", "y"]].values.tolist()
+    assert got["b"].tolist() == exp["b"].tolist()

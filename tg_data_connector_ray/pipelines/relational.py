@@ -303,6 +303,38 @@ def _splitmix_buckets(arr, n_buckets: int) -> pa.Array:
     return pa.array((z & np.uint64(n_buckets - 1)).astype(np.int32))
 
 
+def _hash64_col(arr, hasher=None) -> np.ndarray:
+    """Full-width uint64 hash of one key column: splitmix64 for
+    int/temporal, the stable string hash otherwise (nulls -> 0; validity
+    is tracked separately by the join)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type) or pa.types.is_temporal(arr.type):
+        iv = (
+            pc.fill_null(arr.cast(pa.int64(), safe=False), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        z = iv.view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        return z ^ (z >> np.uint64(27))
+    if hasher is None:
+        from ..util import stable_hash_strings as hasher
+    return hasher(arr)
+
+
+def _composite_hash(t: pa.Table, cols: "list[str]", hasher=None) -> np.ndarray:
+    """Order-sensitive uint64 combination of the per-column hashes
+    (util.mix_hash chain) — the bucketing/sort key for multi-column
+    joins; candidates are verified component-wise afterwards."""
+    from ..util import mix_hash
+
+    h = _hash64_col(t[cols[0]], hasher)
+    for c in cols[1:]:
+        h = mix_hash(h, _hash64_col(t[c], hasher).view(np.int64))
+    return h
+
+
 def _bucket_ids(arr, n_buckets: int, hasher=None) -> pa.Array:
     """Bucket id per key for int/temporal (splitmix64 mix) OR string
     (stable 64-bit string hash) keys.  The type check uses the batch's
@@ -334,14 +366,18 @@ def _derive_num_buckets(bytes_hint: "int | None") -> int:
     return max(b, 16)
 
 
-def hash_join(left, right, on: str, num_buckets: "int | None" = None,
+def hash_join(left, right, on: "str | list[str]",
+              num_buckets: "int | None" = None,
               how: str = "inner", right_unique: bool = False,
               bytes_hint: "int | None" = None, _key_hasher=None):
-    """Bucketed hash join of two Datasets on an int64/temporal OR string
-    key.  String keys bucket and sort by a 64-bit hash, then every
-    candidate pair is verified by EXACT string equality after the
-    gather — a hash collision can cost a spurious candidate, never a
-    wrong row (`_key_hasher` is a test seam that forces collisions).
+    """Bucketed hash join of two Datasets on int64/temporal OR string
+    keys — single-column or COMPOSITE (`on=["a", "b"]`, any type mix).
+    String and composite keys bucket and sort by a 64-bit hash, then
+    every candidate pair is verified by EXACT equality of each key
+    component after the gather — a hash collision can cost a spurious
+    candidate, never a wrong row (`_key_hasher` is a test seam that
+    forces collisions).  SQL NULL semantics: a null in ANY key component
+    never matches (but survives left/outer as unmatched).
 
     Both sides get `bucket = splitmix64(key) & (B-1)` and a side tag,
     union into ONE dataset so a single groupby(bucket) co-locates matching
@@ -371,6 +407,10 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
         raise ValueError("num_buckets must be a power of two")
     if how not in ("inner", "left", "anti", "outer"):
         raise ValueError(f"how must be inner|left|anti|outer, got {how}")
+    on_cols = [on] if isinstance(on, str) else list(on)
+    multi = len(on_cols) > 1
+    on = on_cols[0]
+    on_set = set(on_cols)
 
     left_types = _ds_types(left)
     right_types = _ds_types(right)
@@ -385,7 +425,13 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
     def tag(side: str, own: "set[str]"):
         def _f(t: pa.Table) -> pa.Table:
             n = t.num_rows
-            b = _bucket_ids(t[on], num_buckets, hasher=_key_hasher)
+            if multi:
+                b = pa.array(
+                    (_composite_hash(t, on_cols, _key_hasher) % np.uint64(num_buckets))
+                    .astype(np.int32)
+                )
+            else:
+                b = _bucket_ids(t[on], num_buckets, hasher=_key_hasher)
             out = pa.table(
                 {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
             )
@@ -401,7 +447,7 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
     def join_bucket(g: pa.Table) -> pa.Table:
         lmask = pc.equal(g["_side"], "l")
         l_tbl = g.filter(lmask).select(left_cols)
-        if how == "anti":
+        if how == "anti" and not multi:
             # left rows whose key never appears on the right: one Arrow
             # is_in per bucket, no pandas round-trip, left schema intact
             rkeys = g.filter(pc.invert(lmask))[on].combine_chunks()
@@ -411,7 +457,7 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
             keep = pc.invert(pc.is_in(l_tbl[on], value_set=rset))
             return l_tbl.filter(pc.fill_null(keep, True))
         r_tbl = g.filter(pc.invert(lmask)).select(right_cols)
-        if right_unique and how == "inner":
+        if right_unique and how == "inner" and not multi:
             # right side unique per key: the inner join is a gather —
             # index_in + take per column, matched-rows filter; no pandas
             rkeys = r_tbl[on].combine_chunks()
@@ -424,36 +470,40 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 if c != on:
                     cols[c] = r_tbl[c].combine_chunks().take(gather)
             return pa.table(cols)
-        # general multi-match path (inner/left/outer, right NOT unique):
-        # SQL NULL-key semantics — null keys never match on either side
-        rk_arr = r_tbl[on].combine_chunks()
+        # general multi-match path (inner/left/outer + multi-col anti,
+        # right NOT unique): SQL NULL-key semantics — a null in any key
+        # component never matches on either side
+        def _valid_mask(t: pa.Table):
+            m = pc.is_valid(t[on_cols[0]].combine_chunks())
+            for c in on_cols[1:]:
+                m = pc.and_(m, pc.is_valid(t[c].combine_chunks()))
+            return m
+
         r_null_tbl = None
-        if r_tbl.num_rows and rk_arr.null_count:
-            keep_r = pc.is_valid(rk_arr)
-            if how == "outer":
-                # null-key right rows never match but DO survive a full
-                # outer join as unmatched-right output
-                r_null_tbl = r_tbl.filter(pc.invert(keep_r))
-            r_tbl = r_tbl.filter(keep_r)
-            rk_arr = r_tbl[on].combine_chunks()
+        if r_tbl.num_rows:
+            keep_r = _valid_mask(r_tbl)
+            if pc.sum(pc.invert(keep_r)).as_py():
+                if how == "outer":
+                    # null-key right rows never match but DO survive a
+                    # full outer join as unmatched-right output
+                    r_null_tbl = r_tbl.filter(pc.invert(keep_r))
+                r_tbl = r_tbl.filter(keep_r)
+        rk_arr = r_tbl[on].combine_chunks()
         lk_arr = l_tbl[on].combine_chunks()
         str_key = not (
             pa.types.is_integer(lk_arr.type) or pa.types.is_temporal(lk_arr.type)
         )
-        if str_key:
-            if _key_hasher is None:
-                from ..util import stable_hash_strings as _hasher
-            else:
-                _hasher = _key_hasher
-            # sort/searchsorted run over the 64-bit key hash; candidate
-            # pairs are verified by exact string equality after the gather
+        if multi or str_key:
+            # sort/searchsorted run over the 64-bit (composite) key hash;
+            # candidate pairs are verified by exact component equality
+            # after the gather
             rk = (
-                _hasher(rk_arr).view(np.int64)
+                _composite_hash(r_tbl, on_cols, _key_hasher).view(np.int64)
                 if r_tbl.num_rows
                 else np.empty(0, np.int64)
             )
             lk = (
-                _hasher(lk_arr).view(np.int64)
+                _composite_hash(l_tbl, on_cols, _key_hasher).view(np.int64)
                 if l_tbl.num_rows
                 else np.empty(0, np.int64)
             )
@@ -472,7 +522,7 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 else np.empty(0, np.int64)
             )
         lk_valid = (
-            pc.is_valid(lk_arr).to_numpy(zero_copy_only=False).astype(bool)
+            _valid_mask(l_tbl).to_numpy(zero_copy_only=False).astype(bool)
             if l_tbl.num_rows
             else np.empty(0, bool)
         )
@@ -487,22 +537,32 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
         seg = _segmented_arange(counts)
         l_rep = np.repeat(np.arange(l_tbl.num_rows, dtype=np.int64), counts)
         r_pos = order_r[np.repeat(lo, counts) + seg]
-        if str_key and l_rep.size:
-            # exact-equality verification of hash-matched candidates:
-            # collisions produce spurious candidates, never wrong rows
-            okm = (
-                pc.equal(lk_arr.take(pa.array(l_rep)), rk_arr.take(pa.array(r_pos)))
-                .to_numpy(zero_copy_only=False)
-                .astype(bool)
-            )
+        if (multi or str_key) and l_rep.size:
+            # exact-equality verification of hash-matched candidates,
+            # component-wise for composite keys: collisions produce
+            # spurious candidates, never wrong rows
+            li, ri = pa.array(l_rep), pa.array(r_pos)
+            okc = None
+            for c in on_cols:
+                eq = pc.equal(
+                    l_tbl[c].combine_chunks().take(li),
+                    r_tbl[c].combine_chunks().take(ri),
+                )
+                okc = eq if okc is None else pc.and_(okc, eq)
+            okm = okc.to_numpy(zero_copy_only=False).astype(bool)
             if not okm.all():
                 l_rep = l_rep[okm]
                 r_pos = r_pos[okm]
+        if how == "anti":
+            # multi-col anti: left rows with NO verified match survive
+            matched_l = np.zeros(l_tbl.num_rows, dtype=bool)
+            matched_l[l_rep] = True
+            return l_tbl.filter(pa.array(~matched_l))
         l_take = pa.array(l_rep)
         r_take = pa.array(r_pos)
         cols = {c: l_tbl[c].combine_chunks().take(l_take) for c in left_cols}
         for c in right_cols:
-            if c != on:
+            if c not in on_set:
                 cols[c] = r_tbl[c].combine_chunks().take(r_take)
         out = pa.table({c: cols[c] for c in all_cols})
         if how in ("left", "outer"):
@@ -515,7 +575,7 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 lmiss = l_tbl.filter(pa.array(un))
                 miss = {c: lmiss[c] for c in left_cols}
                 for c in right_cols:
-                    if c != on:
+                    if c not in on_set:
                         miss[c] = pa.nulls(lmiss.num_rows, type=all_types[c])
                 out = pa.concat_tables([out, pa.table({c: miss[c] for c in all_cols})])
         if how == "outer":
@@ -529,7 +589,7 @@ def hash_join(left, right, on: str, num_buckets: "int | None" = None,
                 rmiss = pa.concat_tables([rmiss, r_null_tbl])
             if rmiss.num_rows:
                 miss = {
-                    c: (rmiss[c] if c in right_cols or c == on
+                    c: (rmiss[c] if c in right_cols
                         else pa.nulls(rmiss.num_rows, type=all_types[c]))
                     for c in all_cols
                 }
@@ -1454,6 +1514,44 @@ def docs_source_profile(sf_dir: str):
         on="key",
         how="inner",
         bytes_hint=2 * parquet_bytes_hint(_t(sf_dir, "documents"), ["lang", "source"]),
+    )
+
+
+def events_user_type_profile(sf_dir: str):
+    """COMPOSITE-key hash join through the driver surface: every event
+    joined to the per-(user_id, event_type) activity profile on the
+    (int64, string) key pair — hash_join's multi-column path (combined
+    64-bit hash bucketing, component-wise exact verification).  The
+    profile side pre-aggregates per batch so only (key-pair, n) partials
+    reach the coarse-bucket finish."""
+    from ..util import parquet_bytes_hint
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([("user_id", "count")])
+        )
+        agg_cols = [c for c in g.column_names if c not in ("user_id", "event_type")]
+        return g.select(["user_id", "event_type"] + agg_cols).rename_columns(
+            ["user_id", "event_type", "n"]
+        )
+
+    profile = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "event_type"],
+        [("n", "sum")],
+        ["n_same"],
+    )
+    return hash_join(
+        ds,
+        profile,
+        on=["user_id", "event_type"],
+        how="inner",
+        bytes_hint=2
+        * parquet_bytes_hint(_t(sf_dir, "events"), ["event_id", "user_id", "event_type"]),
     )
 
 
