@@ -163,6 +163,12 @@ def run_query_bench() -> "tuple[dict, dict]":
         # round 5 additions: oracle-checked real-codec multimodal decode
         "multimodal_image_stats",
         "multimodal_audio_stats",
+        # round 5 continuation: full-outer / string-key / composite-key
+        # joins + integer-exact k-means
+        "customer_order_activity",
+        "docs_source_profile",
+        "events_user_type_profile",
+        "embedding_kmeans",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
