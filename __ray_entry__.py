@@ -195,6 +195,33 @@ def _run_cdc_time_travel(sf_dir: str):
     return time_travel(cfg, applied[-1], sort=True)
 
 
+def _run_cdc_changefeed(sf_dir: str):
+    """Change-data-feed through the driver surface: the t2 log applied as
+    three delta-mode runs, then the I/U/D stream between run 2 and run 3
+    — every key whose state changed in the window, new payload on I/U,
+    null payload on D.  Oracle: a FULL OUTER join of the independent
+    window-SQL merge reconstructions as of each run (lsn watermark bump
+    = U; presence flips = I/D)."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, change_feed
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2feed")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    batches, _ = _cdc_travel_prefix(fx)
+    applied, applied12 = [], []
+    for i, b in enumerate(batches, start=1):
+        if b:
+            apply_cdc(b, cfg, run_id=f"fd-r{i}")
+            applied.append(f"fd-r{i}")
+            if i <= 2:
+                applied12.append(f"fd-r{i}")
+    # from = the run covering the oracle's two-batch prefix, to = head;
+    # equal when batch 3 is empty -> an (identically) empty feed
+    return change_feed(cfg, applied12[-1], applied[-1])
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1174,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_incremental": _run_cdc_incremental,
         "cdc_replay_delta": _run_cdc_delta,
         "cdc_time_travel": _run_cdc_time_travel,
+        "cdc_changefeed": _run_cdc_changefeed,
         "cdc_replay_snapshot": _run_cdc_snapshot,
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
@@ -1197,7 +1225,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": _events_rollup,
         "events_cube": _events_cube,
         "users_in_both": _users_in_both,
-        "users_heavy_tail": _users_heavy_tail,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
         "docs_prep_pipeline": _docs_prep_pipeline,
@@ -1234,7 +1261,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted from the prefix (simple shapes whose families stay
         # represented above: broadcast agg, scalar ratio, lag window,
         # deterministic hash split, per-label centroid — generalized by
-        # embedding_kmeans), regex props extraction
+        # embedding_kmeans), regex props extraction, salted heavy tail
+        "users_heavy_tail": _users_heavy_tail,
         "label_centroids": _label_centroids,
         "docs_hash_split": _docs_hash_split,
         "events_props_extract": _events_props_extract,
@@ -1318,6 +1346,40 @@ def _cdc_time_travel_oracle_sql() -> str:
                  role, text, tool, ts
           FROM read_parquet([{flist}], union_by_name=true)"""
     return _merge_contract_sql(src)
+
+
+def _cdc_changefeed_oracle_sql() -> str:
+    """FULL OUTER join of the merge-contract reconstructions as of run 2
+    (two-batch prefix) and run 3 (whole log): presence flips are I/D,
+    a bumped per-key lsn watermark is U, unchanged keys drop out.  D
+    rows carry null payload, exactly like the engine's feed."""
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    batches, _ = _cdc_travel_prefix(fx)
+
+    def src(files):
+        lst = ", ".join(f"'{f}'" for f in files)
+        return f"""SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts
+          FROM read_parquet([{lst}], union_by_name=true)"""
+
+    a = _merge_contract_sql(src(batches[0] + batches[1]), with_watermark=True)
+    b = _merge_contract_sql(
+        src(batches[0] + batches[1] + batches[2]), with_watermark=True
+    )
+    return f"""
+        WITH a AS ({a}), b AS ({b})
+        SELECT CASE WHEN a.conv_id IS NULL THEN 'I'
+                    WHEN b.conv_id IS NULL THEN 'D'
+                    ELSE 'U' END AS op,
+               COALESCE(a.conv_id, b.conv_id) AS conv_id,
+               COALESCE(a.turn_idx, b.turn_idx) AS turn_idx,
+               b.role, b.text, b.tool, b.ts
+        FROM a FULL OUTER JOIN b
+          ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+        WHERE a.conv_id IS NULL OR b.conv_id IS NULL OR a.lsn_wm <> b.lsn_wm
+    """
 
 
 def _merge_contract_sql(src: str, with_watermark: bool = False) -> str:
@@ -1406,6 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_delta": _cdc_oracle_sql("t2"),
         # as-of-run read = the merge contract over the journaled prefix
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
+        # change feed = outer-joined before/after merge reconstructions
+        "cdc_changefeed": _cdc_changefeed_oracle_sql(),
         # snapshot bootstrap: the same merge contract over the union of
         # the snapshot (as lsn=0 full inserts) and the whole log
         "cdc_replay_snapshot": _cdc_oracle_sql("t2", with_snapshot=True),

@@ -800,3 +800,70 @@ def test_time_travel_as_of_run(t2, tmp_path):
     )
     with pytest.raises(TimeTravelError):
         time_travel(rcfg, "r1")
+
+
+def test_change_feed_edge_semantics(tmp_path):
+    """Change-feed classification on a handcrafted window: update -> U
+    with the NEW payload, delete -> D with null payload, brand-new key ->
+    I, resurrection (dead before, re-inserted inside the window) -> I,
+    create+delete inside the window -> NOTHING, untouched keys -> nothing.
+    A from/to pair out of journal order must raise."""
+    from tg_data_connector_ray.cdc.pipeline import change_feed
+
+    def log(path, rows):
+        t = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "conv_id": pa.array([r[2] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[4] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array(["2026-01-01 00:00:01"] * len(rows), pa.string()),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path)
+        return path
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "cf"), num_partitions=4, merge_strategy="delta"
+    )
+    # run 1: five keys; "gone" dies inside run 1 (dead at the boundary)
+    f1 = log(
+        str(tmp_path / "l1" / "b.parquet"),
+        [
+            (1, "I", "upd", 0, "v1"),
+            (2, "I", "del", 0, "v1"),
+            (3, "I", "same", 0, "v1"),
+            (4, "I", "gone", 0, "v1"),
+            (5, "D", "gone", 0, None),
+        ],
+    )
+    # run 2: update upd, delete del, new key, resurrect gone,
+    # create+delete flash inside the window
+    f2 = log(
+        str(tmp_path / "l2" / "b.parquet"),
+        [
+            (6, "U", "upd", 0, "v2"),
+            (7, "D", "del", 0, None),
+            (8, "I", "new", 0, "v1"),
+            (9, "I", "gone", 0, "back"),
+            (10, "I", "flash", 0, "v1"),
+            (11, "D", "flash", 0, None),
+        ],
+    )
+    apply_cdc([f1], cfg, run_id="r1")
+    apply_cdc([f2], cfg, run_id="r2")
+
+    feed = change_feed(cfg, "r1", "r2").to_pandas()
+    got = {(r.conv_id, r.op): r for r in feed.itertuples()}
+    assert set(got) == {("upd", "U"), ("del", "D"), ("new", "I"), ("gone", "I")}
+    assert got[("upd", "U")].text == "v2"
+    assert got[("gone", "I")].text == "back"
+    assert got[("del", "D")].text is None or got[("del", "D")].text != got[("del", "D")].text  # null
+    # self-window: empty feed with the feed schema intact
+    assert len(change_feed(cfg, "r2", "r2").to_pandas()) == 0
+    with pytest.raises(ValueError, match="does not precede"):
+        change_feed(cfg, "r2", "r1")

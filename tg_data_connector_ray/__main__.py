@@ -61,6 +61,17 @@ def main(argv=None) -> int:
     exp.add_argument("--as-of", dest="as_of", help="journaled run id to read as of")
     exp.add_argument("--partitions", type=int, default=64)
 
+    cf = sub.add_parser(
+        "changefeed",
+        help="write the I/U/D change stream between two journaled runs "
+        "as parquet (LSM delta tables)",
+    )
+    cf.add_argument("--out", required=True, help="CDC table dir")
+    cf.add_argument("--dest", required=True, help="destination parquet dir")
+    cf.add_argument("--from", dest="from_run", required=True)
+    cf.add_argument("--to", dest="to_run", required=True)
+    cf.add_argument("--partitions", type=int, default=64)
+
     mig = sub.add_parser(
         "migrate",
         help="re-route persisted state into a fresh out dir under the "
@@ -153,6 +164,26 @@ def main(argv=None) -> int:
                 for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
             )
             out = {"rows": rows, "dest": args.dest, "as_of": args.as_of}
+        elif args.cmd == "changefeed":
+            import glob as _glob
+
+            import pyarrow.parquet as _pq
+
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import change_feed
+
+            cfg = CdcConfig(out_dir=args.out, num_partitions=args.partitions)
+            change_feed(cfg, args.from_run, args.to_run).write_parquet(args.dest)
+            rows = sum(
+                _pq.read_metadata(f).num_rows
+                for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
+            )
+            out = {
+                "rows": rows,
+                "dest": args.dest,
+                "from": args.from_run,
+                "to": args.to_run,
+            }
         else:
             from .cdc.config import CdcConfig
             from .cdc.pipeline import verify_against

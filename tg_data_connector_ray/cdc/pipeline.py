@@ -948,6 +948,112 @@ def _table_digest(paths, cols, filter=None) -> dict:
     }
 
 
+def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset":
+    """The CHANGE DATA FEED between two journaled runs: one I/U/D row per
+    key whose state changed in the (from_run, to_run] window — the
+    downstream-consumer stream a lakehouse CDF emits, derived here from
+    the LSM run files with no extra bookkeeping:
+
+    - per partition, fold the state as of each run (time-travel folds;
+      `from_run`'s allow-set must be a subset of `to_run`'s — both come
+      from the run journal, so this holds whenever from precedes to);
+    - registers never disappear between compactions, so every change is
+      decidable from the as-of-`to_run` rows alone: I = live now but not
+      before (covers resurrections), D = live before but not now, U =
+      live in both with a bumped per-key LSN watermark (an event touched
+      the key; at-least-once CDF semantics).  Keys created AND deleted
+      inside the window emit nothing.
+    - the before-lookup is an exact Arrow index_in on the composite
+      (conv_id \\x00 turn_idx) key string — no hash-collision exposure.
+
+    I/U rows carry the new payload; D rows carry null payload.  Requires
+    merge_strategy='delta' history reaching back to `from_run` (else
+    merge.TimeTravelError, never a wrong feed)."""
+    runs_a = time_travel_runs(cfg, from_run)
+    runs_b = time_travel_runs(cfg, to_run)
+    if not runs_a <= runs_b:
+        raise ValueError(
+            f"from_run {from_run!r} does not precede to_run {to_run!r} "
+            "in the run journal"
+        )
+    from .merge import read_partition_state
+
+    policy = cfg.orphan_updates
+
+    def _keystr(t: pa.Table) -> pa.Array:
+        return pa.compute.binary_join_element_wise(
+            t["conv_id"].combine_chunks().cast(pa.string()),
+            t["turn_idx"].combine_chunks().cast(pa.string()),
+            "\x00",
+        )
+
+    def feed_dir(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pc_ = pa.compute
+        outs = []
+        empty = pa.table(
+            {
+                "op": pa.array([], pa.string()),
+                **{
+                    c: pa.array([], _empty_final_table().schema.field(c).type)
+                    for c in USER_COLS
+                },
+            }
+        )
+        for d in t["part_dir"].to_pylist():
+            a = read_partition_state(d, policy=policy, runs=runs_a)
+            b = read_partition_state(d, policy=policy, runs=runs_b)
+            if b.num_rows == 0:
+                continue
+            live_b = pc_.invert(
+                pc_.fill_null(b["_deleted"].combine_chunks(), False)
+            ).to_numpy(zero_copy_only=False).astype(bool)
+            lsn_b = b["_lsn"].combine_chunks().to_numpy(zero_copy_only=False)
+            if a.num_rows:
+                idx = pc_.index_in(_keystr(b), value_set=_keystr(a))
+                in_a = pc_.is_valid(idx).to_numpy(zero_copy_only=False).astype(bool)
+                dead_a = (
+                    pc_.fill_null(
+                        a["_deleted"].combine_chunks().take(idx), True
+                    ).to_numpy(zero_copy_only=False).astype(bool)
+                )
+                lsn_a = (
+                    pc_.fill_null(a["_lsn"].combine_chunks().take(idx), -1)
+                    .to_numpy(zero_copy_only=False)
+                )
+            else:
+                in_a = np.zeros(b.num_rows, bool)
+                dead_a = np.ones(b.num_rows, bool)
+                lsn_a = np.full(b.num_rows, -1, np.int64)
+            live_a = in_a & ~dead_a
+            is_i = live_b & ~live_a
+            is_d = ~live_b & live_a
+            is_u = live_b & live_a & (lsn_b != lsn_a)
+            sel = is_i | is_d | is_u
+            if not sel.any():
+                continue
+            rows = b.filter(pa.array(sel))
+            op = np.where(
+                is_i[sel], "I", np.where(is_d[sel], "D", "U")
+            )
+            d_mask = pa.array(is_d[sel])
+            cols = {"op": pa.array(op)}
+            for c in USER_COLS:
+                col = rows[c].combine_chunks()
+                if c not in ("conv_id", "turn_idx"):
+                    # D rows carry null payload (the value is gone)
+                    col = pc_.if_else(d_mask, pa.nulls(rows.num_rows, col.type), col)
+                cols[c] = col
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs) if outs else empty
+
+    dirs = _partition_state_dirs(cfg)
+    return ray.data.from_items([{"part_dir": d} for d in dirs]).map_batches(
+        feed_dir, batch_format="pyarrow", batch_size=1
+    )
+
+
 def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
     """The north-rule invariant as an engine operation: compare the
     converged table against an expected transcripts Parquet — per-turn
