@@ -580,6 +580,22 @@ def _join_vs_duckdb(lt, rt, how, **kw):
     got = hash_join(
         ray.data.from_arrow(lt), ray.data.from_arrow(rt), on="k", how=how, **kw
     ).to_pandas()
+    if len(got) == 0:
+        # Ray's zero-group map_groups loses the schema (documented
+        # engine-wide gotcha) — only the emptiness is comparable
+        import duckdb as _dd
+
+        con = _dd.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        sql0 = {
+            "inner": "SELECT count(*) FROM l JOIN r ON l.k = r.k",
+            "left": "SELECT count(*) FROM l LEFT JOIN r ON l.k = r.k",
+            "outer": "SELECT count(*) FROM l FULL OUTER JOIN r ON l.k = r.k",
+            "anti": "SELECT count(*) FROM l WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.k = l.k)",
+        }[how]
+        assert con.execute(sql0).fetchone()[0] == 0, how
+        return
     got = got.sort_values(
         [c for c in ("k", "x", "y") if c in got.columns], na_position="last"
     ).reset_index(drop=True)
@@ -733,3 +749,39 @@ def test_hash_join_composite_collisions_stay_exact(ray_session):
     ).df()
     assert got[["a", "x", "y"]].values.tolist() == exp[["a", "x", "y"]].values.tolist()
     assert got["b"].tolist() == exp["b"].tolist()
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    lk=st.lists(
+        st.one_of(st.integers(0, 6), st.none()), min_size=0, max_size=40
+    ),
+    rk=st.lists(
+        st.one_of(st.integers(2, 9), st.none()), min_size=0, max_size=40
+    ),
+    how=st.sampled_from(["inner", "left", "outer", "anti"]),
+    as_str=st.booleans(),
+)
+def test_hash_join_property_vs_duckdb(ray_session, lk, rk, how, as_str):
+    """Any small input hypothesis constructs — int or string keys, nulls,
+    empty sides, duplicate keys — every join kind must equal DuckDB."""
+    import pyarrow as pa
+
+    conv = (lambda v: None if v is None else f"k{v}") if as_str else (lambda v: v)
+    typ = pa.string() if as_str else pa.int64()
+    lt = pa.table(
+        {
+            "k": pa.array([conv(v) for v in lk], typ),
+            "x": pa.array(range(len(lk)), pa.int64()),
+        }
+    )
+    rt = pa.table(
+        {
+            "k": pa.array([conv(v) for v in rk], typ),
+            "y": pa.array(range(100, 100 + len(rk)), pa.int64()),
+        }
+    )
+    _join_vs_duckdb(lt, rt, how, num_buckets=4)
