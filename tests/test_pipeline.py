@@ -867,3 +867,53 @@ def test_change_feed_edge_semantics(tmp_path):
     assert len(change_feed(cfg, "r2", "r2").to_pandas()) == 0
     with pytest.raises(ValueError, match="does not precede"):
         change_feed(cfg, "r2", "r1")
+
+
+def test_compact_crash_between_base_write_and_unlink_is_idempotent(t1, tmp_path):
+    """The documented compaction crash window: base rewritten but delta
+    run files not yet unlinked.  Simulated by restoring the delta files
+    after a full compact — every read path must fold base+deltas to the
+    IDENTICAL state (same-LSN registers re-apply as no-ops), and a
+    re-run of compact() converges and cleans up."""
+    import shutil
+
+    from tg_data_connector_ray.cdc.merge import partition_state_files
+    from tg_data_connector_ray.cdc.pipeline import compact, final_table_arrow
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "cc"), num_partitions=4, merge_strategy="delta"
+    )
+    files = sorted(
+        os.path.join(t1["cdc_log"], f) for f in os.listdir(t1["cdc_log"])
+    )
+    k = max(1, len(files) // 2)
+    apply_cdc(files[:k], cfg, run_id="c1")
+    apply_cdc(files[k:], cfg, run_id="c2")
+
+    # stash the delta files, compact, then restore them = the crash state
+    stash = tmp_path / "stash"
+    os.makedirs(stash)
+    saved = []
+    state_root = os.path.join(cfg.out_dir, "state")
+    for d in sorted(os.listdir(state_root)):
+        for _, deltas in [partition_state_files(os.path.join(state_root, d))]:
+            for f in deltas:
+                dst = stash / f"{d}__{os.path.basename(f)}"
+                shutil.copy(f, dst)
+                saved.append((f, dst))
+    before = final_table_arrow(cfg, sort=True)
+    compact(cfg, tombstone_retention_lsn=0)
+    clean = final_table_arrow(cfg, sort=True)
+    assert clean.equals(before.filter(  # live view unchanged by compaction
+        pa.compute.is_valid(before["conv_id"])
+    ))
+    for orig, dst in saved:
+        shutil.copy(dst, orig)  # "crash": base new, deltas resurrected
+
+    crashed = final_table_arrow(cfg, sort=True)
+    assert crashed.equals(clean), "re-applied registers must be no-ops"
+    res = compact(cfg, tombstone_retention_lsn=0)
+    assert res["delta_runs_folded"] == len(saved)
+    assert final_table_arrow(cfg, sort=True).equals(clean)
+    exp = pq.read_table(t1["transcripts"])
+    assert_converged(cfg, exp)
