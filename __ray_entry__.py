@@ -222,6 +222,54 @@ def _run_cdc_changefeed(sf_dir: str):
     return change_feed(cfg, applied12[-1], applied[-1])
 
 
+def _transcript_stats(sf_dir: str):
+    """CDC output feeding the analytics layer: replay the t2 log, then
+    per-conversation stats (turns, tool-call turns, total characters)
+    over the STREAMING final-table read — a string-keyed distributed
+    aggregate (grouped_arrow_aggregate's string bucketing) with per-batch
+    partials, never materializing the merged table on the driver.
+    Oracle: the same aggregates over the window-SQL merge contract."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.pipelines.relational import grouped_arrow_aggregate
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2stats")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        thin = pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+                "tool1": pc.is_valid(t["tool"]).cast(pa.int64()),
+                "chars": pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64()),
+            }
+        )
+        g = thin.group_by("conv_id").aggregate(
+            [("one", "sum"), ("tool1", "sum"), ("chars", "sum")]
+        )
+        agg = [c for c in g.column_names if c != "conv_id"]
+        return g.select(["conv_id"] + agg).rename_columns(
+            ["conv_id", "n", "n_tool", "chars"]
+        )
+
+    thin = read_final_table(cfg).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_arrow_aggregate(
+        thin,
+        "conv_id",
+        [("n", "sum"), ("n_tool", "sum"), ("chars", "sum")],
+        ["n_turns", "n_tool", "total_chars"],
+    )
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1206,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_merge_events": R.cdc_merge_events,
+        "transcript_stats": _transcript_stats,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -1217,7 +1266,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_incremental": _dedup_exact_incremental,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
-        "late_shipment_priority": _late_shipment_priority,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
         "events_percent_rank": _events_percent_rank,
@@ -1261,7 +1309,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # demoted from the prefix (simple shapes whose families stay
         # represented above: broadcast agg, scalar ratio, lag window,
         # deterministic hash split, per-label centroid — generalized by
-        # embedding_kmeans), regex props extraction, salted heavy tail
+        # embedding_kmeans), regex props extraction, salted heavy tail,
+        # date-filtered semi-join (join family stays richly represented)
+        "late_shipment_priority": _late_shipment_priority,
         "users_heavy_tail": _users_heavy_tail,
         "label_centroids": _label_centroids,
         "docs_hash_split": _docs_hash_split,
@@ -1475,6 +1525,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_snapshot": _cdc_oracle_sql("t2", with_snapshot=True),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
         "cdc_replay_evo": _cdc_oracle_sql("t2evo"),
+        "transcript_stats": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+            FROM m GROUP BY conv_id
+        """,
         "cdc_merge_events": """
             SELECT user_id, event_type, event_id, value, ts FROM (
               SELECT event_id, user_id, event_type, value, ts,
