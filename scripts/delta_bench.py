@@ -85,6 +85,36 @@ def main() -> None:
     r, d = results["refold"], results["delta"]
     results["small_run_speedup"] = round(r["small_run_sec"] / d["small_run_sec"], 2)
     results["big_run_speedup"] = round(r["big_run_sec"] / d["big_run_sec"], 2)
+
+    # time-travel + changefeed cost on the delta table: an as-of read
+    # folds the same per-partition files as a current read (minus the
+    # excluded runs), and the feed is two folds + a register compare —
+    # both must stay O(state partition), independent of history depth
+    from tg_data_connector_ray.cdc.pipeline import change_feed, read_final_table
+
+    cfg = CdcConfig(
+        out_dir=os.path.join(root, "delta"),
+        num_partitions=parts,
+        merge_strategy="delta",
+    )
+    runs = open(os.path.join(cfg.out_dir, "runs.log")).read().split()
+    t0 = time.monotonic()
+    rows_cur = read_final_table(cfg).count()
+    t_cur = time.monotonic() - t0
+    t0 = time.monotonic()
+    rows_asof = read_final_table(cfg, runs=frozenset(runs[:-1])).count()
+    t_asof = time.monotonic() - t0
+    t0 = time.monotonic()
+    rows_feed = change_feed(cfg, runs[-2], runs[-1]).count()
+    t_feed = time.monotonic() - t0
+    results["time_travel"] = {
+        "read_current_sec": round(t_cur, 3),
+        "read_asof_sec": round(t_asof, 3),
+        "changefeed_sec": round(t_feed, 3),
+        "rows_current": rows_cur,
+        "rows_asof": rows_asof,
+        "changefeed_rows": rows_feed,
+    }
     print(json.dumps(results))
     ray.shutdown()
 
