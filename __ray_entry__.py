@@ -270,6 +270,27 @@ def _transcript_stats(sf_dir: str):
     )
 
 
+def _run_cdc_scd2(sf_dir: str):
+    """SCD Type-2 version history straight from the t2 event log: one row
+    per applied change event carrying the full post-event visible state
+    and an LSN validity interval [valid_from, valid_to); tombstone
+    versions survive (deleted=true) so resurrections are visible.  One
+    conv_id hash shuffle, then a vectorized per-bucket pass (the fold
+    kernel's grouped-last-setter running max evaluated at every row).
+    Oracle: the same contract in window SQL — per column a running
+    max over setter LSNs, values joined back by (key, lsn), lead() for
+    valid_to."""
+    import ray
+
+    from tg_data_connector_ray.cdc.history import scd2_history
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    files = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+    return scd2_history(ray.data.read_parquet(files))
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1254,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_merge_events": R.cdc_merge_events,
+        "cdc_scd2_history": _run_cdc_scd2,
         "transcript_stats": _transcript_stats,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
@@ -1381,6 +1403,50 @@ def _cdc_oracle_sql(tier: str, with_snapshot: bool = False, with_watermark: bool
                  role, text, tool, ts
           FROM read_parquet('{snap}')"""
     return _merge_contract_sql(src, with_watermark=with_watermark)
+
+
+def _cdc_scd2_oracle_sql() -> str:
+    """Window-SQL reconstruction of the SCD2 history contract over the t2
+    log: after redelivery dedup, every event is a version; per payload
+    column the visible value is the one carried at the latest setter LSN
+    at-or-before the version (full I/D events set every column, U only its
+    non-null ones), joined back by (key, lsn); lead(lsn) bounds validity."""
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    glob = os.path.join(fx["cdc_log"], "*.parquet")
+    return f"""
+        WITH raw AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY conv_id, turn_idx, lsn
+                                    ORDER BY role, text, tool, ts) AS rdup
+          FROM (SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                       role, text, tool, ts
+                FROM read_parquet('{glob}', union_by_name=true))
+        ), ev AS (
+          SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
+          FROM raw WHERE rdup = 1
+        ), v AS (
+          SELECT conv_id, turn_idx, lsn, op,
+                 max(CASE WHEN op IN ('I','D') OR role IS NOT NULL THEN lsn END) OVER w AS l_role,
+                 max(CASE WHEN op IN ('I','D') OR text IS NOT NULL THEN lsn END) OVER w AS l_text,
+                 max(CASE WHEN op IN ('I','D') OR tool IS NOT NULL THEN lsn END) OVER w AS l_tool,
+                 max(CASE WHEN op IN ('I','D') OR ts   IS NOT NULL THEN lsn END) OVER w AS l_ts,
+                 lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) AS valid_to
+          FROM ev
+          WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY lsn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT v.conv_id, v.turn_idx, v.lsn AS valid_from, v.valid_to,
+               (v.valid_to IS NULL) AS is_current, (v.op = 'D') AS deleted,
+               er.role AS role, et.text AS text, eo.tool AS tool, es.ts AS ts
+        FROM v
+        LEFT JOIN ev er ON er.conv_id = v.conv_id AND er.turn_idx = v.turn_idx AND er.lsn = v.l_role
+        LEFT JOIN ev et ON et.conv_id = v.conv_id AND et.turn_idx = v.turn_idx AND et.lsn = v.l_text
+        LEFT JOIN ev eo ON eo.conv_id = v.conv_id AND eo.turn_idx = v.turn_idx AND eo.lsn = v.l_tool
+        LEFT JOIN ev es ON es.conv_id = v.conv_id AND es.turn_idx = v.turn_idx AND es.lsn = v.l_ts
+        ORDER BY v.conv_id, v.turn_idx, v.lsn
+    """
 
 
 def _cdc_time_travel_oracle_sql() -> str:
@@ -1523,6 +1589,8 @@ def oracle_sql() -> dict[str, str]:
         # snapshot bootstrap: the same merge contract over the union of
         # the snapshot (as lsn=0 full inserts) and the whole log
         "cdc_replay_snapshot": _cdc_oracle_sql("t2", with_snapshot=True),
+        # full SCD2 version history (every event a version, LSN validity)
+        "cdc_scd2_history": _cdc_scd2_oracle_sql(),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
         "cdc_replay_evo": _cdc_oracle_sql("t2evo"),
         "transcript_stats": f"""
