@@ -291,6 +291,25 @@ def _run_cdc_scd2(sf_dir: str):
     return scd2_history(ray.data.read_parquet(files))
 
 
+def _transcript_sft_pairs(sf_dir: str):
+    """CDC output feeding training-data extraction: replay the t2 log,
+    then pair every assistant turn (non-null text) with the latest prior
+    user turn's text in the same conversation over the STREAMING final-
+    table read — one conv_id hash shuffle, then a vectorized running-max
+    pass per bucket.  Oracle: IGNORE NULLS window over the merge-contract
+    reconstruction."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import sft_pairs
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2sft")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    return sft_pairs(read_final_table(cfg))
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1277,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
         "transcript_stats": _transcript_stats,
+        "transcript_sft_pairs": _transcript_sft_pairs,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -1600,6 +1620,23 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_tool,
                    CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
             FROM m GROUP BY conv_id
+        """,
+        # SFT pair extraction: assistant turns paired with the latest
+        # prior user turn's text (null texts skipped on both sides)
+        "transcript_sft_pairs": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")}), p AS (
+              SELECT conv_id, turn_idx, role, text,
+                     last_value(CASE WHEN role = 'user' AND text IS NOT NULL
+                                     THEN text END IGNORE NULLS)
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prompt
+              FROM m
+            )
+            SELECT conv_id, turn_idx, prompt, text AS response
+            FROM p
+            WHERE role = 'assistant' AND text IS NOT NULL AND prompt IS NOT NULL
+            ORDER BY conv_id, turn_idx
         """,
         "cdc_merge_events": """
             SELECT user_id, event_type, event_id, value, ts FROM (

@@ -1,0 +1,125 @@
+"""SFT pair-extraction kernel + pipeline tests (ops/transcripts.py)."""
+
+import pyarrow as pa
+
+from tg_data_connector_ray.ops.transcripts import sft_pairs, sft_pairs_block
+
+
+def tbl(rows):
+    """rows: (conv_id, turn_idx, role, text)"""
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
+def pairs(rows):
+    return sft_pairs_block(tbl(rows)).to_pylist()
+
+
+def test_basic_alternation_pairs_each_assistant_with_prior_user():
+    p = pairs(
+        [
+            ("c1", 0, "user", "q1"),
+            ("c1", 1, "assistant", "a1"),
+            ("c1", 2, "user", "q2"),
+            ("c1", 3, "assistant", "a2"),
+        ]
+    )
+    assert [(r["turn_idx"], r["prompt"], r["response"]) for r in p] == [
+        (1, "q1", "a1"),
+        (3, "q2", "a2"),
+    ]
+
+
+def test_latest_prior_user_wins_and_system_tool_turns_are_transparent():
+    p = pairs(
+        [
+            ("c1", 0, "system", "sys"),
+            ("c1", 1, "user", "old q"),
+            ("c1", 2, "user", "new q"),
+            ("c1", 3, "tool", "tool out"),
+            ("c1", 4, "assistant", "ans"),
+        ]
+    )
+    assert p == [{"conv_id": "c1", "turn_idx": 4, "prompt": "new q", "response": "ans"}]
+
+
+def test_assistant_without_prior_user_is_dropped():
+    p = pairs(
+        [
+            ("c1", 0, "assistant", "cold open"),
+            ("c1", 1, "user", "q"),
+            ("c1", 2, "assistant", "a"),
+        ]
+    )
+    assert [(r["turn_idx"]) for r in p] == [2]
+
+
+def test_null_texts_skipped_both_sides():
+    p = pairs(
+        [
+            ("c1", 0, "user", None),  # not a usable prompt
+            ("c1", 1, "assistant", "a1"),  # no valid prior user text -> dropped
+            ("c1", 2, "user", "q"),
+            ("c1", 3, "assistant", None),  # empty response -> dropped
+            ("c1", 4, "assistant", "a2"),
+        ]
+    )
+    assert [(r["turn_idx"], r["prompt"]) for r in p] == [(4, "q")]
+
+
+def test_conversations_do_not_leak_into_each_other():
+    p = pairs(
+        [
+            ("c1", 0, "user", "q-c1"),
+            ("c2", 0, "assistant", "a-c2"),  # no user in c2 -> dropped
+            ("c2", 1, "user", "q-c2"),
+            ("c2", 2, "assistant", "a2-c2"),
+        ]
+    )
+    assert [(r["conv_id"], r["prompt"]) for r in p] == [("c2", "q-c2")]
+
+
+def test_unsorted_input_rows():
+    p = pairs(
+        [
+            ("c1", 3, "assistant", "a2"),
+            ("c1", 0, "user", "q1"),
+            ("c1", 2, "user", "q2"),
+            ("c1", 1, "assistant", "a1"),
+        ]
+    )
+    assert [(r["turn_idx"], r["prompt"]) for r in p] == [(1, "q1"), (3, "q2")]
+
+
+def test_empty_block():
+    assert sft_pairs_block(tbl([])).num_rows == 0
+
+
+def test_dataset_path_matches_kernel_on_fixture(t1):
+    """Distributed extraction over the golden final table == one-shot
+    kernel over the same table read whole."""
+    import ray
+
+    from tg_data_connector_ray.cdc.golden import golden_apply
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+    golden = golden_apply([pa.parquet.read_table(f) for f in files])
+
+    ds = ray.data.from_arrow(golden)
+    out = sft_pairs(ds, n_coarse=8)
+    got = pa.concat_tables(
+        t for t in ray.get(out.to_arrow_refs()) if t.num_rows
+    ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+    want = sft_pairs_block(golden).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.num_rows == want.num_rows > 0
+    assert got.equals(want)

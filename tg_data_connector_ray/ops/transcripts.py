@@ -1,0 +1,101 @@
+"""Training-pair extraction over converged transcript tables.
+
+`sft_pairs` turns the CDC engine's merged conversation table into
+supervised fine-tuning examples: each assistant turn with non-null text is
+paired with the text of the latest PRIOR user turn in the same
+conversation (turns with null text are skipped on both sides — an empty
+prompt or response is not a training example).  This is the canonical
+"chat log -> SFT dataset" step of an LLM data pipeline; the reference
+connector has no analogue (SURVEY.md §2) — the operator is defined by the
+training-data mandate, not ported code.
+
+Scale design: one coarse hash shuffle on ``conv_id`` co-locates whole
+conversations (per-task rows ~= table/n_coarse); inside each bucket a
+single numpy pass (lexsort + running-max "latest prior user turn" index)
+emits pairs — no per-conversation Python dispatch, no driver
+materialization.  Output streams as Arrow blocks, O(assistant turns).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..cdc.merge import _col_np
+
+PAIRS_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("prompt", pa.string()),
+        ("response", pa.string()),
+    ]
+)
+
+
+def _empty_pairs() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in PAIRS_SCHEMA})
+
+
+def sft_pairs_block(g: pa.Table) -> pa.Table:
+    """Vectorized pair extraction over one co-located conversation bucket."""
+    if "_cg" in g.column_names:
+        g = g.drop_columns(["_cg"])
+    if g.num_rows == 0:
+        return _empty_pairs()
+
+    conv_dict = _col_np(g, "conv_id").dictionary_encode()
+    conv_codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = _col_np(g, "turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    role = _col_np(g, "role").to_numpy(zero_copy_only=False)  # object array
+    text = _col_np(g, "text")
+
+    order = np.lexsort((turn, conv_codes))
+    conv_codes, turn, role = conv_codes[order], turn[order], role[order]
+    text_valid = ~np.asarray(text.is_null()).astype(bool)[order]
+
+    n = len(order)
+    idx = np.arange(n, dtype=np.int64)
+    new_conv = np.concatenate([[True], conv_codes[1:] != conv_codes[:-1]])
+    conv_start = np.maximum.accumulate(np.where(new_conv, idx, -1))
+
+    # latest STRICTLY-PRIOR user turn with text: inclusive running max of
+    # user-turn indices, shifted down one row, clamped to the conversation
+    is_user = (role == "user") & text_valid
+    runmax = np.maximum.accumulate(np.where(is_user, idx, -1))
+    prior = np.concatenate([[-1], runmax[:-1]])
+    prior = np.where(prior >= conv_start, prior, -1)
+
+    is_resp = (role == "assistant") & text_valid & (prior >= 0)
+    if not is_resp.any():
+        return _empty_pairs()
+    r = idx[is_resp]
+    return pa.table(
+        {
+            "conv_id": conv_dict.take(pa.array(order[r])).cast(pa.string()),
+            "turn_idx": pa.array(turn[r], type=pa.int32()),
+            "prompt": text.take(pa.array(order[prior[r]])),
+            "response": text.take(pa.array(order[r])),
+        },
+        schema=PAIRS_SCHEMA,
+    )
+
+
+def sft_pairs(transcripts, n_coarse: int = 64):
+    """(prompt, response) pairs Dataset from a transcript-schema Dataset.
+
+    ``transcripts`` needs columns conv_id (string), turn_idx, role, text —
+    e.g. ``cdc.pipeline.read_final_table`` output, or any conversation
+    table.  ``n_coarse`` bounds per-task memory at ~rows/n_coarse.
+    """
+    from ..util import stable_hash_strings
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = (stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)).astype(np.int32)
+        return t.append_column("_cg", pa.array(cg))
+
+    return (
+        transcripts.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(sft_pairs_block, batch_format="pyarrow")
+    )
