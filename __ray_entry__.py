@@ -824,6 +824,55 @@ def _events_user_type_profile(sf_dir):
     return events_user_type_profile(sf_dir)
 
 
+def _dedup_semantic(sf_dir):
+    """SemDeDup over the embeddings table plus seeded duplicates: 5 exact
+    copies (vec_id+100000) and 5 copies perturbed by +0.25 on dim 0 in
+    float32 (vec_id+200000) — the fixture has no natural pairs within the
+    threshold (min natural d2 ~ 8e11 vs thr 1e11 vs perturbation 6.25e10),
+    so the seeds make both the exact and the near case non-vacuous.  The
+    float32 perturbation round-trips bit-exactly through the oracle's
+    CAST(... AS REAL)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.dedup import semantic_dedup
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    embs = sized_read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def aug(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.less(t["vec_id"], 5))
+        if sub.num_rows == 0:
+            return t
+        exact = sub.set_column(
+            sub.schema.get_field_index("vec_id"),
+            "vec_id",
+            pc.add(sub["vec_id"], 100000),
+        )
+        m = np.stack(
+            [np.asarray(x, np.float32) for x in sub["embedding"].to_pylist()]
+        )
+        m[:, 0] += np.float32(0.25)
+        pert = pa.table(
+            {
+                "vec_id": pc.add(sub["vec_id"], 200000),
+                "embedding": pa.array(list(m), type=t["embedding"].type),
+            }
+        )
+        return pa.concat_tables(
+            [t, exact.cast(t.schema), pert.cast(t.schema)], promote_options="default"
+        )
+
+    return semantic_dedup(
+        embs.map_batches(aug, batch_format="pyarrow", zero_copy_batch=True),
+        k=4,
+        iters=2,
+        thr_u2=10**11,
+    )
+
+
 def _embedding_kmeans(sf_dir):
     """Lloyd's k-means (k=4, 2 iterations) over the embeddings table —
     deterministic min-vec_id init and pure-int64 micro-unit arithmetic
@@ -1336,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _dedup_simhash,
         "ngram_jaccard": _ngram_jaccard,
         "embedding_near_dup": _embedding_near_dup,
+        "dedup_semantic": _dedup_semantic,
         # --- similarity search ---
         "ann_topk": _ann_topk,
         "ivf_ann": _ivf_ann,
@@ -1927,6 +1977,87 @@ def oracle_sql() -> dict[str, str]:
         # trunc-div centroid updates (DuckDB's // truncates toward zero;
         # the engine mirrors it in pure int64) — two iterations then the
         # final assignment's per-cluster size / inertia / |centroid| l1
+        # SemDeDup: the kmeans chain over the augmented table (originals +
+        # exact copies + float32-perturbed copies), then within-cluster
+        # exact-integer L2 pairs at thr and connected components
+        "dedup_semantic": f"""
+            WITH RECURSIVE b AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS xv
+              FROM embeddings
+            ), x AS (
+              SELECT vec_id, dim,
+                     CAST(round_even(xv * 1e6, 0) AS BIGINT) AS xu FROM b
+              UNION ALL
+              SELECT vec_id + 100000, dim,
+                     CAST(round_even(xv * 1e6, 0) AS BIGINT)
+              FROM b WHERE vec_id < 5
+              UNION ALL
+              SELECT vec_id + 200000, dim,
+                     CAST(round_even(CAST(CAST(xv + CASE WHEN dim = 0
+                                                        THEN 0.25 ELSE 0 END
+                                               AS REAL) AS DOUBLE) * 1e6, 0)
+                          AS BIGINT)
+              FROM b WHERE vec_id < 5
+            ),
+            init AS (
+              SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+              FROM embeddings ORDER BY vec_id LIMIT 4
+            ),
+            c0 AS (SELECT i.cluster, x.dim, x.xu AS cu
+                   FROM init i JOIN x USING (vec_id)),
+            d0 AS (SELECT x.vec_id, c.cluster,
+                          CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+                   FROM x JOIN c0 c USING (dim) GROUP BY x.vec_id, c.cluster),
+            a0 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM d0) WHERE rn = 1),
+            s0 AS (SELECT a.cluster, x.dim, CAST(sum(x.xu) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM a0 a JOIN x USING (vec_id) GROUP BY a.cluster, x.dim),
+            c1 AS (SELECT c0.cluster, c0.dim,
+                          CAST(coalesce(s0.s // s0.n, c0.cu) AS BIGINT) AS cu
+                   FROM c0 LEFT JOIN s0
+                     ON s0.cluster = c0.cluster AND s0.dim = c0.dim),
+            d1 AS (SELECT x.vec_id, c.cluster,
+                          CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+                   FROM x JOIN c1 c USING (dim) GROUP BY x.vec_id, c.cluster),
+            a1 AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM d1) WHERE rn = 1),
+            s1 AS (SELECT a.cluster, x.dim, CAST(sum(x.xu) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM a1 a JOIN x USING (vec_id) GROUP BY a.cluster, x.dim),
+            c2 AS (SELECT c1.cluster, c1.dim,
+                          CAST(coalesce(s1.s // s1.n, c1.cu) AS BIGINT) AS cu
+                   FROM c1 LEFT JOIN s1
+                     ON s1.cluster = c1.cluster AND s1.dim = c1.dim),
+            df AS (SELECT x.vec_id, c.cluster,
+                          CAST(sum((x.xu - c.cu) * (x.xu - c.cu)) AS BIGINT) AS d2
+                   FROM x JOIN c2 c USING (dim) GROUP BY x.vec_id, c.cluster),
+            af AS (SELECT vec_id, cluster FROM (
+                     SELECT vec_id, cluster,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d2, cluster) AS rn
+                     FROM df) WHERE rn = 1),
+            pairs AS (
+              SELECT la.vec_id AS a, lb.vec_id AS b
+              FROM af la JOIN af lb
+                ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id
+              JOIN x xa ON xa.vec_id = la.vec_id
+              JOIN x xb ON xb.vec_id = lb.vec_id AND xb.dim = xa.dim
+              GROUP BY la.vec_id, lb.vec_id
+              HAVING sum((xa.xu - xb.xu) * (xa.xu - xb.xu)) <= 100000000000
+            ), {_CC_CTE}
+            SELECT af.vec_id, CAST(af.cluster AS BIGINT) AS cluster,
+                   CAST(coalesce(r.rep, af.vec_id) AS BIGINT) AS rep
+            FROM af LEFT JOIN rep r ON r.doc_id = af.vec_id
+            ORDER BY af.vec_id
+        """,
         "embedding_kmeans": """
             WITH x AS (
               SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,

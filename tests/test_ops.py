@@ -784,3 +784,48 @@ def test_kmeans_trunc_div_ties_and_empty_clusters(ray_session):
     assert got[3]["cent_l1_u"] == 10_000_000
     # the duplicate pair landed in cluster 2 with zero spread
     assert got[2]["n_vecs"] == 2 and got[2]["inertia_u"] == 0
+
+
+def test_semantic_dedup_components_and_isolates(ray_session):
+    """SemDeDup contract: within-cluster components collapse to the min
+    id, chains are transitive, isolated vectors keep themselves, and
+    near-pairs in DIFFERENT clusters never pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.dedup import semantic_dedup
+
+    # cluster A around (0,0): 0,1,2 form a CHAIN (0~1, 1~2, 0!~2);
+    # cluster B around (10,10): 3,4 exact dups; 5 isolated near B
+    vecs = [
+        [0.0, 0.0],
+        [0.012, 0.0],   # d2 to 0: 144e6 <= thr
+        [0.024, 0.0],   # d2 to 1: 144e6, to 0: 576e6 > thr -> chain only
+        [10.0, 10.0],
+        [10.0, 10.0],
+        [10.5, 10.5],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    out = semantic_dedup(
+        ray.data.from_arrow(t), k=2, iters=2, thr_u2=200_000_000
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["rep"])
+        for b in ray.get(out.to_arrow_refs())
+        for r in b.to_pylist()
+    }
+    assert len(got) == 6
+    # transitive chain: all three collapse to 0 even though 0!~2 directly
+    assert got[0][1] == got[1][1] == got[2][1] == 0
+    assert got[3][1] == got[4][1] == 3
+    assert got[5][1] == 5  # isolated
+    # the two geometric groups landed in different kmeans clusters
+    assert got[0][0] == got[1][0] == got[2][0]
+    assert got[3][0] == got[4][0] == got[5][0]
+    assert got[0][0] != got[3][0]

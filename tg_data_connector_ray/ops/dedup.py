@@ -1188,3 +1188,92 @@ def exact_dedup_incremental(ds_new, state_dir: str, col: str = "text",
             batch_format="pyarrow",
         )
     )
+
+
+def _semantic_block(g: pa.Table, thr_u2: int) -> pa.Table:
+    """Within-cluster L2 near-dup components over one kmeans cluster:
+    exact int64 micro-unit distances (d2 = |a|^2 + |b|^2 - 2ab via one
+    matmul), then min-label propagation to a fixpoint.  Quadratic in the
+    CLUSTER, not the corpus — k is the knob that bounds it (SemDeDup
+    runs k ~ n/target_cluster_size)."""
+    from .similarity import _emb_matrix, _u6
+
+    if "cluster" in g.column_names and g.num_rows:
+        cl = int(g["cluster"][0].as_py())
+    else:
+        cl = -1
+    if g.num_rows == 0:
+        return pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "rep": pa.array([], pa.int64()),
+            }
+        )
+    ids = _i64(g["vec_id"])
+    xu = _u6(_emb_matrix(g))
+    n = len(ids)
+    sq = np.einsum("nd,nd->n", xu, xu)
+    d2 = sq[:, None] + sq[None, :] - 2 * (xu @ xu.T)
+    adj = d2 <= thr_u2
+    np.fill_diagonal(adj, False)
+    labels = ids.copy()
+    # min-label propagation: dup components are tiny (near-identical
+    # vectors), so this converges in O(component diameter) rounds
+    big = np.iinfo(np.int64).max
+    while True:
+        nb = np.where(adj, labels[None, :], big).min(axis=1)
+        new = np.minimum(labels, nb)
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "cluster": pa.array(np.full(n, cl, np.int64)),
+            "rep": pa.array(labels),
+        }
+    )
+
+
+def semantic_dedup(ds, k: int = 4, iters: int = 2, thr_u2: int = 10**11):
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    embeddings, then find near-duplicate components WITHIN each cluster
+    and assign every vector its component's min-id representative
+    (rep == vec_id -> the copy to keep).
+
+    Determinism/exactness: the integer-exact `kmeans_fit` centroids
+    (micro-unit int64, trunc-div updates, ties to the lowest cluster)
+    and integer squared L2 against `thr_u2` (micro-units^2) make the
+    whole pipeline bit-reproducible in SQL.
+
+    Scale shape: kmeans partials stream (k*(d+2) rows/batch); the only
+    shuffle is the cluster groupby, and the within-cluster quadratic is
+    bounded by cluster size — scale k with corpus size to keep clusters
+    at the target (the published recipe: ~50k clusters for LAION-scale).
+    Output is O(n) thin rows (vec_id, cluster, rep).
+    """
+    from .similarity import _emb_matrix, _u6, kmeans_fit
+
+    cent_u = kmeans_fit(ds, k=k, iters=iters)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("cluster", pa.array([], pa.int64()))
+        xu = _u6(_emb_matrix(t))
+        n = xu.shape[0]
+        d2 = np.empty((n, cent_u.shape[0]), np.int64)
+        for j in range(cent_u.shape[0]):
+            diff = xu - cent_u[j]
+            d2[:, j] = np.einsum("nd,nd->n", diff, diff)
+        # argmin ties break to the lowest cluster (oracle: ORDER BY d2, cluster)
+        a = d2.argmin(axis=1).astype(np.int64)
+        return t.append_column("cluster", pa.array(a))
+
+    from functools import partial
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(partial(_semantic_block, thr_u2=thr_u2), batch_format="pyarrow")
+    )

@@ -382,60 +382,70 @@ def _kmeans_partials(t: pa.Table, cent_u: np.ndarray) -> pa.Table:
     )
 
 
-def kmeans_clusters(ds, k: int = 4, iters: int = 2) -> pa.Table:
-    """Lloyd's k-means over an embedding Dataset, fully deterministic and
-    integer-exact so a SQL oracle can reproduce it bit-for-bit:
+def _kmeans_pass(ds, c_u: np.ndarray):
+    """One streaming assignment pass: fold the k*(d+2)-row per-batch
+    partials into (component sums, counts, inertia) per cluster."""
+    from functools import partial as _partial
+
+    kk, d = c_u.shape
+    pf = (
+        ds.map_batches(
+            _partial(_kmeans_partials, cent_u=c_u),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .groupby(["cluster", "dim"], as_index=False)["s"]
+        .sum()
+    )
+    sums = np.zeros((kk, d), np.int64)
+    ns = np.zeros(kk, np.int64)
+    inert = np.zeros(kk, np.int64)
+    comp = pf[pf["dim"] >= 0]
+    sums[comp["cluster"].to_numpy(), comp["dim"].to_numpy()] = comp["s"].to_numpy()
+    cnt = pf[pf["dim"] == -1]
+    ns[cnt["cluster"].to_numpy()] = cnt["s"].to_numpy()
+    ine = pf[pf["dim"] == -2]
+    inert[ine["cluster"].to_numpy()] = ine["s"].to_numpy()
+    return sums, ns, inert
+
+
+def kmeans_fit(ds, k: int = 4, iters: int = 2) -> np.ndarray:
+    """Fit integer-exact Lloyd's k-means centroids (micro-units, int64).
 
     - init: the k lowest-vec_id vectors (micro-unit integerized);
     - each iteration: ONE streaming pass emitting k*(d+2)-row partials
       per batch (centroids ride the task closure — k*d int64, a few KB);
       the driver fold is a tiny pandas groupby (k*d rows), new centroid
-      = trunc(sum/n) in pure int64 (empty clusters keep their centroid);
-    - a final pass yields per-cluster size / inertia / |centroid| l1.
+      = trunc(sum/n) in pure int64 (empty clusters keep their centroid).
 
-    Scale shape: pass count = iters+1 over the input with nothing but
+    Scale shape: pass count = iters over the input with nothing but
     partials shuffled; at 100 TB feed a spooled/checkpointed dataset so
     re-execution does not re-read the source, and sample-fit the init
     (as IvfIndex does) if vec_ids are not cheap to min-k.
     """
-    from functools import partial as _partial
-
     init = ds.sort("vec_id").limit(k).take_all()
     rows = sorted(init, key=lambda r: r["vec_id"])
     if len(rows) < k:
         raise ValueError(f"need >= {k} vectors, got {len(rows)}")
     cent_u = np.stack([_u6(np.asarray(r["embedding"], np.float64)) for r in rows])
-    kk, d = cent_u.shape
-
-    def one_pass(c_u: np.ndarray):
-        pf = (
-            ds.map_batches(
-                _partial(_kmeans_partials, cent_u=c_u),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .to_pandas()
-            .groupby(["cluster", "dim"], as_index=False)["s"]
-            .sum()
-        )
-        sums = np.zeros((kk, d), np.int64)
-        ns = np.zeros(kk, np.int64)
-        inert = np.zeros(kk, np.int64)
-        comp = pf[pf["dim"] >= 0]
-        sums[comp["cluster"].to_numpy(), comp["dim"].to_numpy()] = comp["s"].to_numpy()
-        cnt = pf[pf["dim"] == -1]
-        ns[cnt["cluster"].to_numpy()] = cnt["s"].to_numpy()
-        ine = pf[pf["dim"] == -2]
-        inert[ine["cluster"].to_numpy()] = ine["s"].to_numpy()
-        return sums, ns, inert
-
     for _ in range(iters):
-        sums, ns, _ = one_pass(cent_u)
+        sums, ns, _ = _kmeans_pass(ds, cent_u)
         nz = ns > 0
         upd = _trunc_div(sums[nz], ns[nz][:, None])
         cent_u = cent_u.copy()
         cent_u[nz] = upd
-    _, ns, inert = one_pass(cent_u)
+    return cent_u
+
+
+def kmeans_clusters(ds, k: int = 4, iters: int = 2) -> pa.Table:
+    """Lloyd's k-means over an embedding Dataset (see `kmeans_fit`), plus
+    a final pass yielding per-cluster size / inertia / |centroid| l1 —
+    fully deterministic and integer-exact so a SQL oracle reproduces it
+    bit-for-bit."""
+    cent_u = kmeans_fit(ds, k=k, iters=iters)
+    kk = cent_u.shape[0]
+    _, ns, inert = _kmeans_pass(ds, cent_u)
     return pa.table(
         {
             "cluster": pa.array(np.arange(kk, dtype=np.int64)),
