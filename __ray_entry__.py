@@ -310,6 +310,24 @@ def _transcript_sft_pairs(sf_dir: str):
     return sft_pairs(read_final_table(cfg))
 
 
+def _transcript_render(sf_dir: str):
+    """Merged chat table -> training corpus: replay the t2 log, then
+    render each conversation to ONE newline-joined "role: text" document
+    over the streaming final-table read.  String assembly never leaves
+    Arrow C kernels (element-wise join + per-segment ListArray join).
+    Oracle: string_agg with ORDER BY turn_idx over the merge contract."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import render_conversations
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2render")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    return render_conversations(read_final_table(cfg))
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1346,6 +1364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_history": _run_cdc_scd2,
         "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
+        "transcript_render": _transcript_render,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -1687,6 +1706,15 @@ def oracle_sql() -> dict[str, str]:
             FROM p
             WHERE role = 'assistant' AND text IS NOT NULL AND prompt IS NOT NULL
             ORDER BY conv_id, turn_idx
+        """,
+        # per-conversation rendered training document (ordered string agg)
+        "transcript_render": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   string_agg(coalesce(role, '') || ': ' || coalesce(text, ''),
+                              chr(10) ORDER BY turn_idx) AS rendered
+            FROM m GROUP BY conv_id
+            ORDER BY conv_id
         """,
         "cdc_merge_events": """
             SELECT user_id, event_type, event_id, value, ts FROM (

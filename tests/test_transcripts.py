@@ -123,3 +123,43 @@ def test_dataset_path_matches_kernel_on_fixture(t1):
     )
     assert got.num_rows == want.num_rows > 0
     assert got.equals(want)
+
+
+def test_render_block_orders_and_fills_nulls():
+    from tg_data_connector_ray.ops.transcripts import render_block
+
+    out = render_block(
+        tbl(
+            [
+                ("c2", 0, "user", "solo"),
+                ("c1", 1, "assistant", "world"),
+                ("c1", 0, "user", "hello"),
+                ("c1", 2, None, None),
+            ]
+        )
+    ).to_pylist()
+    got = {r["conv_id"]: r for r in out}
+    assert got["c1"]["n_turns"] == 3
+    assert got["c1"]["rendered"] == "user: hello\nassistant: world\n: "
+    assert got["c2"]["rendered"] == "user: solo"
+
+
+def test_render_dataset_path_matches_kernel(t1):
+    import ray
+
+    from tg_data_connector_ray.cdc.golden import golden_apply
+    from tg_data_connector_ray.ops.transcripts import (
+        render_block,
+        render_conversations,
+    )
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+    golden = golden_apply([pa.parquet.read_table(f) for f in files])
+    out = render_conversations(ray.data.from_arrow(golden), n_coarse=8)
+    got = pa.concat_tables(
+        t for t in ray.get(out.to_arrow_refs()) if t.num_rows
+    ).sort_by([("conv_id", "ascending")])
+    want = render_block(golden).sort_by([("conv_id", "ascending")])
+    assert got.num_rows == want.num_rows > 0
+    assert got.equals(want)

@@ -99,3 +99,74 @@ def sft_pairs(transcripts, n_coarse: int = 64):
         .groupby("_cg")
         .map_groups(sft_pairs_block, batch_format="pyarrow")
     )
+
+
+RENDER_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("rendered", pa.string()),
+    ]
+)
+
+
+def render_block(g: pa.Table) -> pa.Table:
+    """Vectorized conversation rendering over one co-located bucket: sort
+    by (conv, turn), build per-turn lines with one element-wise join, then
+    one ListArray-backed `binary_join` per conversation segment — string
+    assembly stays in Arrow C kernels, no per-conversation Python loop."""
+    if "_cg" in g.column_names:
+        g = g.drop_columns(["_cg"])
+    if g.num_rows == 0:
+        return pa.table({f.name: pa.array([], f.type) for f in RENDER_SCHEMA})
+
+    conv_dict = _col_np(g, "conv_id").dictionary_encode()
+    conv_codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = _col_np(g, "turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((turn, conv_codes))
+    conv_codes = conv_codes[order]
+
+    import pyarrow.compute as pc
+
+    take = pa.array(order)
+    lines = pc.binary_join_element_wise(
+        pc.fill_null(_col_np(g, "role").take(take), ""),
+        pc.fill_null(_col_np(g, "text").take(take), ""),
+        ": ",
+    )
+    n = len(order)
+    new_conv = np.concatenate([[True], conv_codes[1:] != conv_codes[:-1]])
+    starts = np.nonzero(new_conv)[0]
+    offsets = np.concatenate([starts, [n]]).astype(np.int64)
+    rendered = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets), lines), "\n"
+    )
+    return pa.table(
+        {
+            "conv_id": conv_dict.take(pa.array(order[starts])).cast(pa.string()),
+            "n_turns": pa.array(np.diff(offsets)),
+            "rendered": rendered.cast(pa.string()),
+        },
+        schema=RENDER_SCHEMA,
+    )
+
+
+def render_conversations(transcripts, n_coarse: int = 64):
+    """One training document per conversation: turns ordered by turn_idx,
+    each rendered as "role: text" (nulls as empty), newline-joined.  The
+    canonical "merged chat table -> pretraining/SFT corpus" step.
+
+    Same shuffle shape as `sft_pairs`: one conv_id hash exchange,
+    ~rows/n_coarse per task, output streams as Arrow blocks.
+    """
+    from ..util import stable_hash_strings
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = (stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)).astype(np.int32)
+        return t.append_column("_cg", pa.array(cg))
+
+    return (
+        transcripts.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(render_block, batch_format="pyarrow")
+    )
