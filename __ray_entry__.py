@@ -1124,6 +1124,20 @@ def _events_distinct_users(sf_dir):
     return grouped_distinct_count(ds, "event_type", "user_id", out_name="n_users")
 
 
+def _docs_keyword_topk(sf_dir):
+    """Lexical retrieval baseline: top-20 documents by total occurrence
+    count of the query terms (integer-exact; ties to lowest doc_id)."""
+    from tg_data_connector_ray.ops.text import keyword_topk
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        small_block_bytes=256 << 10,
+    )
+    return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
+
+
 def _text_quality(sf_dir):
     from tg_data_connector_ray.ops.text import quality_batch
 
@@ -1440,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": _docs_pii_scrub,
         "docs_repetition": _docs_repetition,
         # --- text analysis (stable single-table transforms) ---
+        "docs_keyword_topk": _docs_keyword_topk,
         "text_quality": _text_quality,
         "text_tokens_ext": _text_tokens_ext,
         "text_fingerprint": _text_fingerprint,
@@ -2171,6 +2186,20 @@ def oracle_sql() -> dict[str, str]:
               FROM s q CROSS JOIN s
               WHERE q.vec_id < 3) t
             WHERE rn <= 5
+        """,
+        # lexical retrieval: non-overlapping substring counts (the terms
+        # have no self-overlap, so the replace-length trick is exact)
+        "docs_keyword_topk": """
+            SELECT doc_id,
+                   CAST((length(lower(text)) - length(replace(lower(text), 'hash', '')))
+                        // length('hash')
+                      + (length(lower(text)) - length(replace(lower(text), 'merge', '')))
+                        // length('merge')
+                      + (length(lower(text)) - length(replace(lower(text), 'scan', '')))
+                        // length('scan') AS BIGINT) AS score
+            FROM documents
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         "text_quality": """
             SELECT doc_id, length(text) AS n_chars_m,

@@ -829,3 +829,29 @@ def test_semantic_dedup_components_and_isolates(ray_session):
     assert got[0][0] == got[1][0] == got[2][0]
     assert got[3][0] == got[4][0] == got[5][0]
     assert got[0][0] != got[3][0]
+
+
+def test_keyword_topk_scores_ties_and_block_partials(ray_session):
+    """Tie-break to lowest doc_id, case-insensitive counting, and the
+    per-block local top-k must not lose a global winner that is ranked
+    below k inside its own block."""
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.text import keyword_topk
+
+    t1 = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["Hash hash HASH", "merge scan", "nothing here"]),
+        }
+    )
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([3, 4], pa.int64()),
+            "text": pa.array(["scan merge", "hash"]),
+        }
+    )
+    ds = ray.data.from_arrow([t1, t2])
+    out = keyword_topk(ds, ("hash", "merge", "scan"), k=3).to_pylist()
+    assert [(r["doc_id"], r["score"]) for r in out] == [(0, 3), (1, 2), (3, 2)]

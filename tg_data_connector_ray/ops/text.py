@@ -518,3 +518,45 @@ def bigram_lm_scores(ds_docs, col: str = "text"):
     return ds_docs.map_batches(
         BigramLmScore(model, col=col), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def keyword_topk(ds, terms, k: int = 20) -> pa.Table:
+    """Integer-exact keyword retrieval: per-document score = total
+    non-overlapping occurrences of each query term as a substring of
+    lower(text); global top-k by (score DESC, doc_id).  The lexical
+    baseline of the retrieval family (the embedding side is ann_topk) —
+    BM25's tf/idf weights are floats whose libm provenance can't be
+    pinned across engines, so the oracle-checked contract is the raw
+    integer term-frequency sum.
+
+    Scale shape: one streaming pass; each block emits at most k thin
+    (doc_id, score) rows — the driver finish sorts k x blocks rows,
+    nothing wide shuffles, text never leaves the block task.
+    """
+    terms = [t.lower() for t in terms]
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        low = pc.utf8_lower(t["text"])
+        s = np.zeros(t.num_rows, np.int64)
+        for term in terms:
+            s += (
+                pc.count_substring(low, term)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        top = np.lexsort((ids, -s))[:k]
+        return pa.table({"doc_id": pa.array(ids[top]), "score": pa.array(s[top])})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ids = np.array([r["doc_id"] for r in parts], np.int64)
+    s = np.array([r["score"] for r in parts], np.int64)
+    top = np.lexsort((ids, -s))[:k]
+    return pa.table({"doc_id": pa.array(ids[top]), "score": pa.array(s[top])})
