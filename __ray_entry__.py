@@ -1399,7 +1399,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
-        "docs_prep_pipeline": _docs_prep_pipeline,
         # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
@@ -1409,9 +1408,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _revenue_by_nation,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "orders_without_lineitems": _orders_without_lineitems,
-        "customer_order_activity": _customer_order_activity,
-        "docs_source_profile": _docs_source_profile,
-        "events_user_type_profile": _events_user_type_profile,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
         "dedup_minhash": _dedup_minhash,
@@ -1435,7 +1431,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # represented above: broadcast agg, scalar ratio, lag window,
         # deterministic hash split, per-label centroid — generalized by
         # embedding_kmeans), regex props extraction, salted heavy tail,
-        # date-filtered semi-join (join family stays richly represented)
+        # date-filtered semi-join (join family stays richly represented),
+        # group-profile aggregates (q1/transcript_stats cover the shape),
+        # and docs_prep v1 (superseded by the fused v2 above)
+        "docs_prep_pipeline": _docs_prep_pipeline,
+        "customer_order_activity": _customer_order_activity,
+        "docs_source_profile": _docs_source_profile,
+        "events_user_type_profile": _events_user_type_profile,
         "late_shipment_priority": _late_shipment_priority,
         "users_heavy_tail": _users_heavy_tail,
         "label_centroids": _label_centroids,
