@@ -169,6 +169,13 @@ def run_query_bench() -> "tuple[dict, dict]":
         "docs_source_profile",
         "events_user_type_profile",
         "embedding_kmeans",
+        # round 5 second continuation: SCD2 history, transcript training-
+        # data ops (fixture-scale), SemDeDup, lexical retrieval
+        "cdc_scd2_history",
+        "transcript_sft_pairs",
+        "transcript_render",
+        "dedup_semantic",
+        "docs_keyword_topk",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

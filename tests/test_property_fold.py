@@ -158,3 +158,38 @@ def test_delta_mode_any_batching_matches_golden(events, cut, compact_every):
     exp = golden.select(["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     assert got.num_rows == exp.num_rows
     assert got.equals(exp), f"\ngot: {got.to_pylist()}\nexp: {exp.to_pylist()}"
+
+
+@given(event_log(), st.integers(0, 60))
+@settings(max_examples=120, deadline=None)
+def test_scd2_history_slices_match_golden_at_any_lsn(events, cutoff):
+    """SCD2 history conformance, property form: for ANY log,
+
+    - one version per unique (key, lsn) applied event;
+    - the versions ACTIVE at any LSN cutoff (valid_from <= c < valid_to,
+      not deleted) project exactly to the golden reducer's converged
+      table over the log truncated at that cutoff — i.e. the history is
+      a correct as-of-LSN index of every intermediate table state."""
+    from tg_data_connector_ray.cdc.history import history_block
+
+    t = to_table(events)
+    hist = history_block(t)
+
+    uniq = {(e["conv_id"], e["turn_idx"], e["lsn"]) for e in events}
+    assert hist.num_rows == len(uniq)
+
+    df = hist.to_pylist()
+    active = [
+        r
+        for r in df
+        if r["valid_from"] <= cutoff
+        and (r["valid_to"] is None or r["valid_to"] > cutoff)
+        and not r["deleted"]
+    ]
+    golden = golden_apply(
+        [to_table([e for e in events if e["lsn"] <= cutoff])]
+    ).to_pylist()
+    key = lambda r: (r["conv_id"], r["turn_idx"])
+    got = {key(r): (r["role"], r["text"], r["tool"], r["ts"]) for r in active}
+    want = {key(r): (r["role"], r["text"], r["tool"], r["ts"]) for r in golden}
+    assert got == want
