@@ -163,3 +163,46 @@ def test_render_dataset_path_matches_kernel(t1):
     want = render_block(golden).sort_by([("conv_id", "ascending")])
     assert got.num_rows == want.num_rows > 0
     assert got.equals(want)
+
+
+def test_spool_and_groupby_exchanges_agree(t1):
+    """The spool exchange (partitioned write + read) and Ray's groupby
+    shuffle must produce identical results for every conversation-grouped
+    operator — exchange choice is a performance knob, never semantics."""
+    import ray
+
+    from tg_data_connector_ray.cdc.golden import golden_apply
+    from tg_data_connector_ray.cdc.history import scd2_history
+    from tg_data_connector_ray.ops.transcripts import render_conversations
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+
+    def collect(ds, keys):
+        t = pa.concat_tables(
+            b for b in ray.get(ds.to_arrow_refs()) if b.num_rows
+        )
+        return t.sort_by([(k, "ascending") for k in keys])
+
+    a = collect(
+        scd2_history(ray.data.read_parquet(files), n_coarse=8, exchange="spool"),
+        ["conv_id", "turn_idx", "valid_from"],
+    )
+    b = collect(
+        scd2_history(ray.data.read_parquet(files), n_coarse=8, exchange="groupby"),
+        ["conv_id", "turn_idx", "valid_from"],
+    )
+    assert a.num_rows == b.num_rows > 0 and a.equals(b)
+
+    golden = golden_apply([pa.parquet.read_table(f) for f in files])
+    ra = collect(
+        render_conversations(ray.data.from_arrow(golden), n_coarse=8, exchange="spool"),
+        ["conv_id"],
+    )
+    rb = collect(
+        render_conversations(
+            ray.data.from_arrow(golden), n_coarse=8, exchange="groupby"
+        ),
+        ["conv_id"],
+    )
+    assert ra.num_rows == rb.num_rows > 0 and ra.equals(rb)

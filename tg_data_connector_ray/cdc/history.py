@@ -134,7 +134,7 @@ def history_block(g: pa.Table) -> pa.Table:
     )
 
 
-def scd2_history(events, n_coarse: int = 64):
+def scd2_history(events, n_coarse: int = 64, exchange: str = "spool"):
     """SCD Type-2 history Dataset from a CDC-schema events Dataset.
 
     ``events`` must carry the normalized CDC columns (lsn, op, conv_id,
@@ -142,15 +142,29 @@ def scd2_history(events, n_coarse: int = 64):
     clean log, or ``build_events_dataset`` when the log needs the dirty
     channel / schema reconciliation first.
 
-    ``n_coarse`` is the shuffle fan-out: per-task memory is
+    ``n_coarse`` is the exchange fan-out: per-task memory is
     ~total_events/n_coarse rows.  Raise it on a cluster (power of two not
     required — it feeds a modulo, not a mask).
+
+    ``exchange="spool"`` (default) co-locates conversations via the
+    hive-partitioned spool write+read — measured ~3x faster than Ray's
+    sort-based groupby shuffle on multi-GB text payloads (see
+    pipelines/exchange.py); ``"groupby"`` keeps the in-memory path.
     """
     from ..util import stable_hash_strings
 
+    def part_of(t: pa.Table):
+        return stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)
+
+    if exchange == "spool":
+        from ..pipelines.exchange import spooled_grouped_map
+
+        return spooled_grouped_map(
+            events, history_block, part_of, n_coarse, name="scd2"
+        )
+
     def add_cg(t: pa.Table) -> pa.Table:
-        cg = (stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)).astype(np.int32)
-        return t.append_column("_cg", pa.array(cg))
+        return t.append_column("_cg", pa.array(part_of(t).astype(np.int32)))
 
     return (
         events.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)

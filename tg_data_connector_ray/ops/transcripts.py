@@ -81,24 +81,39 @@ def sft_pairs_block(g: pa.Table) -> pa.Table:
     )
 
 
-def sft_pairs(transcripts, n_coarse: int = 64):
+def _conv_grouped(transcripts, kernel, n_coarse: int, exchange: str, name: str):
+    """Shared conversation co-location: spool exchange by default (one
+    partitioned write + one read — ~3x faster than the sort-based groupby
+    shuffle on text payloads, see pipelines/exchange.py), groupby kept as
+    the in-memory comparison path."""
+    from ..util import stable_hash_strings
+
+    def part_of(t: pa.Table):
+        return stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)
+
+    if exchange == "spool":
+        from ..pipelines.exchange import spooled_grouped_map
+
+        return spooled_grouped_map(transcripts, kernel, part_of, n_coarse, name=name)
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        return t.append_column("_cg", pa.array(part_of(t).astype(np.int32)))
+
+    return (
+        transcripts.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def sft_pairs(transcripts, n_coarse: int = 64, exchange: str = "spool"):
     """(prompt, response) pairs Dataset from a transcript-schema Dataset.
 
     ``transcripts`` needs columns conv_id (string), turn_idx, role, text —
     e.g. ``cdc.pipeline.read_final_table`` output, or any conversation
     table.  ``n_coarse`` bounds per-task memory at ~rows/n_coarse.
     """
-    from ..util import stable_hash_strings
-
-    def add_cg(t: pa.Table) -> pa.Table:
-        cg = (stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)).astype(np.int32)
-        return t.append_column("_cg", pa.array(cg))
-
-    return (
-        transcripts.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_cg")
-        .map_groups(sft_pairs_block, batch_format="pyarrow")
-    )
+    return _conv_grouped(transcripts, sft_pairs_block, n_coarse, exchange, "sft")
 
 
 RENDER_SCHEMA = pa.schema(
@@ -151,22 +166,12 @@ def render_block(g: pa.Table) -> pa.Table:
     )
 
 
-def render_conversations(transcripts, n_coarse: int = 64):
+def render_conversations(transcripts, n_coarse: int = 64, exchange: str = "spool"):
     """One training document per conversation: turns ordered by turn_idx,
     each rendered as "role: text" (nulls as empty), newline-joined.  The
     canonical "merged chat table -> pretraining/SFT corpus" step.
 
-    Same shuffle shape as `sft_pairs`: one conv_id hash exchange,
+    Same exchange shape as `sft_pairs`: one conv_id hash co-location,
     ~rows/n_coarse per task, output streams as Arrow blocks.
     """
-    from ..util import stable_hash_strings
-
-    def add_cg(t: pa.Table) -> pa.Table:
-        cg = (stable_hash_strings(t["conv_id"]) % np.uint64(n_coarse)).astype(np.int32)
-        return t.append_column("_cg", pa.array(cg))
-
-    return (
-        transcripts.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_cg")
-        .map_groups(render_block, batch_format="pyarrow")
-    )
+    return _conv_grouped(transcripts, render_block, n_coarse, exchange, "render")
