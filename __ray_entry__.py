@@ -328,6 +328,24 @@ def _transcript_render(sf_dir: str):
     return render_conversations(read_final_table(cfg))
 
 
+def _transcript_clip(sf_dir: str):
+    """Context-window clipping: replay the t2 log, then per conversation
+    keep the longest SUFFIX of turns whose total text length fits 1500
+    chars (newest-context-first truncation).  Segmented reverse-cumsum
+    kernel over the spool exchange.  Oracle: a descending-turn running
+    sum window with the same integer lengths."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import clip_to_context
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2clip")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    return clip_to_context(read_final_table(cfg), budget=1500)
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1379,6 +1397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
+        "transcript_clip": _transcript_clip,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -1722,6 +1741,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT conv_id, turn_idx, prompt, text AS response
             FROM p
             WHERE role = 'assistant' AND text IS NOT NULL AND prompt IS NOT NULL
+            ORDER BY conv_id, turn_idx
+        """,
+        # context-window clip: longest turn suffix within the char budget
+        "transcript_clip": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")}), s AS (
+              SELECT conv_id, turn_idx, role, text,
+                     sum(length(coalesce(text, '')))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS suffix_chars
+              FROM m
+            )
+            SELECT conv_id, turn_idx, role, text,
+                   CAST(suffix_chars AS BIGINT) AS suffix_chars
+            FROM s WHERE suffix_chars <= 1500
             ORDER BY conv_id, turn_idx
         """,
         # per-conversation rendered training document (ordered string agg)

@@ -206,3 +206,27 @@ def test_spool_and_groupby_exchanges_agree(t1):
         ["conv_id"],
     )
     assert ra.num_rows == rb.num_rows > 0 and ra.equals(rb)
+
+
+def test_clip_block_keeps_longest_fitting_suffix():
+    from functools import partial
+
+    from tg_data_connector_ray.ops.transcripts import clip_block
+
+    rows = [
+        ("c1", 0, "user", "aaaaaaaaaa"),      # 10
+        ("c1", 1, "assistant", "bbbbb"),      # 5
+        ("c1", 2, "user", "cc"),              # 2
+        ("c2", 0, "user", "x" * 50),          # alone exceeds budget
+        ("c3", 0, "user", None),              # null text costs 0
+        ("c3", 1, "assistant", "dddddddd"),   # 8
+    ]
+    out = clip_block(tbl(rows), budget=8).to_pylist()
+    got = [(r["conv_id"], r["turn_idx"], r["suffix_chars"]) for r in out]
+    # c1: suffixes are 17/7/2 -> turns 1,2 kept; c2: 50 > 8 -> nothing;
+    # c3: suffixes 8/8 -> both kept (null text is free)
+    assert got == [("c1", 1, 7), ("c1", 2, 2), ("c3", 0, 8), ("c3", 1, 8)]
+
+    # budget below every turn: empty result with the full schema
+    empty = clip_block(tbl(rows), budget=1)
+    assert empty.num_rows == 0 and "suffix_chars" in empty.column_names

@@ -175,3 +175,80 @@ def render_conversations(transcripts, n_coarse: int = 64, exchange: str = "spool
     ~rows/n_coarse per task, output streams as Arrow blocks.
     """
     return _conv_grouped(transcripts, render_block, n_coarse, exchange, "render")
+
+
+CLIP_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("suffix_chars", pa.int64()),
+    ]
+)
+
+
+def clip_block(g: pa.Table, budget: int) -> pa.Table:
+    """Context-window clip over one co-located bucket: per conversation,
+    keep the longest SUFFIX of turns whose total text length fits the
+    budget (the newest-context-first truncation used to fit chat history
+    into a model context).  One lexsort + segmented reverse-cumsum —
+    vectorized, no per-conversation dispatch."""
+    if "_cg" in g.column_names:
+        g = g.drop_columns(["_cg"])
+    if g.num_rows == 0:
+        return pa.table({f.name: pa.array([], f.type) for f in CLIP_SCHEMA})
+
+    import pyarrow.compute as pc
+
+    conv_dict = _col_np(g, "conv_id").dictionary_encode()
+    conv_codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = _col_np(g, "turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((turn, conv_codes))
+    conv_codes, turn = conv_codes[order], turn[order]
+    take = pa.array(order)
+    text = _col_np(g, "text").take(take)
+    lens = (
+        pc.fill_null(pc.utf8_length(text), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+
+    n = len(order)
+    new_conv = np.concatenate([[True], conv_codes[1:] != conv_codes[:-1]])
+    starts = np.nonzero(new_conv)[0]
+    counts = np.diff(np.concatenate([starts, [n]]))
+    cs = np.cumsum(lens)
+    seg_base = np.repeat(cs[starts] - lens[starts], counts)
+    cum_in_seg = cs - seg_base
+    totals = np.repeat(cum_in_seg[starts + counts - 1], counts)
+    suffix = totals - cum_in_seg + lens
+
+    keep = suffix <= budget
+    if not keep.any():
+        return pa.table({f.name: pa.array([], f.type) for f in CLIP_SCHEMA})
+    kp = pa.array(keep)
+    return pa.table(
+        {
+            "conv_id": conv_dict.take(pa.array(order[keep])).cast(pa.string()),
+            "turn_idx": pa.array(turn[keep], type=pa.int32()),
+            "role": _col_np(g, "role").take(take).filter(kp),
+            "text": text.filter(kp),
+            "suffix_chars": pa.array(suffix[keep]),
+        },
+        schema=CLIP_SCHEMA,
+    )
+
+
+def clip_to_context(transcripts, budget: int, n_coarse: int = 64,
+                    exchange: str = "spool"):
+    """Per-conversation context clipping: the kept rows are exactly the
+    turns whose suffix (this turn through the conversation's last) fits
+    `budget` total text chars — a conversation whose final turn alone
+    exceeds the budget contributes nothing.  Same exchange shape as the
+    other conversation-grouped ops."""
+    from functools import partial
+
+    return _conv_grouped(
+        transcripts, partial(clip_block, budget=budget), n_coarse, exchange, "clip"
+    )
