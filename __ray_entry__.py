@@ -1415,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_distinct_users": _events_window_distinct_users,
         "events_rollup": _events_rollup,
         "events_cube": _events_cube,
+        "events_ntile": R.events_ntile,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
@@ -2585,6 +2586,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(vu) AS BIGINT) AS sum_u
             FROM b GROUP BY CUBE(event_type, day)
+        """,
+        # NTILE(4) within event_type, deterministic order (value, event_id)
+        "events_ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS BIGINT) AS tile
+            FROM events
+            ORDER BY event_id
         """,
         "revenue_by_region": """
             SELECT r.r_name,

@@ -785,3 +785,47 @@ def test_hash_join_property_vs_duckdb(ray_session, lk, rk, how, as_str):
         }
     )
     _join_vs_duckdb(lt, rt, how, num_buckets=4)
+
+
+def test_events_ntile_matches_duckdb_on_adversarial_ties(ray_session, tmp_path):
+    """NTILE decomposition (histogram + cohort exchange) vs DuckDB on the
+    hard cases: one giant all-equal cohort (order resolved purely by
+    event_id), a type with fewer rows than tiles, and remainder splits."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import events_ntile
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    et = np.array(["a", "b", "c"])[rng.integers(0, 3, n)].astype(object)
+    # 'a': all-equal values; 'b': few distinct; 'c' mostly distinct
+    val = np.where(
+        et == "a", 5.0, np.where(et == "b", rng.integers(0, 3, n) * 1.5, rng.integers(0, 400, n) * 0.25)
+    )
+    # plus a tiny type with fewer rows than tiles
+    t = pa.table(
+        {
+            "event_id": pa.array(np.arange(n + 2, dtype=np.int64)),
+            "event_type": pa.array(list(et) + ["tiny", "tiny"], pa.string()),
+            "value": pa.array(list(val) + [1.0, 2.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    got = (
+        events_ntile(str(tmp_path), k=4)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        f"""SELECT event_id, event_type,
+                  CAST(ntile(4) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS BIGINT) AS tile
+           FROM '{tmp_path}/events.parquet' ORDER BY event_id"""
+    ).df()
+    assert got["tile"].tolist() == want["tile"].tolist()
+    assert got["event_id"].tolist() == want["event_id"].tolist()

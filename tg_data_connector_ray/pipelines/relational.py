@@ -2200,6 +2200,121 @@ def events_percent_rank(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def events_ntile(sf_dir: str, k: int = 4):
+    """NTILE(k) within event_type ordered by (value, event_id) — the rank
+    window decomposed into two BOUNDED shuffles so no task ever holds a
+    whole type partition (event_type has ~5 values; a per-type group
+    would hand 20% of the table to one task):
+
+    1. the percent_rank histogram pass: (type, vu) counts shuffle
+       (bounded by types x value grid), driver-finished into per-type
+       cumulative counts + totals, shipped once in the task closure;
+    2. a THIN cohort exchange: (event_id, type, vu) rows (~24 bytes)
+       hash-grouped on (type, vu) so every equal-value cohort co-locates;
+       within-cohort order by event_id is one segmented arange, global
+       row_number = count_below + cohort position, and the standard
+       NTILE split (first n%k tiles one row bigger) is pure integer
+       arithmetic from there.
+    """
+    from ..util import stable_hash_strings
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        vu = pc.cast(pc.round(pc.multiply(t["value"], pa.scalar(1e6))), pa.int64())
+        g = (
+            pa.table({"event_type": t["event_type"], "vu": vu})
+            .group_by(["event_type", "vu"])
+            .aggregate([("vu", "count")])
+        )
+        return g.rename_columns(["event_type", "vu", "n"])
+
+    hist = grouped_arrow_aggregate(
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "vu"],
+        [("n", "sum")],
+        ["n"],
+    ).to_pandas()
+    empty = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "tile": pa.array([], pa.int64()),
+        }
+    )
+    if len(hist) == 0:
+        return empty
+    hist = hist.sort_values(["event_type", "vu"])
+    lut = {}
+    for ty, g in hist.groupby("event_type", sort=False):
+        n = g["n"].to_numpy(np.int64)
+        cum_below = np.concatenate([[0], np.cumsum(n)])[:-1]
+        lut[ty] = (g["vu"].to_numpy(np.int64), cum_below, int(n.sum()))
+
+    n_coarse = 64
+
+    def thin(t: pa.Table) -> pa.Table:
+        vu = np.round(
+            t["value"].combine_chunks().to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        h = stable_hash_strings(t["event_type"])
+        mix = vu.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        cg = ((h ^ mix) % np.uint64(n_coarse)).astype(np.int32)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "vu": pa.array(vu),
+                "_cg": pa.array(cg),
+            }
+        )
+
+    def tile_block(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        et_dict = g["event_type"].combine_chunks().dictionary_encode()
+        etc = et_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vu = g["vu"].combine_chunks().to_numpy(zero_copy_only=False)
+        eid = _np_i64(g["event_id"])
+        order = np.lexsort((eid, vu, etc))
+        etc, vu, eid = etc[order], vu[order], eid[order]
+        idx = np.arange(len(eid), dtype=np.int64)
+        new_cohort = np.concatenate(
+            [[True], (etc[1:] != etc[:-1]) | (vu[1:] != vu[:-1])]
+        )
+        start = np.maximum.accumulate(np.where(new_cohort, idx, -1))
+        pos = idx - start
+        et_str = et_dict.take(pa.array(order)).cast(pa.string())
+        et_np = et_str.to_numpy(zero_copy_only=False)
+        tile = np.empty(len(eid), dtype=np.int64)
+        for ty in np.unique(et_np):
+            m = et_np == ty
+            vals, cum_below, ntot = lut[ty]
+            rn = cum_below[np.searchsorted(vals, vu[m])] + pos[m]
+            small, r = divmod(ntot, k)
+            if small == 0:
+                tile[m] = rn + 1
+            else:
+                cut = r * (small + 1)
+                tile[m] = (
+                    np.where(rn < cut, rn // (small + 1), r + (rn - cut) // small)
+                    + 1
+                )
+        return pa.table(
+            {
+                "event_id": pa.array(eid),
+                "event_type": et_str,
+                "tile": pa.array(tile),
+            }
+        )
+
+    return (
+        ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(tile_block, batch_format="pyarrow")
+    )
+
+
 def events_value_delta(sf_dir: str):
     """Lag-family window function: each event's value minus its user's
     previous value in (ts, event_id) order (first event per user -> 0,
