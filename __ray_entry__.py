@@ -1156,6 +1156,16 @@ def _docs_keyword_topk(sf_dir):
     return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
 
 
+def _docs_normalize_text(sf_dir):
+    """Corpus text normalization (lower, whitespace-collapse, trim) —
+    stateless vectorized batches, RE2 on both sides of the oracle."""
+    from tg_data_connector_ray.ops.text import normalize_text_batch
+
+    return _docs(sf_dir).map_batches(
+        normalize_text_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _text_quality(sf_dir):
     from tg_data_connector_ray.ops.text import quality_batch
 
@@ -1477,6 +1487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _docs_repetition,
         # --- text analysis (stable single-table transforms) ---
         "docs_keyword_topk": _docs_keyword_topk,
+        "docs_normalize_text": _docs_normalize_text,
         "text_quality": _text_quality,
         "text_tokens_ext": _text_tokens_ext,
         "text_fingerprint": _text_fingerprint,
@@ -2223,6 +2234,15 @@ def oracle_sql() -> dict[str, str]:
               FROM s q CROSS JOIN s
               WHERE q.vec_id < 3) t
             WHERE rn <= 5
+        """,
+        # normalization: DuckDB regexp_replace is RE2 — same engine as the
+        # Arrow kernel, so whitespace-class semantics agree exactly
+        "docs_normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+                   CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                        AS BIGINT) AS n_chars
+            FROM documents
         """,
         # lexical retrieval: non-overlapping substring counts (the terms
         # have no self-overlap, so the replace-length trick is exact)

@@ -855,3 +855,20 @@ def test_keyword_topk_scores_ties_and_block_partials(ray_session):
     ds = ray.data.from_arrow([t1, t2])
     out = keyword_topk(ds, ("hash", "merge", "scan"), k=3).to_pylist()
     assert [(r["doc_id"], r["score"]) for r in out] == [(0, 3), (1, 2), (3, 2)]
+
+
+def test_normalize_text_batch_collapses_and_trims():
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.text import normalize_text_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["  A\t\tB\n\nC  ", "", None]),
+        }
+    )
+    out = normalize_text_batch(t).to_pylist()
+    assert out[0]["norm_text"] == "a b c" and out[0]["n_chars"] == 5
+    assert out[1]["norm_text"] == "" and out[1]["n_chars"] == 0
+    assert out[2]["norm_text"] is None and out[2]["n_chars"] == 0

@@ -560,3 +560,21 @@ def keyword_topk(ds, terms, k: int = 20) -> pa.Table:
     s = np.array([r["score"] for r in parts], np.int64)
     top = np.lexsort((ids, -s))[:k]
     return pa.table({"doc_id": pa.array(ids[top]), "score": pa.array(s[top])})
+
+
+def normalize_text_batch(t: pa.Table) -> pa.Table:
+    """Canonical text normalization for corpus prep: lowercase, collapse
+    every whitespace run to one space, trim.  All Arrow C kernels (RE2
+    regex — the same engine DuckDB's regexp_replace binds, so the oracle
+    is exact); null text stays null."""
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(t["text"]), r"\s+", " "),
+        " ",
+    )
+    return pa.table(
+        {
+            "doc_id": t["doc_id"],
+            "norm_text": norm,
+            "n_chars": pc.fill_null(pc.utf8_length(norm), 0).cast(pa.int64()),
+        }
+    )
