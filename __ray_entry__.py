@@ -1422,8 +1422,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
         "events_percent_rank": _events_percent_rank,
-        "events_window_distinct_users": _events_window_distinct_users,
-        "events_rollup": _events_rollup,
         "events_cube": _events_cube,
         "events_ntile": R.events_ntile,
         "users_in_both": _users_in_both,
@@ -1463,7 +1461,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_kmeans), regex props extraction, salted heavy tail,
         # date-filtered semi-join (join family stays richly represented),
         # group-profile aggregates (q1/transcript_stats cover the shape),
-        # and docs_prep v1 (superseded by the fused v2 above)
+        # docs_prep v1 (superseded by the fused v2 above), ROLLUP (a
+        # subset of the CUBE grouping sets kept above), and the windowed
+        # distinct count (hll + hourly_window keep both families)
+        "events_rollup": _events_rollup,
+        "events_window_distinct_users": _events_window_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
         "customer_order_activity": _customer_order_activity,
         "docs_source_profile": _docs_source_profile,
