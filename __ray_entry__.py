@@ -1156,6 +1156,17 @@ def _docs_keyword_topk(sf_dir):
     return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
 
 
+def _docs_chunk(sf_dir):
+    """Overlapping RAG chunking (200-char windows, 150-char stride) —
+    per-chunk-index slice kernels, O(max_len/stride) kernel calls per
+    batch regardless of row count."""
+    from tg_data_connector_ray.ops.text import chunk_batch
+
+    return _docs(sf_dir).map_batches(
+        chunk_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _docs_normalize_text(sf_dir):
     """Corpus text normalization (lower, whitespace-collapse, trim) —
     stateless vectorized batches, RE2 on both sides of the oracle."""
@@ -1489,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _docs_repetition,
         # --- text analysis (stable single-table transforms) ---
         "docs_keyword_topk": _docs_keyword_topk,
+        "docs_chunk": _docs_chunk,
         "docs_normalize_text": _docs_normalize_text,
         "text_quality": _text_quality,
         "text_tokens_ext": _text_tokens_ext,
@@ -2236,6 +2248,16 @@ def oracle_sql() -> dict[str, str]:
               FROM s q CROSS JOIN s
               WHERE q.vec_id < 3) t
             WHERE rn <= 5
+        """,
+        # RAG chunking: the range() bound (64) is >> max-doc-len/stride at
+        # every test scale; correlated range bounds are rejected by this
+        # DuckDB build, hence literal bound + WHERE
+        "docs_chunk": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+                   substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
+            FROM documents, range(0, 64) t(i)
+            WHERE i * 150 < length(text)
+            ORDER BY doc_id, chunk_idx
         """,
         # normalization: DuckDB regexp_replace is RE2 — same engine as the
         # Arrow kernel, so whitespace-class semantics agree exactly

@@ -872,3 +872,28 @@ def test_normalize_text_batch_collapses_and_trims():
     assert out[0]["norm_text"] == "a b c" and out[0]["n_chars"] == 5
     assert out[1]["norm_text"] == "" and out[1]["n_chars"] == 0
     assert out[2]["norm_text"] is None and out[2]["n_chars"] == 0
+
+
+def test_chunk_batch_overlap_and_edges():
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.text import chunk_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a" * 350, "xy", "", None]),
+        }
+    )
+    out = chunk_batch(t, chunk_size=200, step=150).to_pylist()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 350 chars -> ceil(350/150)=3 chunks: [0:200], [150:350], [300:350]
+    assert [len(r["chunk"]) for r in by_doc[0]] == [200, 200, 50]
+    assert [r["chunk_idx"] for r in by_doc[0]] == [0, 1, 2]
+    assert [r["chunk"] for r in by_doc[1]] == ["xy"]
+    assert 2 not in by_doc and 3 not in by_doc  # empty/null emit nothing
+
+    empty = chunk_batch(t.slice(2, 1))
+    assert empty.num_rows == 0 and empty.column_names == ["doc_id", "chunk_idx", "chunk"]

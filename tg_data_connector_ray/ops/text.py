@@ -578,3 +578,44 @@ def normalize_text_batch(t: pa.Table) -> pa.Table:
             "n_chars": pc.fill_null(pc.utf8_length(norm), 0).cast(pa.int64()),
         }
     )
+
+
+def chunk_batch(t: pa.Table, chunk_size: int = 200, step: int = 150) -> pa.Table:
+    """Overlapping document chunking (the RAG / embedding-prep step):
+    chunk i covers code points [i*step, i*step+chunk_size); a document
+    emits ceil(len/step) chunks (none for empty/null text).  Vectorized
+    as one scalar-offset slice kernel per chunk INDEX (bounded by
+    max-doc-len/step, not rows), never a per-document loop."""
+    lens = (
+        pc.fill_null(pc.utf8_length(t["text"]), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    counts = -(-lens // step)  # ceil; 0 for empty
+    out = []
+    i = 0
+    while (counts > i).any():
+        mask = pa.array(counts > i)
+        out.append(
+            pa.table(
+                {
+                    "doc_id": t["doc_id"].filter(mask),
+                    "chunk_idx": pa.array(
+                        np.full(int((counts > i).sum()), i, np.int64)
+                    ),
+                    "chunk": pc.utf8_slice_codeunits(
+                        t["text"], start=i * step, stop=i * step + chunk_size
+                    ).filter(mask),
+                }
+            )
+        )
+        i += 1
+    if not out:
+        return pa.table(
+            {
+                "doc_id": pa.array([], t["doc_id"].type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+    return pa.concat_tables(out, promote_options="default")
