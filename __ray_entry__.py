@@ -222,6 +222,28 @@ def _run_cdc_changefeed(sf_dir: str):
     return change_feed(cfg, applied12[-1], applied[-1])
 
 
+def _run_cdc_envelope(sf_dir: str):
+    """Binlog-tail ingestion through the driver surface: the t2 event log
+    rendered as a Debezium-shaped JSON envelope stream (sparse after
+    images, delete payloads under before, lsn in source), read back with
+    ray.data.read_json under the explicit registry schema, flattened to
+    internal events by one vectorized struct-field pass, staged to
+    Parquet shards and merged exactly-once.  The envelope rendering is
+    lossless, so the oracle is the SAME merge contract as cdc_replay —
+    any drift in the wire codec (op mapping, image sides, ts units)
+    shows up as a hash mismatch."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+    from tg_data_connector_ray.fixtures import write_envelope_log
+    from tg_data_connector_ray.sources.envelope import stage_envelope_events
+
+    env_dir = write_envelope_log(_FIXTURE_CACHE, "t2")
+    shards = stage_envelope_events(env_dir, os.path.join(_CDC_OUT, "t2env-stage"))
+    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2env"), num_partitions=16)
+    apply_cdc(shards, cfg)
+    return final_table_arrow(cfg, sort=True)
+
+
 def _transcript_stats(sf_dir: str):
     """CDC output feeding the analytics layer: replay the t2 log, then
     per-conversation stats (turns, tool-call turns, total characters)
@@ -1415,6 +1437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
+        "cdc_envelope_replay": _run_cdc_envelope,
         "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
@@ -1733,6 +1756,8 @@ def oracle_sql() -> dict[str, str]:
         # LSM delta-run mode (O(delta) merges + read-side fold) converges
         # to the identical global merge
         "cdc_replay_delta": _cdc_oracle_sql("t2"),
+        # Debezium-envelope ingestion is lossless: same merge contract
+        "cdc_envelope_replay": _cdc_oracle_sql("t2"),
         # as-of-run read = the merge contract over the journaled prefix
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         # change feed = outer-joined before/after merge reconstructions

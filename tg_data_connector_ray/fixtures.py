@@ -475,6 +475,61 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
 CHUNK_CONVS = 1_000_000
 
 
+def write_envelope_log(root: str, tier: str) -> str:
+    """Render a fixture tier's event log as a Debezium-style envelope
+    ndjson stream (`<tier>/envelope_log/evt-NNNN.jsonl`, one shard per
+    Parquet shard, row order preserved) and return the directory.
+
+    Faithful to the wire shape `sources/envelope.py` reads: c/u carry a
+    sparse `after` image (null = column untouched), d carries the
+    delete's payload under `before` with `after` null, the log position
+    rides `source.lsn`, `ts_ms` is the emit time in millis.  The
+    rendering is lossless w.r.t. the internal event schema, so an
+    envelope replay converges to the same final table as the Parquet
+    log (the merge-contract oracle is shared).  Cached next to the tier
+    (fixture generation is deterministic, so the marker is enough)."""
+    import json
+
+    fx = write_fixture(root, tier)
+    d = os.path.join(fx["dir"], "envelope_log")
+    done = os.path.join(d, "_DONE")
+    if os.path.exists(done):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    op_code = {"I": "c", "U": "u", "D": "d"}
+    for f in sorted(os.listdir(fx["cdc_log"])):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(fx["cdc_log"], f))
+        t = t.set_column(
+            t.column_names.index("ts"), "ts", t["ts"].cast(pa.int64())
+        )
+        out_path = os.path.join(d, f.replace(".parquet", ".jsonl"))
+        with open(out_path, "w") as out:
+            for r in t.to_pylist():
+                img = {
+                    "conv_id": r["conv_id"],
+                    "turn_idx": r["turn_idx"],
+                    "role": r["role"],
+                    "text": r["text"],
+                    "tool": r["tool"],
+                    "ts_us": r["ts"],
+                }
+                is_d = r["op"] == "D"
+                env = {
+                    "op": op_code[r["op"]],
+                    "ts_ms": (r["lsn"] or 0) // 1000,
+                    "before": img if is_d else None,
+                    "after": None if is_d else img,
+                    "source": {"lsn": r["lsn"]},
+                }
+                out.write(json.dumps(env) + "\n")
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return d
+
+
 def write_fixture_chunked(
     root: str, tier: str, spec: FixtureSpec, chunk_convs: int = 500_000
 ) -> dict:
