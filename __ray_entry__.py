@@ -251,45 +251,53 @@ def _transcript_stats(sf_dir: str):
     aggregate (grouped_arrow_aggregate's string bucketing) with per-batch
     partials, never materializing the merged table on the driver.
     Oracle: the same aggregates over the window-SQL merge contract."""
-    import numpy as np
-    import pyarrow.compute as pc
-
     from tg_data_connector_ray.cdc.config import CdcConfig
     from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
     from tg_data_connector_ray.fixtures import write_fixture
-    from tg_data_connector_ray.pipelines.relational import grouped_arrow_aggregate
+    from tg_data_connector_ray.ops.transcripts import conv_stats
 
     fx = write_fixture(_FIXTURE_CACHE, "t2")
     out = os.path.join(_CDC_OUT, "t2stats")
     cfg = CdcConfig(out_dir=out, num_partitions=16)
     apply_cdc(fx["cdc_log"], cfg)
+    return conv_stats(read_final_table(cfg))
 
-    def partial(t: "pa.Table") -> "pa.Table":
-        thin = pa.table(
-            {
-                "conv_id": t["conv_id"],
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
-                "tool1": pc.is_valid(t["tool"]).cast(pa.int64()),
-                "chars": pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64()),
-            }
-        )
-        g = thin.group_by("conv_id").aggregate(
-            [("one", "sum"), ("tool1", "sum"), ("chars", "sum")]
-        )
-        agg = [c for c in g.column_names if c != "conv_id"]
-        return g.select(["conv_id"] + agg).rename_columns(
-            ["conv_id", "n", "n_tool", "chars"]
-        )
 
-    thin = read_final_table(cfg).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+def _run_cdc_incremental_stats(sf_dir: str):
+    """Incremental view maintenance through the driver surface: the t2
+    log lands as three delta-mode runs; the per-conversation stats view
+    is built as of run 2 (streaming aggregate over the time-travel read),
+    then MAINTAINED to run 3 by folding the change feed's preimage/
+    postimage deltas — cost O(snapshot + feed), the transcripts table is
+    never rescanned.  Oracle: full recompute of the view over the
+    complete merge contract — any drift in the feed's before-images or
+    the delta algebra (resurrections, partial updates, delete-all convs)
+    is a row/hash mismatch."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        change_feed,
+        read_final_table,
+        time_travel_runs,
     )
-    return grouped_arrow_aggregate(
-        thin,
-        "conv_id",
-        [("n", "sum"), ("n_tool", "sum"), ("chars", "sum")],
-        ["n_turns", "n_tool", "total_chars"],
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import apply_stats_feed, conv_stats
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2ivm")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    batches, _ = _cdc_travel_prefix(fx)
+    applied = []
+    for i, b in enumerate(batches, start=1):
+        if b:
+            apply_cdc(b, cfg, run_id=f"ivm-r{i}")
+            applied.append(f"ivm-r{i}")
+    mid, head = applied[-2], applied[-1]
+    prior = conv_stats(
+        read_final_table(cfg, runs=time_travel_runs(cfg, mid))
     )
+    feed = change_feed(cfg, mid, head, include_before=True)
+    return apply_stats_feed(prior, feed)
 
 
 def _run_cdc_scd2(sf_dir: str):
@@ -1438,6 +1446,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
+        "cdc_incremental_stats": _run_cdc_incremental_stats,
         "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
@@ -1640,9 +1649,12 @@ def _cdc_time_travel_oracle_sql() -> str:
 
 def _cdc_changefeed_oracle_sql() -> str:
     """FULL OUTER join of the merge-contract reconstructions as of run 2
-    (two-batch prefix) and run 3 (whole log): presence flips are I/D,
-    a bumped per-key lsn watermark is U, unchanged keys drop out.  D
-    rows carry null payload, exactly like the engine's feed."""
+    (two-batch prefix) and run 3 (whole log): presence flips are I/D, a
+    bumped per-key lsn watermark OR any visible-value change is U (the
+    value clause catches cross-run out-of-order delivery where a full I
+    below the applied watermark changes the payload without bumping
+    max-LSN), unchanged keys drop out.  D rows carry null payload,
+    exactly like the engine's feed."""
     from tg_data_connector_ray.fixtures import write_fixture
 
     fx = write_fixture(_FIXTURE_CACHE, "t2")
@@ -1669,6 +1681,8 @@ def _cdc_changefeed_oracle_sql() -> str:
         FROM a FULL OUTER JOIN b
           ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
         WHERE a.conv_id IS NULL OR b.conv_id IS NULL OR a.lsn_wm <> b.lsn_wm
+           OR a.role IS DISTINCT FROM b.role OR a.text IS DISTINCT FROM b.text
+           OR a.tool IS DISTINCT FROM b.tool OR a.ts IS DISTINCT FROM b.ts
     """
 
 
@@ -1758,6 +1772,15 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_delta": _cdc_oracle_sql("t2"),
         # Debezium-envelope ingestion is lossless: same merge contract
         "cdc_envelope_replay": _cdc_oracle_sql("t2"),
+        # incremental view maintenance == full recompute of the view
+        "cdc_incremental_stats": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool,
+                   CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+            FROM m GROUP BY conv_id
+        """,
         # as-of-run read = the merge contract over the journaled prefix
         "cdc_time_travel": _cdc_time_travel_oracle_sql(),
         # change feed = outer-joined before/after merge reconstructions

@@ -115,6 +115,31 @@ def main() -> None:
         "rows_asof": rows_asof,
         "changefeed_rows": rows_feed,
     }
+
+    # incremental view maintenance vs recompute, from the downstream
+    # consumer's seat: it HOLDS the previous snapshot and RECEIVES the
+    # feed (both materialized outside the timer — producing the feed is
+    # the changefeed cost above), so maintenance is O(snapshot + feed)
+    # with no access to the transcripts table at all, vs a recompute
+    # that rescans the whole table's payload
+    from tg_data_connector_ray.ops.transcripts import apply_stats_feed, conv_stats
+
+    t0 = time.monotonic()
+    rows_recompute = conv_stats(read_final_table(cfg)).count()
+    t_recompute = time.monotonic() - t0
+    prior = conv_stats(
+        read_final_table(cfg, runs=frozenset(runs[:-1]))
+    ).materialize()
+    feed = change_feed(cfg, runs[-2], runs[-1], include_before=True).materialize()
+    t0 = time.monotonic()
+    rows_ivm = apply_stats_feed(prior, feed).count()
+    t_ivm = time.monotonic() - t0
+    results["ivm"] = {
+        "recompute_sec": round(t_recompute, 3),
+        "maintain_sec": round(t_ivm, 3),
+        "view_rows": rows_recompute,
+        "view_rows_ivm": rows_ivm,
+    }
     print(json.dumps(results))
     ray.shutdown()
 

@@ -917,3 +917,115 @@ def test_compact_crash_between_base_write_and_unlink_is_idempotent(t1, tmp_path)
     assert final_table_arrow(cfg, sort=True).equals(clean)
     exp = pq.read_table(t1["transcripts"])
     assert_converged(cfg, exp)
+
+
+def test_change_feed_preimages_and_out_of_order_update(tmp_path):
+    """include_before=True carries the as-of-from payload in <col>_old
+    (null on I; a tombstoned prior version must NOT leak a preimage into
+    a resurrection's I row), and a full I delivered in the window at an
+    LSN BELOW the already-applied orphan-U watermark still emits U (the
+    visible payload changes while max-LSN stays put — the value-compare
+    clause, not the watermark, catches it)."""
+    from tg_data_connector_ray.cdc.pipeline import change_feed
+
+    def log(path, rows):
+        t = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "conv_id": pa.array([r[2] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+                "role": pa.array([r[5] for r in rows], pa.string()),
+                "text": pa.array([r[4] for r in rows], pa.string()),
+                "tool": pa.array([r[6] for r in rows], pa.string()),
+                "ts": pa.array(["2026-01-01 00:00:01"] * len(rows), pa.string()),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path)
+        return path
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "cf"), num_partitions=4, merge_strategy="delta"
+    )
+    # run 1: upd + del live; ooo exists only as an orphan U at lsn 99;
+    # rez is created then deleted (tombstone with payload "stale")
+    f1 = log(
+        str(tmp_path / "l1" / "b.parquet"),
+        [
+            (1, "I", "upd", 0, "v1", "user", "grep"),
+            (2, "I", "del", 0, "v1", "user", None),
+            (99, "U", "ooo", 0, None, None, "late-tool"),
+            (4, "I", "rez", 0, "stale", "user", None),
+            (5, "D", "rez", 0, None, None, None),
+        ],
+    )
+    # run 2: update upd (drops tool via new full I), delete del,
+    # out-of-order full I for ooo BELOW the watermark, resurrect rez
+    f2 = log(
+        str(tmp_path / "l2" / "b.parquet"),
+        [
+            (6, "I", "upd", 0, "v2", "assistant", None),
+            (7, "D", "del", 0, None, None, None),
+            (50, "I", "ooo", 0, "body", "tool", None),
+            (8, "I", "rez", 0, "back", "user", None),
+        ],
+    )
+    apply_cdc([f1], cfg, run_id="r1")
+    apply_cdc([f2], cfg, run_id="r2")
+
+    feed = change_feed(cfg, "r1", "r2", include_before=True).to_pandas()
+    got = {(r.conv_id, r.op): r for r in feed.itertuples()}
+    assert set(got) == {("upd", "U"), ("del", "D"), ("ooo", "U"), ("rez", "I")}
+
+    def isnull(v):
+        import pandas as pd
+
+        return v is None or (isinstance(v, float) and pd.isna(v))
+
+    # U: preimage = run-1 state, postimage = run-2 state
+    u = got[("upd", "U")]
+    assert (u.text_old, u.text) == ("v1", "v2")
+    assert (u.role_old, u.role) == ("user", "assistant")
+    assert u.tool_old == "grep" and isnull(u.tool)
+    # D: postimage null, preimage carries the deleted payload
+    d = got[("del", "D")]
+    assert isnull(d.text) and d.text_old == "v1"
+    # out-of-order I below the watermark: U with the merged postimage
+    # (text/role from the I, tool from the higher-LSN orphan U register)
+    o = got[("ooo", "U")]
+    assert o.text == "body" and o.role == "tool" and o.tool == "late-tool"
+    assert isnull(o.text_old) and o.tool_old == "late-tool"
+    # resurrection: I with NO preimage (the tombstone's stale payload
+    # must not leak)
+    r = got[("rez", "I")]
+    assert r.text == "back" and isnull(r.text_old) and isnull(r.role_old)
+
+
+def test_incremental_stats_maintenance_equals_recompute(t2, tmp_path):
+    """IVM end-to-end on the t2 fixture: conv_stats as of run 2, change
+    feed folded in, equals a full recompute on the final table — incl.
+    fully-deleted conversations dropping out of the snapshot."""
+    from tg_data_connector_ray.cdc.pipeline import (
+        change_feed,
+        read_final_table,
+        time_travel_runs,
+    )
+    from tg_data_connector_ray.ops.transcripts import apply_stats_feed, conv_stats
+    from tg_data_connector_ray.util import list_files
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "ivm"), num_partitions=8, merge_strategy="delta"
+    )
+    files = sorted(list_files(t2["cdc_log"], suffix=".parquet"))
+    k = max(1, len(files) // 3)
+    apply_cdc(files[: 2 * k], cfg, run_id="r1")
+    apply_cdc(files[2 * k :], cfg, run_id="r2")
+
+    prior = conv_stats(read_final_table(cfg, runs=time_travel_runs(cfg, "r1")))
+    feed = change_feed(cfg, "r1", "r2", include_before=True)
+    got = apply_stats_feed(prior, feed).to_pandas()
+    exp = conv_stats(read_final_table(cfg)).to_pandas()
+    got = got.sort_values("conv_id").reset_index(drop=True)
+    exp = exp.sort_values("conv_id").reset_index(drop=True)
+    assert got.equals(exp)

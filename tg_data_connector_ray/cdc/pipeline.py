@@ -948,7 +948,9 @@ def _table_digest(paths, cols, filter=None) -> dict:
     }
 
 
-def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset":
+def change_feed(
+    cfg: CdcConfig, from_run: str, to_run: str, include_before: bool = False
+) -> "ray.data.Dataset":
     """The CHANGE DATA FEED between two journaled runs: one I/U/D row per
     key whose state changed in the (from_run, to_run] window — the
     downstream-consumer stream a lakehouse CDF emits, derived here from
@@ -958,17 +960,27 @@ def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset
       `from_run`'s allow-set must be a subset of `to_run`'s — both come
       from the run journal, so this holds whenever from precedes to);
     - registers never disappear between compactions, so every change is
-      decidable from the as-of-`to_run` rows alone: I = live now but not
-      before (covers resurrections), D = live before but not now, U =
-      live in both with a bumped per-key LSN watermark (an event touched
-      the key; at-least-once CDF semantics).  Keys created AND deleted
+      decidable from the two folds: I = live now but not before (covers
+      resurrections), D = live before but not now, U = live in both with
+      a bumped per-key LSN watermark OR any visible-value change
+      (at-least-once CDF semantics: a bump with unchanged values still
+      emits U).  The value comparison is required for correctness, not
+      just completeness — with out-of-order delivery ACROSS runs, a full
+      I event can land in the window at an LSN below an already-applied
+      orphan-U watermark: the fold is order-insensitive so the visible
+      payload changes while max-LSN stays put.  Keys created AND deleted
       inside the window emit nothing.
     - the before-lookup is an exact Arrow index_in on the composite
       (conv_id \\x00 turn_idx) key string — no hash-collision exposure.
 
-    I/U rows carry the new payload; D rows carry null payload.  Requires
-    merge_strategy='delta' history reaching back to `from_run` (else
-    merge.TimeTravelError, never a wrong feed)."""
+    I/U rows carry the new payload; D rows carry null payload.  With
+    `include_before=True` the feed also carries the pre-image payload in
+    `<col>_old` columns (null on I rows; on D rows the old payload is
+    the only payload) — the Delta-CDF-style preimage that makes the feed
+    sufficient for downstream incremental view maintenance (subtract the
+    old contribution, add the new: see ops.transcripts.apply_stats_feed).
+    Requires merge_strategy='delta' history reaching back to `from_run`
+    (else merge.TimeTravelError, never a wrong feed)."""
     runs_a = time_travel_runs(cfg, from_run)
     runs_b = time_travel_runs(cfg, to_run)
     if not runs_a <= runs_b:
@@ -992,6 +1004,7 @@ def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset
 
         pc_ = pa.compute
         outs = []
+        payload_cols = [c for c in USER_COLS if c not in ("conv_id", "turn_idx")]
         empty = pa.table(
             {
                 "op": pa.array([], pa.string()),
@@ -999,6 +1012,16 @@ def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset
                     c: pa.array([], _empty_final_table().schema.field(c).type)
                     for c in USER_COLS
                 },
+                **(
+                    {
+                        f"{c}_old": pa.array(
+                            [], _empty_final_table().schema.field(c).type
+                        )
+                        for c in payload_cols
+                    }
+                    if include_before
+                    else {}
+                ),
             }
         )
         for d in t["part_dir"].to_pylist():
@@ -1029,7 +1052,20 @@ def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset
             live_a = in_a & ~dead_a
             is_i = live_b & ~live_a
             is_d = ~live_b & live_a
-            is_u = live_b & live_a & (lsn_b != lsn_a)
+            val_change = np.zeros(b.num_rows, bool)
+            if a.num_rows:
+                for c in USER_COLS:
+                    if c in ("conv_id", "turn_idx"):
+                        continue
+                    vb = b[c].combine_chunks()
+                    va = a[c].combine_chunks().take(idx)
+                    nb = pc_.is_null(vb).to_numpy(zero_copy_only=False)
+                    na = pc_.is_null(va).to_numpy(zero_copy_only=False)
+                    neq = pc_.fill_null(pc_.not_equal(vb, va), False).to_numpy(
+                        zero_copy_only=False
+                    ).astype(bool)
+                    val_change |= (nb != na) | neq
+            is_u = live_b & live_a & ((lsn_b != lsn_a) | val_change)
             sel = is_i | is_d | is_u
             if not sel.any():
                 continue
@@ -1045,6 +1081,23 @@ def change_feed(cfg: CdcConfig, from_run: str, to_run: str) -> "ray.data.Dataset
                     # D rows carry null payload (the value is gone)
                     col = pc_.if_else(d_mask, pa.nulls(rows.num_rows, col.type), col)
                 cols[c] = col
+            if include_before:
+                # pre-image payload: the as-of-from_run values — null on I
+                # rows (no prior live version; a tombstone's stale payload
+                # must NOT leak into preimages, so mask on live_a, not in_a)
+                old_valid = pa.array(live_a[sel])
+                sel_arr = pa.array(sel)
+                idx_sel = idx.filter(sel_arr) if a.num_rows else None
+                for c in payload_cols:
+                    typ = rows[c].type
+                    if idx_sel is not None:
+                        old = a[c].combine_chunks().take(idx_sel)
+                        old = pc_.if_else(
+                            old_valid, old, pa.nulls(rows.num_rows, typ)
+                        )
+                    else:
+                        old = pa.nulls(rows.num_rows, typ)
+                    cols[f"{c}_old"] = old
             outs.append(pa.table(cols))
         return pa.concat_tables(outs) if outs else empty
 

@@ -252,3 +252,113 @@ def clip_to_context(transcripts, budget: int, n_coarse: int = 64,
     return _conv_grouped(
         transcripts, partial(clip_block, budget=budget), n_coarse, exchange, "clip"
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-conversation stats + incremental view maintenance from the change feed
+# ---------------------------------------------------------------------------
+
+STATS_NAMES = ("n_turns", "n_tool", "total_chars")
+
+
+def _stats_partial(t: pa.Table) -> pa.Table:
+    """Thin per-batch partial of the conversation-stats view: one row per
+    conv_id seen in the batch with its local turn/tool/char sums."""
+    import pyarrow.compute as pc
+
+    thin = pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "n_turns": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_tool": pc.is_valid(t["tool"]).cast(pa.int64()),
+            "total_chars": pc.fill_null(pc.utf8_length(t["text"]), 0).cast(
+                pa.int64()
+            ),
+        }
+    )
+    g = thin.group_by("conv_id").aggregate(
+        [("n_turns", "sum"), ("n_tool", "sum"), ("total_chars", "sum")]
+    )
+    agg = [c for c in g.column_names if c != "conv_id"]
+    return g.select(["conv_id"] + agg).rename_columns(["conv_id", *STATS_NAMES])
+
+
+def conv_stats(transcripts, n_coarse: int = 64):
+    """Per-conversation analytics view over a streaming transcripts
+    Dataset: live turn count, tool-call turn count, total text chars.
+    Per-batch Arrow partials, then one coarse-bucket string-keyed
+    distributed aggregate — never materializes the table."""
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    thin = transcripts.map_batches(
+        _stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_arrow_aggregate(
+        thin,
+        "conv_id",
+        [("n_turns", "sum"), ("n_tool", "sum"), ("total_chars", "sum")],
+        list(STATS_NAMES),
+        n_coarse=n_coarse,
+    )
+
+
+def stats_feed_deltas(t: pa.Table) -> pa.Table:
+    """One change-feed batch (with before-images) -> per-row deltas of the
+    conversation-stats view.  The preimage null conventions make one
+    uniform formula cover all three ops: I rows have null preimage
+    (old contribution 0), D rows null new payload (new contribution 0),
+    U rows subtract old and add new."""
+    import pyarrow.compute as pc
+
+    op = t["op"].combine_chunks()
+    d_live = pc.subtract(
+        pc.equal(op, "I").cast(pa.int64()), pc.equal(op, "D").cast(pa.int64())
+    )
+    d_tool = pc.subtract(
+        pc.is_valid(t["tool"]).cast(pa.int64()),
+        pc.is_valid(t["tool_old"]).cast(pa.int64()),
+    )
+    d_chars = pc.subtract(
+        pc.fill_null(pc.utf8_length(t["text"]), 0).cast(pa.int64()),
+        pc.fill_null(pc.utf8_length(t["text_old"]), 0).cast(pa.int64()),
+    )
+    return pa.table(
+        {
+            "conv_id": t["conv_id"],
+            "n_turns": d_live,
+            "n_tool": d_tool,
+            "total_chars": d_chars,
+        }
+    )
+
+
+def apply_stats_feed(prior, feed, n_coarse: int = 64):
+    """Incremental view maintenance: fold a change feed (emitted with
+    ``include_before=True``) into a prior ``conv_stats`` snapshot and
+    return the updated snapshot — cost O(prior + feed), no rescan of the
+    transcripts table.  Union the snapshot rows with per-row feed deltas,
+    one coarse-bucket sum, drop conversations whose live turn count hit
+    zero (fully deleted).  Exactly equal to recomputing ``conv_stats``
+    on the as-of-to_run table (pinned by test + oracle)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    deltas = feed.map_batches(
+        stats_feed_deltas, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cols = ["conv_id", *STATS_NAMES]
+    merged = grouped_arrow_aggregate(
+        prior.select_columns(cols).union(deltas.select_columns(cols)),
+        "conv_id",
+        [("n_turns", "sum"), ("n_tool", "sum"), ("total_chars", "sum")],
+        list(STATS_NAMES),
+        n_coarse=n_coarse,
+    )
+
+    def live_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["n_turns"], 0))
+
+    return merged.map_batches(
+        live_only, batch_format="pyarrow", zero_copy_batch=True
+    )
