@@ -244,6 +244,57 @@ def _run_cdc_envelope(sf_dir: str):
     return final_table_arrow(cfg, sort=True)
 
 
+def _run_cdc_redact(sf_dir: str):
+    """Right-to-be-forgotten through the driver surface: replay the t2
+    log, then redact every conversation whose id ends in '42' (the
+    deterministic stand-in for an operator's deletion request) via
+    synthesized U events above the global watermark — applied exactly-
+    once like any other run.  Oracle: the same merge contract over the
+    original log UNION the identically-ranked synthetic events — any
+    drift in LSN assignment, ordering, or which turns count as live is
+    a hash mismatch."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        final_table_arrow,
+        redact_convs,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2redact"), num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    targets = [f"conv{i:08d}" for i in range(5000) if i % 100 == 42]
+    redact_convs(cfg, targets, run_id="redact-1")
+    return final_table_arrow(cfg, sort=True)
+
+
+def _cdc_redact_oracle_sql() -> str:
+    """Merge contract over (original log UNION synthesized redaction
+    events): the redact events are one U per live turn of the target
+    conversations, text '[REDACTED]', at max-log-LSN + rank ordered by
+    (conv_id, turn_idx) — exactly the engine's deterministic
+    assignment."""
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    glob = os.path.join(fx["cdc_log"], "*.parquet")
+    src = f"""SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts
+          FROM read_parquet('{glob}', union_by_name=true)"""
+    inner = _merge_contract_sql(src)
+    red_src = f"""{src}
+          UNION ALL
+          SELECT (SELECT max(lsn)
+                  FROM read_parquet('{glob}', union_by_name=true))
+                   + row_number() OVER (ORDER BY conv_id, turn_idx) AS lsn,
+                 'U' AS op, conv_id, turn_idx,
+                 NULL AS role, '[REDACTED]' AS text, NULL AS tool,
+                 CAST(NULL AS TIMESTAMP) AS ts
+          FROM ({inner}) WHERE conv_id LIKE '%42'"""
+    return _merge_contract_sql(red_src)
+
+
 def _transcript_stats(sf_dir: str):
     """CDC output feeding the analytics layer: replay the t2 log, then
     per-conversation stats (turns, tool-call turns, total characters)
@@ -1447,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
         "cdc_incremental_stats": _run_cdc_incremental_stats,
+        "cdc_redact": _run_cdc_redact,
         "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
@@ -1772,6 +1824,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_delta": _cdc_oracle_sql("t2"),
         # Debezium-envelope ingestion is lossless: same merge contract
         "cdc_envelope_replay": _cdc_oracle_sql("t2"),
+        # redaction-through-the-log: contract over log + synthetic events
+        "cdc_redact": _cdc_redact_oracle_sql(),
         # incremental view maintenance == full recompute of the view
         "cdc_incremental_stats": f"""
             WITH m AS ({_cdc_oracle_sql("t2")})

@@ -292,3 +292,39 @@ def test_cli_export_as_of(t1, tmp_path):
         .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     )
     assert got.equals(truth)
+
+
+def test_cli_redact_verb(t1, tmp_path):
+    """`redact` CLI: right-to-be-forgotten in a subprocess — target
+    conversations' text replaced, JSON summary reports the turn count."""
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+
+    out = str(tmp_path / "red")
+    cfg = CdcConfig(out_dir=out, num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    before = final_table_arrow(cfg, sort=True)
+    targets = sorted(set(before["conv_id"].to_pylist()))[:2]
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "redact",
+            "--out", out, "--convs", ",".join(targets),
+            "--run-id", "cli-rr1", "--partitions", "4",
+            "--replacement", "[GONE]",
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+        env={**os.environ, "RAY_ADDRESS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summ = json.loads(r.stdout.strip().splitlines()[-1])
+    after = final_table_arrow(cfg, sort=True)
+    tgt = after.filter(pc.is_in(after["conv_id"], value_set=pa.array(targets)))
+    assert summ["turns_redacted"] == tgt.num_rows > 0
+    assert set(tgt["text"].to_pylist()) == {"[GONE]"}

@@ -1029,3 +1029,90 @@ def test_incremental_stats_maintenance_equals_recompute(t2, tmp_path):
     got = got.sort_values("conv_id").reset_index(drop=True)
     exp = exp.sort_values("conv_id").reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_redact_convs_through_the_log(t1, tmp_path):
+    """Right-to-be-forgotten via synthesized U events: target convs'
+    live turns get text := [REDACTED] (roles/ts untouched), other convs
+    are byte-identical, lineage watermark advances, and a re-run with
+    the same run_id is a no-op (exactly-once)."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.cdc.pipeline import (
+        final_table_arrow,
+        lineage_summary,
+        redact_convs,
+    )
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=8)
+    apply_cdc(t1["cdc_log"], cfg)
+    before = final_table_arrow(cfg, sort=True)
+    wm0 = lineage_summary(cfg)["watermark_max"]
+    targets = sorted(set(before["conv_id"].to_pylist()))[:3]
+
+    s = redact_convs(cfg, targets, run_id="rr-1")
+    after = final_table_arrow(cfg, sort=True)
+    tgt_mask = pc.is_in(after["conv_id"], value_set=pa.array(targets))
+    tgt = after.filter(tgt_mask)
+    assert s["turns_redacted"] == tgt.num_rows > 0
+    assert set(tgt["text"].to_pylist()) == {"[REDACTED]"}
+    # structure preserved: same keys and roles as before, only text changed
+    b_tgt = before.filter(pc.is_in(before["conv_id"], value_set=pa.array(targets)))
+    assert tgt.select(["conv_id", "turn_idx", "role"]).equals(
+        b_tgt.select(["conv_id", "turn_idx", "role"])
+    )
+    # untouched conversations byte-identical
+    assert after.filter(pc.invert(tgt_mask)).equals(
+        before.filter(
+            pc.invert(pc.is_in(before["conv_id"], value_set=pa.array(targets)))
+        )
+    )
+    assert lineage_summary(cfg)["watermark_max"] == wm0 + tgt.num_rows
+
+    # idempotent: same run_id -> merge skips every partition
+    s2 = redact_convs(cfg, targets, run_id="rr-1")
+    assert s2["partitions_applied"] == 0
+    assert final_table_arrow(cfg, sort=True).equals(after)
+
+    # unknown conversations: nothing to redact, no run applied
+    s3 = redact_convs(cfg, ["conv_nonexistent"], run_id="rr-2")
+    assert s3["events_in"] == 0 and s3["turns_redacted"] == 0
+
+
+def test_grouped_arrow_aggregate_spool_exchange_matches_sort(t1, tmp_path):
+    """The spooled-exchange aggregate path returns exactly the sort
+    path's groups (many-small-block input: a union of two datasets)."""
+    import ray
+
+    from tg_data_connector_ray.pipelines.relational import grouped_arrow_aggregate
+
+    t = pq.read_table(t1["transcripts"])
+    half = t.num_rows // 2
+    ds = ray.data.from_arrow(t.slice(0, half)).union(
+        ray.data.from_arrow(t.slice(half))
+    )
+
+    def thin(b):
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "conv_id": b["conv_id"],
+                "n": pa.array([1] * b.num_rows, pa.int64()),
+                "chars": pc.fill_null(pc.utf8_length(b["text"]), 0).cast(pa.int64()),
+            }
+        )
+
+    outs = {}
+    for ex in ("sort", "spool"):
+        g = grouped_arrow_aggregate(
+            ds.map_batches(thin, batch_format="pyarrow"),
+            "conv_id",
+            [("n", "sum"), ("chars", "sum")],
+            ["n", "chars"],
+            exchange=ex,
+        )
+        outs[ex] = (
+            g.to_pandas().sort_values("conv_id").reset_index(drop=True)
+        )
+    assert outs["sort"].equals(outs["spool"])

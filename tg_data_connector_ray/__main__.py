@@ -71,6 +71,27 @@ def main(argv=None) -> int:
     cf.add_argument("--from", dest="from_run", required=True)
     cf.add_argument("--to", dest="to_run", required=True)
     cf.add_argument("--partitions", type=int, default=64)
+    cf.add_argument(
+        "--before",
+        action="store_true",
+        help="include <col>_old preimage columns (incremental-view feeds)",
+    )
+
+    red = sub.add_parser(
+        "redact",
+        help="right-to-be-forgotten: synthesize U events replacing the "
+        "target conversations' text, applied exactly-once; compact "
+        "afterwards to make forgetting physical",
+    )
+    red.add_argument("--out", required=True, help="CDC table dir")
+    red.add_argument(
+        "--convs",
+        required=True,
+        help="comma-separated conv_ids, or @FILE with one id per line",
+    )
+    red.add_argument("--run-id", dest="run_id", required=True)
+    red.add_argument("--replacement", default="[REDACTED]")
+    red.add_argument("--partitions", type=int, default=64)
 
     mig = sub.add_parser(
         "migrate",
@@ -173,7 +194,9 @@ def main(argv=None) -> int:
             from .cdc.pipeline import change_feed
 
             cfg = CdcConfig(out_dir=args.out, num_partitions=args.partitions)
-            change_feed(cfg, args.from_run, args.to_run).write_parquet(args.dest)
+            change_feed(
+                cfg, args.from_run, args.to_run, include_before=args.before
+            ).write_parquet(args.dest)
             rows = sum(
                 _pq.read_metadata(f).num_rows
                 for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
@@ -184,6 +207,21 @@ def main(argv=None) -> int:
                 "from": args.from_run,
                 "to": args.to_run,
             }
+        elif args.cmd == "redact":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import redact_convs
+
+            if args.convs.startswith("@"):
+                with open(args.convs[1:]) as f:
+                    convs = [ln.strip() for ln in f if ln.strip()]
+            else:
+                convs = [c for c in args.convs.split(",") if c]
+            out = redact_convs(
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions),
+                convs,
+                run_id=args.run_id,
+                replacement=args.replacement,
+            )
         else:
             from .cdc.config import CdcConfig
             from .cdc.pipeline import verify_against

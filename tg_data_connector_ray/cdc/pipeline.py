@@ -792,6 +792,75 @@ def lineage_summary(cfg: CdcConfig) -> dict:
     }
 
 
+def redact_convs(
+    cfg: CdcConfig,
+    conv_ids,
+    run_id: str,
+    replacement: str = "[REDACTED]",
+) -> dict:
+    """Right-to-be-forgotten THROUGH the log: synthesize one U event per
+    live turn of the target conversations — text := `replacement` — at
+    LSNs strictly above the table's global watermark (deterministic:
+    ranked by (conv_id, turn_idx)), stage them under the table dir and
+    apply exactly-once with the given run_id.
+
+    Redacting via ordinary change events, never by editing files, keeps
+    every engine invariant intact: lineage checksums stay consistent,
+    downstream changefeed consumers observe the redaction as regular U
+    rows (and IVM views update themselves), delta-mode tables journal it
+    as a run like any other.  Pre-redaction text remains reconstructable
+    through time travel until `compact()` folds history — run compaction
+    to make forgetting physical, which is the same two-step contract
+    lakehouse DELETE/VACUUM pairs have.
+
+    The synthesized event set is bounded by the REQUEST (live turns of
+    the listed conversations), not the table: the scan is a streaming
+    thin projection; only the matching (conv_id, turn_idx) keys land on
+    the driver for deterministic LSN ranking.  Idempotent per run_id —
+    a retry stages the identical events and the merge skips committed
+    partitions."""
+    pc_ = pa.compute
+    summ = lineage_summary(cfg)
+    base_lsn = max(int(summ["watermark_max"]), 0)
+    targets = pa.array(sorted(set(conv_ids)), pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc_.is_in(t["conv_id"], value_set=targets)
+        return t.filter(mask).select(["conv_id", "turn_idx"])
+
+    thin = read_final_table(cfg).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = pa.concat_tables(
+        [ray.get(r) for r in thin.to_arrow_refs()]
+    ).combine_chunks()
+    keys = keys.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    n = keys.num_rows
+    if n == 0:
+        return {"run_id": run_id, "events_in": 0, "turns_redacted": 0}
+    events = pa.table(
+        {
+            "lsn": pa.array(base_lsn + 1 + np.arange(n, dtype=np.int64)),
+            "op": pa.array(["U"] * n, pa.string()),
+            "conv_id": keys["conv_id"],
+            "turn_idx": keys["turn_idx"],
+            "role": pa.nulls(n, pa.string()),
+            "text": pa.array([replacement] * n, pa.string()),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": pa.nulls(n, pa.timestamp("us")),
+        }
+    )
+    stage_dir = os.path.join(cfg.out_dir, f"redact-{run_id}")
+    os.makedirs(stage_dir, exist_ok=True)
+    path = os.path.join(stage_dir, "events.parquet")
+    from ..util import atomic_write_parquet
+
+    atomic_write_parquet(path, events)
+    summary = apply_cdc([path], cfg, run_id=run_id)
+    summary["turns_redacted"] = n
+    return summary
+
+
 def migrate_state(old_out_dir: str, cfg: CdcConfig) -> dict:
     """Explicit migration for PERSISTED-ROUTING changes (hash provider or
     `num_partitions`, see _check_state_format / README "State

@@ -283,7 +283,7 @@ def _stats_partial(t: pa.Table) -> pa.Table:
     return g.select(["conv_id"] + agg).rename_columns(["conv_id", *STATS_NAMES])
 
 
-def conv_stats(transcripts, n_coarse: int = 64):
+def conv_stats(transcripts, n_coarse: int = 64, exchange: str = "spool"):
     """Per-conversation analytics view over a streaming transcripts
     Dataset: live turn count, tool-call turn count, total text chars.
     Per-batch Arrow partials, then one coarse-bucket string-keyed
@@ -299,6 +299,7 @@ def conv_stats(transcripts, n_coarse: int = 64):
         [("n_turns", "sum"), ("n_tool", "sum"), ("total_chars", "sum")],
         list(STATS_NAMES),
         n_coarse=n_coarse,
+        exchange=exchange,
     )
 
 
@@ -332,7 +333,7 @@ def stats_feed_deltas(t: pa.Table) -> pa.Table:
     )
 
 
-def apply_stats_feed(prior, feed, n_coarse: int = 64):
+def apply_stats_feed(prior, feed, n_coarse: int = 64, exchange: str = "spool"):
     """Incremental view maintenance: fold a change feed (emitted with
     ``include_before=True``) into a prior ``conv_stats`` snapshot and
     return the updated snapshot — cost O(prior + feed), no rescan of the
@@ -354,11 +355,20 @@ def apply_stats_feed(prior, feed, n_coarse: int = 64):
         [("n_turns", "sum"), ("n_tool", "sum"), ("total_chars", "sum")],
         list(STATS_NAMES),
         n_coarse=n_coarse,
+        # a snapshot + 96-partition feed is exactly the many-small-blocks
+        # shape where the sort shuffle's block-count overhead dominates
+        exchange=exchange,
     )
 
     def live_only(b: pa.Table) -> pa.Table:
         return b.filter(pc.greater(b["n_turns"], 0))
 
-    return merged.map_batches(
+    out = merged.map_batches(
         live_only, batch_format="pyarrow", zero_copy_batch=True
     )
+    # a spooled upstream's reclaim lease rides the Dataset OBJECT, not the
+    # plan — wrapping in another map would drop it and the spool dir would
+    # be reclaimed before this (lazy) dataset ever executes
+    if hasattr(merged, "_spool_keepalive"):
+        out._spool_keepalive = merged._spool_keepalive
+    return out

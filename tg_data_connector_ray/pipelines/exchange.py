@@ -114,5 +114,19 @@ def spooled_grouped_map(
     return out
 
 
+def carry_spool_lease(src, out):
+    """Propagate a spooled dataset's reclaim lease onto a derived Dataset.
+
+    The lease rides the Dataset OBJECT (`_spool_keepalive`), not the
+    lazy plan — so `spooled.map_batches(...)` returns a new object
+    WITHOUT it, and once the intermediate is collected the spool dir is
+    reclaimed before the derived dataset executes (FileNotFoundError in
+    run_part).  Every caller that wraps a spooled dataset in further
+    transforms must call this (or keep the source object alive)."""
+    if hasattr(src, "_spool_keepalive"):
+        out._spool_keepalive = src._spool_keepalive
+    return out
+
+
 class _ExchangeLease:
     """Identity object whose collection triggers spool reclaim."""

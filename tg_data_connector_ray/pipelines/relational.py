@@ -605,6 +605,7 @@ def grouped_arrow_aggregate(
     aggs: "list[tuple[str, str]]",
     out_names: "list[str] | None" = None,
     n_coarse: int = 64,
+    exchange: str = "sort",
 ):
     """Distributed high-cardinality group-by aggregate: coarse hash
     buckets + ONE vectorized pyarrow group_by per bucket.
@@ -626,10 +627,21 @@ def grouped_arrow_aggregate(
     ``[("rev", "sum"), ("doc_id", "min")]``.  Output columns are the key
     columns followed by ``out_names`` (default: the agg input names).
 
+    ``exchange="spool"`` swaps the sort-based shuffle for the spooled key
+    exchange (pipelines/exchange.py: ONE partitioned parquet write + ONE
+    read).  The sort shuffle's cost scales with input BLOCK COUNT, not
+    just bytes — a union of two many-small-block datasets (e.g. a
+    snapshot + a 96-partition change feed) measured 4.6 s in the sort
+    exchange vs ~1 s spooled for the same 1.3M thin rows.  Prefer spool
+    when the input arrives as many small blocks or carries wide payload;
+    the sort path stays the default for few-big-block pipelines where
+    the in-memory shuffle saves the disk round-trip.
+
     Caveat: an EMPTY input yields a zero-column empty dataset (Ray's
-    map_groups emits no schema when no group runs) — consumers that feed
-    a join or select columns must guard with a count check or
-    ops.dedup._nonempty, as every current call site does."""
+    map_groups emits no schema when no group runs; the spool path writes
+    no partition dirs) — consumers that feed a join or select columns
+    must guard with a count check or ops.dedup._nonempty, as every
+    current call site does."""
     if n_coarse & (n_coarse - 1):
         raise ValueError("n_coarse must be a power of two")
     keys = [keys] if isinstance(keys, str) else list(keys)
@@ -639,11 +651,21 @@ def grouped_arrow_aggregate(
         return t.append_column("_cg", _bucket_ids(t[keys[0]], n_coarse))
 
     def agg_bucket(g: pa.Table) -> pa.Table:
-        out = g.drop_columns(["_cg"]).group_by(keys).aggregate(aggs)
+        drop = [c for c in ("_cg",) if c in g.column_names]
+        out = g.drop_columns(drop).group_by(keys).aggregate(aggs)
         # pyarrow puts aggregate outputs first or last depending on
         # version; rename by position of the key columns instead
         agg_cols = [c for c in out.column_names if c not in keys]
         return out.select(keys + agg_cols).rename_columns(keys + out_names)
+
+    if exchange == "spool":
+        from .exchange import spooled_grouped_map
+
+        def part_of(t: pa.Table):
+            ids = _bucket_ids(t[keys[0]], n_coarse)
+            return ids.to_numpy(zero_copy_only=False)
+
+        return spooled_grouped_map(ds, agg_bucket, part_of, n_coarse, name="agg")
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
