@@ -1237,6 +1237,31 @@ def _docs_keyword_topk(sf_dir):
     return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
 
 
+def _docs_postings(sf_dir):
+    """Inverted-index dictionary head: top-200 terms by document
+    frequency with total tf and posting span — block-exact (doc, term)
+    partials, one thin coarse-bucket aggregate, per-bucket top-k."""
+    from tg_data_connector_ray.ops.corpus import postings
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        small_block_bytes=256 << 10,
+    )
+    return postings(ds, k=200)
+
+
+def _events_anomaly(sf_dir):
+    """Per-user z-score outliers, integer-exact: the |v-mean| > 1.5*sigma
+    test (rational threshold; uniform draws cap |z| at sqrt(3)) with both
+    sides cross-multiplied through by n^2 * k_den^2 — no division, no
+    floats in the comparison."""
+    from tg_data_connector_ray.pipelines.relational import events_anomaly
+
+    return events_anomaly(sf_dir)
+
+
 def _docs_chunk(sf_dir):
     """Overlapping RAG chunking (200-char windows, 150-char stride) —
     per-chunk-index slice kernels, O(max_len/stride) kernel calls per
@@ -1519,6 +1544,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_percent_rank": _events_percent_rank,
         "events_cube": _events_cube,
         "events_ntile": R.events_ntile,
+        "events_anomaly": _events_anomaly,
+        "docs_postings": _docs_postings,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
@@ -2720,6 +2747,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(vu) AS BIGINT) AS sum_u
             FROM b GROUP BY ROLLUP(event_type, day)
+        """,
+        # per-user z-score outliers at 3/2 sigma (uniform-draw values cap
+        # |z| at sqrt(3)): both sides multiplied through by n^2 * k_den^2,
+        # pure int64 on both engines (v = floor(value*1000))
+        "events_anomaly": """
+            WITH t AS (
+              SELECT event_id, user_id,
+                     CAST(floor(value * 1000.0) AS BIGINT) AS v
+              FROM events
+            ), g AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(v) AS BIGINT) AS s,
+                     CAST(sum(v*v) AS BIGINT) AS ss
+              FROM t GROUP BY user_id
+            )
+            SELECT t.event_id, t.user_id, t.v, g.n
+            FROM t JOIN g USING (user_id)
+            WHERE 4*(g.n*t.v - g.s)*(g.n*t.v - g.s)
+                  > 9*(g.n*g.ss - g.s*g.s)
+        """,
+        # inverted-index dictionary head (shared [a-z0-9_]+ tokenizer)
+        "docs_postings": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ), p AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df,
+                     CAST(sum(tf) AS BIGINT) AS tf,
+                     min(doc_id) AS min_doc, max(doc_id) AS max_doc
+              FROM tf GROUP BY term
+            ), r AS (
+              SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM p
+            )
+            SELECT rn, term, df, tf, min_doc, max_doc FROM r WHERE rn <= 200
         """,
         "events_cube": """
             WITH b AS (

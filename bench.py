@@ -176,6 +176,12 @@ def run_query_bench() -> "tuple[dict, dict]":
         "transcript_render",
         "dedup_semantic",
         "docs_keyword_topk",
+        # round 5 third continuation: envelope ingestion + IVM (fixture-
+        # scale), integer z-test outliers, inverted-index head
+        "cdc_envelope_replay",
+        "cdc_incremental_stats",
+        "events_anomaly",
+        "docs_postings",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

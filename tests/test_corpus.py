@@ -345,3 +345,31 @@ def test_null_text_and_null_strata_edges(ray_session):
     # one row per stratum, null being a stratum of its own
     assert len(got) == 2
     assert got["lang"].isna().sum() == 1
+
+
+def test_postings_dictionary_head(ray_session):
+    """df counts docs (not occurrences), tf totals occurrences, posting
+    span is min/max doc_id, ranking is (df DESC, term ASC), k caps."""
+    import pyarrow as pa
+    import ray
+
+    from tg_data_connector_ray.ops.corpus import postings
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta alpha",   # alpha tf=2 here
+                    "beta gamma",
+                    "beta ALPHA",          # lowercased tokenizer
+                ]
+            ),
+        }
+    )
+    out = postings(ray.data.from_arrow(docs), k=2).to_pylist()
+    # beta: df=3; alpha: df=2 (ties impossible here); gamma cut by k=2
+    assert [(r["rn"], r["term"], r["df"], r["tf"], r["min_doc"], r["max_doc"]) for r in out] == [
+        (1, "beta", 3, 3, 1, 3),
+        (2, "alpha", 2, 3, 1, 3),
+    ]

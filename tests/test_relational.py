@@ -829,3 +829,40 @@ def test_events_ntile_matches_duckdb_on_adversarial_ties(ray_session, tmp_path):
     ).df()
     assert got["tile"].tolist() == want["tile"].tolist()
     assert got["event_id"].tolist() == want["event_id"].tolist()
+
+
+def test_events_anomaly_integer_exact_edges(tmp_path):
+    """The cross-multiplied z-test on crafted groups: a clear outlier
+    flags, all-equal and single-event users flag nothing (strict
+    inequality on zero variance), and the boundary |v-mean| == k*sigma
+    does NOT flag."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import events_anomaly
+
+    rows = []
+    # user 1: nine 100s and one 1000 -> the 1000 is way past 1.5 sigma
+    rows += [(i, 1, 100.0) for i in range(9)] + [(9, 1, 1000.0)]
+    # user 2: all equal -> zero variance, nothing flags
+    rows += [(10 + i, 2, 50.0) for i in range(5)]
+    # user 3: single event -> zero variance, nothing flags
+    rows += [(20, 3, 7.0)]
+    # user 4: exactly +/- 1 around mean 0 -> |v-mean| = sigma = 1 unit,
+    # 1.0 < 1.5 so nothing flags
+    rows += [(30, 4, 0.001), (31, 4, -0.001)]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "events.parquet"))
+    got = events_anomaly(str(sf)).to_pandas().sort_values("event_id")
+    assert got["event_id"].tolist() == [9]
+    assert got["v"].tolist() == [1000000]
+    assert got["n"].tolist() == [10]

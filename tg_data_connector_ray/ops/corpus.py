@@ -637,3 +637,83 @@ def ngram_contamination(corpus_ds, bench_ds, k: int = 5, col: str = "text"):
         )
 
     return corpus_ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def postings(ds, k: int = 200, col: str = "text"):
+    """Inverted-index head: per term its document frequency, total term
+    frequency, and posting span (min/max doc_id); output = the top-`k`
+    terms by (df DESC, term ASC) — the dictionary page a distributed
+    index build writes first, and the stats a query planner prunes with.
+
+    Scale shape: (1) `term_freq_batch` emits exact per-(doc, term) rows
+    per block (one doc never spans blocks, so block-local distinctness
+    is global); (2) a per-batch Arrow group_by collapses them to thin
+    (term, df, tf, min_doc, max_doc) partials; (3) ONE coarse-bucket
+    aggregate finishes every term; (4) each bucket emits only its local
+    top-k, the driver finishes k x buckets thin rows.  Full postings
+    LISTS are deliberately not materialized here — at 100 TB they are a
+    partitioned parquet sink (term-bucket dirs), while the contract
+    surface is the bounded dictionary head."""
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        tf = term_freq_batch(t, col)
+        one = pa.array(np.ones(tf.num_rows, np.int64))
+        g = (
+            pa.table(
+                {
+                    "term": tf["term"],
+                    "df": one,
+                    "tf": tf["tf"],
+                    "min_doc": tf["doc_id"],
+                    "max_doc": tf["doc_id"],
+                }
+            )
+            .group_by("term")
+            .aggregate(
+                [("df", "sum"), ("tf", "sum"), ("min_doc", "min"), ("max_doc", "max")]
+            )
+        )
+        agg = [c for c in g.column_names if c != "term"]
+        return g.select(["term"] + agg).rename_columns(
+            ["term", "df", "tf", "min_doc", "max_doc"]
+        )
+
+    full = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "term",
+        [("df", "sum"), ("tf", "sum"), ("min_doc", "min"), ("max_doc", "max")],
+        ["df", "tf", "min_doc", "max_doc"],
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        df = t["df"].to_numpy(zero_copy_only=False)
+        top = np.lexsort((terms, -df))[:k]
+        return t.take(pa.array(np.sort(top)))
+
+    import ray
+
+    parts = pa.concat_tables(
+        ray.get(
+            full.map_batches(
+                local_topk, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    terms = parts["term"].to_numpy(zero_copy_only=False)
+    df = parts["df"].to_numpy(zero_copy_only=False)
+    top = np.lexsort((terms, -df))[:k]
+    out = parts.take(pa.array(top))
+    return pa.table(
+        {
+            "rn": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "term": out["term"],
+            "df": out["df"],
+            "tf": out["tf"],
+            "min_doc": out["min_doc"],
+            "max_doc": out["max_doc"],
+        }
+    )

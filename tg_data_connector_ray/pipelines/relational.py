@@ -2376,3 +2376,98 @@ def events_value_delta(sf_dir: str):
         .groupby("_cg")
         .map_groups(delta_block, batch_format="pyarrow")
     )
+
+
+def events_anomaly(sf_dir: str, k_num: int = 3, k_den: int = 2, unit: float = 1e3):
+    """Per-user z-score outlier flags, INTEGER-EXACT end to end: flag an
+    event iff k_den^2 * (n*v - s)^2 > k_num^2 * (n*ss - s^2) over
+    v = floor(value*unit) — the |v - mean| > (k_num/k_den)*sigma test
+    with both sides multiplied through by n^2 * k_den^2 ((n*v-s)^2 =
+    n^2 (v-mean)^2 and n*ss-s^2 = n^2 sigma^2), so no division and no
+    floats ever touch the comparison (the DuckDB oracle replays the
+    identical integer tree).  The threshold is a RATIONAL knob
+    (default 3/2): a bounded-support value distribution caps |z| at
+    sqrt(3) for uniform draws, so the classic 3-sigma rule would flag
+    nothing there — pick k per the value distribution's tail.  Users
+    with n*var == 0 (single event, or all equal) flag nothing: the
+    inequality is strict.
+
+    Scale shape: (1) per-batch Arrow group_by partials of (n, s, ss) per
+    user — the shuffle carries users x 4 ints, never events; (2) one
+    coarse-bucket aggregate finishes the moments; (3) a bucketed
+    right-unique hash join ships each event its user's moments and the
+    flag filter runs vectorized per batch.  Overflow discipline:
+    multiply_checked everywhere — the sizing rule
+    max(k_num, k_den)^2 * n^2 * ss < 2^63 holds for |value| <= ~1e3 at
+    unit=1e3 up to ~1M events/user; at bigger groups drop `unit` (the
+    test is scale-invariant in v)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(unit))), pa.int64())
+        one = pa.array(np.ones(t.num_rows, np.int64))
+        g = (
+            pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "n": one,
+                    "s": v,
+                    "ss": pc.multiply_checked(v, v),
+                }
+            )
+            .group_by("user_id")
+            .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+        )
+        agg = [c for c in g.column_names if c != "user_id"]
+        return g.select(["user_id"] + agg).rename_columns(["user_id", "n", "s", "ss"])
+
+    stats = grouped_arrow_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        [("n", "sum"), ("s", "sum"), ("ss", "sum")],
+        ["n", "s", "ss"],
+    )
+
+    def thin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "v": pc.cast(
+                    pc.floor(pc.multiply(t["value"], pa.scalar(unit))), pa.int64()
+                ),
+            }
+        )
+
+    from ..util import parquet_bytes_hint
+
+    joined = hash_join(
+        ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True),
+        stats,
+        on="user_id",
+        right_unique=True,
+        bytes_hint=parquet_bytes_hint(
+            os.path.join(sf_dir, "events.parquet"),
+            ["event_id", "user_id", "value"],
+        ),
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        mc = pc.multiply_checked
+        n, s, ss, v = t["n"], t["s"], t["ss"], t["v"]
+        lhs_root = pc.subtract_checked(mc(n, v), s)
+        lhs = mc(pa.scalar(k_den * k_den, pa.int64()), mc(lhs_root, lhs_root))
+        var_n2 = pc.subtract_checked(mc(n, ss), mc(s, s))  # n^2 * variance
+        rhs = mc(pa.scalar(k_num * k_num, pa.int64()), var_n2)
+        keep = pc.greater(lhs, rhs)
+        out = t.filter(keep)
+        return pa.table(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "v": out["v"],
+                "n": out["n"],
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
