@@ -475,7 +475,9 @@ def write_fixture(root: str, tier: str, spec: FixtureSpec | None = None) -> dict
 CHUNK_CONVS = 1_000_000
 
 
-def write_envelope_log(root: str, tier: str) -> str:
+def write_envelope_log(
+    root: str, tier: str, spec: FixtureSpec | None = None
+) -> str:
     """Render a fixture tier's event log as a Debezium-style envelope
     ndjson stream (`<tier>/envelope_log/evt-NNNN.jsonl`, one shard per
     Parquet shard, row order preserved) and return the directory.
@@ -490,7 +492,7 @@ def write_envelope_log(root: str, tier: str) -> str:
     (fixture generation is deterministic, so the marker is enough)."""
     import json
 
-    fx = write_fixture(root, tier)
+    fx = write_fixture(root, tier, spec)
     d = os.path.join(fx["dir"], "envelope_log")
     done = os.path.join(d, "_DONE")
     if os.path.exists(done):
