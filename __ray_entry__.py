@@ -427,6 +427,41 @@ def _transcript_clip(sf_dir: str):
     return clip_to_context(read_final_table(cfg), budget=1500)
 
 
+def _transcript_tool_transitions(sf_dir: str):
+    """Agent-behavior analytics over the merged table: for each
+    conversation's tool-call turns in turn order, count (previous tool ->
+    this tool) transitions globally — conv_id co-location, a vectorized
+    per-bucket partial bounded at |tools|^2 rows, then a tiny composite-
+    key finishing aggregate.  Oracle: lag() over the merge contract."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import tool_transitions
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2tooltrans"), num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    return tool_transitions(read_final_table(cfg))
+
+
+def _transcript_boilerplate(sf_dir: str):
+    """Boilerplate / canned-response detection over the merged table:
+    exact assistant texts recurring across >= 2 distinct conversations,
+    with global conversation and occurrence counts.  Thin (text, conv)
+    partials per batch, text-hash co-location, one Arrow group_by
+    (sum + count_distinct) per bucket.  Oracle: GROUP BY text HAVING
+    count(DISTINCT conv_id) over the merge contract."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import boilerplate_texts
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2boiler"), num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    return boilerplate_texts(read_final_table(cfg), min_convs=2)
+
+
 def _run_cdc_compact(sf_dir: str):
     """Compaction GC through the driver surface: full t2 replay into a
     dedicated state dir, then `compact(retention=0)` must drop EVERY
@@ -1528,6 +1563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
         "transcript_clip": _transcript_clip,
+        "transcript_tool_transitions": _transcript_tool_transitions,
+        "transcript_boilerplate": _transcript_boilerplate,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -1912,6 +1949,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(suffix_chars AS BIGINT) AS suffix_chars
             FROM s WHERE suffix_chars <= 1500
             ORDER BY conv_id, turn_idx
+        """,
+        # tool-call transition bigrams (per conversation, turn order)
+        "transcript_tool_transitions": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")}), t AS (
+              SELECT conv_id, turn_idx, tool FROM m WHERE tool IS NOT NULL
+            ), s AS (
+              SELECT lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                       AS src_tool,
+                     tool AS dst_tool
+              FROM t
+            )
+            SELECT src_tool, dst_tool, CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE src_tool IS NOT NULL
+            GROUP BY src_tool, dst_tool
+            ORDER BY src_tool, dst_tool
+        """,
+        # assistant texts recurring across >= 2 distinct conversations
+        "transcript_boilerplate": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT text, CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+            FROM m WHERE role = 'assistant' AND text IS NOT NULL
+            GROUP BY text HAVING count(DISTINCT conv_id) >= 2
+            ORDER BY text
         """,
         # per-conversation rendered training document (ordered string agg)
         "transcript_render": f"""

@@ -230,3 +230,107 @@ def test_clip_block_keeps_longest_fitting_suffix():
     # budget below every turn: empty result with the full schema
     empty = clip_block(tbl(rows), budget=1)
     assert empty.num_rows == 0 and "suffix_chars" in empty.column_names
+
+
+def ttbl(rows):
+    """rows: (conv_id, turn_idx, role, text, tool)"""
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_tool_transitions_block_pairs_successive_calls():
+    from tg_data_connector_ray.ops.transcripts import tool_transitions_block
+
+    # non-tool turns are transparent: a->b across turn 1's gap; convs
+    # never leak (c1's last call does not pair with c2's first)
+    rows = [
+        ("c1", 0, "tool", "t", "a"),
+        ("c1", 1, "user", "q", None),
+        ("c1", 2, "tool", "t", "b"),
+        ("c1", 3, "tool", "t", "a"),
+        ("c2", 0, "tool", "t", "b"),
+        ("c2", 1, "tool", "t", "b"),
+        ("c3", 0, "tool", "t", "a"),  # single call: no transition
+    ]
+    got = sorted(
+        (r["src_tool"], r["dst_tool"], r["n"])
+        for r in tool_transitions_block(ttbl(rows)).to_pylist()
+    )
+    assert got == [("a", "b", 1), ("b", "a", 1), ("b", "b", 1)]
+
+
+def test_tool_transitions_block_unsorted_and_empty():
+    from tg_data_connector_ray.ops.transcripts import (
+        TRANSITIONS_SCHEMA,
+        tool_transitions_block,
+    )
+
+    rows = [
+        ("c1", 3, "tool", "t", "b"),
+        ("c1", 0, "tool", "t", "a"),
+        ("c1", 2, "user", "q", None),
+    ]
+    got = tool_transitions_block(ttbl(rows)).to_pylist()
+    assert got == [{"src_tool": "a", "dst_tool": "b", "n": 1}]
+
+    none = tool_transitions_block(ttbl([("c1", 0, "user", "q", None)]))
+    assert none.num_rows == 0 and none.schema.equals(TRANSITIONS_SCHEMA)
+
+
+def test_tool_transitions_dataset_matches_kernel(t1):
+    import ray
+
+    from tg_data_connector_ray.cdc.golden import golden_apply
+    from tg_data_connector_ray.ops.transcripts import (
+        tool_transitions,
+        tool_transitions_block,
+    )
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+    golden = golden_apply([pa.parquet.read_table(f) for f in files])
+    want = tool_transitions_block(golden).sort_by(
+        [("src_tool", "ascending"), ("dst_tool", "ascending")]
+    )
+    for exchange in ("spool", "groupby"):
+        ds = tool_transitions(
+            ray.data.from_arrow(golden), n_coarse=8, exchange=exchange
+        )
+        got = pa.concat_tables(
+            b for b in ray.get(ds.to_arrow_refs()) if b.num_rows
+        ).sort_by([("src_tool", "ascending"), ("dst_tool", "ascending")])
+        assert got.num_rows == want.num_rows > 0
+        assert got.cast(want.schema).equals(want)
+
+
+def test_boilerplate_counts_distinct_convs_and_turns(t1):
+    import ray
+
+    from tg_data_connector_ray.ops.transcripts import boilerplate_texts
+
+    rows = [
+        ("c1", 0, "assistant", "dup", None),
+        ("c1", 2, "assistant", "dup", None),   # same conv, counts 1 conv
+        ("c2", 0, "assistant", "dup", None),
+        ("c2", 1, "assistant", "solo", None),  # one conv only: filtered
+        ("c3", 0, "user", "dup", None),        # wrong role: ignored
+        ("c3", 1, "assistant", None, None),    # null text: ignored
+        ("c3", 2, "assistant", "two", None),
+        ("c4", 0, "assistant", "two", None),
+    ]
+    ds = ray.data.from_arrow(ttbl(rows))
+    got = sorted(
+        (r["text"], r["n_turns"], r["n_convs"])
+        for b in ray.get(
+            boilerplate_texts(ds, min_convs=2, n_coarse=4).to_arrow_refs()
+        )
+        for r in b.to_pylist()
+    )
+    assert got == [("dup", 3, 2), ("two", 2, 2)]

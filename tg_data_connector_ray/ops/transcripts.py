@@ -372,3 +372,152 @@ def apply_stats_feed(prior, feed, n_coarse: int = 64, exchange: str = "spool"):
     if hasattr(merged, "_spool_keepalive"):
         out._spool_keepalive = merged._spool_keepalive
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tool-chain analytics + boilerplate detection
+# ---------------------------------------------------------------------------
+
+TRANSITIONS_SCHEMA = pa.schema(
+    [
+        ("src_tool", pa.string()),
+        ("dst_tool", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def _empty_transitions() -> pa.Table:
+    return pa.table({f.name: pa.array([], f.type) for f in TRANSITIONS_SCHEMA})
+
+
+def tool_transitions_block(g: pa.Table) -> pa.Table:
+    """Per-bucket PARTIAL of the tool-transition matrix: restrict to
+    tool-call turns (tool non-null), order by (conv, turn), pair every
+    call with the conversation's PREVIOUS call (not necessarily the
+    adjacent turn), then count per (src, dst) with one Arrow group_by —
+    a bucket emits at most |tools|^2 rows regardless of input size."""
+    import pyarrow.compute as pc
+
+    if "_cg" in g.column_names:
+        g = g.drop_columns(["_cg"])
+    g = g.filter(pc.is_valid(g["tool"]))
+    if g.num_rows < 2:
+        return _empty_transitions()
+
+    conv_codes = (
+        _col_np(g, "conv_id")
+        .dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    turn = _col_np(g, "turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((turn, conv_codes))
+    conv_codes = conv_codes[order]
+    same = conv_codes[1:] == conv_codes[:-1]
+    if not same.any():
+        return _empty_transitions()
+    tool = _col_np(g, "tool").take(pa.array(order))
+    m = pa.array(same)
+    n = g.num_rows
+    pairs = pa.table(
+        {
+            "src_tool": tool.slice(0, n - 1).filter(m),
+            "dst_tool": tool.slice(1, n - 1).filter(m),
+        }
+    )
+    agg = pairs.group_by(["src_tool", "dst_tool"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "src_tool": agg["src_tool"],
+            "dst_tool": agg["dst_tool"],
+            "n": agg["count_all"].cast(pa.int64()),
+        },
+        schema=TRANSITIONS_SCHEMA,
+    )
+
+
+def tool_transitions(transcripts, n_coarse: int = 64, exchange: str = "spool"):
+    """Tool-call transition matrix over a transcripts Dataset: for each
+    conversation's tool-call turns in turn order, count (previous tool ->
+    this tool) bigrams globally.  The canonical "which tool follows
+    which" agent-behavior analytics.
+
+    Shape: one conv_id co-location (whole conversations per bucket),
+    a vectorized per-bucket partial of at most |tools|^2 rows, then a
+    tiny composite-key finishing aggregate — the second exchange moves
+    O(buckets x tools^2) rows, never the table."""
+    from ..pipelines.exchange import carry_spool_lease
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    partials = _conv_grouped(
+        transcripts, tool_transitions_block, n_coarse, exchange, "tooltrans"
+    )
+    out = grouped_arrow_aggregate(
+        partials, ["src_tool", "dst_tool"], [("n", "sum")], ["n"], n_coarse=4
+    )
+    return carry_spool_lease(partials, out)
+
+
+def boilerplate_texts(
+    transcripts,
+    min_convs: int = 2,
+    role: str = "assistant",
+    n_coarse: int = 64,
+    exchange: str = "spool",
+):
+    """Boilerplate detection: exact `role` texts that recur across at
+    least `min_convs` DISTINCT conversations, with global occurrence
+    counts — the "canned response / template contamination" filter of a
+    training-data pipeline.
+
+    Scale design: a per-batch partial collapses each batch to distinct
+    (text, conv_id) rows with a local count, so the shuffle moves one
+    row per (text, conversation) pair, not per turn; texts are then
+    hash-co-located and finished with ONE Arrow group_by per bucket
+    (sum + count_distinct).  At 100 TB you would key the exchange on
+    hash128(text) and carry an exemplar — here the fixture's texts are
+    the key directly so the oracle can compare them verbatim."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.exchange import carry_spool_lease
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    def thin(t: pa.Table) -> pa.Table:
+        keep = pc.and_kleene(
+            pc.equal(t["role"], role), pc.is_valid(t["text"])
+        )
+        t = t.filter(pc.fill_null(keep, False))
+        g = (
+            t.select(["text", "conv_id"])
+            .group_by(["text", "conv_id"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "text": g["text"],
+                "conv_id": g["conv_id"],
+                "n_local": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    thin_ds = transcripts.map_batches(
+        thin, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = grouped_arrow_aggregate(
+        thin_ds,
+        "text",
+        [("n_local", "sum"), ("conv_id", "count_distinct")],
+        ["n_turns", "n_convs"],
+        n_coarse=n_coarse,
+        exchange=exchange,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b["n_convs"], min_convs))
+        return b.set_column(
+            b.column_names.index("n_convs"), "n_convs", b["n_convs"].cast(pa.int64())
+        )
+
+    out = merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+    return carry_spool_lease(merged, out)
