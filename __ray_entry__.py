@@ -533,6 +533,95 @@ def _cdc_dirty_oracle_sql() -> str:
     return _merge_contract_sql(src)
 
 
+def _run_cdc_dirty_repair(sf_dir: str):
+    """Dead-letter repair-replay through the driver surface: the F5 edge
+    corpus replays (dirty rows -> side-output), then `replay_dirty`
+    applies the standard repair rules (op X->U, abs turn_idx, null the
+    unparseable ts, '' for the nullFormat insert) and re-ingests the
+    repaired rows exactly-once as a second run — unfixable rows (null
+    conv_id / turn_idx) re-route to the new run's dirty channel.  Oracle:
+    merge contract over (valid rows UNION fixed-then-revalidated rows),
+    the fix rules mirrored per first-flagged reason."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.normalize import build_dirty_fixer
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        final_table_arrow,
+        replay_dirty,
+    )
+    from tg_data_connector_ray.fixtures import write_dirty_fixture
+
+    fx = write_dirty_fixture(_FIXTURE_CACHE)
+    out = os.path.join(_CDC_OUT, "t5repair")
+    cfg = CdcConfig(out_dir=out, num_partitions=4, null_format="\\N")
+    apply_cdc(fx["cdc_log"], cfg, run_id="ingest-1")
+    fixer = build_dirty_fixer(
+        map_op={"X": "U"}, abs_turn=True, null_bad_ts=True, empty_text_insert=True
+    )
+    replay_dirty(cfg, "ingest-1", fixer, "repair-1")
+    return final_table_arrow(cfg, sort=True)
+
+
+def _cdc_dirty_repair_oracle_sql() -> str:
+    """Validity rules + first-flagged-reason repair, in pure SQL: rows
+    passing validity stream through untouched; failing rows get the
+    repair rule for their FIRST flagged reason (normalize.py flag order)
+    applied, then must pass the same validity to join the merge."""
+    from tg_data_connector_ray.fixtures import write_dirty_fixture
+
+    fx = write_dirty_fixture(_FIXTURE_CACHE)
+    glob = os.path.join(fx["cdc_log"], "*.parquet")
+    src = f"""SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts FROM (
+            WITH raw AS (
+              SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role,
+                     CASE WHEN text = '\\N' THEN NULL ELSE text END AS text, tool,
+                     CAST(try_strptime(ts,
+                       ['%Y-%m-%d %H:%M:%S', '%Y-%m-%d', '%H:%M:%S'])
+                       AS TIMESTAMP) AS ts,
+                     ts AS ts_raw
+              FROM read_parquet('{glob}')
+            ), flagged AS (
+              SELECT *, CASE
+                  WHEN op NOT IN ('I', 'U', 'D') THEN 'bad_op'
+                  WHEN conv_id IS NULL THEN 'null_conv_id'
+                  WHEN turn_idx IS NULL THEN 'null_turn_idx'
+                  WHEN turn_idx < 0 THEN 'negative_turn_idx'
+                  WHEN lsn IS NULL THEN 'null_lsn'
+                  WHEN ts_raw IS NOT NULL AND ts IS NULL THEN 'uncastable_ts'
+                  WHEN op = 'I' AND text IS NULL THEN 'null_text_insert'
+                  END AS reason
+              FROM raw
+            ), fixed AS (
+              SELECT lsn,
+                     CASE WHEN reason = 'bad_op' AND op = 'X'
+                          THEN 'U' ELSE op END AS op,
+                     conv_id,
+                     CASE WHEN reason = 'negative_turn_idx'
+                          THEN -turn_idx ELSE turn_idx END AS turn_idx,
+                     role,
+                     CASE WHEN reason = 'null_text_insert'
+                          THEN '' ELSE text END AS text,
+                     tool,
+                     CASE WHEN reason = 'uncastable_ts'
+                          THEN NULL ELSE ts END AS ts,
+                     CASE WHEN reason = 'uncastable_ts'
+                          THEN NULL ELSE ts_raw END AS ts_raw
+              FROM flagged WHERE reason IS NOT NULL
+            ), unioned AS (
+              SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts, ts_raw
+              FROM flagged WHERE reason IS NULL
+              UNION ALL
+              SELECT * FROM fixed
+            )
+            SELECT * FROM unioned
+            WHERE op IN ('I', 'U', 'D') AND conv_id IS NOT NULL
+              AND turn_idx IS NOT NULL AND turn_idx >= 0 AND lsn IS NOT NULL
+              AND NOT (ts_raw IS NOT NULL AND ts IS NULL)
+              AND NOT (op = 'I' AND text IS NULL)
+          )"""
+    return _merge_contract_sql(src)
+
+
 def entry() -> Any:
     return _run_cdc("/root/testdata/sf0.001")
 
@@ -1554,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_snapshot": _run_cdc_snapshot,
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
+        "cdc_dirty_repair": _run_cdc_dirty_repair,
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
@@ -1881,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay": _cdc_oracle_sql("t2"),
         "cdc_compact": _cdc_oracle_sql("t2", with_watermark=True),
         "cdc_dirty_replay": _cdc_dirty_oracle_sql(),
+        # dead-letter repair-replay: fix-by-reason then revalidate
+        "cdc_dirty_repair": _cdc_dirty_repair_oracle_sql(),
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
         # LSM delta-run mode (O(delta) merges + read-side fold) converges

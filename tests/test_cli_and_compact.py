@@ -328,3 +328,43 @@ def test_cli_redact_verb(t1, tmp_path):
     tgt = after.filter(pc.is_in(after["conv_id"], value_set=pa.array(targets)))
     assert summ["turns_redacted"] == tgt.num_rows > 0
     assert set(tgt["text"].to_pylist()) == {"[GONE]"}
+
+
+def test_cli_repair_verb(tmp_path):
+    """`repair` CLI: dead-letter repair-replay in a subprocess — the F5
+    dirty rows covered by the flagged rules re-ingest; the summary JSON
+    reports repaired_in / events_in / dirty_records."""
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+    from tg_data_connector_ray.fixtures import make_dirty_log
+
+    d = tmp_path / "dirtylog"
+    os.makedirs(d)
+    pq.write_table(make_dirty_log(), str(d / "evt-0000.parquet"))
+    out = str(tmp_path / "rep")
+    cfg = CdcConfig(out_dir=out, num_partitions=4, null_format="\\N")
+    apply_cdc(str(d), cfg, run_id="ingest-1")
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "repair",
+            "--out", out, "--run-id", "ingest-1", "--new-run-id", "fix-1",
+            "--partitions", "4", "--map-op", "X=U", "--abs-turn",
+            "--null-bad-ts", "--empty-text-insert",
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+        env={**os.environ, "RAY_ADDRESS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summ = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summ["repaired_in"] == 6
+    assert summ["events_in"] == 4
+    assert summ["dirty_records"] == 2
+    final = final_table_arrow(cfg, sort=True)
+    keys = set(zip(final["conv_id"].to_pylist(), final["turn_idx"].to_pylist()))
+    assert ("conv00000002", 5) in keys      # abs-turn repair landed

@@ -1116,3 +1116,53 @@ def test_grouped_arrow_aggregate_spool_exchange_matches_sort(t1, tmp_path):
             g.to_pandas().sort_values("conv_id").reset_index(drop=True)
         )
     assert outs["sort"].equals(outs["spool"])
+
+
+def test_replay_dirty_repairs_fixable_rows_and_requeues_the_rest(tmp_path):
+    """Dead-letter repair-replay: the standard fix rules recover the four
+    repairable F5 rows (op X->U, abs turn, null bad ts, '' for the
+    nullFormat insert); the two structurally broken rows (null conv_id /
+    turn_idx) re-route to the NEW run's dirty channel; the whole flow is
+    idempotent per new_run_id."""
+    from tg_data_connector_ray.cdc.normalize import build_dirty_fixer
+    from tg_data_connector_ray.cdc.pipeline import replay_dirty
+
+    d = tmp_path / "dirtylog"
+    os.makedirs(d)
+    pq.write_table(make_dirty_log(), str(d / "evt-0000.parquet"))
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "out"), num_partitions=2, null_format="\\N"
+    )
+    s1 = apply_cdc(str(d), cfg, run_id="ingest-1")
+    assert s1["dirty_records"] == 6
+
+    fixer = build_dirty_fixer(
+        map_op={"X": "U"}, abs_turn=True, null_bad_ts=True,
+        empty_text_insert=True,
+    )
+    s2 = replay_dirty(cfg, "ingest-1", fixer, "repair-1")
+    assert s2["repaired_in"] == 6
+    assert s2["events_in"] == 4          # four rows pass revalidation
+    assert s2["dirty_records"] == 2      # null conv_id + null turn_idx
+
+    final = final_table_sorted(cfg)
+    by_key = {
+        (r["conv_id"], r["turn_idx"]): r for r in final.to_pylist()
+    }
+    # op X -> U lands as an (upsert) update on a previously absent key
+    assert by_key[("conv00000001", 1)]["text"] == "bad op"
+    # negative turn -5 -> 5
+    assert by_key[("conv00000002", 5)]["text"] == "neg turn"
+    # unparseable ts nulled, row kept
+    assert by_key[("conv00000004", 1)]["ts"] is None
+    # nullFormat insert repaired to an explicit empty payload
+    assert by_key[("conv00000003", 1)]["text"] == ""
+
+    # idempotent: re-running the same repair changes nothing
+    s3 = replay_dirty(cfg, "ingest-1", fixer, "repair-1")
+    assert s3["partitions_applied"] == 0
+    assert final_table_sorted(cfg).equals(final)
+
+    # a run with no dirty output is a no-op
+    s4 = replay_dirty(cfg, "no-such-run", fixer, "repair-2")
+    assert s4["events_in"] == 0 and s4["repaired_in"] == 0

@@ -93,6 +93,29 @@ def main(argv=None) -> int:
     red.add_argument("--replacement", default="[REDACTED]")
     red.add_argument("--partitions", type=int, default=64)
 
+    rep = sub.add_parser(
+        "repair",
+        help="dead-letter repair-replay: apply the standard fix rules to "
+        "a run's dirty side-output and re-ingest it exactly-once as a "
+        "new run (unfixable rows re-route to the new run's dirty channel)",
+    )
+    rep.add_argument("--out", required=True, help="CDC table dir")
+    rep.add_argument("--run-id", dest="run_id", required=True,
+                     help="run whose dirty side-output to repair")
+    rep.add_argument("--new-run-id", dest="new_run_id", required=True)
+    rep.add_argument("--partitions", type=int, default=64)
+    rep.add_argument(
+        "--map-op", dest="map_op", action="append", default=[],
+        metavar="FROM=TO",
+        help="bad_op rows: rewrite op FROM to TO (repeatable)",
+    )
+    rep.add_argument("--abs-turn", action="store_true",
+                     help="negative_turn_idx rows: drop the sign")
+    rep.add_argument("--null-bad-ts", action="store_true",
+                     help="uncastable_ts rows: null the timestamp")
+    rep.add_argument("--empty-text-insert", action="store_true",
+                     help="null_text_insert rows: set text to ''")
+
     mig = sub.add_parser(
         "migrate",
         help="re-route persisted state into a fresh out dir under the "
@@ -207,6 +230,23 @@ def main(argv=None) -> int:
                 "from": args.from_run,
                 "to": args.to_run,
             }
+        elif args.cmd == "repair":
+            from .cdc.config import CdcConfig
+            from .cdc.normalize import build_dirty_fixer
+            from .cdc.pipeline import replay_dirty
+
+            map_op = dict(kv.split("=", 1) for kv in args.map_op)
+            out = replay_dirty(
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions),
+                args.run_id,
+                build_dirty_fixer(
+                    map_op=map_op or None,
+                    abs_turn=args.abs_turn,
+                    null_bad_ts=args.null_bad_ts,
+                    empty_text_insert=args.empty_text_insert,
+                ),
+                args.new_run_id,
+            )
         elif args.cmd == "redact":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import redact_convs

@@ -279,3 +279,67 @@ def count_dirty(cfg: CdcConfig, run_id: str) -> int:
         for f in os.listdir(d)
         if f.endswith(".parquet")
     )
+
+
+def build_dirty_fixer(
+    map_op: "dict[str, str] | None" = None,
+    abs_turn: bool = False,
+    null_bad_ts: bool = False,
+    empty_text_insert: bool = False,
+):
+    """Compose the standard per-reason dead-letter repair rules into a
+    vectorized fixer over dirty-channel batches (all-string columns +
+    `_reason` as written by `_write_dirty`).
+
+    Each rule touches ONLY rows flagged with its reason, and only the
+    offending column — repaired rows re-enter `normalize_batch` through
+    `pipeline.replay_dirty`, so nothing is ever force-inserted past
+    validation (a row the rules don't cover simply re-routes to the new
+    run's dirty channel with its original reason):
+
+    - ``map_op``:        rows flagged ``bad_op`` with op in the mapping
+                         get the mapped op (e.g. ``{"X": "U"}`` for a
+                         producer that mislabels updates);
+    - ``abs_turn``:      ``negative_turn_idx`` rows drop the sign;
+    - ``null_bad_ts``:   ``uncastable_ts`` rows null the timestamp
+                         (keep the row, lose the unparseable field);
+    - ``empty_text_insert``: ``null_text_insert`` rows (e.g. a
+                         nullFormat sentinel on an I) get text '' —
+                         an explicit empty payload, which the sentinel
+                         no longer erases on re-ingest.
+    """
+
+    def fixer(t: pa.Table) -> pa.Table:
+        r = t["_reason"]
+
+        def set_col(name: str, arr) -> pa.Table:
+            return t.set_column(t.column_names.index(name), name, arr)
+
+        if map_op:
+            m = pc.equal(r, "bad_op")
+            op = t["op"]
+            for frm, to in sorted(map_op.items()):
+                hit = pc.and_kleene(m, pc.equal(op, frm))
+                op = pc.if_else(
+                    pc.fill_null(hit, False), pa.scalar(to, pa.string()), op
+                )
+            t = set_col("op", op)
+        if abs_turn:
+            m = pc.fill_null(pc.equal(r, "negative_turn_idx"), False)
+            t = set_col(
+                "turn_idx",
+                pc.if_else(m, pc.utf8_ltrim(t["turn_idx"], "-"), t["turn_idx"]),
+            )
+        if null_bad_ts:
+            m = pc.fill_null(pc.equal(r, "uncastable_ts"), False)
+            t = set_col(
+                "ts", pc.if_else(m, pa.scalar(None, pa.string()), t["ts"])
+            )
+        if empty_text_insert:
+            m = pc.fill_null(pc.equal(r, "null_text_insert"), False)
+            t = set_col(
+                "text", pc.if_else(m, pa.scalar("", pa.string()), t["text"])
+            )
+        return t
+
+    return fixer

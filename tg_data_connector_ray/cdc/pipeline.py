@@ -861,6 +861,50 @@ def redact_convs(
     return summary
 
 
+def replay_dirty(cfg: CdcConfig, run_id: str, fixer, new_run_id: str) -> dict:
+    """Dead-letter repair-replay: read a run's dirty side-output
+    (all-string rows + `_reason`, see normalize._write_dirty), apply
+    `fixer(table) -> table` (e.g. `normalize.build_dirty_fixer(...)`),
+    and re-apply the repaired rows exactly-once as `new_run_id`.
+
+    Repaired rows go through the SAME normalize/validity gate as any
+    ingest — the fixer cannot force a row past validation; whatever it
+    leaves broken re-routes to the NEW run's dirty channel (visible in
+    the returned summary's `dirty_records`), so repair loops converge
+    instead of silently swallowing bad data.  The reference connector
+    only RECORDS dirty rows (StdoutPluginCollector); replaying them is
+    the recovery half real operators script by hand.
+
+    The dirty set is read on the driver: it is bounded by the run's
+    error limits (`CdcConfig.error_limit_records` / pct — a run that
+    exceeds them fails instead of accumulating), so this is a small-side
+    materialization by contract, not by luck.  Idempotent per
+    `new_run_id`: the staged parquet is rewritten atomically and the
+    merge skips committed partitions."""
+    import pyarrow.parquet as _pq
+
+    from ..util import atomic_write_parquet, list_files
+
+    d = cfg.dirty_dir(run_id)
+    files = sorted(list_files(d, suffix=".parquet")) if os.path.isdir(d) else []
+    if not files:
+        return {"run_id": new_run_id, "repaired_in": 0, "events_in": 0,
+                "dirty_records": 0}
+    dirty = pa.concat_tables(
+        [_pq.read_table(f) for f in files], promote_options="default"
+    )
+    fixed = fixer(dirty)
+    if "_reason" in fixed.column_names:
+        fixed = fixed.drop_columns(["_reason"])
+    stage_dir = os.path.join(cfg.out_dir, f"repair-{new_run_id}")
+    os.makedirs(stage_dir, exist_ok=True)
+    path = os.path.join(stage_dir, "events.parquet")
+    atomic_write_parquet(path, fixed)
+    summary = apply_cdc([path], cfg, run_id=new_run_id)
+    summary["repaired_in"] = dirty.num_rows
+    return summary
+
+
 def migrate_state(old_out_dir: str, cfg: CdcConfig) -> dict:
     """Explicit migration for PERSISTED-ROUTING changes (hash provider or
     `num_partitions`, see _check_state_format / README "State
