@@ -368,3 +368,25 @@ def test_cli_repair_verb(tmp_path):
     final = final_table_arrow(cfg, sort=True)
     keys = set(zip(final["conv_id"].to_pylist(), final["turn_idx"].to_pylist()))
     assert ("conv00000002", 5) in keys      # abs-turn repair landed
+
+
+def test_cli_tail_verb(t1, tmp_path):
+    """`tail` CLI: bounded poll loop in a subprocess consumes the whole
+    log dir as one batch and reports session totals."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "tail",
+            "--events", t1["cdc_log"], "--out", str(tmp_path / "tailout"),
+            "--partitions", "4", "--poll-interval", "0.05",
+            "--idle-polls", "2", "--merge-strategy", "delta",
+            "--delta-compact-runs", "4",
+        ],
+        capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(__file__)),
+        env={**os.environ, "RAY_ADDRESS": ""},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    totals = json.loads(r.stdout.strip().splitlines()[-1])
+    assert totals["batches"] == 1 and totals["rows_live"] > 0

@@ -1166,3 +1166,64 @@ def test_replay_dirty_repairs_fixable_rows_and_requeues_the_rest(tmp_path):
     # a run with no dirty output is a no-op
     s4 = replay_dirty(cfg, "no-such-run", fixer, "repair-2")
     assert s4["events_in"] == 0 and s4["repaired_in"] == 0
+
+
+def test_tail_log_consumes_shards_as_they_appear(t1, tmp_path):
+    """Log-tail ingestion: shards dropped (atomically) while the tail is
+    polling are consumed in micro-batches; the converged table equals a
+    one-shot replay; a restart skips the journaled shards; and losing
+    the journal is harmless (re-applied events dedup structurally)."""
+    import shutil
+    import threading
+    import time
+
+    from tg_data_connector_ray.cdc.pipeline import tail_log
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+    assert len(files) >= 6
+    watch = tmp_path / "watch"
+    os.makedirs(watch)
+
+    def drop(batch):
+        for f in batch:
+            tmp = str(watch / ("." + os.path.basename(f) + ".tmp"))
+            shutil.copyfile(f, tmp)
+            os.replace(tmp, str(watch / os.path.basename(f)))
+
+    drop(files[:2])
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+
+    # producer thread drops two more groups while the tail runs
+    def producer():
+        time.sleep(0.3)
+        drop(files[2:4])
+        time.sleep(0.3)
+        drop(files[4:])
+
+    th = threading.Thread(target=producer)
+    th.start()
+    totals = tail_log(
+        str(watch), cfg, poll_interval=0.05, idle_polls=40
+    )
+    th.join()
+    assert totals["files"] == len(files)
+    assert totals["batches"] >= 2  # first group + at least one live drop
+    assert len(set(totals["runs"])) == totals["batches"]
+
+    # converged state == one-shot replay of the same log
+    expect_cfg = CdcConfig(out_dir=str(tmp_path / "oneshot"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], expect_cfg)
+    assert final_table_sorted(cfg).equals(final_table_sorted(expect_cfg))
+
+    # restart: everything journaled, nothing new -> no batches
+    again = tail_log(str(watch), cfg, poll_interval=0.01, idle_polls=2)
+    assert again["batches"] == 0
+
+    # journal loss: full redelivery under a DIFFERENT batching is a
+    # no-op on state (LSN-register fold dedups re-applied events)
+    os.remove(os.path.join(cfg.out_dir, "tail.log"))
+    before = final_table_sorted(cfg)
+    redo = tail_log(str(watch), cfg, poll_interval=0.01, idle_polls=2)
+    assert redo["batches"] == 1 and redo["files"] == len(files)
+    assert final_table_sorted(cfg).equals(before)

@@ -93,6 +93,28 @@ def main(argv=None) -> int:
     red.add_argument("--replacement", default="[REDACTED]")
     red.add_argument("--partitions", type=int, default=64)
 
+    tail = sub.add_parser(
+        "tail",
+        help="continuous log-tail ingestion: poll a directory for new "
+        "parquet shards and apply each batch exactly-once (producers "
+        "must drop shards atomically: write temp + rename)",
+    )
+    tail.add_argument("--events", required=True, help="log dir to watch")
+    tail.add_argument("--out", required=True)
+    tail.add_argument("--partitions", type=int, default=64)
+    tail.add_argument("--poll-interval", type=float, default=5.0)
+    tail.add_argument(
+        "--idle-polls", type=int, default=None,
+        help="stop after this many consecutive empty polls (default: never)",
+    )
+    tail.add_argument("--max-batches", type=int, default=None)
+    tail.add_argument("--stop-file", default=None,
+                      help="stop when this path appears")
+    tail.add_argument(
+        "--merge-strategy", default="refold", choices=["refold", "delta"],
+    )
+    tail.add_argument("--delta-compact-runs", type=int, default=None)
+
     rep = sub.add_parser(
         "repair",
         help="dead-letter repair-replay: apply the standard fix rules to "
@@ -230,6 +252,28 @@ def main(argv=None) -> int:
                 "from": args.from_run,
                 "to": args.to_run,
             }
+        elif args.cmd == "tail":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import tail_log
+
+            kw = {}
+            if args.delta_compact_runs is not None:
+                kw["delta_compact_runs"] = args.delta_compact_runs
+            out = tail_log(
+                args.events,
+                CdcConfig(
+                    out_dir=args.out,
+                    num_partitions=args.partitions,
+                    merge_strategy=args.merge_strategy,
+                    **kw,
+                ),
+                poll_interval=args.poll_interval,
+                idle_polls=args.idle_polls,
+                max_batches=args.max_batches,
+                stop_file=args.stop_file,
+                on_batch=lambda s: print(json.dumps(s, default=str),
+                                         file=sys.stderr),
+            )
         elif args.cmd == "repair":
             from .cdc.config import CdcConfig
             from .cdc.normalize import build_dirty_fixer

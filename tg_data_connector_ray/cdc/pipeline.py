@@ -861,6 +861,82 @@ def redact_convs(
     return summary
 
 
+def tail_log(
+    log_dir,
+    cfg: CdcConfig,
+    *,
+    poll_interval: float = 5.0,
+    idle_polls: "int | None" = None,
+    max_batches: "int | None" = None,
+    stop_file: "str | None" = None,
+    on_batch=None,
+) -> dict:
+    """Continuous binlog/WAL-tail ingestion: poll `log_dir` for shards not
+    yet consumed and apply each new batch exactly-once as its own run —
+    the streaming half of the log -> lake-upsert contract (the reference
+    is batch-only; its users run the mover on a cron.  Here the merge's
+    run ledger makes the loop safe to leave running).
+
+    Producer contract: shards must APPEAR atomically (write to a temp
+    name, then rename — `util.atomic_write_parquet`'s behavior); the
+    poll consumes any `*.parquet` it can list.
+
+    Restart story, two layers:
+    - `tail.log` under out_dir journals consumed shard paths — an
+      optimization so a restarted tail skips them without re-reading;
+    - correctness never depends on it: a same-batch retry reuses its
+      content-derived run_id (`compute_run_id`) and the ledger skips
+      committed partitions, and even a re-delivery under a DIFFERENT
+      batching converges identically because the per-key LSN-register
+      fold structurally dedups re-applied events.
+
+    Stops after `idle_polls` consecutive empty polls, after
+    `max_batches` applied batches, or when `stop_file` appears (None
+    everywhere = tail forever).  `on_batch(summary)` is the monitoring
+    hook.  One tail per table dir (same single-writer assumption as the
+    run journal).  Returns totals across the session.
+    """
+    import time as _time
+
+    journal = os.path.join(cfg.out_dir, "tail.log")
+    consumed: "set[str]" = set()
+    if os.path.exists(journal):
+        with open(journal) as f:
+            consumed = {ln.strip() for ln in f if ln.strip()}
+
+    totals = {"batches": 0, "events_in": 0, "rows_live": 0, "files": 0,
+              "runs": []}
+    idle = 0
+    while True:
+        if stop_file and os.path.exists(stop_file):
+            break
+        files = sorted(_expand(log_dir)) if os.path.isdir(log_dir) else []
+        new = [f for f in files if f not in consumed]
+        if new:
+            idle = 0
+            run_id = compute_run_id(new)
+            s = apply_cdc(new, cfg, run_id=run_id)
+            consumed.update(new)
+            os.makedirs(cfg.out_dir, exist_ok=True)
+            with open(journal, "a") as f:
+                f.write("".join(p + "\n" for p in new))
+            totals["batches"] += 1
+            totals["events_in"] += s["events_in"]
+            totals["rows_live"] = s["rows_live"]
+            totals["files"] += len(new)
+            totals["runs"].append(run_id)
+            if on_batch is not None:
+                on_batch(s)
+            if max_batches is not None and totals["batches"] >= max_batches:
+                break
+            continue  # a batch may already be waiting: poll again now
+        idle += 1
+        if idle_polls is not None and idle >= idle_polls:
+            break
+        _time.sleep(poll_interval)
+    return totals
+
+
 def replay_dirty(cfg: CdcConfig, run_id: str, fixer, new_run_id: str) -> dict:
     """Dead-letter repair-replay: read a run's dirty side-output
     (all-string rows + `_reason`, see normalize._write_dirty), apply
