@@ -1672,6 +1672,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": _events_cube,
         "events_ntile": R.events_ntile,
         "events_anomaly": _events_anomaly,
+        "events_retention": R.events_retention,
+        "events_funnel": R.events_funnel,
         "docs_postings": _docs_postings,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
@@ -2938,6 +2940,46 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (ORDER BY df DESC, term) AS rn FROM p
             )
             SELECT rn, term, df, tf, min_doc, max_doc FROM r WHERE rn <= 200
+        """,
+        # cohort retention triangle: first-activity-day cohorts x active day
+        "events_retention": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+              FROM events
+            )
+            SELECT f.cohort_day, a.activity_day,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f ON a.user_id = f.user_id
+            GROUP BY f.cohort_day, a.activity_day
+            ORDER BY f.cohort_day, a.activity_day
+        """,
+        # ordered funnel: chained per-user minima (greedy subsequence match)
+        "events_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'click' AND e.ts > s1.t
+              GROUP BY e.user_id
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s2 ON e.user_id = s2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t
+              GROUP BY e.user_id
+            )
+            SELECT * FROM (
+              SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+                     CAST(count(*) AS BIGINT) AS n_users FROM s1
+              UNION ALL
+              SELECT 2, 'click', count(*) FROM s2
+              UNION ALL
+              SELECT 3, 'purchase', count(*) FROM s3
+            ) ORDER BY step_idx
         """,
         "events_cube": """
             WITH b AS (

@@ -866,3 +866,86 @@ def test_events_anomaly_integer_exact_edges(tmp_path):
     assert got["event_id"].tolist() == [9]
     assert got["v"].tolist() == [1000000]
     assert got["n"].tolist() == [10]
+
+
+def test_events_funnel_strict_order_and_missing_steps(tmp_path):
+    """Funnel semantics on crafted streams: completion needs the steps
+    as a STRICTLY time-ordered subsequence; same-timestamp events do
+    not progress; later cheaper paths still count (greedy min is
+    subsequence matching); steps can be skipped-over but not reordered."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import events_funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, typ, secs):
+        return (eid, uid, typ, t0 + dt.timedelta(seconds=secs))
+
+    rows = [
+        # user 1: view -> click -> purchase, in order: completes all 3
+        ev(0, 1, "view", 0), ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        # user 2: click before view, then no click after view: stops at view
+        ev(3, 2, "click", 0), ev(4, 2, "view", 10), ev(5, 2, "purchase", 20),
+        # user 3: view and click at the SAME ts -> strict > fails at click
+        ev(6, 3, "view", 0), ev(7, 3, "click", 0),
+        # user 4: noise events between steps are fine; a LATER view also
+        # works because the EARLIEST view is what chains
+        ev(8, 4, "view", 5), ev(9, 4, "error", 6), ev(10, 4, "click", 7),
+        ev(11, 4, "view", 8), ev(12, 4, "purchase", 9),
+        # user 5: purchase only -> counts nowhere
+        ev(13, 5, "purchase", 0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "events.parquet"))
+    got = events_funnel(str(sf))
+    assert got["step"].tolist() == ["view", "click", "purchase"]
+    # view: users 1,2,3,4; click after view: 1,4; purchase after that: 1,4
+    assert got["n_users"].tolist() == [4, 2, 2]
+
+
+def test_events_retention_counts_distinct_users_per_cell(tmp_path):
+    """Retention triangle on crafted days: multiple same-day events count
+    once; the cohort is the FIRST day; users spread across buckets sum."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import events_retention
+
+    day = lambda d, h=0: dt.datetime(2024, 1, d, h)
+    rows = [
+        (1, day(1)), (1, day(1, 5)), (1, day(2)),   # u1: cohort d1, active d1,d2
+        (2, day(1, 23)), (2, day(3)),               # u2: cohort d1, active d1,d3
+        (66, day(2)), (66, day(2, 1)),              # u66 (bucket 2): cohort d2
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(t, str(sf / "events.parquet"))
+    got = events_retention(str(sf))
+    cells = {
+        (r.cohort_day.day, r.activity_day.day): r.n_users
+        for r in got.itertuples()
+    }
+    assert cells == {(1, 1): 2, (1, 2): 1, (1, 3): 1, (2, 2): 1}

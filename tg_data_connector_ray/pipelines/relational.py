@@ -2471,3 +2471,159 @@ def events_anomaly(sf_dir: str, k_num: int = 3, k_den: int = 2, unit: float = 1e
         )
 
     return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def events_retention(sf_dir: str, n_coarse: int = 64):
+    """Cohort retention matrix: each user belongs to the cohort of their
+    first-activity day; the output counts DISTINCT active users per
+    (cohort_day, activity_day) cell — the standard growth-analytics
+    triangle.
+
+    Scale shape: the per-batch partial collapses events to distinct
+    (user, day) rows, so the one shuffle moves activity-days per user,
+    never events; inside each user bucket one lexsort derives the
+    cohort (min day) and a single Arrow group_by emits per-cell partial
+    counts (bounded at days^2 rows per bucket); a tiny finishing
+    aggregate sums cells.  Distinct-user counts are exact because a
+    user's rows land in exactly one bucket."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def thin(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t["ts"], unit="day")
+        return (
+            pa.table({"user_id": t["user_id"], "day": day})
+            .group_by(["user_id", "day"])
+            .aggregate([])
+        )
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), n_coarse - 1),
+            pa.int32(),
+        )
+        return t.append_column("_cg", cg)
+
+    def block(g: pa.Table) -> pa.Table:
+        if "_cg" in g.column_names:
+            g = g.drop_columns(["_cg"])
+        # batches dedupe locally; the bucket dedupes globally
+        d = g.group_by(["user_id", "day"]).aggregate([])
+        user = _np_i64(d["user_id"])
+        day = (
+            d["day"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        order = np.lexsort((day, user))
+        user, day = user[order], day[order]
+        n = len(user)
+        new_user = np.concatenate([[True], user[1:] != user[:-1]])
+        starts = np.nonzero(new_user)[0]
+        counts = np.diff(np.concatenate([starts, [n]]))
+        cohort = np.repeat(day[starts], counts)  # min day: sorted segments
+        cells = pa.table(
+            {
+                "cohort_day": pa.array(cohort.astype("datetime64[us]")),
+                "activity_day": pa.array(day.astype("datetime64[us]")),
+            }
+        )
+        agg = cells.group_by(["cohort_day", "activity_day"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "cohort_day": agg["cohort_day"],
+                "activity_day": agg["activity_day"],
+                "n_users": agg["count_all"].cast(pa.int64()),
+            }
+        )
+
+    partials = (
+        ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(block, batch_format="pyarrow")
+    )
+    out = grouped_arrow_aggregate(
+        partials,
+        ["cohort_day", "activity_day"],
+        [("n_users", "sum")],
+        ["n_users"],
+        n_coarse=4,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["cohort_day", "activity_day"])
+        .reset_index(drop=True)
+    )
+
+
+def events_funnel(sf_dir: str, steps=("view", "click", "purchase"), n_coarse: int = 64):
+    """Ordered funnel completion: for each step k, count users whose
+    event stream contains `steps[0..k]` as a time-ordered subsequence
+    (strictly increasing ts).  Computed as chained per-user minima —
+    the greedy earliest-completion rule, which is exactly subsequence
+    matching — one vectorized pass per step inside each user bucket.
+
+    Scale shape: events are pre-filtered to the step types, one user
+    co-location shuffle, per-bucket numpy (lexsort + searchsorted
+    threshold joins), and a per-bucket partial of len(steps) rows —
+    the finishing aggregate is O(buckets x steps)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    step_list = list(steps)
+
+    def thin(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(step_list))
+        return t.filter(keep)
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(t["user_id"], pa.int64()), n_coarse - 1),
+            pa.int32(),
+        )
+        return t.append_column("_cg", cg)
+
+    def block(g: pa.Table) -> pa.Table:
+        if "_cg" in g.column_names:
+            g = g.drop_columns(["_cg"])
+        user = _np_i64(g["user_id"])
+        ts = (
+            g["ts"].combine_chunks().to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        typ = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        counts = []
+        cur_users = cur_thr = None
+        for i, st in enumerate(step_list):
+            m = typ == st
+            u_i, t_i = user[m], ts[m]
+            if i > 0:
+                if len(cur_users) == 0:
+                    u_i = t_i = np.array([], dtype=np.int64)
+                else:
+                    pos = np.searchsorted(cur_users, u_i)
+                    pos_c = np.minimum(pos, len(cur_users) - 1)
+                    ok = (cur_users[pos_c] == u_i) & (t_i > cur_thr[pos_c])
+                    u_i, t_i = u_i[ok], t_i[ok]
+            order = np.lexsort((t_i, u_i))
+            u_s, t_s = u_i[order], t_i[order]
+            first = np.concatenate([[True], u_s[1:] != u_s[:-1]]) if len(u_s) else np.array([], bool)
+            cur_users, cur_thr = u_s[first], t_s[first]
+            counts.append(len(cur_users))
+        return pa.table(
+            {
+                "step_idx": pa.array(np.arange(1, len(step_list) + 1, dtype=np.int64)),
+                "step": pa.array(step_list, pa.string()),
+                "n_users": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
+
+    partials = (
+        ds.map_batches(thin, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(block, batch_format="pyarrow")
+    )
+    out = grouped_arrow_aggregate(
+        partials, ["step_idx", "step"], [("n_users", "sum")], ["n_users"], n_coarse=4
+    )
+    return out.to_pandas().sort_values("step_idx").reset_index(drop=True)
