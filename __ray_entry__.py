@@ -13,6 +13,7 @@ ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
 
 import pyarrow as pa
@@ -531,6 +532,59 @@ def _cdc_dirty_oracle_sql() -> str:
             AND NOT (ts_raw IS NOT NULL AND ts IS NULL)
             AND NOT (op = 'I' AND text IS NULL)"""
     return _merge_contract_sql(src)
+
+
+def _run_cdc_multi_table(sf_dir: str):
+    """Multi-table stream routing through the driver surface: the t2 log
+    is tagged with a deterministic table assignment (conv parity ->
+    'alpha'/'beta', whole conversations per table), split by ONE
+    hive-partitioned write, and each table applied exactly-once into its
+    OWN state dir; the result unions both converged tables with their
+    table tag.  Oracle: the single-log merge contract with the same
+    CASE tag — sound because the merge is per-key, so a per-table
+    contract over whole conversations equals the global contract
+    restricted to them."""
+    import pyarrow.compute as _pc
+
+    import ray
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        final_table_arrow,
+        route_by_table,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    root = os.path.join(_CDC_OUT, "t2multi")
+    files = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+
+    def tag(t):
+        par = _pc.bit_wise_and(
+            _pc.cast(_pc.utf8_slice_codeunits(t["conv_id"], 4, 99), pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        tbl = _pc.if_else(_pc.equal(par, 0), pa.scalar("alpha"), pa.scalar("beta"))
+        return t.append_column("tbl", tbl)
+
+    tagged_dir = os.path.join(root, "tagged")
+    shutil.rmtree(tagged_dir, ignore_errors=True)
+    ray.data.read_parquet(files).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(tagged_dir)
+
+    routed = route_by_table(tagged_dir, root)
+    outs = []
+    for name, shard_dir in sorted(routed.items()):
+        cfg = CdcConfig(
+            out_dir=os.path.join(root, f"table-{name}"), num_partitions=8
+        )
+        apply_cdc(shard_dir, cfg)
+        t = final_table_arrow(cfg, sort=True)
+        outs.append(t.append_column("tbl", pa.array([name] * t.num_rows)))
+    return pa.concat_tables(outs)
 
 
 def _run_cdc_dirty_repair(sf_dir: str):
@@ -1644,6 +1698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_dirty_repair": _run_cdc_dirty_repair,
+        "cdc_multi_table": _run_cdc_multi_table,
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
@@ -1975,6 +2030,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dirty_replay": _cdc_dirty_oracle_sql(),
         # dead-letter repair-replay: fix-by-reason then revalidate
         "cdc_dirty_repair": _cdc_dirty_repair_oracle_sql(),
+        # multi-table routing: per-table contracts over whole convs ==
+        # the global contract with the same deterministic table tag
+        "cdc_multi_table": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT m.*, CASE WHEN CAST(substr(conv_id, 5) AS BIGINT) % 2 = 0
+                             THEN 'alpha' ELSE 'beta' END AS tbl
+            FROM m
+        """,
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
         # LSM delta-run mode (O(delta) merges + read-side fold) converges

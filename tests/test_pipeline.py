@@ -1227,3 +1227,61 @@ def test_tail_log_consumes_shards_as_they_appear(t1, tmp_path):
     redo = tail_log(str(watch), cfg, poll_interval=0.01, idle_polls=2)
     assert redo["batches"] == 1 and redo["files"] == len(files)
     assert final_table_sorted(cfg).equals(before)
+
+
+def test_route_by_table_splits_and_applies_per_table(t1, tmp_path):
+    """Multi-table stream routing: a tagged interleaved log splits into
+    per-table shard dirs; each table's independent exactly-once apply
+    equals a filtered single-table replay; a null table tag refuses."""
+    import pyarrow.compute as pc
+    import ray
+
+    from tg_data_connector_ray.cdc.pipeline import route_by_table
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+
+    def tag(t):
+        par = pc.bit_wise_and(
+            pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 4, 99), pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        return t.append_column(
+            "tbl", pc.if_else(pc.equal(par, 0), pa.scalar("a"), pa.scalar("b"))
+        )
+
+    tagged = tmp_path / "tagged"
+    ray.data.read_parquet(files).map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(tagged))
+
+    routed = route_by_table(str(tagged), str(tmp_path / "routed"))
+    assert sorted(routed) == ["a", "b"]
+
+    for name, shard_dir in routed.items():
+        cfg = CdcConfig(out_dir=str(tmp_path / f"t-{name}"), num_partitions=4)
+        apply_cdc(shard_dir, cfg)
+        got = final_table_sorted(cfg)
+        # reference: full replay filtered to this table's conversations
+        full_cfg = CdcConfig(out_dir=str(tmp_path / f"full-{name}"), num_partitions=4)
+        apply_cdc(t1["cdc_log"], full_cfg)
+        full = final_table_sorted(full_cfg)
+        par = pc.bit_wise_and(
+            pc.cast(pc.utf8_slice_codeunits(full["conv_id"], 4, 99), pa.int64()),
+            pa.scalar(1, pa.int64()),
+        )
+        want = full.filter(pc.equal(par, 0 if name == "a" else 1))
+        assert got.num_rows == want.num_rows > 0 and got.equals(want)
+
+    # a row with a null tag must refuse, not silently merge keyspaces
+    import pyarrow.parquet as pq
+
+    bad = tmp_path / "bad"
+    os.makedirs(bad)
+    t = pa.parquet.read_table(files[0])
+    pq.write_table(
+        t.append_column("tbl", pa.nulls(t.num_rows, pa.string())),
+        str(bad / "evt.parquet"),
+    )
+    with pytest.raises(ray.exceptions.RayTaskError, match="null 'tbl'"):
+        route_by_table(str(bad), str(tmp_path / "badrouted"))

@@ -861,6 +861,47 @@ def redact_convs(
     return summary
 
 
+def route_by_table(event_paths, out_root: str, table_col: str = "tbl") -> dict:
+    """Multi-table log routing: a Debezium-style stream interleaves many
+    tables' change events in one shard sequence; split it into
+    per-table shard directories with ONE parallel hive-partitioned
+    Parquet write (the spool-exchange write shape — no shuffle, each
+    write task fans its rows out by table), then apply each table with
+    its own `apply_cdc` (own state dir, own ledger, own lineage).
+
+    Returns {table_name: shard_dir}.  Rows with a null `table_col`
+    raise — silently routing them to a default table would merge two
+    producers' keyspaces.  Idempotent per out_root content: rerunning
+    overwrites the split (Dataset.write_parquet deterministic names
+    hold only within one write, so the split dir is truncated first);
+    per-table applies stay exactly-once through their run ledgers."""
+    import shutil as _shutil
+
+    files = _expand(event_paths)
+    split_dir = os.path.join(out_root, "by_table")
+    _shutil.rmtree(split_dir, ignore_errors=True)
+    os.makedirs(split_dir, exist_ok=True)
+
+    def check(t: pa.Table) -> pa.Table:
+        if t.num_rows and pa.compute.any(
+            pa.compute.is_null(t[table_col])
+        ).as_py():
+            raise ValueError(
+                f"route_by_table: null {table_col!r} — refusing to merge "
+                "unattributed events into a default table"
+            )
+        return t
+
+    ray.data.read_parquet(files).map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(split_dir, partition_cols=[table_col])
+    out = {}
+    for d in sorted(os.listdir(split_dir)):
+        if d.startswith(f"{table_col}="):
+            out[d.split("=", 1)[1]] = os.path.join(split_dir, d)
+    return out
+
+
 def tail_log(
     log_dir,
     cfg: CdcConfig,
