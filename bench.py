@@ -182,6 +182,14 @@ def run_query_bench() -> "tuple[dict, dict]":
         "cdc_incremental_stats",
         "events_anomaly",
         "docs_postings",
+        # round 5 fourth continuation: dead-letter repair + multi-table
+        # routing (fixture-scale), retention / funnel analytics
+        "cdc_dirty_repair",
+        "cdc_multi_table",
+        "events_retention",
+        "events_funnel",
+        "transcript_tool_transitions",
+        "transcript_boilerplate",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

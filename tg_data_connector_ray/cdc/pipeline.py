@@ -951,7 +951,10 @@ def tail_log(
     while True:
         if stop_file and os.path.exists(stop_file):
             break
-        files = sorted(_expand(log_dir)) if os.path.isdir(log_dir) else []
+        try:
+            files = sorted(_expand(log_dir))
+        except FileNotFoundError:
+            files = []  # log dir not created yet: keep polling
         new = [f for f in files if f not in consumed]
         if new:
             idle = 0

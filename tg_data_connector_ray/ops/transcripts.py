@@ -514,6 +514,14 @@ def boilerplate_texts(
     )
 
     def finish(b: pa.Table) -> pa.Table:
+        if "n_convs" not in b.column_names:  # empty-input zero-schema block
+            return pa.table(
+                {
+                    "text": pa.array([], pa.string()),
+                    "n_turns": pa.array([], pa.int64()),
+                    "n_convs": pa.array([], pa.int64()),
+                }
+            )
         b = b.filter(pc.greater_equal(b["n_convs"], min_convs))
         return b.set_column(
             b.column_names.index("n_convs"), "n_convs", b["n_convs"].cast(pa.int64())
