@@ -300,12 +300,9 @@ def test_tool_transitions_dataset_matches_kernel(t1):
         [("src_tool", "ascending"), ("dst_tool", "ascending")]
     )
     for exchange in ("spool", "groupby"):
-        ds = tool_transitions(
+        got = tool_transitions(
             ray.data.from_arrow(golden), n_coarse=8, exchange=exchange
         )
-        got = pa.concat_tables(
-            b for b in ray.get(ds.to_arrow_refs()) if b.num_rows
-        ).sort_by([("src_tool", "ascending"), ("dst_tool", "ascending")])
         assert got.num_rows == want.num_rows > 0
         assert got.cast(want.schema).equals(want)
 

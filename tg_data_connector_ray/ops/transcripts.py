@@ -443,20 +443,31 @@ def tool_transitions(transcripts, n_coarse: int = 64, exchange: str = "spool"):
     this tool) bigrams globally.  The canonical "which tool follows
     which" agent-behavior analytics.
 
-    Shape: one conv_id co-location (whole conversations per bucket),
-    a vectorized per-bucket partial of at most |tools|^2 rows, then a
-    tiny composite-key finishing aggregate — the second exchange moves
-    O(buckets x tools^2) rows, never the table."""
-    from ..pipelines.exchange import carry_spool_lease
-    from ..pipelines.relational import grouped_arrow_aggregate
+    Shape: one conv_id co-location (whole conversations per bucket), a
+    vectorized per-bucket partial of at most |tools|^2 rows, then a
+    BOUNDED driver finish over the n_coarse x tools^2 partial rows (the
+    same tiny-merge pattern as the per-block top-k finishers) — a second
+    distributed exchange for a few dozen rows measured ~0.7 s of pure
+    orchestration at the bench tier."""
+    import ray
 
     partials = _conv_grouped(
         transcripts, tool_transitions_block, n_coarse, exchange, "tooltrans"
     )
-    out = grouped_arrow_aggregate(
-        partials, ["src_tool", "dst_tool"], [("n", "sum")], ["n"], n_coarse=4
+    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return _empty_transitions()
+    t = pa.concat_tables(blocks, promote_options="default")
+    agg = t.group_by(["src_tool", "dst_tool"]).aggregate([("n", "sum")])
+    out = pa.table(
+        {
+            "src_tool": agg["src_tool"],
+            "dst_tool": agg["dst_tool"],
+            "n": agg["n_sum"].cast(pa.int64()),
+        },
+        schema=TRANSITIONS_SCHEMA,
     )
-    return carry_spool_lease(partials, out)
+    return out.sort_by([("src_tool", "ascending"), ("dst_tool", "ascending")])
 
 
 def boilerplate_texts(
