@@ -138,3 +138,58 @@ def test_envelope_replay_converges_to_direct_replay(t1, fixture_root, tmp_path):
     again = stage_envelope_events([env_dir], str(tmp_path / "stage"))
     assert again == shards
     assert {s: os.path.getmtime(s) for s in again} == mtimes
+
+
+def test_tail_envelope_stream(t1, tmp_path):
+    """Tail a raw Debezium-envelope JSON stream: jsonl shards dropped
+    while polling stage to parquet per batch and apply exactly-once; the
+    converged table equals the direct Parquet-log replay."""
+    import shutil
+    import threading
+    import time
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        final_table_arrow,
+        tail_log,
+    )
+    from tg_data_connector_ray.fixtures import write_envelope_log
+    from tg_data_connector_ray.sources.envelope import stage_envelope_events
+
+    env_dir = write_envelope_log(os.path.dirname(t1["dir"]), "t1")
+    shards = sorted(
+        os.path.join(env_dir, f) for f in os.listdir(env_dir)
+        if f.endswith(".jsonl")
+    )
+    assert len(shards) >= 4
+    watch = tmp_path / "watch"
+    os.makedirs(watch)
+
+    def drop(batch):
+        for f in batch:
+            tmp = str(watch / ("." + os.path.basename(f) + ".tmp"))
+            shutil.copyfile(f, tmp)
+            os.replace(tmp, str(watch / os.path.basename(f)))
+
+    drop(shards[:2])
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+
+    def producer():
+        time.sleep(0.3)
+        drop(shards[2:])
+
+    th = threading.Thread(target=producer)
+    th.start()
+    totals = tail_log(
+        str(watch), cfg, poll_interval=0.05, idle_polls=40,
+        suffix=".jsonl", prepare=stage_envelope_events,
+    )
+    th.join()
+    assert totals["files"] == len(shards) and totals["batches"] >= 2
+
+    direct = CdcConfig(out_dir=str(tmp_path / "direct"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], direct)
+    assert final_table_arrow(cfg, sort=True).equals(
+        final_table_arrow(direct, sort=True)
+    )

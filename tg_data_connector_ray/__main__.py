@@ -114,6 +114,11 @@ def main(argv=None) -> int:
         "--merge-strategy", default="refold", choices=["refold", "delta"],
     )
     tail.add_argument("--delta-compact-runs", type=int, default=None)
+    tail.add_argument(
+        "--format", default="parquet", choices=["parquet", "envelope"],
+        help="envelope = Debezium-shaped *.jsonl shards (staged to "
+        "parquet per batch before the exactly-once apply)",
+    )
 
     rep = sub.add_parser(
         "repair",
@@ -259,6 +264,12 @@ def main(argv=None) -> int:
             kw = {}
             if args.delta_compact_runs is not None:
                 kw["delta_compact_runs"] = args.delta_compact_runs
+            tail_kw = {}
+            if args.format == "envelope":
+                from .sources.envelope import stage_envelope_events
+
+                tail_kw = {"suffix": ".jsonl",
+                           "prepare": stage_envelope_events}
             out = tail_log(
                 args.events,
                 CdcConfig(
@@ -273,6 +284,7 @@ def main(argv=None) -> int:
                 stop_file=args.stop_file,
                 on_batch=lambda s: print(json.dumps(s, default=str),
                                          file=sys.stderr),
+                **tail_kw,
             )
         elif args.cmd == "repair":
             from .cdc.config import CdcConfig

@@ -911,6 +911,8 @@ def tail_log(
     max_batches: "int | None" = None,
     stop_file: "str | None" = None,
     on_batch=None,
+    suffix: str = ".parquet",
+    prepare=None,
 ) -> dict:
     """Continuous binlog/WAL-tail ingestion: poll `log_dir` for shards not
     yet consumed and apply each new batch exactly-once as its own run —
@@ -920,7 +922,17 @@ def tail_log(
 
     Producer contract: shards must APPEAR atomically (write to a temp
     name, then rename — `util.atomic_write_parquet`'s behavior); the
-    poll consumes any `*.parquet` it can list.
+    poll consumes any `*{suffix}` it can list.
+
+    Non-Parquet wire formats plug in via `prepare(new_files, stage_dir)
+    -> parquet shard paths` — e.g. `suffix=".jsonl",
+    prepare=sources.envelope.stage_envelope_events` tails a raw
+    Debezium-envelope JSON stream.  The run identity stays the ORIGINAL
+    file batch; staging is idempotent per (batch, stage dir), so a crash
+    between stage and apply re-stages into the same dir and the ledger
+    still skips committed partitions.  Stage dirs live under
+    out_dir/tail-stage/<run_id> (they are the run's resumable inputs;
+    safe to delete once the run is fully applied).
 
     Restart story, two layers:
     - `tail.log` under out_dir journals consumed shard paths — an
@@ -951,15 +963,22 @@ def tail_log(
     while True:
         if stop_file and os.path.exists(stop_file):
             break
+        from ..util import list_files
+
         try:
-            files = sorted(_expand(log_dir))
+            files = sorted(list_files(log_dir, suffix=suffix))
         except FileNotFoundError:
             files = []  # log dir not created yet: keep polling
         new = [f for f in files if f not in consumed]
         if new:
             idle = 0
             run_id = compute_run_id(new)
-            s = apply_cdc(new, cfg, run_id=run_id)
+            if prepare is not None:
+                stage_dir = os.path.join(cfg.out_dir, "tail-stage", run_id)
+                inputs = prepare(new, stage_dir)
+            else:
+                inputs = new
+            s = apply_cdc(inputs, cfg, run_id=run_id)
             consumed.update(new)
             os.makedirs(cfg.out_dir, exist_ok=True)
             with open(journal, "a") as f:
