@@ -534,6 +534,79 @@ def _cdc_dirty_oracle_sql() -> str:
     return _merge_contract_sql(src)
 
 
+def _run_cdc_corrections(sf_dir: str):
+    """Backfill/fix-up batch through the driver surface: replay t2, then
+    apply a correction batch — for every live assistant turn of
+    conversations ending in '3', set text := 'corrected:<turn>' and
+    tool := 'audited' (role/ts untouched: the U-merge sparse-image
+    rule) — as synthesized U events above the watermark, exactly-once.
+    Oracle: merge contract over the log UNION the identically-ranked
+    synthetic events."""
+    import pyarrow.compute as _pc
+
+    import ray
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        apply_corrections,
+        final_table_arrow,
+        read_final_table,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2correct"), num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = _pc.and_(
+            _pc.match_like(t["conv_id"], "%3"), _pc.equal(t["role"], "assistant")
+        )
+        return t.filter(_pc.fill_null(m, False)).select(["conv_id", "turn_idx"])
+
+    thin = read_final_table(cfg).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = pa.concat_tables([ray.get(r) for r in thin.to_arrow_refs()])
+    n = keys.num_rows
+    corrections = keys.append_column(
+        "text",
+        _pc.binary_join_element_wise(
+            "corrected:", keys["turn_idx"].cast(pa.string()), ""
+        ),
+    ).append_column("tool", pa.array(["audited"] * n, pa.string()))
+    apply_corrections(cfg, corrections, run_id="correct-1")
+    return final_table_arrow(cfg, sort=True)
+
+
+def _cdc_corrections_oracle_sql() -> str:
+    """Merge contract over (log UNION synthesized correction events):
+    one U per live assistant turn of '%3' conversations at
+    max-log-LSN + rank(conv, turn), setting text/tool only."""
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    glob = os.path.join(fx["cdc_log"], "*.parquet")
+    src = f"""SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts
+          FROM read_parquet('{glob}', union_by_name=true)"""
+    inner = _merge_contract_sql(src)
+    fixed_src = f"""{src}
+          UNION ALL
+          SELECT (SELECT max(lsn)
+                  FROM read_parquet('{glob}', union_by_name=true))
+                   + row_number() OVER (ORDER BY conv_id, turn_idx) AS lsn,
+                 'U' AS op, conv_id, turn_idx,
+                 NULL AS role,
+                 'corrected:' || CAST(turn_idx AS VARCHAR) AS text,
+                 'audited' AS tool,
+                 CAST(NULL AS TIMESTAMP) AS ts
+          FROM ({inner})
+          WHERE conv_id LIKE '%3' AND role = 'assistant'"""
+    return _merge_contract_sql(fixed_src)
+
+
 def _run_cdc_multi_table(sf_dir: str):
     """Multi-table stream routing through the driver surface: the t2 log
     is tagged with a deterministic table assignment (conv parity ->
@@ -1699,6 +1772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_dirty_repair": _run_cdc_dirty_repair,
         "cdc_multi_table": _run_cdc_multi_table,
+        "cdc_corrections": _run_cdc_corrections,
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
@@ -2038,6 +2112,8 @@ def oracle_sql() -> dict[str, str]:
                              THEN 'alpha' ELSE 'beta' END AS tbl
             FROM m
         """,
+        # correction batch: contract over log + synthesized fix events
+        "cdc_corrections": _cdc_corrections_oracle_sql(),
         # incremental two-batch ingest converges to the same final state
         "cdc_replay_incremental": _cdc_oracle_sql("t2"),
         # LSM delta-run mode (O(delta) merges + read-side fold) converges

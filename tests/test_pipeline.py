@@ -1285,3 +1285,49 @@ def test_route_by_table_splits_and_applies_per_table(t1, tmp_path):
     )
     with pytest.raises(ray.exceptions.RayTaskError, match="null 'tbl'"):
         route_by_table(str(bad), str(tmp_path / "badrouted"))
+
+
+def test_apply_corrections_sparse_images_and_validation(t1, tmp_path):
+    """Correction batches: only the provided columns change (U-merge
+    sparse images), untouched rows stay byte-identical, duplicate keys
+    and unknown columns refuse, idempotent per run_id."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.cdc.pipeline import apply_corrections
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    before = final_table_sorted(cfg)
+    k = before.slice(0, 3).select(["conv_id", "turn_idx"])
+
+    corrections = k.append_column(
+        "text", pa.array(["fix0", "fix1", "fix2"], pa.string())
+    )
+    s = apply_corrections(cfg, corrections, run_id="c1")
+    assert s["corrections_in"] == 3 and s["events_in"] == 3
+    after = final_table_sorted(cfg)
+    assert after.num_rows == before.num_rows
+    assert after.slice(0, 3)["text"].to_pylist() == ["fix0", "fix1", "fix2"]
+    # sparse image: every OTHER column of the corrected rows unchanged
+    assert after.slice(0, 3).drop_columns(["text"]).equals(
+        before.slice(0, 3).drop_columns(["text"])
+    )
+    assert after.slice(3).equals(before.slice(3))
+
+    # idempotent per run_id
+    s2 = apply_corrections(cfg, corrections, run_id="c1")
+    assert s2["partitions_applied"] == 0
+    assert final_table_sorted(cfg).equals(after)
+
+    with pytest.raises(ValueError, match="duplicate"):
+        apply_corrections(
+            cfg, pa.concat_tables([corrections, corrections]), run_id="c2"
+        )
+    with pytest.raises(ValueError, match="unknown correction columns"):
+        apply_corrections(
+            cfg,
+            k.append_column("lsn", pa.array([1, 2, 3], pa.int64())),
+            run_id="c3",
+        )
+    with pytest.raises(ValueError, match="conv_id"):
+        apply_corrections(cfg, pa.table({"turn_idx": pa.array([1])}), run_id="c4")

@@ -838,26 +838,84 @@ def redact_convs(
     n = keys.num_rows
     if n == 0:
         return {"run_id": run_id, "events_in": 0, "turns_redacted": 0}
-    events = pa.table(
-        {
-            "lsn": pa.array(base_lsn + 1 + np.arange(n, dtype=np.int64)),
-            "op": pa.array(["U"] * n, pa.string()),
-            "conv_id": keys["conv_id"],
-            "turn_idx": keys["turn_idx"],
-            "role": pa.nulls(n, pa.string()),
-            "text": pa.array([replacement] * n, pa.string()),
-            "tool": pa.nulls(n, pa.string()),
-            "ts": pa.nulls(n, pa.timestamp("us")),
-        }
+    corrections = keys.append_column(
+        "text", pa.array([replacement] * n, pa.string())
     )
-    stage_dir = os.path.join(cfg.out_dir, f"redact-{run_id}")
+    summary = apply_corrections(cfg, corrections, run_id=run_id)
+    summary["turns_redacted"] = n
+    return summary
+
+
+# payload columns a correction batch may set (U-merge: null = untouched)
+_CORRECTION_COLS = ("role", "text", "tool", "ts")
+
+
+def apply_corrections(cfg: CdcConfig, corrections: pa.Table, run_id: str) -> dict:
+    """Data-correction batch THROUGH the log: one synthesized U event per
+    correction row — key columns (conv_id, turn_idx) plus any subset of
+    payload columns to set (role/text/tool/ts; a missing or null column
+    stays untouched, exactly the U-merge sparse-image rule) — at LSNs
+    strictly above the table's global watermark, deterministically
+    ranked by (conv_id, turn_idx), applied exactly-once as `run_id`.
+
+    This is the general backfill/fix-up primitive (`redact_convs` is the
+    text := constant special case): corrections land as ordinary change
+    events, so lineage, changefeed consumers, IVM views, time travel and
+    delta-mode journaling all observe them like any producer batch.
+
+    The correction table is request-bounded driver input by contract.
+    Duplicate (conv_id, turn_idx) keys raise — two corrections for one
+    key in a single batch have no defined order.  Idempotent per run_id
+    (a retry stages identical events; committed partitions skip)."""
+    names = corrections.column_names
+    for k in ("conv_id", "turn_idx"):
+        if k not in names:
+            raise ValueError(f"corrections need a {k!r} column")
+    unknown = [
+        c for c in names
+        if c not in ("conv_id", "turn_idx") and c not in _CORRECTION_COLS
+    ]
+    if unknown:
+        raise ValueError(
+            f"unknown correction columns {unknown}; settable: "
+            f"{list(_CORRECTION_COLS)}"
+        )
+    keys = corrections.select(["conv_id", "turn_idx"])
+    if corrections.num_rows and (
+        keys.group_by(["conv_id", "turn_idx"])
+        .aggregate([([], "count_all")])
+        .num_rows
+        != corrections.num_rows
+    ):
+        raise ValueError(
+            "duplicate (conv_id, turn_idx) keys in one correction batch"
+        )
+    summ = lineage_summary(cfg)
+    base_lsn = max(int(summ["watermark_max"]), 0)
+    corrections = corrections.sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    n = corrections.num_rows
+    cols = {
+        "lsn": pa.array(base_lsn + 1 + np.arange(n, dtype=np.int64)),
+        "op": pa.array(["U"] * n, pa.string()),
+        "conv_id": corrections["conv_id"],
+        "turn_idx": corrections["turn_idx"],
+    }
+    for c in _CORRECTION_COLS:
+        tgt = pa.timestamp("us") if c == "ts" else pa.string()
+        cols[c] = (
+            corrections[c].cast(tgt) if c in names else pa.nulls(n, tgt)
+        )
+    events = pa.table(cols)
+    stage_dir = os.path.join(cfg.out_dir, f"correct-{run_id}")
     os.makedirs(stage_dir, exist_ok=True)
     path = os.path.join(stage_dir, "events.parquet")
     from ..util import atomic_write_parquet
 
     atomic_write_parquet(path, events)
     summary = apply_cdc([path], cfg, run_id=run_id)
-    summary["turns_redacted"] = n
+    summary["corrections_in"] = n
     return summary
 
 
