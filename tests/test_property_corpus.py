@@ -195,3 +195,47 @@ def test_hash_join_equals_pandas_reference(left_rows, right_keys, how):
     g = gdf[cols].sort_values(cols).reset_index(drop=True).astype("float64")
     e = exp[cols].sort_values(cols).reset_index(drop=True).astype("float64")
     assert g.equals(e), (how, g, e)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),            # user
+            st.integers(0, 6),            # ts (small domain: collisions)
+            st.sampled_from(["A", "B", "C", "x"]),
+        ),
+        min_size=0,
+        max_size=24,
+    )
+)
+def test_funnel_chain_counts_equal_exhaustive_subsequence(events):
+    """Greedy chained minima == exhaustive strictly-increasing
+    subsequence existence, on adversarial tiny streams (ts collisions,
+    missing steps, noise types)."""
+    from itertools import product
+
+    from tg_data_connector_ray.pipelines.relational import funnel_chain_counts
+
+    steps = ["A", "B", "C"]
+    user = np.array([e[0] for e in events], dtype=np.int64)
+    ts = np.array([e[1] for e in events], dtype=np.int64)
+    typ = np.array([e[2] for e in events], dtype=object)
+    got = funnel_chain_counts(user, ts, typ, steps)
+
+    exp = [0] * len(steps)
+    for u in set(user.tolist()):
+        evs = [(t, y) for uu, t, y in events if uu == u]
+        for k in range(1, len(steps) + 1):
+            # exhaustive: any selection of one event per step with
+            # strictly increasing timestamps
+            cands = [
+                [t for t, y in evs if y == s] for s in steps[:k]
+            ]
+            found = any(
+                all(sel[i] < sel[i + 1] for i in range(len(sel) - 1))
+                for sel in product(*cands)
+            ) if all(cands) else False
+            if found:
+                exp[k - 1] += 1
+    assert got == exp

@@ -2557,6 +2557,37 @@ def events_retention(sf_dir: str, n_coarse: int = 64):
     )
 
 
+def funnel_chain_counts(user, ts, typ, step_list) -> "list[int]":
+    """Chained per-user minima over one co-located bucket: for each step
+    k, the users whose events contain step_list[0..k] as a STRICTLY
+    time-increasing subsequence (greedy earliest completion — optimal,
+    so == subsequence existence).  Pure numpy; property-tested against
+    an exhaustive matcher."""
+    counts = []
+    cur_users = cur_thr = None
+    for i, st in enumerate(step_list):
+        m = typ == st
+        u_i, t_i = user[m], ts[m]
+        if i > 0:
+            if len(cur_users) == 0:
+                u_i = t_i = np.array([], dtype=np.int64)
+            else:
+                pos = np.searchsorted(cur_users, u_i)
+                pos_c = np.minimum(pos, len(cur_users) - 1)
+                ok = (cur_users[pos_c] == u_i) & (t_i > cur_thr[pos_c])
+                u_i, t_i = u_i[ok], t_i[ok]
+        order = np.lexsort((t_i, u_i))
+        u_s, t_s = u_i[order], t_i[order]
+        first = (
+            np.concatenate([[True], u_s[1:] != u_s[:-1]])
+            if len(u_s)
+            else np.array([], bool)
+        )
+        cur_users, cur_thr = u_s[first], t_s[first]
+        counts.append(len(cur_users))
+    return counts
+
+
 def events_funnel(sf_dir: str, steps=("view", "click", "purchase"), n_coarse: int = 64):
     """Ordered funnel completion: for each step k, count users whose
     event stream contains `steps[0..k]` as a time-ordered subsequence
@@ -2591,24 +2622,7 @@ def events_funnel(sf_dir: str, steps=("view", "click", "purchase"), n_coarse: in
             .astype("datetime64[us]").astype(np.int64)
         )
         typ = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
-        counts = []
-        cur_users = cur_thr = None
-        for i, st in enumerate(step_list):
-            m = typ == st
-            u_i, t_i = user[m], ts[m]
-            if i > 0:
-                if len(cur_users) == 0:
-                    u_i = t_i = np.array([], dtype=np.int64)
-                else:
-                    pos = np.searchsorted(cur_users, u_i)
-                    pos_c = np.minimum(pos, len(cur_users) - 1)
-                    ok = (cur_users[pos_c] == u_i) & (t_i > cur_thr[pos_c])
-                    u_i, t_i = u_i[ok], t_i[ok]
-            order = np.lexsort((t_i, u_i))
-            u_s, t_s = u_i[order], t_i[order]
-            first = np.concatenate([[True], u_s[1:] != u_s[:-1]]) if len(u_s) else np.array([], bool)
-            cur_users, cur_thr = u_s[first], t_s[first]
-            counts.append(len(cur_users))
+        counts = funnel_chain_counts(user, ts, typ, step_list)
         return pa.table(
             {
                 "step_idx": pa.array(np.arange(1, len(step_list) + 1, dtype=np.int64)),
