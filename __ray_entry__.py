@@ -75,6 +75,42 @@ def _run_cdc_skew(sf_dir: str):
     return final_table_arrow(cfg, sort=True)
 
 
+# fixed lookup keys for cdc_point_lookup (the oracle SQL is a constant
+# string, so the key set must be too): t2skew's one salted hot conv plus
+# cold convs spread across the id range — cold keys route to exactly one
+# partition each, the hot key widens the read to all partitions
+_LOOKUP_CONVS = (
+    "conv_hot00000000",
+    "conv00000007",
+    "conv00000555",
+    "conv00001234",
+    "conv00001998",
+)
+
+
+def _run_cdc_point_lookup(sf_dir: str):
+    """Pruned point lookup over the salted skew table (`read_convs`): each
+    cold conv_id routes to one partition under the persisted routing and
+    the scan is predicate-pushed into the sorted state files (row-group
+    pruning); the hot key is salted across partitions so it widens the
+    read — never a table scan.  Shares _run_cdc_skew's converged table
+    (apply_cdc is idempotent)."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        detect_hot_keys,
+        read_convs,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2skew")
+    hot = detect_hot_keys(fx["cdc_log"], threshold_frac=0.05)
+    out = os.path.join(_CDC_OUT, "t2skew")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, hot_keys=tuple(hot))
+    apply_cdc(fx["cdc_log"], cfg)
+    return read_convs(cfg, list(_LOOKUP_CONVS))
+
+
 def _run_cdc_evo(sf_dir: str):
     """Schema-evolution path: early log files lack `tool` and carry
     int16/dictionary columns; the schema-group read + normalize promotion
@@ -1762,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- CDC core: the flagship exactly-once merge family ---
         "cdc_replay": _run_cdc,
         "cdc_replay_skew": _run_cdc_skew,
+        "cdc_point_lookup": _run_cdc_point_lookup,
         "cdc_replay_evo": _run_cdc_evo,
         "cdc_replay_incremental": _run_cdc_incremental,
         "cdc_replay_delta": _run_cdc_delta,
@@ -2142,6 +2179,12 @@ def oracle_sql() -> dict[str, str]:
         # full SCD2 version history (every event a version, LSN validity)
         "cdc_scd2_history": _cdc_scd2_oracle_sql(),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
+        # pruned point lookup == the contract filtered to the fixed keys
+        "cdc_point_lookup": f"""
+            SELECT * FROM ({_cdc_oracle_sql("t2skew")})
+            WHERE conv_id IN ({", ".join(f"'{c}'" for c in _LOOKUP_CONVS)})
+            ORDER BY conv_id, turn_idx
+        """,
         "cdc_replay_evo": _cdc_oracle_sql("t2evo"),
         "transcript_stats": f"""
             WITH m AS ({_cdc_oracle_sql("t2")})

@@ -33,6 +33,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..util import atomic_write_json, atomic_write_parquet, mix_hash, read_json, stable_hash_strings
@@ -375,7 +376,10 @@ def next_folded_runs(
 
 
 def read_partition_state(
-    state_dir: str, policy: str = "upsert", runs: "frozenset[str] | None" = None
+    state_dir: str,
+    policy: str = "upsert",
+    runs: "frozenset[str] | None" = None,
+    conv_filter: "list[str] | None" = None,
 ) -> pa.Table:
     """Converged state of ONE partition: the base state folded with any
     LSM delta-run files (read amplification bounded by runs since the
@@ -388,7 +392,17 @@ def read_partition_state(
     outside the set are skipped, and the base must fold only allowed runs
     — else TimeTravelError (the requested point predates the compaction
     horizon or run tracking).  Sound because the fold is associative:
-    base + any delta subset = the one-shot fold of exactly those runs."""
+    base + any delta subset = the one-shot fold of exactly those runs.
+
+    `conv_filter` pushes a `conv_id IN (...)` predicate into every parquet
+    scan (point-lookup path): state files are written sorted by
+    (conv_id, turn_idx), so row-group min/max stats prune the scan to the
+    matching key ranges.  Sound under the fold because the predicate is
+    per-key complete — filtering each piece by conv_id keeps ALL of a
+    kept key's register rows, so fold(filter(x)) == filter(fold(x))."""
+    kw = {}
+    if conv_filter is not None:
+        kw["filters"] = pc.field("conv_id").isin(conv_filter)
     base, deltas = partition_state_files(state_dir)
     if runs is not None:
         runs = frozenset(runs)
@@ -412,8 +426,8 @@ def read_partition_state(
     if base is None and not deltas:
         return pa.table({f.name: pa.array([], f.type) for f in STATE_SCHEMA})
     if not deltas:
-        return pq.read_table(base)
-    pieces = [state_to_events(pq.read_table(f)) for f in ([base] if base else []) + deltas]
+        return pq.read_table(base, **kw)
+    pieces = [state_to_events(pq.read_table(f, **kw)) for f in ([base] if base else []) + deltas]
     state, _ = fold(pa.concat_tables(pieces, promote_options="default"), policy=policy)
     return state
 

@@ -1473,3 +1473,52 @@ def read_final_table(
     if sort:
         ds = ds.sort(["conv_id", "turn_idx"])
     return ds
+
+
+def read_convs(
+    cfg: CdcConfig, conv_ids: "list[str]", policy: "str | None" = None
+) -> pa.Table:
+    """Pruned point lookup: the live turns of `conv_ids` without scanning
+    the table.  Each non-hot key routes to exactly one partition under the
+    persisted routing (`normalize.assign_parts` sans salt), so the read
+    touches O(distinct partitions of the requested keys) state files; a
+    `conv_id IN (...)` predicate is pushed into every parquet scan, and
+    state files are sorted by (conv_id, turn_idx), so row-group min/max
+    stats prune within each file too.  Keys in `cfg.hot_keys` are SALTED
+    across partitions by turn_idx — those widen the read to all partitions
+    (still predicate-pushed, fanned out as Ray tasks).
+
+    At 100 TB / 64k partitions a cold lookup of k keys costs k pruned
+    row-group reads — the operational "show me this conversation" path
+    that previously required `read_final_table().filter(...)` over
+    everything.  Uncompacted LSM delta runs fold per partition inside the
+    same pruned read (`merge.read_partition_state(conv_filter=...)`)."""
+    from .merge import read_partition_state
+    from ..util import routing_hash_strings
+
+    _check_state_format(cfg)
+    ids = sorted(set(conv_ids))
+    if not ids:
+        return _empty_final_table()
+    hot = set(cfg.hot_keys)
+    cold = [c for c in ids if c not in hot]
+    if any(c in hot for c in ids):
+        parts = range(cfg.num_partitions)  # salted keys may live anywhere
+    else:
+        h = routing_hash_strings(pa.array(cold, type=pa.string()))
+        parts = sorted(set((h % np.uint64(cfg.num_partitions)).astype(int).tolist()))
+    dirs = [cfg.state_dir(p) for p in parts]
+    policy = policy or cfg.orphan_updates
+
+    if len(dirs) <= 8:  # few partitions: driver-side, lowest latency
+        pieces = [read_partition_state(d, policy=policy, conv_filter=ids) for d in dirs]
+    else:  # hot-key widening: fan the pruned reads out as tasks
+        task = ray.remote(num_cpus=1)(read_partition_state)
+        pieces = ray.get([task.remote(d, policy=policy, conv_filter=ids) for d in dirs])
+    state = pa.concat_tables(pieces, promote_options="default")
+    live = state.filter(
+        pa.compute.equal(pa.compute.fill_null(state["_deleted"], False), False)
+    )
+    return live.select(list(USER_COLS)).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
