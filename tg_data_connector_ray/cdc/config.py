@@ -36,6 +36,14 @@ class CdcConfig:
     # (conv_id, turn_idx) instead of conv_id, spreading a hot conversation's
     # turns across partitions while keeping each merge key co-located.
     hot_keys: tuple = ()
+    # single-writer guard (cdc/lease.py): mutating verbs (apply/compact/
+    # redact/corrections) take a heartbeat lease on out_dir and fail fast
+    # with LeaseHeld if another live writer owns it; a crashed writer's
+    # lease is taken over after `lease_ttl_s` (immediately when its pid is
+    # provably dead on this host).  Disable when an external scheduler
+    # already serializes writers.
+    writer_lease: bool = True
+    lease_ttl_s: float = 120.0
     # skip events at/below the partition's committed watermark before the
     # fold.  ONLY safe when every run consumes a strictly LSN-contiguous
     # slice of the log (no straggler events below the previous run's max

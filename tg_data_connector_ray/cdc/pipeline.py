@@ -514,8 +514,11 @@ def apply_cdc(
     os.makedirs(cfg.out_dir, exist_ok=True)
     _check_state_format(cfg)
 
-    lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
-    _journal_run(cfg.out_dir, run_id)
+    from .lease import writer_lease
+
+    with writer_lease(cfg):
+        lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
+        _journal_run(cfg.out_dir, run_id)
 
     n_dirty = count_dirty(cfg, run_id)
     events_in = int(lin["events_in"].sum()) if len(lin) else 0
@@ -745,7 +748,10 @@ def compact(cfg: CdcConfig, tombstone_retention_lsn: int = 0) -> dict:
         )
         return (dropped, new_state.num_rows - n_tomb, len(deltas))
 
-    results = ray.get([_compact.remote(p) for p in parts])
+    from .lease import writer_lease
+
+    with writer_lease(cfg):
+        results = ray.get([_compact.remote(p) for p in parts])
     return {
         "partitions": len(parts),
         "tombstones_dropped": sum(d for d, _, _ in results),
@@ -792,6 +798,26 @@ def lineage_summary(cfg: CdcConfig) -> dict:
     }
 
 
+def _with_writer_lease(fn):
+    """Hold the out_dir writer lease across a composite verb (cfg is the
+    first argument): these read table state (watermarks, dirty channel)
+    to synthesize the events they then apply, so the whole read-then-
+    apply sequence must exclude other writers, not just the inner
+    apply_cdc (which re-enters the same lease)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(cfg, *args, **kwargs):
+        from .lease import writer_lease
+
+        os.makedirs(cfg.out_dir, exist_ok=True)
+        with writer_lease(cfg):
+            return fn(cfg, *args, **kwargs)
+
+    return wrapper
+
+
+@_with_writer_lease
 def redact_convs(
     cfg: CdcConfig,
     conv_ids,
@@ -850,6 +876,7 @@ def redact_convs(
 _CORRECTION_COLS = ("role", "text", "tool", "ts")
 
 
+@_with_writer_lease
 def apply_corrections(cfg: CdcConfig, corrections: pa.Table, run_id: str) -> dict:
     """Data-correction batch THROUGH the log: one synthesized U event per
     correction row — key columns (conv_id, turn_idx) plus any subset of
@@ -1058,6 +1085,7 @@ def tail_log(
     return totals
 
 
+@_with_writer_lease
 def replay_dirty(cfg: CdcConfig, run_id: str, fixer, new_run_id: str) -> dict:
     """Dead-letter repair-replay: read a run's dirty side-output
     (all-string rows + `_reason`, see normalize._write_dirty), apply
