@@ -949,3 +949,71 @@ def test_events_retention_counts_distinct_users_per_cell(tmp_path):
         for r in got.itertuples()
     }
     assert cells == {(1, 1): 2, (1, 2): 1, (1, 3): 1, (2, 2): 1}
+
+
+def test_bloom_prefilter_join_equals_plain(ray_session):
+    """bloom_prefilter drops non-matching probe rows at the scan but the
+    join result is IDENTICAL (false positives survive to the exact
+    per-bucket join; no false negatives exist) — int, string, and
+    composite keys, including null probe keys."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    lk = rng.integers(0, 100_000, n)
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([None if i % 97 == 0 else int(v) for i, v in enumerate(lk)],
+                      type=pa.int64()),
+        "s": pa.array([f"s{v % 37:03d}" for v in lk]),
+        "lv": pa.array(np.arange(n)),
+    }))
+    # selective right side: ~1% of the key space
+    rk = rng.choice(1000, 300, replace=False)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk, type=pa.int64()),
+        "s": pa.array([f"s{v % 37:03d}" for v in rk]),
+        "rv": pa.array(rk * 10),
+    }))
+
+    def canon(ds):
+        t = ds.take_all()
+        return sorted((tuple(sorted(r.items()))) for r in t)
+
+    for on in ("k", "s", ["k", "s"]):
+        plain = canon(hash_join(left, right, on=on, num_buckets=16))
+        bloom = canon(hash_join(left, right, on=on, num_buckets=16,
+                                bloom_prefilter=True, bloom_bits=1 << 16))
+        assert bloom == plain, f"on={on}"
+
+    with pytest.raises(ValueError, match="inner"):
+        hash_join(left, right, on="k", how="left", bloom_prefilter=True)
+
+
+def test_bloom_bitmap_properties(ray_session):
+    """No false negatives ever; false-positive rate on disjoint probes is
+    near the (1-e^(-2n/m))^2 model; the prefilter really shrinks the
+    probe side (the scale rationale)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import (
+        _bloom_test,
+        _hash64_col,
+        build_key_bloom,
+    )
+
+    m = 1 << 16
+    keys = np.arange(0, 4000, dtype=np.int64) * 3_600_000_000  # stride-aligned
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(keys)}))
+    bits = build_key_bloom(ds, "k", bloom_bits=m)
+    h_in = _hash64_col(pa.array(keys))
+    assert _bloom_test(bits, h_in, m).all()  # no false negatives
+    probe = np.arange(1, 20001, dtype=np.int64) * 3_600_000_000 + 1  # disjoint
+    fp = _bloom_test(bits, _hash64_col(pa.array(probe)), m).mean()
+    model = (1 - np.exp(-2 * len(keys) / m)) ** 2
+    assert fp < max(4 * model, 0.05), (fp, model)

@@ -350,6 +350,60 @@ def _bucket_ids(arr, n_buckets: int, hasher=None) -> pa.Array:
     return pa.array((hasher(arr) % np.uint64(n_buckets)).astype(np.int32))
 
 
+def _bloom_positions(h: np.ndarray, m: int) -> "tuple[np.ndarray, np.ndarray]":
+    """Two probe positions per 64-bit key hash (low/high 32-bit split —
+    Kirsch-Mitzenmacher: two independent probes from one hash).  Valid
+    for bitmap sizes up to 2^32 bits (512 MB)."""
+    mask = np.uint64(m - 1)
+    return (h & mask).astype(np.int64), ((h >> np.uint64(32)) & mask).astype(np.int64)
+
+
+def _bloom_test(bits: np.ndarray, h: np.ndarray, m: int) -> np.ndarray:
+    p1, p2 = _bloom_positions(h, m)
+    b1 = (bits[p1 >> 3] >> (p1 & 7).astype(np.uint8)) & 1
+    b2 = (bits[p2 >> 3] >> (p2 & 7).astype(np.uint8)) & 1
+    return (b1 & b2).astype(bool)
+
+
+def build_key_bloom(ds, on, bloom_bits: int = 1 << 23, _key_hasher=None) -> np.ndarray:
+    """Distributed Bloom bitmap over a Dataset's join key column(s):
+    each block contributes a partial bitmap (bloom_bits/8 bytes,
+    INDEPENDENT of row count — unlike an exact key set, the broadcast
+    size is fixed at build time), OR-reduced on the driver.  Two probes
+    per key (`_bloom_positions`); no false negatives ever, false-positive
+    rate ≈ (1 - e^(-2n/m))^2 — at the 1 MB default (2^23 bits) a 1M-key
+    build side stays under ~5% fp.  Null keys hash to 0 and may probe
+    true; inner-join semantics never match them anyway.
+
+    The 100-TB shape this enables: a selective fact-dim join where the
+    dim's exact key set is too large to broadcast (10^8 keys = GBs) but
+    its bloom is a fixed few MB — probe-side rows that cannot match are
+    dropped at the SCAN, before the all-to-all bucket exchange, shrinking
+    shuffle volume by the join's selectivity."""
+    on_cols = [on] if isinstance(on, str) else list(on)
+    m = int(bloom_bits)
+    if m & (m - 1) or m < 64:
+        raise ValueError("bloom_bits must be a power of two >= 64")
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = (
+            _composite_hash(t, on_cols, _key_hasher)
+            if len(on_cols) > 1
+            else _hash64_col(t[on_cols[0]], _key_hasher)
+        )
+        bits = np.zeros(m >> 3, dtype=np.uint8)
+        for pos in _bloom_positions(h, m):
+            np.bitwise_or.at(bits, pos >> 3, (np.uint8(1) << (pos & 7).astype(np.uint8)))
+        return pa.table({"bits": pa.array([bits.tobytes()], type=pa.large_binary())})
+
+    out = np.zeros(m >> 3, dtype=np.uint8)
+    for row in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1 << 20
+    ).iter_rows():
+        out |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return out
+
+
 # ~target bytes of (both sides') rows per join bucket when num_buckets is
 # derived from a bytes hint: small enough that one bucket's sort + gather
 # fits comfortably in a worker's heap share, large enough that the groupby
@@ -369,7 +423,9 @@ def _derive_num_buckets(bytes_hint: "int | None") -> int:
 def hash_join(left, right, on: "str | list[str]",
               num_buckets: "int | None" = None,
               how: str = "inner", right_unique: bool = False,
-              bytes_hint: "int | None" = None, _key_hasher=None):
+              bytes_hint: "int | None" = None,
+              bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
+              _key_hasher=None):
     """Bucketed hash join of two Datasets on int64/temporal OR string
     keys — single-column or COMPOSITE (`on=["a", "b"]`, any type mix).
     String and composite keys bucket and sort by a 64-bit hash, then
@@ -392,6 +448,16 @@ def hash_join(left, right, on: "str | list[str]",
     [16, 65536]; with neither given, 16 — fine for test scale, but any
     at-scale call site should pass the hint (a static B means per-bucket
     memory grows with the input).
+
+    `bloom_prefilter=True` (inner joins only) builds a fixed-size Bloom
+    bitmap over the RIGHT side's keys (`build_key_bloom` — one extra
+    pass over right, so right should be the smaller / cheaper side),
+    broadcasts it once via ray.put, and drops left rows that cannot match
+    AT THE SCAN, before the bucket exchange — false positives survive to
+    the exact per-bucket join, so the result is identical, only the
+    shuffle volume shrinks by the join selectivity.  Not applicable to
+    left/outer (unmatched lefts must survive) or anti (non-matching lefts
+    ARE the output).
 
     `right_unique=True` (caller-asserted: the right side has at most one
     row per key — a dimension/lookup table) takes a one-gather fast path
@@ -422,8 +488,25 @@ def hash_join(left, right, on: "str | list[str]",
     # promote int64 -> float64 through pandas blocks)
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
+    bloom_ref = None
+    if bloom_prefilter:
+        if how != "inner":
+            raise ValueError(
+                "bloom_prefilter only applies to inner joins (left/outer "
+                "must keep unmatched rows; anti outputs them)"
+            )
+        bloom_ref = ray.put(build_key_bloom(right, on_cols, bloom_bits, _key_hasher))
+
     def tag(side: str, own: "set[str]"):
         def _f(t: pa.Table) -> pa.Table:
+            if side == "l" and bloom_ref is not None:
+                bits = ray.get(bloom_ref)  # object-store cached, zero-copy
+                h = (
+                    _composite_hash(t, on_cols, _key_hasher)
+                    if multi
+                    else _hash64_col(t[on], _key_hasher)
+                )
+                t = t.filter(pa.array(_bloom_test(bits, h, bloom_bits)))
             n = t.num_rows
             if multi:
                 b = pa.array(
@@ -1902,9 +1985,13 @@ def q3_shipping_priority(sf_dir: str, segment: str = "BUILDING",
 
         dated = orders.map_batches(date_filter, batch_format="pyarrow", zero_copy_batch=True)
         # distinct custkeys are key-unique: the right-unique inner join IS
-        # the semi join; drop the key afterwards to keep the thin schema
+        # the semi join; drop the key afterwards to keep the thin schema.
+        # bloom_prefilter: the segment admits ~1/5 of custkeys, so a
+        # fixed-size bloom over ck_thin drops most dated orders at the
+        # scan — the bucket exchange carries only (near-)matching rows
         semi = hash_join(
             dated, ck_thin, on="o_custkey", right_unique=True,
+            bloom_prefilter=True,
             bytes_hint=parquet_bytes_hint(
                 _t(sf_dir, "orders"), ["o_orderkey", "o_custkey", "o_orderdate"]
             )
