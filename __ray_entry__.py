@@ -1524,6 +1524,46 @@ def _docs_keyword_topk(sf_dir):
     return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
 
 
+def _docs_profile(sf_dir):
+    """Table-level data profile of the documents table: per-column
+    row/null/distinct counts, exact min/max, total string chars — tiny
+    per-block stats partials + a thin (col, hash) distinct pass; raw
+    values never shuffle (ops/corpus.table_profile)."""
+    from tg_data_connector_ray.ops.corpus import table_profile
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=cols,
+        small_block_bytes=256 << 10,
+    )
+    return table_profile(ds, cols)
+
+
+def _docs_profile_oracle_sql() -> str:
+    def one(c: str, is_str: bool) -> str:
+        tc = (
+            f"CAST(sum(length({c})) AS BIGINT)" if is_str
+            else "CAST(NULL AS BIGINT)"
+        )
+        return f"""
+          SELECT '{c}' AS col_name, count(*) AS n_rows,
+                 count(*) - count({c}) AS n_null,
+                 count(DISTINCT {c}) AS n_distinct,
+                 CAST(min({c}) AS VARCHAR) AS min_v,
+                 CAST(max({c}) AS VARCHAR) AS max_v,
+                 {tc} AS total_chars
+          FROM documents"""
+
+    parts = " UNION ALL ".join(
+        one(c, s) for c, s in [
+            ("doc_id", False), ("text", True), ("lang", True),
+            ("source", True), ("n_chars", False),
+        ]
+    )
+    return f"SELECT * FROM ({parts}) ORDER BY col_name"
+
+
 def _docs_postings(sf_dir):
     """Inverted-index dictionary head: top-200 terms by document
     frequency with total tf and posting span — block-exact (doc, term)
@@ -1841,6 +1881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": R.events_retention,
         "events_funnel": R.events_funnel,
         "docs_postings": _docs_postings,
+        "docs_profile": _docs_profile,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
@@ -3105,6 +3146,7 @@ def oracle_sql() -> dict[str, str]:
                   > 9*(g.n*g.ss - g.s*g.s)
         """,
         # inverted-index dictionary head (shared [a-z0-9_]+ tokenizer)
+        "docs_profile": _docs_profile_oracle_sql(),
         "docs_postings": """
             WITH toks AS (
               SELECT doc_id,

@@ -373,3 +373,57 @@ def test_postings_dictionary_head(ray_session):
         (1, "beta", 3, 3, 1, 3),
         (2, "alpha", 2, 3, 1, 3),
     ]
+
+
+def test_table_profile_matches_duckdb_and_edges(ray_session):
+    """table_profile vs a direct DuckDB profile on mixed-type data with
+    nulls and an all-null column; empty input yields a typed empty
+    profile."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.corpus import table_profile
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    t = pa.table({
+        "k": pa.array([None if i % 13 == 0 else int(v)
+                       for i, v in enumerate(rng.integers(-50, 50, n))],
+                      type=pa.int64()),
+        "s": pa.array([None if i % 7 == 0 else f"w{v:02d}"
+                       for i, v in enumerate(rng.integers(0, 30, n))]),
+        "allnull": pa.array([None] * n, type=pa.string()),
+    })
+    got = table_profile(
+        ray.data.from_arrow(t).repartition(8), ["k", "s", "allnull"]
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.execute("""
+        SELECT * FROM (
+          SELECT 'allnull' AS col_name, count(*) AS n_rows,
+                 count(*) - count(allnull) AS n_null,
+                 count(DISTINCT allnull) AS n_distinct,
+                 CAST(min(allnull) AS VARCHAR) AS min_v,
+                 CAST(max(allnull) AS VARCHAR) AS max_v,
+                 CAST(sum(length(allnull)) AS BIGINT) AS total_chars FROM t
+          UNION ALL
+          SELECT 'k', count(*), count(*) - count(k), count(DISTINCT k),
+                 CAST(min(k) AS VARCHAR), CAST(max(k) AS VARCHAR),
+                 CAST(NULL AS BIGINT) FROM t
+          UNION ALL
+          SELECT 's', count(*), count(*) - count(s), count(DISTINCT s),
+                 min(s), max(s), CAST(sum(length(s)) AS BIGINT) FROM t
+        ) ORDER BY col_name
+    """).arrow()
+    # all-null string: engine emits total_chars 0, SQL sum() is NULL —
+    # normalize (count-like semantics; documented)
+    gd, ed = got.to_pydict(), exp.to_pydict()
+    ed["total_chars"] = [0 if v is None and c == "allnull" else v
+                         for c, v in zip(ed["col_name"], ed["total_chars"])]
+    assert gd == ed
+
+    empty = table_profile(ray.data.from_arrow(t.slice(0, 0)), ["k", "s"])
+    assert empty.num_rows == 0 and empty.column_names == got.column_names

@@ -717,3 +717,119 @@ def postings(ds, k: int = 200, col: str = "text"):
             "max_doc": out["max_doc"],
         }
     )
+
+
+def table_profile(ds, columns: "list[str]") -> pa.Table:
+    """Per-column data profile: row/null counts, exact min/max, distinct
+    count, total string chars — the table-level statistics view a 100-TB
+    onboarding job runs before anything else (the reference's preCheck,
+    CommonRdbmsReader.java's dry-run hook, only validates config; it has
+    no data statistics).
+
+    Scale shape: ONE stats pass emits a tiny per-block × per-column
+    partial (counts + typed min/max), folded with a single driver-side
+    Arrow group_by over O(blocks × columns) rows; distinct counts ride a
+    SECOND pass that ships only per-block-deduped (col_idx, hash64(value))
+    pairs through the coarse-bucket distinct + count
+    (sketches.grouped_distinct_count) — raw values, notably full document
+    texts, never shuffle.  Distinct is exact up to 64-bit hash collisions
+    (P ≈ n²/2⁶⁵ — negligible below ~10⁹ distinct values per column).
+
+    Int64/temporal min/max fold as integers and render as DuckDB-style
+    VARCHAR at the end; string columns fold lexicographically (binary
+    UTF-8 order, DuckDB's default collation)."""
+    import ray
+
+    from ..ops.sketches import grouped_distinct_count
+    from ..pipelines.relational import _hash64_col
+
+    col_list = list(columns)
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        rows = {k: [] for k in (
+            "col_name", "n_rows", "n_null", "min_i", "max_i",
+            "min_s", "max_s", "total_chars",
+        )}
+        for c in col_list:
+            arr = t[c]
+            is_str = pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type)
+            mm = pc.min_max(arr)  # skips nulls; all-null/empty -> None
+            mn, mx = mm["min"].as_py(), mm["max"].as_py()
+            rows["col_name"].append(c)
+            rows["n_rows"].append(t.num_rows)
+            rows["n_null"].append(arr.null_count)
+            rows["min_i"].append(None if is_str or mn is None else int(mn))
+            rows["max_i"].append(None if is_str or mx is None else int(mx))
+            rows["min_s"].append(mn if is_str else None)
+            rows["max_s"].append(mx if is_str else None)
+            rows["total_chars"].append(
+                (pc.sum(pc.utf8_length(arr)).as_py() or 0) if is_str else None
+            )
+        return pa.table({
+            "col_name": pa.array(rows["col_name"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "min_i": pa.array(rows["min_i"], pa.int64()),
+            "max_i": pa.array(rows["max_i"], pa.int64()),
+            "min_s": pa.array(rows["min_s"], pa.string()),
+            "max_s": pa.array(rows["max_s"], pa.string()),
+            "total_chars": pa.array(rows["total_chars"], pa.int64()),
+        })
+
+    partials = pa.Table.from_pylist(
+        ds.map_batches(stats_partial, batch_format="pyarrow").take_all()
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        idx, hs = [], []
+        for ci, c in enumerate(col_list):
+            valid = pc.drop_null(t[c].combine_chunks())
+            if len(valid):
+                h = np.unique(_hash64_col(valid).view(np.int64))
+                idx.append(np.full(len(h), ci, dtype=np.int64))
+                hs.append(h)
+        if not idx:
+            return pa.table({"col_idx": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.int64())})
+        return pa.table({"col_idx": pa.array(np.concatenate(idx)),
+                         "h": pa.array(np.concatenate(hs))})
+
+    nd = {
+        r["col_idx"]: r["n_distinct"]
+        for r in grouped_distinct_count(
+            ds.map_batches(pairs, batch_format="pyarrow"), "col_idx", "h"
+        ).take_all()
+    }
+
+    out = {k: [] for k in (
+        "col_name", "n_rows", "n_null", "n_distinct", "min_v", "max_v",
+        "total_chars",
+    )}
+    if partials.num_rows:
+        fold = partials.group_by("col_name").aggregate([
+            ("n_rows", "sum"), ("n_null", "sum"),
+            ("min_i", "min"), ("max_i", "max"),
+            ("min_s", "min"), ("max_s", "max"),
+            ("total_chars", "sum"),
+        ])
+        by = {fold["col_name"][i].as_py(): i for i in range(fold.num_rows)}
+        for ci, c in enumerate(sorted(col_list)):
+            i = by[c]
+            g = lambda n: fold[n][i].as_py()
+            mn_i, mx_i = g("min_i_min"), g("max_i_max")
+            out["col_name"].append(c)
+            out["n_rows"].append(g("n_rows_sum"))
+            out["n_null"].append(g("n_null_sum"))
+            out["n_distinct"].append(int(nd.get(col_list.index(c), 0)))
+            out["min_v"].append(str(mn_i) if mn_i is not None else g("min_s_min"))
+            out["max_v"].append(str(mx_i) if mx_i is not None else g("max_s_max"))
+            out["total_chars"].append(g("total_chars_sum"))
+    return pa.table({
+        "col_name": pa.array(out["col_name"], pa.string()),
+        "n_rows": pa.array(out["n_rows"], pa.int64()),
+        "n_null": pa.array(out["n_null"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "min_v": pa.array(out["min_v"], pa.string()),
+        "max_v": pa.array(out["max_v"], pa.string()),
+        "total_chars": pa.array(out["total_chars"], pa.int64()),
+    })
