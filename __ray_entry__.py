@@ -1524,6 +1524,61 @@ def _docs_keyword_topk(sf_dir):
     return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
 
 
+def _events_type_pagerank(sf_dir):
+    """Iterative graph algorithm over a sequence-derived graph: the
+    event-type transition graph (per-user order by ts, event_id) ranked
+    by 3 iterations of exact integer PageRank.  Edge extraction is the
+    distributed part (coarse per-user co-location, ≤|types|² rows per
+    bucket); the type-level fixpoint is a driver numpy loop over the
+    tiny counted edge list (ops/graph.integer_pagerank documents the
+    grouped-join form for node sets beyond one heap)."""
+    from tg_data_connector_ray.ops.graph import integer_pagerank, sequence_edges
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+        small_block_bytes=256 << 10,
+    )
+    edges = sequence_edges(ds, "user_id", "event_type", ["ts", "event_id"])
+    return integer_pagerank(edges, iters=3)
+
+
+def _events_type_pagerank_oracle_sql(iters: int = 3) -> str:
+    prev = "r0"
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""r{k} AS (
+          SELECT n.v,
+                 CAST(150000 + coalesce(
+                   sum((85 * p.r * e.w) // (100 * o.wout)), 0) AS BIGINT) AS r
+          FROM nodes n
+          LEFT JOIN edges e ON e.dst = n.v
+          LEFT JOIN {prev} p ON p.v = e.src
+          LEFT JOIN outw o ON o.src = e.src
+          GROUP BY n.v)""")
+        prev = f"r{k}"
+    return f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        ), edges AS (
+          SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+          FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+        ), outw AS (
+          SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1
+        ), nodes AS (
+          SELECT DISTINCT src AS v FROM edges
+          UNION SELECT DISTINCT dst FROM edges
+        ), r0 AS (
+          SELECT v, CAST(1000000 AS BIGINT) AS r FROM nodes
+        ), {", ".join(steps)}
+        SELECT v AS node, r AS rank_u FROM {prev} ORDER BY node
+    """
+
+
 def _docs_profile(sf_dir):
     """Table-level data profile of the documents table: per-column
     row/null/distinct counts, exact min/max, total string chars — tiny
@@ -1882,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.events_funnel,
         "docs_postings": _docs_postings,
         "docs_profile": _docs_profile,
+        "events_type_pagerank": _events_type_pagerank,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
@@ -3147,6 +3203,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # inverted-index dictionary head (shared [a-z0-9_]+ tokenizer)
         "docs_profile": _docs_profile_oracle_sql(),
+        # iterative integer PageRank == the unrolled SQL recurrence
+        "events_type_pagerank": _events_type_pagerank_oracle_sql(),
         "docs_postings": """
             WITH toks AS (
               SELECT doc_id,

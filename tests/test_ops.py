@@ -897,3 +897,68 @@ def test_chunk_batch_overlap_and_edges():
 
     empty = chunk_batch(t.slice(2, 1))
     assert empty.num_rows == 0 and empty.column_names == ["doc_id", "chunk_idx", "chunk"]
+
+
+def test_sequence_edges_matches_duckdb_lead(ray_session):
+    """Distributed edge extraction == SQL lead() pairing: per-key order
+    with tie-broken secondary keys, single-row keys contribute nothing,
+    cross-key pairs never counted."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.graph import sequence_edges
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 200, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 50, n) * 1_000_000, pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),  # tie-breaker
+        "event_type": pa.array([f"t{v}" for v in rng.integers(0, 6, n)]),
+    })
+    got = sequence_edges(
+        ray.data.from_arrow(t).repartition(7),
+        "user_id", "event_type", ["ts", "event_id"],
+    )
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute("""
+        WITH seq AS (
+          SELECT event_type, lead(event_type) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events)
+        SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS w
+        FROM seq WHERE nxt IS NOT NULL GROUP BY 1,2 ORDER BY src, dst
+    """).arrow()
+    assert got.to_pydict() == exp.to_pydict()
+
+
+def test_integer_pagerank_matches_reference_recurrence():
+    """integer_pagerank == an independent per-node python loop of the
+    same recurrence, on a graph with a dangling node and a source-only
+    node; empty edges yield an empty typed table."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.ops.graph import integer_pagerank
+
+    edges = pa.table({
+        "src": ["a", "a", "b", "c"],
+        "dst": ["b", "c", "c", "d"],  # d dangling; a source-only
+        "w": pa.array([3, 1, 2, 5], pa.int64()),
+    })
+    got = {r["node"]: r["rank_u"] for r in integer_pagerank(edges, iters=3).to_pylist()}
+
+    S, base = 1_000_000, 150_000
+    wout = {"a": 4, "b": 2, "c": 5}
+    adj = {("a", "b"): 3, ("a", "c"): 1, ("b", "c"): 2, ("c", "d"): 5}
+    r = {v: S for v in "abcd"}
+    for _ in range(3):
+        nr = {v: base for v in "abcd"}
+        for (u, v), w in adj.items():
+            nr[v] += (85 * r[u] * w) // (100 * wout[u])
+        r = nr
+    assert got == r
+    empty = integer_pagerank(edges.slice(0, 0))
+    assert empty.num_rows == 0 and empty.column_names == ["node", "rank_u"]
