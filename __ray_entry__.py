@@ -1579,6 +1579,22 @@ def _events_type_pagerank_oracle_sql(iters: int = 3) -> str:
     """
 
 
+def _events_top_paths(sf_dir):
+    """Path mining: top-20 three-step event-type paths over per-user
+    ordered sequences (ops/graph.sequence_ngrams — same coarse
+    co-location shape as the edge extraction, ≤|types|³ partial rows per
+    bucket, tie-broken (cnt DESC, path ASC))."""
+    from tg_data_connector_ray.ops.graph import sequence_ngrams
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+        small_block_bytes=256 << 10,
+    )
+    return sequence_ngrams(ds, "user_id", "event_type", ["ts", "event_id"], n=3, k=20)
+
+
 def _docs_profile(sf_dir):
     """Table-level data profile of the documents table: per-column
     row/null/distinct counts, exact min/max, total string chars — tiny
@@ -1938,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_postings": _docs_postings,
         "docs_profile": _docs_profile,
         "events_type_pagerank": _events_type_pagerank,
+        "events_top_paths": _events_top_paths,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
@@ -3205,6 +3222,19 @@ def oracle_sql() -> dict[str, str]:
         "docs_profile": _docs_profile_oracle_sql(),
         # iterative integer PageRank == the unrolled SQL recurrence
         "events_type_pagerank": _events_type_pagerank_oracle_sql(),
+        "events_top_paths": """
+            WITH seq AS (
+              SELECT event_type AS t1,
+                     lead(event_type, 1) OVER w AS t2,
+                     lead(event_type, 2) OVER w AS t3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT t1 || '>' || t2 || '>' || t3 AS path,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM seq WHERE t3 IS NOT NULL
+            GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20
+        """,
         "docs_postings": """
             WITH toks AS (
               SELECT doc_id,

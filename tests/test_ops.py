@@ -962,3 +962,40 @@ def test_integer_pagerank_matches_reference_recurrence():
     assert got == r
     empty = integer_pagerank(edges.slice(0, 0))
     assert empty.num_rows == 0 and empty.column_names == ["node", "rank_u"]
+
+
+def test_sequence_ngrams_matches_duckdb(ray_session):
+    """Top-k path n-grams == double-lead SQL, deterministic tie order;
+    n larger than every key's run yields empty."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.graph import sequence_ngrams
+
+    rng = np.random.default_rng(19)
+    n = 2500
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 150, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 40, n) * 1_000_000, pa.timestamp("us")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "event_type": pa.array([f"t{v}" for v in rng.integers(0, 4, n)]),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)
+    got = sequence_ngrams(ds, "user_id", "event_type", ["ts", "event_id"], n=3, k=15)
+    con = duckdb.connect()
+    con.register("events", t)
+    exp = con.execute("""
+        WITH seq AS (
+          SELECT event_type AS t1, lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT t1 || '>' || t2 || '>' || t3 AS path,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1 ORDER BY cnt DESC, path LIMIT 15
+    """).arrow()
+    assert got.to_pydict() == exp.to_pydict()
+    assert sequence_ngrams(ds, "user_id", "event_type",
+                           ["ts", "event_id"], n=200).num_rows == 0

@@ -144,3 +144,76 @@ def integer_pagerank(
         {"node": pa.array(nodes.tolist(), pa.string()),
          "rank_u": pa.array(r)}
     )
+
+
+def sequence_ngrams(
+    ds,
+    key_col: str,
+    type_col: str,
+    order_cols: "list[str]",
+    n: int = 3,
+    k: int = 20,
+    n_coarse: int = 64,
+) -> pa.Table:
+    """Top-k length-n paths (type n-grams) over per-key ordered
+    sequences: the "what do users actually do" path-mining view of the
+    same transition structure sequence_edges counts pairwise.
+
+    Same scale shape as sequence_edges — whole keys per coarse bucket,
+    one vectorized partial per bucket (≤ |types|ⁿ rows, in practice the
+    paths the bucket saw), bounded driver fold + top-k.  Ties broken by
+    path string ascending (deterministic, matches ORDER BY cnt DESC,
+    path)."""
+
+    def add_cg(t: pa.Table) -> pa.Table:
+        cg = pc.cast(
+            pc.bit_wise_and(pc.cast(t[key_col], pa.int64()), n_coarse - 1),
+            pa.int32(),
+        )
+        return t.append_column("_cg", cg)
+
+    def grams_block(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"path": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        if g.num_rows < n:
+            return empty
+        key = g[key_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        sort_keys = [
+            g[c].combine_chunks().cast(pa.int64(), safe=False).to_numpy(zero_copy_only=False)
+            for c in reversed(order_cols)
+        ]
+        order = np.lexsort((*sort_keys, key))
+        key = key[order]
+        typ = g[type_col].combine_chunks().take(pa.array(order))
+        rows = g.num_rows
+        # an n-gram starting at i is valid iff rows i..i+n-1 share the key
+        ok = key[: rows - n + 1] == key[n - 1 :]
+        if not ok.any():
+            return empty
+        parts = [typ.slice(j, rows - n + 1).filter(pa.array(ok)) for j in range(n)]
+        path = parts[0]
+        for p in parts[1:]:
+            path = pc.binary_join_element_wise(path, p, ">")
+        agg = pa.table({"path": path}).group_by("path").aggregate([([], "count_all")])
+        return pa.table(
+            {"path": agg["path"], "cnt": agg["count_all"].cast(pa.int64())}
+        )
+
+    import ray
+
+    partials = (
+        ds.map_batches(add_cg, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cg")
+        .map_groups(grams_block, batch_format="pyarrow")
+    )
+    blocks = [b for b in ray.get(partials.to_arrow_refs()) if b.num_rows]
+    if not blocks:
+        return pa.table(
+            {"path": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+    t = pa.concat_tables(blocks, promote_options="default")
+    agg = t.group_by("path").aggregate([("cnt", "sum")])
+    out = pa.table({"path": agg["path"], "cnt": agg["cnt_sum"].cast(pa.int64())})
+    out = out.sort_by([("cnt", "descending"), ("path", "ascending")])
+    return out.slice(0, k)
