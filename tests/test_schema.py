@@ -90,3 +90,41 @@ def test_scan_schemas_unify_false_skips_unpromotable_extras(tmp_path):
     assert len(groups) == 2 and unified is None
     with pytest.raises(TypeError):
         scan_schemas([a, b])
+
+
+def test_schema_history_journal(fixture_root, tmp_path):
+    """The evo fixture's two batches journal two schema.log entries: the
+    early files lack `tool` / carry narrow types, the later files add
+    them; identical re-application appends nothing."""
+    import os
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc
+    from tg_data_connector_ray.cdc.schema import schema_history
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(fixture_root, "t2evo")
+    files = sorted(
+        os.path.join(fx["cdc_log"], f) for f in os.listdir(fx["cdc_log"])
+    )
+    import pyarrow.parquet as pq_
+
+    # split exactly at the evolution boundary: first batch = pre-`tool`
+    k = next(i for i, f in enumerate(files) if "tool" in pq_.read_schema(f).names)
+    cfg = CdcConfig(out_dir=str(tmp_path / "evo"), num_partitions=4)
+    apply_cdc(files[:k], cfg)
+    apply_cdc(files[k:], cfg)
+    hist = schema_history(cfg.out_dir)
+    assert len(hist) == 2
+    f0 = {tuple(x) for x in hist[0]["fields"]}
+    f1 = {tuple(x) for x in hist[1]["fields"]}
+    assert ("tool", "string") not in f0 and ("tool", "string") in f1
+    assert ["tool", "string"] in hist[1]["added"]
+    assert hist[0]["run_id"] != hist[1]["run_id"]
+    # identical re-application: same field set -> no new entry
+    apply_cdc(files[k:], cfg)
+    assert len(schema_history(cfg.out_dir)) == 2
+    assert schema_history(str(tmp_path / "nothere")) == []
+    from tg_data_connector_ray.__main__ import main
+
+    assert main(["schemas", "--out", cfg.out_dir]) == 0

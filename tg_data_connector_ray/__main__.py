@@ -159,6 +159,11 @@ def main(argv=None) -> int:
     lin.add_argument("--out", required=True)
     lin.add_argument("--parts", action="store_true", help="include per-partition rows")
 
+    sch = sub.add_parser(
+        "schemas", help="input schema-evolution timeline (schema.log)"
+    )
+    sch.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     import ray
@@ -203,6 +208,10 @@ def main(argv=None) -> int:
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
                 tombstone_retention_lsn=args.retention,
             )
+        elif args.cmd == "schemas":
+            from .cdc.schema import schema_history
+
+            out = {"history": schema_history(args.out)}
         elif args.cmd == "lineage":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import lineage_summary

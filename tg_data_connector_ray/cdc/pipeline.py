@@ -519,6 +519,9 @@ def apply_cdc(
     with writer_lease(cfg):
         lin = _run_exchange_and_merge(files, cfg, run_id, snapshot_path)
         _journal_run(cfg.out_dir, run_id)
+        from .schema import record_schema_history
+
+        record_schema_history(cfg.out_dir, run_id, files)
 
     n_dirty = count_dirty(cfg, run_id)
     events_in = int(lin["events_in"].sum()) if len(lin) else 0

@@ -117,3 +117,81 @@ def scan_schemas(
         reps.setdefault(key, s)
     unified = unify_schemas(list(reps.values())) if unify else None
     return dict(groups), unified
+
+
+# --- schema-history journal ------------------------------------------------
+
+SCHEMA_LOG = "schema.log"
+
+
+def _field_specs(paths: "list[str]") -> "list[list[str]]":
+    """Sorted distinct (field, type) specs across the files' footers —
+    the run's observed input surface.  Footer-only, O(KB)/file."""
+    groups, _ = scan_schemas(paths, unify=False)
+    fields = set()
+    reps = {}
+    for key, fps in groups.items():
+        from ..util import resolve_fs
+
+        fs, fp = resolve_fs(fps[0])
+        reps[key] = pq.read_schema(fp, filesystem=fs)
+    for s in reps.values():
+        for f in s:
+            fields.add((f.name, str(f.type)))
+    return [list(x) for x in sorted(fields)]
+
+
+def record_schema_history(out_dir: str, run_id: str, files: "list[str]") -> bool:
+    """Append this run's observed input field set to `out_dir/schema.log`
+    (jsonl) WHEN it differs from the journal's last entry — the
+    "when did column X appear / widen" answer a CDC operator needs that
+    per-run manifests don't give (they record counts, not shapes).
+    Diffs are precomputed (`added` / `removed` vs the previous entry) so
+    the log reads as a timeline.  Returns True when an entry was written.
+
+    Called under the writer lease after a successful apply, so entries
+    are totally ordered with runs; re-applying an identical run appends
+    nothing (same field set)."""
+    import json
+    import os
+    import time
+
+    if not files:
+        return False
+    specs = _field_specs(files)
+    path = os.path.join(out_dir, SCHEMA_LOG)
+    prev: "list[list[str]]" = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    prev = json.loads(line)["fields"]
+    if specs == prev:
+        return False
+    pv, cu = {tuple(x) for x in prev}, {tuple(x) for x in specs}
+    entry = {
+        "run_id": run_id,
+        "ts": time.time(),
+        "fields": specs,
+        "added": [list(x) for x in sorted(cu - pv)],
+        "removed": [list(x) for x in sorted(pv - cu)],
+    }
+    with open(path, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return True
+
+
+def schema_history(out_dir: str) -> "list[dict]":
+    """The schema.log timeline (oldest first); [] when never recorded."""
+    import json
+    import os
+
+    path = os.path.join(out_dir, SCHEMA_LOG)
+    if not os.path.exists(path):
+        return []
+    out = []
+    with open(path) as f:
+        for line in f:
+            if line.strip():
+                out.append(json.loads(line))
+    return out
