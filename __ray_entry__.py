@@ -111,6 +111,42 @@ def _run_cdc_point_lookup(sf_dir: str):
     return read_convs(cfg, list(_LOOKUP_CONVS))
 
 
+def _run_cdc_snapshot_sync(sf_dir: str):
+    """Snapshot-diff ingest (the no-binlog mode): replay the t2 log, then
+    sync the table to the drifted snapshot — per-partition full-outer
+    diff emits full-I (new/changed keys, incl. NULLed columns a sparse U
+    could not clear) and D (missing keys) as ordinary change events at
+    watermark+1.  Converged table == the snapshot exactly, which is the
+    oracle."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        final_table_arrow,
+        snapshot_sync,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture, write_snapshot
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    snap = write_snapshot(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2sync")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    snapshot_sync(cfg, snap, run_id="sync-1")  # idempotent per run_id
+    return final_table_arrow(cfg, sort=True)
+
+
+def _cdc_snapshot_sync_oracle_sql() -> str:
+    from tg_data_connector_ray.fixtures import write_snapshot
+
+    snap = write_snapshot(_FIXTURE_CACHE, "t2")
+    return f"""
+        SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+               role, text, tool, ts
+        FROM read_parquet('{snap}')
+        ORDER BY conv_id, turn_idx
+    """
+
+
 def _run_cdc_evo(sf_dir: str):
     """Schema-evolution path: early log files lack `tool` and carry
     int16/dictionary columns; the schema-group read + normalize promotion
@@ -1916,6 +1952,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_time_travel": _run_cdc_time_travel,
         "cdc_changefeed": _run_cdc_changefeed,
         "cdc_replay_snapshot": _run_cdc_snapshot,
+        "cdc_snapshot_sync": _run_cdc_snapshot_sync,
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_dirty_repair": _run_cdc_dirty_repair,
@@ -2293,6 +2330,8 @@ def oracle_sql() -> dict[str, str]:
         # full SCD2 version history (every event a version, LSN validity)
         "cdc_scd2_history": _cdc_scd2_oracle_sql(),
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
+        # snapshot-diff ingest converges the table to exactly the snapshot
+        "cdc_snapshot_sync": _cdc_snapshot_sync_oracle_sql(),
         # pruned point lookup == the contract filtered to the fixed keys
         "cdc_point_lookup": f"""
             SELECT * FROM ({_cdc_oracle_sql("t2skew")})

@@ -1387,3 +1387,70 @@ def test_read_convs_hot_key_and_delta_fold(fixture_root, tmp_path):
         pa.compute.is_in(exp["conv_id"], value_set=pa.array(pick))
     ).sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert got.equals(want.select(got.column_names))
+
+
+def test_snapshot_sync_converges_to_snapshot(t2, fixture_root, tmp_path):
+    """snapshot_sync diffs the converged table against a full snapshot
+    and applies I (new/changed keys, incl. columns the snapshot NULLed)
+    and D (missing keys) so the table equals the snapshot exactly;
+    idempotent per run_id; later producer events outrank the sync."""
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_corrections,
+        final_table_arrow,
+        snapshot_sync,
+    )
+    from tg_data_connector_ray.fixtures import write_snapshot
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "ss"), num_partitions=8)
+    apply_cdc(t2["cdc_log"], cfg)
+    snap_path = write_snapshot(fixture_root, "t2")
+    s1 = snapshot_sync(cfg, snap_path, run_id="sync-1")
+    assert s1["sync_inserts"] > 0 and s1["sync_deletes"] > 0
+
+    got = final_table_arrow(cfg, sort=True)
+    exp = pq.read_table(snap_path).sort_by(
+        [("conv_id", "ascending"), ("turn_idx", "ascending")]
+    )
+    assert got.num_rows == exp.num_rows
+    assert got["text"].equals(exp["text"])
+    # the snapshot NULLs `tool` on every drifted key — a sparse U could
+    # not clear those; the full-I diff must have (exact equality below
+    # covers it, this pins the clear happened at all)
+    assert got["tool"].null_count == exp["tool"].null_count > 0
+    assert got.equals(exp.select(got.column_names))
+
+    # idempotent: same run_id skips committed partitions, table unchanged
+    snapshot_sync(cfg, snap_path, run_id="sync-1")
+    assert final_table_arrow(cfg, sort=True).equals(got)
+    # a fresh sync against the now-identical table is a no-op run
+    s3 = snapshot_sync(cfg, snap_path, run_id="sync-2")
+    assert s3["sync_inserts"] == 0 and s3["sync_deletes"] == 0
+
+    # later producer events land ABOVE the sync watermark and win
+    key = got.slice(0, 1)
+    fix = pa.table({
+        "conv_id": key["conv_id"],
+        "turn_idx": key["turn_idx"],
+        "text": pa.array(["post-sync-edit"]),
+    })
+    apply_corrections(cfg, fix, run_id="post-sync")
+    after = final_table_arrow(cfg, sort=True)
+    assert after["text"][0].as_py() == "post-sync-edit"
+    assert after.num_rows == got.num_rows
+
+
+def test_snapshot_sync_bootstraps_fresh_table(t1, fixture_root, tmp_path):
+    """Syncing into an empty out_dir is a pure bootstrap: every snapshot
+    row inserts; the table equals the snapshot."""
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow, snapshot_sync
+    from tg_data_connector_ray.fixtures import write_snapshot
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "boot"), num_partitions=4)
+    snap_path = write_snapshot(fixture_root, "t1")
+    s = snapshot_sync(cfg, snap_path, run_id="boot-1")
+    exp = pq.read_table(snap_path)
+    assert s["sync_inserts"] == exp.num_rows and s["sync_deletes"] == 0
+    got = final_table_arrow(cfg, sort=True)
+    assert got.num_rows == exp.num_rows
+    exp = exp.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    assert got.equals(exp.select(got.column_names))

@@ -47,6 +47,14 @@ def main(argv=None) -> int:
     comp.add_argument("--partitions", type=int, default=64)
     comp.add_argument("--retention", type=int, default=0)
 
+    syn = sub.add_parser(
+        "sync", help="diff a full snapshot against the table and apply the delta"
+    )
+    syn.add_argument("--out", required=True)
+    syn.add_argument("--snapshot", required=True)
+    syn.add_argument("--run-id", required=True)
+    syn.add_argument("--partitions", type=int, default=64)
+
     ver = sub.add_parser("verify", help="verify converged table vs expected parquet")
     ver.add_argument("--out", required=True)
     ver.add_argument("--expected", required=True)
@@ -200,6 +208,14 @@ def main(argv=None) -> int:
             from .pipelines.runner import run_job
 
             out = run_job({"job": {"cdc": cdc}})
+        elif args.cmd == "sync":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import snapshot_sync
+
+            out = snapshot_sync(
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions),
+                args.snapshot, run_id=args.run_id,
+            )
         elif args.cmd == "compact":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import compact

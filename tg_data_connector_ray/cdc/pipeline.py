@@ -1553,3 +1553,157 @@ def read_convs(
     return live.select(list(USER_COLS)).sort_by(
         [("conv_id", "ascending"), ("turn_idx", "ascending")]
     )
+
+
+@_with_writer_lease
+def snapshot_sync(cfg: CdcConfig, snapshot_path: str, run_id: str) -> dict:
+    """Periodic-full-snapshot ingest for sources that cannot produce a
+    binlog (the reference's ONLY mode — its Snowflake reader re-dumps the
+    table; tigergraphwriter upserts blind, reference GcsReader.java /
+    readers generally): diff the new snapshot against the converged table
+    and apply the difference as ORDINARY change events, so the table
+    converges to exactly the snapshot while lineage, watermarks,
+    changefeed consumers, IVM views, time travel and delta-mode
+    journaling all observe a normal run.
+
+    Diff rule (per (conv_id, turn_idx) key):
+      - in snapshot, absent/changed in table -> full I with the snapshot
+        row.  I, not U: a full I resets EVERY payload column, including
+        ones the snapshot NULLED — a sparse U (null = untouched) could
+        never clear them;
+      - live in table, absent from snapshot -> D.
+    Every diff event carries lsn = watermark_max + 1: one event per key,
+    so per-key (key, lsn) uniqueness holds, and any later producer event
+    outranks the sync exactly as it would a normal batch.
+
+    Scale shape: the snapshot routes through ONE hive-partitioned write
+    under the PERSISTED partitioning (normalize.assign_parts — identical
+    salting to the state), then one Ray task per partition full-outer
+    Acero-joins its state slice against its snapshot slice and emits
+    only the diff — O(state_partition + snapshot_partition) memory per
+    task, no global materialization, diff volume proportional to actual
+    drift.  The diff then applies through the standard exactly-once
+    pipeline (idempotent per run_id)."""
+    from ..util import atomic_write_parquet
+    from .merge import read_partition_state
+    from .normalize import assign_parts
+
+    summ = lineage_summary(cfg)
+    base_lsn = max(int(summ["watermark_max"]), 0)
+    stage_root = os.path.join(cfg.out_dir, f"snapsync-{run_id}")
+    snap_dir = os.path.join(stage_root, "snap")
+    import shutil as _shutil
+
+    _shutil.rmtree(stage_root, ignore_errors=True)  # deterministic rebuild
+    os.makedirs(snap_dir, exist_ok=True)
+
+    def route(t: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "conv_id": t["conv_id"].cast(pa.string()),
+                "turn_idx": t["turn_idx"].cast(pa.int32()),
+                "role": t["role"].cast(pa.string()),
+                "text": t["text"].cast(pa.string()),
+                "tool": t["tool"].cast(pa.string()),
+                "ts": t["ts"].cast(pa.timestamp("us")),
+            }
+        )
+        part = assign_parts(t["conv_id"], t["turn_idx"], cfg)
+        return t.append_column("part", pa.array(part))
+
+    ray.data.read_parquet(snapshot_path).map_batches(
+        route, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(snap_dir, partition_cols=["part"])
+
+    snap_parts = {
+        int(d.split("=")[1])
+        for d in os.listdir(snap_dir)
+        if d.startswith("part=")
+    }
+    state_root = os.path.join(cfg.out_dir, "state")
+    state_parts = (
+        {
+            int(d.split("=")[1])
+            for d in os.listdir(state_root)
+            if d.startswith("part=")
+        }
+        if os.path.isdir(state_root)
+        else set()
+    )
+    payload = ["role", "text", "tool", "ts"]
+    pc_ = pa.compute
+
+    @ray.remote(num_cpus=1)
+    def diff_part(part: int) -> "tuple[str | None, int, int]":
+        state = read_partition_state(cfg.state_dir(part), policy=cfg.orphan_updates)
+        live = state.filter(
+            pc_.equal(pc_.fill_null(state["_deleted"], False), False)
+        ).select(list(USER_COLS))
+        sd = os.path.join(snap_dir, f"part={part}")
+        if os.path.isdir(sd):
+            import pyarrow.dataset as pads
+
+            snap = pads.dataset(sd, format="parquet").to_table(
+                columns=list(USER_COLS)
+            )
+        else:
+            snap = live.slice(0, 0)
+        l = live.append_column("_l", pa.array(np.ones(live.num_rows, np.int8)))
+        r = snap.rename_columns(
+            ["conv_id", "turn_idx"] + [f"{c}_s" for c in payload]
+        ).append_column("_r", pa.array(np.ones(snap.num_rows, np.int8)))
+        j = l.join(r, keys=["conv_id", "turn_idx"], join_type="full outer")
+        in_l = pc_.is_valid(j["_l"])
+        in_r = pc_.is_valid(j["_r"])
+        changed = pa.array(np.zeros(j.num_rows, bool))
+        for c in payload:
+            a, b = j[c], j[f"{c}_s"]
+            eq = pc_.or_(
+                pc_.fill_null(pc_.equal(a, b), False),
+                pc_.and_(pc_.is_null(a), pc_.is_null(b)),
+            )
+            changed = pc_.or_(changed, pc_.invert(eq))
+        ins = j.filter(pc_.and_(in_r, pc_.or_(pc_.invert(in_l), changed)))
+        dels = j.filter(pc_.and_(in_l, pc_.invert(in_r)))
+        n_i, n_d = ins.num_rows, dels.num_rows
+        if n_i + n_d == 0:
+            return None, 0, 0
+        ev = pa.table(
+            {
+                "lsn": pa.array(
+                    np.full(n_i + n_d, base_lsn + 1, np.int64)
+                ),
+                "op": pa.array(["I"] * n_i + ["D"] * n_d, pa.string()),
+                "conv_id": pa.concat_arrays(
+                    [ins["conv_id"].combine_chunks(),
+                     dels["conv_id"].combine_chunks()]
+                ),
+                "turn_idx": pa.concat_arrays(
+                    [ins["turn_idx"].combine_chunks(),
+                     dels["turn_idx"].combine_chunks()]
+                ),
+                **{
+                    c: pa.concat_arrays(
+                        [ins[f"{c}_s"].combine_chunks(),
+                         pa.nulls(n_d, ins[f"{c}_s"].type)]
+                    )
+                    for c in payload
+                },
+            }
+        )
+        path = os.path.join(stage_root, f"events-{part:05d}.parquet")
+        atomic_write_parquet(path, ev)
+        return path, n_i, n_d
+
+    results = ray.get([diff_part.remote(p) for p in sorted(snap_parts | state_parts)])
+    files = [p for p, _, _ in results if p]
+    n_ins = sum(i for _, i, _ in results)
+    n_del = sum(d for _, _, d in results)
+    if files:
+        summary = apply_cdc(files, cfg, run_id=run_id)
+    else:
+        _journal_run(cfg.out_dir, run_id)
+        summary = {"run_id": run_id, "events_in": 0, "rows_live": None}
+    summary["sync_inserts"] = n_ins
+    summary["sync_deletes"] = n_del
+    return summary
