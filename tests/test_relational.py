@@ -1017,3 +1017,54 @@ def test_bloom_bitmap_properties(ray_session):
     fp = _bloom_test(bits, _hash64_col(pa.array(probe)), m).mean()
     model = (1 - np.exp(-2 * len(keys) / m)) ** 2
     assert fp < max(4 * model, 0.05), (fp, model)
+
+
+def test_hot_key_salted_join_equals_plain(ray_session):
+    """hot_keys replication: inner/left/anti results are identical to the
+    unsalted join on heavily skewed data with a multi-match right side
+    (incl. a hot key with several right rows and null probe keys);
+    outer/multi-column/k<2 raise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    rng = np.random.default_rng(23)
+    n = 8000
+    # 85% of left rows share one key; a second hot key takes another 10%
+    lk = np.where(rng.random(n) < 0.85, 7, rng.integers(0, 400, n))
+    lk = np.where((rng.random(n) < 0.6667) & (lk != 7), lk, np.where(lk == 7, 7, 13))
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([None if i % 211 == 0 else int(v) for i, v in enumerate(lk)],
+                      type=pa.int64()),
+        "lv": pa.array(np.arange(n)),
+    })).repartition(8)
+    # right: hot keys have multiple rows (multi-match), many keys absent
+    rk = np.concatenate([[7, 7, 7, 13, 13], rng.choice(200, 60, replace=False)])
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk, type=pa.int64()),
+        "rv": pa.array(np.arange(len(rk)) * 100),
+    })).repartition(4)
+
+    def canon(ds):
+        # repr-keyed sort: rows may carry None next to ints
+        return sorted((tuple(sorted(r.items())) for r in ds.take_all()), key=repr)
+
+    for how in ("inner", "left", "anti"):
+        plain = canon(hash_join(left, right, on="k", how=how, num_buckets=32))
+        salted = canon(hash_join(left, right, on="k", how=how, num_buckets=32,
+                                 hot_keys=[7, 13], hot_replicas=8))
+        assert salted == plain, how
+    # a hot key absent from the right must still anti/left correctly
+    salted = canon(hash_join(left, right, on="k", how="anti", num_buckets=32,
+                             hot_keys=[7, 999], hot_replicas=4))
+    plain = canon(hash_join(left, right, on="k", how="anti", num_buckets=32))
+    assert salted == plain
+
+    with pytest.raises(ValueError, match="outer"):
+        hash_join(left, right, on="k", how="outer", hot_keys=[7])
+    with pytest.raises(ValueError, match="single join column"):
+        hash_join(left, right, on=["k", "lv"], hot_keys=[7])
+    with pytest.raises(ValueError, match="hot_replicas"):
+        hash_join(left, right, on="k", hot_keys=[7], hot_replicas=1)

@@ -425,6 +425,7 @@ def hash_join(left, right, on: "str | list[str]",
               how: str = "inner", right_unique: bool = False,
               bytes_hint: "int | None" = None,
               bloom_prefilter: bool = False, bloom_bits: int = 1 << 23,
+              hot_keys=None, hot_replicas: int = 8,
               _key_hasher=None):
     """Bucketed hash join of two Datasets on int64/temporal OR string
     keys — single-column or COMPOSITE (`on=["a", "b"]`, any type mix).
@@ -458,6 +459,18 @@ def hash_join(left, right, on: "str | list[str]",
     shuffle volume shrinks by the join selectivity.  Not applicable to
     left/outer (unmatched lefts must survive) or anti (non-matching lefts
     ARE the output).
+
+    `hot_keys=[...]` salts VALUE skew (the one thing the splitmix mix
+    cannot fix — a single key whose rows outweigh a bucket): each hot
+    LEFT row takes one of `hot_replicas` salted buckets
+    (mix_hash(key_hash, salt) & (B-1)) and the hot RIGHT rows are
+    REPLICATED into all of them, so per-bucket memory for the hot key
+    drops ~`hot_replicas`× at the cost of hot-right duplication
+    (dimension-sized in practice).  inner/left/anti only: a full outer
+    join would emit an unmatched hot-right row once per replica — it
+    raises instead.  Detect candidates with
+    `ops.sketches.mg_partial_batch`-style heavy-hitter passes or pass
+    the keys you already know are pathological.
 
     `right_unique=True` (caller-asserted: the right side has at most one
     row per key — a dimension/lookup table) takes a one-gather fast path
@@ -497,7 +510,36 @@ def hash_join(left, right, on: "str | list[str]",
             )
         bloom_ref = ray.put(build_key_bloom(right, on_cols, bloom_bits, _key_hasher))
 
+    hot_list = sorted(set(hot_keys)) if hot_keys else None
+    if hot_list is not None:
+        if how == "outer":
+            raise ValueError(
+                "hot_keys salting cannot do outer joins: an unmatched hot "
+                "right row would be emitted once per replica"
+            )
+        if multi:
+            raise ValueError("hot_keys salting requires a single join column")
+        if hot_replicas < 2:
+            raise ValueError("hot_replicas must be >= 2")
+    from ..util import mix_hash
+
     def tag(side: str, own: "set[str]"):
+        def emit(t: pa.Table, b: pa.Array) -> pa.Table:
+            n = t.num_rows
+            out = pa.table(
+                {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
+            )
+            out = out.append_column("_bucket", b)
+            return out.append_column("_side", pa.array([side] * n))
+
+        def buckets(t: pa.Table) -> pa.Array:
+            if multi:
+                return pa.array(
+                    (_composite_hash(t, on_cols, _key_hasher) % np.uint64(num_buckets))
+                    .astype(np.int32)
+                )
+            return _bucket_ids(t[on], num_buckets, hasher=_key_hasher)
+
         def _f(t: pa.Table) -> pa.Table:
             if side == "l" and bloom_ref is not None:
                 bits = ray.get(bloom_ref)  # object-store cached, zero-copy
@@ -507,19 +549,45 @@ def hash_join(left, right, on: "str | list[str]",
                     else _hash64_col(t[on], _key_hasher)
                 )
                 t = t.filter(pa.array(_bloom_test(bits, h, bloom_bits)))
-            n = t.num_rows
-            if multi:
-                b = pa.array(
-                    (_composite_hash(t, on_cols, _key_hasher) % np.uint64(num_buckets))
-                    .astype(np.int32)
-                )
-            else:
-                b = _bucket_ids(t[on], num_buckets, hasher=_key_hasher)
-            out = pa.table(
-                {c: (t[c] if c in own else pa.nulls(n, type=all_types[c])) for c in all_cols}
+            if hot_list is None or t.num_rows == 0:
+                return emit(t, buckets(t))
+            hm_arr = pc.fill_null(
+                pc.is_in(t[on], value_set=pa.array(hot_list)), False
             )
-            out = out.append_column("_bucket", b)
-            return out.append_column("_side", pa.array([side] * n))
+            hot_mask = hm_arr.to_numpy(zero_copy_only=False).astype(bool)
+            if not hot_mask.any():
+                return emit(t, buckets(t))
+            mask64 = np.uint64(num_buckets - 1)
+            if side == "l":
+                # each hot left row picks ONE salted sub-bucket
+                h64 = _hash64_col(t[on], _key_hasher)
+                salts = (np.arange(t.num_rows) % hot_replicas).astype(np.int64)
+                sb = (mix_hash(h64, salts) & mask64).astype(np.int32)
+                base = buckets(t).to_numpy(zero_copy_only=False)
+                return emit(t, pa.array(np.where(hot_mask, sb, base).astype(np.int32)))
+            # right side: hot rows REPLICATED into every salted sub-bucket.
+            # Replicate per UNIQUE key into its np.unique'd sub-bucket set:
+            # two salts can collide into one bucket, and a duplicated
+            # replica there would duplicate inner-join matches.
+            cold = t.filter(pc.invert(hm_arr))
+            parts = [emit(cold, buckets(cold))]
+            for hk in hot_list:
+                rows = t.filter(pc.equal(t[on], hk))
+                if rows.num_rows == 0:
+                    continue
+                h1 = _hash64_col(rows[on].slice(0, 1), _key_hasher)
+                subs = np.unique(
+                    mix_hash(
+                        np.repeat(h1, hot_replicas),
+                        np.arange(hot_replicas, dtype=np.int64),
+                    )
+                    & mask64
+                ).astype(np.int32)
+                for ub in subs.tolist():
+                    parts.append(
+                        emit(rows, pa.array(np.full(rows.num_rows, ub, np.int32)))
+                    )
+            return pa.concat_tables(parts)
 
         return _f
 
