@@ -2002,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
         "revenue_by_nation": _revenue_by_nation,
+        "q5_region_supplier_volume": R.q5_region_supplier_volume,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "orders_without_lineitems": _orders_without_lineitems,
         # --- dedup family ---
@@ -3182,6 +3183,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
+        """,
+        "q5_region_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round_even(l.l_extendedprice*(1-l.l_discount)*1e6, 0)
+                        AS BIGINT)) AS BIGINT) AS revenue_u,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND s.s_nationkey = c.c_nationkey
+            JOIN nation n   ON n.n_nationkey = s.s_nationkey
+            JOIN region r   ON r.r_regionkey = n.n_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name ORDER BY n.n_name
         """,
         "orders_without_lineitems": """
             SELECT o_orderkey,

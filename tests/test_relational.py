@@ -1068,3 +1068,15 @@ def test_hot_key_salted_join_equals_plain(ray_session):
         hash_join(left, right, on=["k", "lv"], hot_keys=[7])
     with pytest.raises(ValueError, match="hot_replicas"):
         hash_join(left, right, on="k", hot_keys=[7], hot_replicas=1)
+
+
+def test_q5_supplier_fallback_equals_broadcast(ray_session):
+    """q5's above-the-bound path (third hash_join on suppkey + fused
+    colocation filter) returns exactly the broadcast-stage result."""
+    from tg_data_connector_ray.pipelines.relational import q5_region_supplier_volume
+
+    sf = "/root/testdata/sf0.001"
+    fast = q5_region_supplier_volume(sf)
+    slow = q5_region_supplier_volume(sf, max_broadcast_bytes=0)
+    assert fast.num_rows > 0
+    assert fast.equals(slow)

@@ -2796,3 +2796,231 @@ def events_funnel(sf_dir: str, steps=("view", "click", "purchase"), n_coarse: in
         partials, ["step_idx", "step"], [("n_users", "sum")], ["n_users"], n_coarse=4
     )
     return out.to_pandas().sort_values("step_idx").reset_index(drop=True)
+
+
+class _SuppNation:
+    """suppkey -> supplier nation lookup + the Q5 colocation filter
+    (c_nationkey == s_nationkey) + per-nation partial aggregate, as one
+    instance-shipped task stage.  The supplier dim is thinned to two
+    int64 columns and footer-pre-checked against the broadcast bound
+    (TPC-H supplier is 10x smaller than customer; at sf100 the thin dim
+    is ~16 MB — safely under the 256 MB default)."""
+
+    def __init__(self, supp_path: str,
+                 max_broadcast_bytes: int = MAX_BROADCAST_BYTES):
+        import pyarrow.parquet as pq
+
+        from ..util import parquet_bytes_hint
+
+        est = parquet_bytes_hint(supp_path, ["s_suppkey", "s_nationkey"])
+        if est > max_broadcast_bytes:
+            raise BroadcastTooLarge(
+                f"supplier dim ~{est} B exceeds the {max_broadcast_bytes} B "
+                "broadcast bound; use q5's hash_join fallback"
+            )
+        s = pq.read_table(supp_path, columns=["s_suppkey", "s_nationkey"])
+        sk = (
+            s["s_suppkey"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(sk, kind="stable")
+        self.sk = sk[order]
+        self.snat = (
+            s["s_nationkey"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)[order]
+        )
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        k = (
+            t["l_suppkey"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        pos = np.searchsorted(self.sk, k).clip(0, max(len(self.sk) - 1, 0))
+        hit = (self.sk[pos] == k) if len(self.sk) else np.zeros(len(k), bool)
+        cnat = (
+            t["c_nationkey"].combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keep = hit & (self.snat[pos] == cnat)
+        g = (
+            pa.table(
+                {
+                    "nationkey": pa.array(cnat[keep]),
+                    "revenue_u": t["revenue_u"].combine_chunks().filter(
+                        pa.array(keep)
+                    ),
+                }
+            )
+            .group_by("nationkey")
+            .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
+        )
+        return g.rename_columns(["nationkey", "revenue_u", "n_items"])
+
+
+def q5_region_supplier_volume(
+    sf_dir: str, region: str = "ASIA",
+    date_lo: str = "1996-01-01", date_hi: str = "1997-01-01",
+    num_buckets: "int | None" = None,
+    max_broadcast_bytes: int = MAX_BROADCAST_BYTES,
+):
+    """TPC-H Q5 flavor — the repo's deepest join pipeline (6 tables):
+    revenue per nation for line items whose customer AND supplier share
+    a nation inside `region`, over one order-date year.
+
+    Plan, in scale order:
+      region/nation     driver constants (≤25 rows each by schema);
+      orders ⋈ customer bucketed hash_join on custkey — both sides large,
+                        orders date-filtered + thinned to 2 columns and
+                        customer thinned to (custkey, nationkey) and
+                        pre-filtered to the region's nations (~1/5) BEFORE
+                        the exchange;
+      lineitem ⋈ that   bucketed hash_join on orderkey (right-unique: one
+                        row per orderkey survives the first join);
+      supplier          broadcast suppkey→nationkey (bounded, 2 int64
+                        columns) + the c==s nation equality filter fused
+                        into the same instance-shipped stage — falls back
+                        to a third hash_join above the bound;
+      finish            per-batch u6 partials per nationkey, driver merge
+                        of |nations| × blocks rows, names attached last.
+    """
+    import pyarrow.parquet as pq
+
+    from ..util import parquet_bytes_hint
+
+    nation = pq.read_table(
+        _t(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region_t = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rk = region_t.filter(pc.equal(region_t["r_name"], region))["r_regionkey"]
+    nat = nation.filter(
+        pc.is_in(nation["n_regionkey"], value_set=rk.combine_chunks())
+    )
+    nk_set = nat["n_nationkey"].combine_chunks()
+    names = {
+        int(k): v
+        for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())
+    }
+
+    lo = int(np.datetime64(date_lo, "us").astype(np.int64))
+    hi = int(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def ord_thin(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].cast(pa.int64())
+        keep = pc.and_(
+            pc.greater_equal(d, pa.scalar(lo, pa.int64())),
+            pc.less(d, pa.scalar(hi, pa.int64())),
+        )
+        s = t.filter(keep)
+        return pa.table({"o_orderkey": s["o_orderkey"], "o_custkey": s["o_custkey"]})
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(ord_thin, batch_format="pyarrow", zero_copy_batch=True)
+
+    def cust_thin(t: pa.Table) -> pa.Table:
+        s = t.filter(
+            pc.fill_null(pc.is_in(t["c_nationkey"], value_set=nk_set), False)
+        )
+        return pa.table(
+            {"o_custkey": s["c_custkey"],
+             "c_nationkey": s["c_nationkey"].cast(pa.int64())}
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).map_batches(
+        cust_thin, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    j1 = hash_join(
+        orders, cust, on="o_custkey", right_unique=True, num_buckets=num_buckets,
+        bytes_hint=parquet_bytes_hint(_t(sf_dir, "orders"), ["o_orderkey", "o_custkey"])
+        + parquet_bytes_hint(_t(sf_dir, "customer"), ["c_custkey", "c_nationkey"]),
+    ).map_batches(
+        lambda t: pa.table(
+            {"l_orderkey": t["o_orderkey"], "c_nationkey": t["c_nationkey"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def item_thin(t: pa.Table) -> pa.Table:
+        rev_u = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0), t["l_discount"])),
+                    pa.scalar(1e6),
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+             "revenue_u": rev_u}
+        )
+
+    items = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(item_thin, batch_format="pyarrow", zero_copy_batch=True)
+
+    j2 = hash_join(
+        items, j1, on="l_orderkey", right_unique=True, num_buckets=num_buckets,
+        bytes_hint=parquet_bytes_hint(
+            _t(sf_dir, "lineitem"), ["l_orderkey", "l_suppkey", "l_extendedprice"]
+        )
+        + parquet_bytes_hint(_t(sf_dir, "orders"), ["o_orderkey", "o_custkey"]),
+    )
+
+    try:
+        partials = j2.map_batches(
+            _SuppNation(_t(sf_dir, "supplier"), max_broadcast_bytes),
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+    except BroadcastTooLarge:
+        supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).map_batches(
+            lambda t: pa.table(
+                {"l_suppkey": t["s_suppkey"],
+                 "s_nationkey": t["s_nationkey"].cast(pa.int64())}
+            ),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        j3 = hash_join(
+            j2, supp, on="l_suppkey", right_unique=True,
+            bytes_hint=parquet_bytes_hint(
+                _t(sf_dir, "lineitem"), ["l_orderkey", "l_suppkey", "l_extendedprice"]
+            )
+            + parquet_bytes_hint(_t(sf_dir, "supplier"), ["s_suppkey", "s_nationkey"]),
+        )
+
+        def colocated_partial(t: pa.Table) -> pa.Table:
+            keep = pc.fill_null(
+                pc.equal(t["c_nationkey"], t["s_nationkey"]), False
+            )
+            s = t.filter(keep)
+            g = (
+                pa.table({"nationkey": s["c_nationkey"], "revenue_u": s["revenue_u"]})
+                .group_by("nationkey")
+                .aggregate([("revenue_u", "sum"), ("revenue_u", "count")])
+            )
+            return g.rename_columns(["nationkey", "revenue_u", "n_items"])
+
+        partials = j3.map_batches(
+            colocated_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+
+    if len(partials) == 0:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()),
+             "revenue_u": pa.array([], pa.int64()),
+             "n_items": pa.array([], pa.int64())}
+        )
+    fin = partials.groupby("nationkey", as_index=False).sum()
+    fin["n_name"] = fin["nationkey"].map(names)
+    fin = fin.sort_values("n_name")
+    return pa.table(
+        {
+            "n_name": pa.array(fin["n_name"].tolist(), pa.string()),
+            "revenue_u": pa.array(fin["revenue_u"].to_numpy(np.int64)),
+            "n_items": pa.array(fin["n_items"].to_numpy(np.int64)),
+        }
+    )
