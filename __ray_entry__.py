@@ -1560,6 +1560,21 @@ def _docs_keyword_topk(sf_dir):
     return keyword_topk(ds, ("hash", "merge", "scan"), k=20)
 
 
+def _events_value_histogram(sf_dir):
+    """Equal-width exact histogram of events.value over [0, 500) in 25
+    buckets (+ overflow): per-block bincount partials in u6 integer
+    space (ops/sketches.value_histogram) — the shuffle carries
+    n_buckets+2 ints per block, never rows."""
+    from tg_data_connector_ray.ops.sketches import value_histogram
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"],
+        small_block_bytes=256 << 10,
+    )
+    return value_histogram(ds, "value", lo=0.0, hi=500.0, n_buckets=25)
+
+
 def _events_type_pagerank(sf_dir):
     """Iterative graph algorithm over a sequence-derived graph: the
     event-type transition graph (per-user order by ts, event_id) ranked
@@ -1992,6 +2007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": _docs_profile,
         "events_type_pagerank": _events_type_pagerank,
         "events_top_paths": _events_top_paths,
+        "events_value_histogram": _events_value_histogram,
         "users_in_both": _users_in_both,
         "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
@@ -3279,6 +3295,20 @@ def oracle_sql() -> dict[str, str]:
         "docs_profile": _docs_profile_oracle_sql(),
         # iterative integer PageRank == the unrolled SQL recurrence
         "events_type_pagerank": _events_type_pagerank_oracle_sql(),
+        # u6 integer-space equal-width histogram: floor == truncating //
+        # because the numerator is non-negative by construction
+        "events_value_histogram": """
+            WITH v AS (
+              SELECT CAST(round_even(value * 1e6, 0) AS BIGINT) AS vu
+              FROM events WHERE value IS NOT NULL
+            )
+            SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+              SELECT CASE WHEN vu < 0 THEN -1
+                          WHEN vu >= 500000000 THEN 25
+                          ELSE vu * 25 // 500000000 END AS b
+              FROM v
+            ) GROUP BY b ORDER BY b
+        """,
         "events_top_paths": """
             WITH seq AS (
               SELECT event_type AS t1,

@@ -1454,3 +1454,26 @@ def test_snapshot_sync_bootstraps_fresh_table(t1, fixture_root, tmp_path):
     assert got.num_rows == exp.num_rows
     exp = exp.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
     assert got.equals(exp.select(got.column_names))
+
+
+def test_read_final_table_column_pruning(t1, tmp_path):
+    """read_final_table(columns=...) prunes the scan to a USER_COLS
+    subset (both the plain-parquet path and the delta fold path) and
+    rejects unknown columns."""
+    from tg_data_connector_ray.cdc.pipeline import read_final_table
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "prune"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    thin = read_final_table(cfg, columns=["conv_id", "text"])
+    assert set(thin.schema().names) == {"conv_id", "text"}
+    assert thin.count() == pq.read_table(t1["transcripts"]).num_rows
+
+    dcfg = CdcConfig(out_dir=str(tmp_path / "prune_d"), num_partitions=4,
+                     merge_strategy="delta", delta_compact_runs=100)
+    apply_cdc(t1["cdc_log"], dcfg)
+    thin_d = read_final_table(dcfg, columns=["conv_id", "text"])
+    assert set(thin_d.schema().names) == {"conv_id", "text"}
+    assert thin_d.count() == thin.count()
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        read_final_table(cfg, columns=["nope"])

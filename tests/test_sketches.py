@@ -156,3 +156,41 @@ def test_heavy_hitters_two_pass_and_degenerate_block(ray_session):
     got = heavy_hitters(ds, "u", phi=0.3, k=8, materialize_input=True).to_pandas()
     # key 0 holds 60/100 = 0.6 >= 0.3; every other key is 1%
     assert got["u"].tolist() == [0] and got["n"].tolist() == [60]
+
+
+def test_value_histogram_exact_with_under_overflow(ray_session):
+    """u6 integer bucketing vs DuckDB CASE reconstruction, including
+    underflow/overflow buckets and nulls (not counted)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.sketches import value_histogram
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        rng.uniform(-10, 110, 4000),
+        [0.0, 99.999999, 100.0, -0.000001],  # exact boundary hits
+    ])
+    t = pa.table({"value": pa.array(
+        [None if i % 97 == 0 else float(v) for i, v in enumerate(vals)],
+        pa.float64(),
+    )})
+    got = value_histogram(
+        ray.data.from_arrow(t).repartition(6), "value", 0.0, 100.0, 10
+    )
+    con = duckdb.connect()
+    con.register("e", t)
+    exp = con.execute("""
+        WITH v AS (SELECT CAST(round_even(value*1e6,0) AS BIGINT) AS vu
+                   FROM e WHERE value IS NOT NULL)
+        SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n FROM (
+          SELECT CASE WHEN vu < 0 THEN -1
+                      WHEN vu >= 100000000 THEN 10
+                      ELSE vu * 10 // 100000000 END AS b FROM v)
+        GROUP BY b ORDER BY b
+    """).arrow()
+    assert got.to_pydict() == exp.to_pydict()
+    assert got["bucket"][0].as_py() == -1  # underflow really present
+    assert got["bucket"][-1].as_py() == 10  # overflow really present

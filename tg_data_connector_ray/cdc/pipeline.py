@@ -1475,30 +1475,42 @@ def verify_against(cfg: CdcConfig, expected_path: str) -> dict:
 
 
 def read_final_table(
-    cfg: CdcConfig, sort: bool = False, runs: "frozenset[str] | None" = None
+    cfg: CdcConfig,
+    sort: bool = False,
+    runs: "frozenset[str] | None" = None,
+    columns: "list[str] | None" = None,
 ) -> "ray.data.Dataset":
     """The converged user-facing table as a streaming Dataset: the live
     view over per-partition state (tombstones filtered at the read, pushed
     down to the parquet scan).  With uncompacted LSM delta-run files each
     partition folds base+deltas inside its read task instead.  `runs`
-    restricts the fold to an as-of-run allow-set (see `time_travel`)."""
+    restricts the fold to an as-of-run allow-set (see `time_travel`).
+    `columns` prunes the read to a USER_COLS subset — downstream
+    analytics that touch two columns must not lift full transcripts off
+    storage (the repo-wide prune-at-the-read rule)."""
+    cols = list(USER_COLS) if columns is None else list(columns)
+    unknown = [c for c in cols if c not in USER_COLS]
+    if unknown:
+        raise ValueError(f"unknown columns {unknown}; available: {list(USER_COLS)}")
     if runs is not None or _any_delta_files(cfg):
         def live_view(t: pa.Table) -> pa.Table:
             keep = pa.compute.equal(
                 pa.compute.fill_null(t["_deleted"], False), False
             )
-            return t.filter(keep).select(list(USER_COLS))
+            return t.filter(keep).select(cols)
 
+        # the fold needs full registers (per-column setter LSNs), so the
+        # delta path prunes after the in-task fold, not at the scan
         ds = _folded_state_dataset(cfg, runs=runs).map_batches(
             live_view, batch_format="pyarrow", zero_copy_batch=True
         )
     else:
         paths = _state_parquet_paths(cfg)
         if not paths:
-            return ray.data.from_arrow(_empty_final_table())
+            return ray.data.from_arrow(_empty_final_table().select(cols))
         ds = ray.data.read_parquet(
             paths,
-            columns=list(USER_COLS),
+            columns=cols,
             filter=pa.compute.field("_deleted") == False,  # noqa: E712
         )
     if sort:

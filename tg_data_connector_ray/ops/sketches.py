@@ -234,3 +234,56 @@ def heavy_hitters(ds, key_col: str, phi: float = 0.001, k: int = 4096,
             "n": pa.array(out["n"].to_numpy(np.int64), pa.int64()),
         }
     )
+
+
+def value_histogram(
+    ds, value_col: str, lo: float, hi: float, n_buckets: int
+) -> pa.Table:
+    """Equal-width histogram over [lo, hi) with underflow (-1) and
+    overflow (n_buckets) buckets — exact and oracle-reproducible because
+    bucketing happens in u6 INTEGER space: vu = round_even(value·10⁶),
+    bucket = (vu − lo_u)·n // (hi_u − lo_u) with a non-negative numerator
+    by construction (under/overflow split off first), so numpy floor
+    division and SQL's truncating // agree.
+
+    The cheapest possible distributed shape: one bincount partial per
+    block (n_buckets+2 ints — never the rows), a driver group_by fold.
+    Nulls are not counted (SQL count(*) over a CASE of a NULL input
+    would; callers drop nulls first if they carry any)."""
+    lo_u = int(round(lo * 1e6))
+    hi_u = int(round(hi * 1e6))
+    if hi_u <= lo_u or n_buckets < 1:
+        raise ValueError("need hi > lo and n_buckets >= 1")
+    width = hi_u - lo_u
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks()
+        v = v.drop_null()
+        if len(v) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        vu = np.round(
+            v.cast(pa.float64()).to_numpy(zero_copy_only=False) * 1e6
+        ).astype(np.int64)
+        b = np.empty(len(vu), np.int64)
+        under = vu < lo_u
+        over = vu >= hi_u
+        mid = ~(under | over)
+        b[under] = -1
+        b[over] = n_buckets
+        b[mid] = (vu[mid] - lo_u) * n_buckets // width
+        counts = np.bincount(b + 1, minlength=n_buckets + 2)
+        nz = np.nonzero(counts)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64) - 1),
+                         "n": pa.array(counts[nz].astype(np.int64))})
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(partial, batch_format="pyarrow").take_all()
+    )
+    if parts.num_rows == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    agg = parts.group_by("bucket").aggregate([("n", "sum")])
+    return pa.table(
+        {"bucket": agg["bucket"], "n": agg["n_sum"].cast(pa.int64())}
+    ).sort_by([("bucket", "ascending")])
