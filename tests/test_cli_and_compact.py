@@ -390,3 +390,39 @@ def test_cli_tail_verb(t1, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     totals = json.loads(r.stdout.strip().splitlines()[-1])
     assert totals["batches"] == 1 and totals["rows_live"] > 0
+
+
+def test_cli_export_jsonl(t1, tmp_path):
+    """`export --format jsonl` writes sharded one-object-per-line files
+    whose parsed rows equal the converged table."""
+    import subprocess
+    import sys
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+
+    out = str(tmp_path / "t")
+    cfg = CdcConfig(out_dir=out, num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    truth = final_table_arrow(cfg, sort=True)
+
+    dest = str(tmp_path / "jl")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "export",
+            "--out", out, "--dest", dest, "--partitions", "4",
+            "--format", "jsonl",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["rows"] == truth.num_rows and rep["format"] == "jsonl"
+    rows = []
+    for f in sorted(os.listdir(dest)):
+        with open(os.path.join(dest, f)) as fh:
+            rows.extend(json.loads(line) for line in fh)
+    assert len(rows) == truth.num_rows
+    rows.sort(key=lambda d: (d["conv_id"], d["turn_idx"]))
+    assert [d["text"] for d in rows] == truth["text"].to_pylist()

@@ -68,6 +68,11 @@ def main(argv=None) -> int:
     exp.add_argument("--dest", required=True, help="destination parquet dir")
     exp.add_argument("--as-of", dest="as_of", help="journaled run id to read as of")
     exp.add_argument("--partitions", type=int, default=64)
+    exp.add_argument(
+        "--format", dest="fmt", choices=["parquet", "jsonl"], default="parquet",
+        help="jsonl writes one JSON object per line (sharded) — the "
+        "hand-off format LLM training pipelines ingest",
+    )
 
     cf = sub.add_parser(
         "changefeed",
@@ -253,13 +258,24 @@ def main(argv=None) -> int:
 
             cfg = CdcConfig(out_dir=args.out, num_partitions=args.partitions)
             runs = time_travel_runs(cfg, args.as_of) if args.as_of else None
-            read_final_table(cfg, runs=runs).write_parquet(args.dest)
-            # row count from the written footers — no second execution
-            rows = sum(
-                _pq.read_metadata(f).num_rows
-                for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
-            )
-            out = {"rows": rows, "dest": args.dest, "as_of": args.as_of}
+            ds = read_final_table(cfg, runs=runs)
+            if getattr(args, "fmt", "parquet") == "jsonl":
+                ds.write_json(args.dest)
+                rows = 0
+                for f in _glob.glob(os.path.join(args.dest, "*.json")):
+                    with open(f, "rb") as fh:
+                        rows += sum(1 for _ in fh)
+            else:
+                ds.write_parquet(args.dest)
+                # row count from the written footers — no second execution
+                rows = sum(
+                    _pq.read_metadata(f).num_rows
+                    for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
+                )
+            out = {
+                "rows": rows, "dest": args.dest, "as_of": args.as_of,
+                "format": getattr(args, "fmt", "parquet"),
+            }
         elif args.cmd == "changefeed":
             import glob as _glob
 
