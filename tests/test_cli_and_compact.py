@@ -426,3 +426,43 @@ def test_cli_export_jsonl(t1, tmp_path):
     assert len(rows) == truth.num_rows
     rows.sort(key=lambda d: (d["conv_id"], d["turn_idx"]))
     assert [d["text"] for d in rows] == truth["text"].to_pylist()
+
+
+def test_vacuum_reclaims_journaled_staging(t1, tmp_path):
+    """vacuum removes committed runs' staging (corrections, snapshot
+    sync) but keeps unjournaled stages (resume material) and the dirty
+    channel unless asked; the table stays readable."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        apply_corrections,
+        final_table_arrow,
+        vacuum,
+    )
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "v"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    before = final_table_arrow(cfg, sort=True)
+    fix = pa.table({
+        "conv_id": before["conv_id"].slice(0, 1),
+        "turn_idx": before["turn_idx"].slice(0, 1),
+        "text": pa.array(["vac-edit"]),
+    })
+    apply_corrections(cfg, fix, run_id="vacfix")
+    assert os.path.isdir(os.path.join(cfg.out_dir, "correct-vacfix"))
+    # an unjournaled (crashed-run) stage must survive
+    os.makedirs(os.path.join(cfg.out_dir, "correct-crashed"))
+
+    rep = vacuum(cfg)
+    assert "correct-vacfix" in rep["dirs_removed"]
+    assert not os.path.isdir(os.path.join(cfg.out_dir, "correct-vacfix"))
+    assert os.path.isdir(os.path.join(cfg.out_dir, "correct-crashed"))
+
+    after = final_table_arrow(cfg, sort=True)
+    assert after.num_rows == before.num_rows
+    assert after["text"][0].as_py() == "vac-edit"
+
+    from tg_data_connector_ray.__main__ import main
+    assert main(["vacuum", "--out", cfg.out_dir]) == 0

@@ -172,6 +172,14 @@ def main(argv=None) -> int:
     lin.add_argument("--out", required=True)
     lin.add_argument("--parts", action="store_true", help="include per-partition rows")
 
+    vac = sub.add_parser(
+        "vacuum", help="reclaim journaled runs' staging (correct/repair/"
+        "snapsync/tail-stage/spool leftovers)"
+    )
+    vac.add_argument("--out", required=True)
+    vac.add_argument("--prune-dirty", action="store_true",
+                     help="also drop journaled runs' dead-letter channels")
+
     sch = sub.add_parser(
         "schemas", help="input schema-evolution timeline (schema.log)"
     )
@@ -229,6 +237,12 @@ def main(argv=None) -> int:
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
                 tombstone_retention_lsn=args.retention,
             )
+        elif args.cmd == "vacuum":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import vacuum
+
+            out = vacuum(CdcConfig(out_dir=args.out),
+                         prune_dirty=args.prune_dirty)
         elif args.cmd == "schemas":
             from .cdc.schema import schema_history
 

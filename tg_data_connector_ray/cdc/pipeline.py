@@ -1719,3 +1719,73 @@ def snapshot_sync(cfg: CdcConfig, snapshot_path: str, run_id: str) -> dict:
     summary["sync_inserts"] = n_ins
     summary["sync_deletes"] = n_del
     return summary
+
+
+def vacuum(cfg: CdcConfig, prune_dirty: bool = False) -> dict:
+    """Reclaim the staging a long-lived table accumulates: the
+    `correct-*` / `repair-*` / `snapsync-*` / `tail-stage/*` event
+    stages and any leftover `spool/*` whose run is JOURNALED (committed
+    end-to-end, runs.log) — staged events exist only so a crashed run
+    can retry with the same run_id, so a journaled run's stage is dead
+    weight.  Unjournaled stages are resume material and are kept.
+
+    `prune_dirty=True` also drops journaled runs' dirty channels — do
+    this only after `replay_dirty` triage; the dead-letter rows are the
+    only copy of rejected input.  Never touches state/, lineage/,
+    journals, or the format marker.  Returns dirs removed + bytes
+    reclaimed.  Holds the writer lease (a concurrent apply could be
+    mid-retry on a stage this would sweep)."""
+    import shutil as _shutil
+
+    from .lease import writer_lease
+
+    path = os.path.join(cfg.out_dir, "runs.log")
+    journaled: "set[str]" = set()
+    if os.path.exists(path):
+        with open(path) as f:
+            journaled = set(f.read().split())
+
+    def _size(d: str) -> int:
+        total = 0
+        for root, _dirs, fs in os.walk(d):
+            for f in fs:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    removed: "list[str]" = []
+    reclaimed = 0
+    with writer_lease(cfg):
+        candidates: "list[tuple[str, str]]" = []  # (run_id, dir)
+        for name in os.listdir(cfg.out_dir) if os.path.isdir(cfg.out_dir) else []:
+            full = os.path.join(cfg.out_dir, name)
+            if not os.path.isdir(full):
+                continue
+            for prefix in ("correct-", "repair-", "snapsync-"):
+                if name.startswith(prefix):
+                    candidates.append((name[len(prefix):], full))
+        for sub in ("spool", "tail-stage"):
+            d = os.path.join(cfg.out_dir, sub)
+            if os.path.isdir(d):
+                candidates.extend(
+                    (run, os.path.join(d, run)) for run in os.listdir(d)
+                )
+        if prune_dirty:
+            d = os.path.join(cfg.out_dir, "dirty")
+            if os.path.isdir(d):
+                candidates.extend(
+                    (run, os.path.join(d, run)) for run in os.listdir(d)
+                )
+        for run, full in candidates:
+            if run not in journaled:
+                continue  # retry/resume material for an uncommitted run
+            reclaimed += _size(full)
+            _shutil.rmtree(full, ignore_errors=True)
+            removed.append(os.path.relpath(full, cfg.out_dir))
+    return {
+        "dirs_removed": sorted(removed),
+        "bytes_reclaimed": reclaimed,
+        "journaled_runs": len(journaled),
+    }
