@@ -466,3 +466,33 @@ def test_vacuum_reclaims_journaled_staging(t1, tmp_path):
 
     from tg_data_connector_ray.__main__ import main
     assert main(["vacuum", "--out", cfg.out_dir]) == 0
+
+
+def test_cli_get_point_lookup(t1, tmp_path):
+    """`get` CLI: pruned point lookup returns the requested convs' live
+    turns as JSON."""
+    import pyarrow as pa
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, final_table_arrow
+    from tg_data_connector_ray.__main__ import main
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "g"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    tbl = final_table_arrow(cfg, sort=True)
+    conv = tbl["conv_id"][0].as_py()
+    n_turns = tbl.filter(
+        pa.compute.equal(tbl["conv_id"], conv)
+    ).num_rows
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["get", "--out", cfg.out_dir, "--conv", conv,
+                   "--conv", "conv_missing", "--partitions", "4"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["rows"] == n_turns
+    assert all(r["conv_id"] == conv for r in rep["turns"])

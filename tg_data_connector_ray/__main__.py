@@ -172,6 +172,17 @@ def main(argv=None) -> int:
     lin.add_argument("--out", required=True)
     lin.add_argument("--parts", action="store_true", help="include per-partition rows")
 
+    get = sub.add_parser(
+        "get", help="point lookup: the live turns of specific conv_ids "
+        "(pruned partition reads, never a table scan)"
+    )
+    get.add_argument("--out", required=True)
+    get.add_argument("--conv", action="append", required=True,
+                     help="conv_id (repeatable)")
+    get.add_argument("--partitions", type=int, default=64)
+    get.add_argument("--hot-keys", default="",
+                     help="comma-separated salted hot conv_ids of the table")
+
     vac = sub.add_parser(
         "vacuum", help="reclaim journaled runs' staging (correct/repair/"
         "snapsync/tail-stage/spool leftovers)"
@@ -237,6 +248,17 @@ def main(argv=None) -> int:
                 CdcConfig(out_dir=args.out, num_partitions=args.partitions),
                 tombstone_retention_lsn=args.retention,
             )
+        elif args.cmd == "get":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import read_convs
+
+            hot = tuple(h for h in args.hot_keys.split(",") if h)
+            t = read_convs(
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions,
+                          hot_keys=hot),
+                args.conv,
+            )
+            out = {"rows": t.num_rows, "turns": t.to_pylist()}
         elif args.cmd == "vacuum":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import vacuum
