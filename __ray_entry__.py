@@ -2003,23 +2003,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly": _events_anomaly,
         "events_retention": R.events_retention,
         "events_funnel": R.events_funnel,
-        "docs_postings": _docs_postings,
-        "docs_profile": _docs_profile,
         "events_type_pagerank": _events_type_pagerank,
-        "events_top_paths": _events_top_paths,
-        "events_value_histogram": _events_value_histogram,
-        "users_in_both": _users_in_both,
-        "events_user_hll": _events_user_hll,
-        "docs_prep_v2": _docs_prep_v2,
-        # --- the strongest window ops (sessionize, as-of) ---
-        "events_sessionize": R.events_sessionize,
-        "events_asof_prior_view": R.events_asof_prior_view,
         # --- relational flagships (the real joins) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
         "revenue_by_nation": _revenue_by_nation,
         "q5_region_supplier_volume": R.q5_region_supplier_volume,
         "top_orders_by_revenue": R.top_orders_by_revenue,
+        "events_user_hll": _events_user_hll,
+        "docs_prep_v2": _docs_prep_v2,
+        # --- the strongest window ops (sessionize, as-of) ---
+        "events_sessionize": R.events_sessionize,
+        "events_asof_prior_view": R.events_asof_prior_view,
+        # --- relational flagships (the real joins) ---
         "orders_without_lineitems": _orders_without_lineitems,
         # --- dedup family ---
         "dedup_exact": _dedup_exact,
@@ -2049,6 +2045,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # docs_prep v1 (superseded by the fused v2 above), ROLLUP (a
         # subset of the CUBE grouping sets kept above), and the windowed
         # distinct count (hll + hourly_window keep both families)
+        "docs_profile": _docs_profile,
+        "events_top_paths": _events_top_paths,
+        "events_value_histogram": _events_value_histogram,
+        "users_in_both": _users_in_both,
+        "docs_postings": _docs_postings,
         "events_rollup": _events_rollup,
         "events_window_distinct_users": _events_window_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
