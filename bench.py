@@ -190,6 +190,15 @@ def run_query_bench() -> "tuple[dict, dict]":
         "events_funnel",
         "transcript_tool_transitions",
         "transcript_boilerplate",
+        # round 5 final continuation: snapshot-diff ingest + point lookup
+        # (fixture-scale), 6-table Q5, sequence graphs, profile/histogram
+        "cdc_snapshot_sync",
+        "cdc_point_lookup",
+        "q5_region_supplier_volume",
+        "events_type_pagerank",
+        "events_top_paths",
+        "docs_profile",
+        "events_value_histogram",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

@@ -496,3 +496,24 @@ def test_cli_get_point_lookup(t1, tmp_path):
     rep = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert rep["rows"] == n_turns
     assert all(r["conv_id"] == conv for r in rep["turns"])
+
+
+def test_runs_report_orders_manifests(t1, tmp_path):
+    """runs_report lists journaled runs in apply order with their
+    manifest counters."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, runs_report
+
+    files = sorted(
+        os.path.join(t1["cdc_log"], f) for f in os.listdir(t1["cdc_log"])
+    )
+    k = max(1, len(files) // 2)
+    cfg = CdcConfig(out_dir=str(tmp_path / "rr"), num_partitions=4)
+    apply_cdc(files[:k], cfg, run_id="r-a")
+    apply_cdc(files[k:], cfg, run_id="r-b")
+    rep = runs_report(cfg)
+    assert [r["run_id"] for r in rep] == ["r-a", "r-b"]
+    assert all(r["manifest"]["events_in"] > 0 for r in rep)
+    assert rep[0]["order"] == 0 and rep[1]["order"] == 1
+    from tg_data_connector_ray.__main__ import main
+    assert main(["runs", "--out", cfg.out_dir]) == 0

@@ -191,6 +191,11 @@ def main(argv=None) -> int:
     vac.add_argument("--prune-dirty", action="store_true",
                      help="also drop journaled runs' dead-letter channels")
 
+    rns = sub.add_parser(
+        "runs", help="per-run ingest health from the run journal + manifests"
+    )
+    rns.add_argument("--out", required=True)
+
     sch = sub.add_parser(
         "schemas", help="input schema-evolution timeline (schema.log)"
     )
@@ -265,6 +270,11 @@ def main(argv=None) -> int:
 
             out = vacuum(CdcConfig(out_dir=args.out),
                          prune_dirty=args.prune_dirty)
+        elif args.cmd == "runs":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import runs_report
+
+            out = {"runs": runs_report(CdcConfig(out_dir=args.out))}
         elif args.cmd == "schemas":
             from .cdc.schema import schema_history
 

@@ -1789,3 +1789,30 @@ def vacuum(cfg: CdcConfig, prune_dirty: bool = False) -> dict:
         "bytes_reclaimed": reclaimed,
         "journaled_runs": len(journaled),
     }
+
+
+def runs_report(cfg: CdcConfig) -> "list[dict]":
+    """Per-run ingest health, apply order: each journaled run's manifest
+    (events in/prefiltered, dup drops, orphan updates, dirty count, rows
+    live/tombstoned, partitions applied vs skipped) as one row — the
+    "did last night's runs look normal" view operators diff against the
+    day before.  Pure metadata reads (runs.log + _manifest-*.json);
+    a journaled run missing its manifest (pre-manifest version, or a
+    snapshot_sync no-op) reports {"run_id": ..., "manifest": None}."""
+    import json
+
+    path = os.path.join(cfg.out_dir, "runs.log")
+    order: "list[str]" = []
+    if os.path.exists(path):
+        with open(path) as f:
+            order = f.read().split()
+    out = []
+    for i, run in enumerate(order):
+        mp = os.path.join(cfg.out_dir, f"_manifest-{run}.json")
+        try:
+            with open(mp) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            rec = None
+        out.append({"order": i, "run_id": run, "manifest": rec})
+    return out
