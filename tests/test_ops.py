@@ -999,3 +999,38 @@ def test_sequence_ngrams_matches_duckdb(ray_session):
     assert got.to_pydict() == exp.to_pydict()
     assert sequence_ngrams(ds, "user_id", "event_type",
                            ["ts", "event_id"], n=200).num_rows == 0
+
+
+def test_integer_pagerank_ds_equals_driver_fixpoint(ray_session):
+    """The distributed (grouped-join per iteration) PageRank is bit-equal
+    to the driver numpy fixpoint on a random weighted digraph with
+    dangling and source-only nodes."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.graph import integer_pagerank, integer_pagerank_ds
+
+    rng = np.random.default_rng(31)
+    n_edges = 400
+    src = rng.integers(0, 40, n_edges)
+    dst = rng.integers(0, 50, n_edges)  # nodes 40-49 are dangling
+    edges = (
+        pa.table({
+            "src": pa.array([f"n{v:02d}" for v in src]),
+            "dst": pa.array([f"n{v:02d}" for v in dst]),
+        })
+        .group_by(["src", "dst"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["src", "dst", "w"])
+    )
+    edges = edges.set_column(2, "w", edges["w"].cast(pa.int64()))
+    want = {
+        r["node"]: r["rank_u"]
+        for r in integer_pagerank(edges, iters=3).to_pylist()
+    }
+    got_ds = integer_pagerank_ds(
+        ray.data.from_arrow(edges).repartition(5), iters=3
+    )
+    got = {r["node"]: r["rank_u"] for r in got_ds.take_all()}
+    assert got == want

@@ -118,8 +118,9 @@ def integer_pagerank(
     The node table here is event/tool TYPES (tiny), so the fixpoint runs
     as numpy on the driver; overflow bound: 85·r·w needs r·w < 10¹⁷ —
     holds for scale 10⁶ and edge weights to 10¹⁰.  For node sets beyond
-    one heap the identical recurrence is two grouped joins per iteration
-    (rank⋈edges on src, grouped sum on dst) over the same integers."""
+    one heap use `integer_pagerank_ds` — the identical recurrence as two
+    grouped joins per iteration, pinned bit-equal to this fixpoint by
+    test."""
     if edges.num_rows == 0:
         return pa.table(
             {"node": pa.array([], pa.string()), "rank_u": pa.array([], pa.int64())}
@@ -217,3 +218,97 @@ def sequence_ngrams(
     out = pa.table({"path": agg["path"], "cnt": agg["cnt_sum"].cast(pa.int64())})
     out = out.sort_by([("cnt", "descending"), ("path", "ascending")])
     return out.slice(0, k)
+
+
+def integer_pagerank_ds(edges_ds, iters: int = 3, scale: int = 1_000_000):
+    """The beyond-one-heap form of `integer_pagerank`: node set and edge
+    list stay distributed Datasets, and each iteration is exactly the
+    two grouped exchanges the driver fixpoint's docstring promises —
+    rank ⋈ edges on src (right-unique gather join), then a coarse-bucket
+    sum per dst.  Same integer recurrence, so the two implementations
+    are bit-equal (pinned by test) and share the SQL oracle.
+
+    Per iteration the only materialization is the RANK table (O(nodes) —
+    the iteration frontier every distributed PageRank carries); edges
+    re-read lazily from their source.  With 10⁹ nodes at 16 B/row the
+    frontier is ~16 GB across the cluster — object-store resident, never
+    driver-side."""
+    import ray
+
+    from ..pipelines.relational import (
+        distinct_rows,
+        grouped_arrow_aggregate,
+        hash_join,
+    )
+
+    base = (15 * scale) // 100
+
+    # out-weight per src, attached to every edge once (reused all iters)
+    outw = grouped_arrow_aggregate(edges_ds, "src", [("w", "sum")], ["wout"])
+    edges_w = hash_join(edges_ds, outw, on="src", right_unique=True).materialize()
+
+    nodes = distinct_rows(
+        edges_ds.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays(
+                [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+            )}),
+            batch_format="pyarrow",
+        ),
+        "node",
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "r", pa.array(np.full(t.num_rows, scale, np.int64))
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        srcr = ranks.map_batches(
+            lambda t: pa.table({"src": t["node"], "r": t["r"]}),
+            batch_format="pyarrow",
+        )
+        contrib = hash_join(edges_w, srcr, on="src", right_unique=True).map_batches(
+            lambda t: pa.table(
+                {
+                    "dst": t["dst"],
+                    "c": pa.array(
+                        (
+                            85
+                            * t["r"].combine_chunks().to_numpy(zero_copy_only=False)
+                            * t["w"].combine_chunks().to_numpy(zero_copy_only=False)
+                        )
+                        // (
+                            100
+                            * t["wout"].combine_chunks().to_numpy(zero_copy_only=False)
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums = grouped_arrow_aggregate(contrib, "dst", [("c", "sum")], ["c"])
+        joined = hash_join(nodes, sums.map_batches(
+            lambda t: pa.table({"node": t["dst"], "c": t["c"]}),
+            batch_format="pyarrow",
+        ), on="node", how="left", right_unique=True)
+        ranks = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "r": pa.array(
+                        base
+                        + pa.compute.fill_null(t["c"], 0)
+                        .combine_chunks()
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"], "rank_u": t["r"]}),
+        batch_format="pyarrow",
+    )
