@@ -111,6 +111,32 @@ def _run_cdc_point_lookup(sf_dir: str):
     return read_convs(cfg, list(_LOOKUP_CONVS))
 
 
+_EXPIRE_CUTOFF = "2026-01-17 00:00:00"
+
+
+def _run_cdc_retention_expiry(sf_dir: str):
+    """Retention enforcement through the log: replay t2, then
+    `expire_rows` synthesizes D events for every live turn older than
+    the cutoff (watermark+rank LSNs, exactly-once).  Oracle: the merge
+    contract with expired rows absent — the D events delete exactly the
+    ts < cutoff keys and touch nothing else.  Idempotent: a re-run finds
+    no remaining matches and applies nothing."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        expire_rows,
+        final_table_arrow,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2expire")
+    cfg = CdcConfig(out_dir=out, num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    expire_rows(cfg, _EXPIRE_CUTOFF, run_id="expiry-1")
+    return final_table_arrow(cfg, sort=True)
+
+
 def _run_cdc_snapshot_sync(sf_dir: str):
     """Snapshot-diff ingest (the no-binlog mode): replay the t2 log, then
     sync the table to the drifted snapshot — per-partition full-outer
@@ -1968,6 +1994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changefeed": _run_cdc_changefeed,
         "cdc_replay_snapshot": _run_cdc_snapshot,
         "cdc_snapshot_sync": _run_cdc_snapshot_sync,
+        "cdc_retention_expiry": _run_cdc_retention_expiry,
         "cdc_compact": _run_cdc_compact,
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_dirty_repair": _run_cdc_dirty_repair,
@@ -2350,6 +2377,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_skew": _cdc_oracle_sql("t2skew"),
         # snapshot-diff ingest converges the table to exactly the snapshot
         "cdc_snapshot_sync": _cdc_snapshot_sync_oracle_sql(),
+        # time-based expiry deletes exactly the ts < cutoff keys
+        "cdc_retention_expiry": f"""
+            SELECT * FROM ({_cdc_oracle_sql("t2")})
+            WHERE ts IS NULL OR ts >= TIMESTAMP '{_EXPIRE_CUTOFF}'
+            ORDER BY conv_id, turn_idx
+        """,
         # pruned point lookup == the contract filtered to the fixed keys
         "cdc_point_lookup": f"""
             SELECT * FROM ({_cdc_oracle_sql("t2skew")})

@@ -1477,3 +1477,36 @@ def test_read_final_table_column_pruning(t1, tmp_path):
 
     with pytest.raises(ValueError, match="unknown columns"):
         read_final_table(cfg, columns=["nope"])
+
+
+def test_expire_rows_retention(t1, tmp_path):
+    """expire_rows deletes exactly the ts < cutoff live turns through
+    the log; re-running is a no-op; compact() makes the forgetting
+    physical (tombstones dropped)."""
+    from tg_data_connector_ray.cdc.pipeline import (
+        compact,
+        expire_rows,
+        final_table_arrow,
+    )
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "exp"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    full = final_table_arrow(cfg, sort=True)
+    cutoff = full["ts"][len(full) // 2].as_py()  # mid-range timestamp
+
+    s = expire_rows(cfg, cutoff, run_id="exp-1")
+    assert s["turns_expired"] > 0
+    got = final_table_arrow(cfg, sort=True)
+    keep = pa.compute.fill_null(
+        pa.compute.greater_equal(full["ts"], pa.scalar(cutoff)), True
+    )
+    want = full.filter(keep)
+    assert got.equals(want)
+    # idempotent: nothing left to expire
+    s2 = expire_rows(cfg, cutoff, run_id="exp-2")
+    assert s2["turns_expired"] == 0
+    assert final_table_arrow(cfg, sort=True).equals(want)
+    # physical forgetting: compaction drops the tombstones
+    rep = compact(cfg)
+    assert rep["tombstones_dropped"] >= s["turns_expired"]
+    assert final_table_arrow(cfg, sort=True).equals(want)

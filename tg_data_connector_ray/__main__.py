@@ -191,6 +191,16 @@ def main(argv=None) -> int:
     vac.add_argument("--prune-dirty", action="store_true",
                      help="also drop journaled runs' dead-letter channels")
 
+    expv = sub.add_parser(
+        "expire", help="retention: delete (through the log) live turns "
+        "with ts older than a cutoff; compact to make it physical"
+    )
+    expv.add_argument("--out", required=True)
+    expv.add_argument("--older-than", dest="older_than", required=True,
+                      help="timestamp cutoff, e.g. 2026-01-17T00:00:00")
+    expv.add_argument("--run-id", required=True)
+    expv.add_argument("--partitions", type=int, default=64)
+
     rns = sub.add_parser(
         "runs", help="per-run ingest health from the run journal + manifests"
     )
@@ -270,6 +280,14 @@ def main(argv=None) -> int:
 
             out = vacuum(CdcConfig(out_dir=args.out),
                          prune_dirty=args.prune_dirty)
+        elif args.cmd == "expire":
+            from .cdc.config import CdcConfig
+            from .cdc.pipeline import expire_rows
+
+            out = expire_rows(
+                CdcConfig(out_dir=args.out, num_partitions=args.partitions),
+                args.older_than, run_id=args.run_id,
+            )
         elif args.cmd == "runs":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import runs_report

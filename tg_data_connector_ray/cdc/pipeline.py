@@ -1763,7 +1763,7 @@ def vacuum(cfg: CdcConfig, prune_dirty: bool = False) -> dict:
             full = os.path.join(cfg.out_dir, name)
             if not os.path.isdir(full):
                 continue
-            for prefix in ("correct-", "repair-", "snapsync-"):
+            for prefix in ("correct-", "repair-", "snapsync-", "expire-"):
                 if name.startswith(prefix):
                     candidates.append((name[len(prefix):], full))
         for sub in ("spool", "tail-stage"):
@@ -1816,3 +1816,65 @@ def runs_report(cfg: CdcConfig) -> "list[dict]":
             rec = None
         out.append({"order": i, "run_id": run, "manifest": rec})
     return out
+
+
+@_with_writer_lease
+def expire_rows(cfg: CdcConfig, older_than_ts, run_id: str) -> dict:
+    """Retention enforcement THROUGH the log: synthesize one D event per
+    live turn whose `ts` is strictly older than `older_than_ts`, at LSNs
+    above the table watermark (deterministically ranked by (conv_id,
+    turn_idx)), and apply exactly-once as `run_id` — the time-based
+    sibling of `redact_convs`.  Expiry lands as ordinary change events,
+    so changefeed consumers see the D rows, IVM views shrink themselves,
+    and delta-mode tables journal it as a run; the bytes become physical
+    only at `compact()` (tombstone GC), the same two-step contract as
+    lakehouse DELETE/VACUUM.
+
+    The matching key set is a streaming thin projection of the live
+    view ((conv_id, turn_idx, ts) only — predicate applied per batch at
+    the scan); only matching keys land on the driver for deterministic
+    ranking, bounded by the expiring span, not the table."""
+    cutoff = pa.scalar(
+        np.datetime64(older_than_ts, "us").astype("datetime64[us]"),
+        pa.timestamp("us"),
+    )
+    pc_ = pa.compute
+    summ = lineage_summary(cfg)
+    base_lsn = max(int(summ["watermark_max"]), 0)
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc_.fill_null(pc_.less(t["ts"], cutoff), False)
+        return t.filter(mask).select(["conv_id", "turn_idx"])
+
+    thin = read_final_table(cfg, columns=["conv_id", "turn_idx", "ts"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keys = pa.concat_tables(
+        [ray.get(r) for r in thin.to_arrow_refs()]
+    ).combine_chunks()
+    keys = keys.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    n = keys.num_rows
+    if n == 0:
+        _journal_run(cfg.out_dir, run_id)
+        return {"run_id": run_id, "events_in": 0, "turns_expired": 0}
+    events = pa.table(
+        {
+            "lsn": pa.array(base_lsn + 1 + np.arange(n, dtype=np.int64)),
+            "op": pa.array(["D"] * n, pa.string()),
+            "conv_id": keys["conv_id"],
+            "turn_idx": keys["turn_idx"],
+            "role": pa.nulls(n, pa.string()),
+            "text": pa.nulls(n, pa.string()),
+            "tool": pa.nulls(n, pa.string()),
+            "ts": pa.nulls(n, pa.timestamp("us")),
+        }
+    )
+    stage_dir = os.path.join(cfg.out_dir, f"expire-{run_id}")
+    os.makedirs(stage_dir, exist_ok=True)
+    path = os.path.join(stage_dir, "events.parquet")
+    from ..util import atomic_write_parquet
+
+    atomic_write_parquet(path, events)
+    summary = apply_cdc([path], cfg, run_id=run_id)
+    summary["turns_expired"] = n
+    return summary
