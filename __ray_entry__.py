@@ -2029,6 +2029,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": R.events_ntile,
         "events_anomaly": _events_anomaly,
         "events_retention": R.events_retention,
+        "events_user_growth": R.events_user_growth,
+        "events_windowed_topk": R.events_windowed_topk,
         "events_funnel": R.events_funnel,
         "events_type_pagerank": _events_type_pagerank,
         # --- relational flagships (the real joins) ---
@@ -3342,6 +3344,32 @@ def oracle_sql() -> dict[str, str]:
                           ELSE vu * 25 // 500000000 END AS b
               FROM v
             ) GROUP BY b ORDER BY b
+        """,
+        "events_user_growth": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS day
+              FROM events GROUP BY 1
+            ), c AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS new_users
+              FROM f GROUP BY day
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                     AS total_users
+            FROM c ORDER BY day
+        """,
+        "events_windowed_topk": """
+            WITH c AS (
+              SELECT date_trunc('hour', ts) AS hour, event_type,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+              FROM c
+            )
+            SELECT hour, event_type, n FROM r WHERE rk <= 3
+            ORDER BY hour, n DESC, event_type
         """,
         "events_top_paths": """
             WITH seq AS (

@@ -1080,3 +1080,70 @@ def test_q5_supplier_fallback_equals_broadcast(ray_session):
     slow = q5_region_supplier_volume(sf, max_broadcast_bytes=0)
     assert fast.num_rows > 0
     assert fast.equals(slow)
+
+
+def test_user_growth_and_windowed_topk_synthetic(ray_session, tmp_path):
+    """events_user_growth / events_windowed_topk on synthetic events with
+    a real multi-day spread (the sf fixtures' user base saturates on day
+    one, which would leave the cumsum untested)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.pipelines.relational import (
+        events_user_growth,
+        events_windowed_topk,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 6000
+    day_us = 86_400_000_000
+    # users join over 20 days: user u's events start at day u % 20
+    user = rng.integers(0, 300, n)
+    t0 = 1_700_000_000_000_000
+    ts = t0 + (user % 20) * day_us + rng.integers(0, 10 * day_us, n)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "user_id": pa.array(user, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array([f"t{v}" for v in rng.integers(0, 6, n)]),
+        "value": pa.array(rng.uniform(0, 10, n)),
+        "props": pa.array(["{}"] * n),
+    })
+    d = str(tmp_path / "sfx")
+    import os as _os
+
+    _os.makedirs(d)
+    pq.write_table(t, _os.path.join(d, "events.parquet"))
+
+    con = duckdb.connect()
+    con.register("events", t)
+    growth = events_user_growth(d)
+    exp = con.execute("""
+        WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day
+                   FROM events GROUP BY 1),
+             c AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                   FROM f GROUP BY day)
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS total_users
+        FROM c ORDER BY day
+    """).arrow()
+    assert growth.num_rows >= 15  # the spread actually exercises cumsum
+    # duckdb's Arrow export renders date_trunc('day') as date32 in this
+    # client path; values are identical — align the type for comparison
+    exp = exp.set_column(0, "day", exp["day"].cast(pa.timestamp("us")))
+    assert growth.to_pydict() == exp.to_pydict()
+
+    topk = events_windowed_topk(d, k=2)
+    exp2 = con.execute("""
+        WITH c AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1, 2),
+             r AS (SELECT *, row_number() OVER (
+                     PARTITION BY hour ORDER BY n DESC, event_type) AS rk
+                   FROM c)
+        SELECT hour, event_type, n FROM r WHERE rk <= 2
+        ORDER BY hour, n DESC, event_type
+    """).arrow()
+    assert topk.to_pydict() == exp2.to_pydict()

@@ -3024,3 +3024,111 @@ def q5_region_supplier_volume(
             "n_items": pa.array(fin["n_items"].to_numpy(np.int64)),
         }
     )
+
+
+def events_user_growth(sf_dir: str):
+    """Cumulative user acquisition: first-seen day per user, new users
+    per day, running total.  Shape: per-batch (user, min day) partials,
+    ONE coarse-bucket grouped min to finish first-seen (shuffle carries
+    distinct users, thin 16 B rows), per-batch day counts over that, and
+    a driver cumsum over the bounded day domain — the running total is
+    the only inherently sequential step and it is O(days)."""
+    _DAY = 86_400_000_000
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.multiply(
+            pc.divide(t["ts"].cast(pa.int64()), pa.scalar(_DAY, pa.int64())),
+            pa.scalar(_DAY, pa.int64()),
+        )
+        g = (
+            pa.table({"user_id": t["user_id"], "d": day})
+            .group_by("user_id")
+            .aggregate([("d", "min")])
+        )
+        return g.rename_columns(["user_id", "d"])
+
+    first_seen = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id", [("d", "min")], ["d"],
+    )
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("d").aggregate([([], "count_all")])
+        return g.rename_columns(["d", "new_users"])
+
+    parts = pa.Table.from_pylist(
+        first_seen.map_batches(
+            day_counts, batch_format="pyarrow"
+        ).take_all()
+    )
+    if parts.num_rows == 0:
+        return pa.table({
+            "day": pa.array([], pa.timestamp("us")),
+            "new_users": pa.array([], pa.int64()),
+            "total_users": pa.array([], pa.int64()),
+        })
+    fin = (
+        parts.group_by("d").aggregate([("new_users", "sum")])
+        .rename_columns(["d", "new_users"])
+        .sort_by([("d", "ascending")])
+    )
+    new = fin["new_users"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table({
+        "day": fin["d"].cast(pa.timestamp("us")),
+        "new_users": pa.array(new),
+        "total_users": pa.array(np.cumsum(new)),
+    })
+
+
+def events_windowed_topk(sf_dir: str, k: int = 3):
+    """Top-k event types per hour window: per-batch (hour, type) count
+    partials, one coarse-bucket grouped sum (shuffle volume = windows ×
+    types partials, never events), then a bounded driver top-k per hour
+    with the deterministic (n DESC, event_type ASC) tie order."""
+    _HOUR = 3_600_000_000
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        hour = pc.multiply(
+            pc.divide(t["ts"].cast(pa.int64()), pa.scalar(_HOUR, pa.int64())),
+            pa.scalar(_HOUR, pa.int64()),
+        )
+        g = (
+            pa.table({"hour": hour, "event_type": t["event_type"]})
+            .group_by(["hour", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["hour", "event_type", "n"])
+
+    counts = grouped_arrow_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["hour", "event_type"], [("n", "sum")], ["n"],
+    )
+    t = pa.concat_tables(
+        [ray.get(r) for r in counts.to_arrow_refs()], promote_options="default"
+    )
+    if t.num_rows == 0:
+        return pa.table({
+            "hour": pa.array([], pa.timestamp("us")),
+            "event_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+    t = t.sort_by([
+        ("hour", "ascending"), ("n", "descending"), ("event_type", "ascending"),
+    ])
+    hours = t["hour"].to_numpy(zero_copy_only=False)
+    new_hour = np.concatenate([[True], hours[1:] != hours[:-1]])
+    idx = np.arange(len(hours))
+    start = np.maximum.accumulate(np.where(new_hour, idx, -1))
+    keep = (idx - start) < k
+    out = t.filter(pa.array(keep))
+    return pa.table({
+        "hour": pa.array(out["hour"].to_numpy(zero_copy_only=False)).cast(
+            pa.timestamp("us")
+        ),
+        "event_type": out["event_type"],
+        "n": out["n"].cast(pa.int64()),
+    })
