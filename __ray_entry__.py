@@ -1024,6 +1024,23 @@ def _ann_topk(sf_dir):
     return out.select(["query_id", "vec_id"])
 
 
+def _ann_filtered_topk(sf_dir):
+    """Filtered vector search: exact cosine top-k restricted to a
+    metadata predicate (label = 1), with the predicate PUSHED INTO the
+    parquet scan (row-group pruning) — the filter shrinks the scored
+    set before any dot product, the standard metadata+vector pattern."""
+    import pyarrow.compute as _pc
+
+    from tg_data_connector_ray.ops.similarity import brute_force_topk
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _first_query_vectors(path, 3)
+    embs = sized_read_parquet(path, filter=_pc.field("label") == 1)
+    out = brute_force_topk(embs, q, k=5)
+    return out.select(["query_id", "vec_id"])
+
+
 def _ivf_ann(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
@@ -2055,6 +2072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_semantic": _dedup_semantic,
         # --- similarity search ---
         "ann_topk": _ann_topk,
+        "ann_filtered_topk": _ann_filtered_topk,
         "ivf_ann": _ivf_ann,
         "pq_ann": _pq_ann,
         "ivfpq_ann": _ivfpq_ann,
@@ -2715,6 +2733,17 @@ def oracle_sql() -> dict[str, str]:
                 ELSE 'fr'
               END AS lang_pred
             FROM h
+        """,
+        "ann_filtered_topk": """
+            SELECT query_id, vec_id FROM (
+              SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
+                     row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e2.embedding, e.embedding) DESC,
+                                 e2.vec_id) AS rn
+              FROM embeddings e CROSS JOIN embeddings e2
+              WHERE e.vec_id < 3 AND e2.label = 1) t
+            WHERE rn <= 5
         """,
         "ann_topk": """
             SELECT query_id, vec_id FROM (

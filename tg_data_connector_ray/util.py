@@ -492,7 +492,7 @@ def file_size(path: str) -> int:
 
 
 def sized_read_parquet(path, columns=None, small_block_bytes: int = 1 << 20,
-                       big_block_bytes: int = 32 << 20):
+                       big_block_bytes: int = 32 << 20, filter=None):
     """read_parquet with block count sized by DATA BYTES: small tables get
     ~small_block_bytes per block capped at CPU count (instead of Ray's
     default cpus*2 micro-split — pure task dispatch overhead on a 2 MB
@@ -505,7 +505,10 @@ def sized_read_parquet(path, columns=None, small_block_bytes: int = 1 << 20,
     sz = file_size(path)
     cpus = int(ray.cluster_resources().get("CPU", 8))
     nb = max(-(-sz // big_block_bytes), min(-(-sz // small_block_bytes), cpus), 1)
-    return ray.data.read_parquet(path, columns=columns, override_num_blocks=nb)
+    kw = {} if filter is None else {"filter": filter}
+    return ray.data.read_parquet(
+        path, columns=columns, override_num_blocks=nb, **kw
+    )
 
 
 def parquet_bytes_hint(paths, columns=None) -> int:
