@@ -450,6 +450,40 @@ def _run_cdc_incremental_stats(sf_dir: str):
     return apply_stats_feed(prior, feed)
 
 
+def _run_cdc_ivm_tool_usage(sf_dir: str):
+    """Second maintained view (generality of the IVM machinery): per-tool
+    call counts, where a U can MOVE a row between group keys — each feed
+    row contributes up to two delta rows ((tool_old, -1), (tool_new, +1)).
+    Shares the t2ivm delta-mode table with cdc_incremental_stats
+    (idempotent applies); oracle = full recompute over the complete merge
+    contract."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        change_feed,
+        read_final_table,
+        time_travel_runs,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import apply_tool_usage_feed, tool_usage
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2ivm")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    batches, _ = _cdc_travel_prefix(fx)
+    applied = []
+    for i, b in enumerate(batches, start=1):
+        if b:
+            apply_cdc(b, cfg, run_id=f"ivm-r{i}")
+            applied.append(f"ivm-r{i}")
+    mid, head = applied[-2], applied[-1]
+    prior = tool_usage(
+        read_final_table(cfg, runs=time_travel_runs(cfg, mid))
+    )
+    feed = change_feed(cfg, mid, head, include_before=True)
+    return apply_tool_usage_feed(prior, feed)
+
+
 def _run_cdc_scd2(sf_dir: str):
     """SCD Type-2 version history straight from the t2 event log: one row
     per applied change event carrying the full post-event visible state
@@ -2021,6 +2055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
         "cdc_incremental_stats": _run_cdc_incremental_stats,
+        "cdc_ivm_tool_usage": _run_cdc_ivm_tool_usage,
         "cdc_redact": _run_cdc_redact,
         "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
@@ -2376,6 +2411,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_envelope_replay": _cdc_oracle_sql("t2"),
         # redaction-through-the-log: contract over log + synthetic events
         "cdc_redact": _cdc_redact_oracle_sql(),
+        # second maintained view: per-tool counts (key-moving deltas)
+        "cdc_ivm_tool_usage": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT tool, CAST(count(*) AS BIGINT) AS n_calls
+            FROM m WHERE tool IS NOT NULL GROUP BY tool
+        """,
         # incremental view maintenance == full recompute of the view
         "cdc_incremental_stats": f"""
             WITH m AS ({_cdc_oracle_sql("t2")})

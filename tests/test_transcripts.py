@@ -331,3 +331,35 @@ def test_boilerplate_counts_distinct_convs_and_turns(t1):
         for r in b.to_pylist()
     )
     assert got == [("dup", 3, 2), ("two", 2, 2)]
+
+
+def test_tool_usage_feed_key_moving_deltas(ray_session):
+    """The per-tool view's deltas handle GROUP-KEY MOVES: a U changing a
+    turn's tool from 'a' to 'b' subtracts under 'a' and adds under 'b';
+    I adds only, D subtracts only; tools reaching zero drop out."""
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.transcripts import (
+        apply_tool_usage_feed,
+        tool_usage_feed_deltas,
+    )
+
+    feed = pa.table({
+        "op": pa.array(["U", "I", "D", "U"]),
+        "conv_id": pa.array(["c1", "c2", "c3", "c4"]),
+        "turn_idx": pa.array([0, 0, 0, 0], pa.int32()),
+        "tool": pa.array(["b", "b", None, None]),       # postimages
+        "tool_old": pa.array(["a", None, "a", None]),    # preimages
+    })
+    d = tool_usage_feed_deltas(feed)
+    got = sorted(zip(d["tool"].to_pylist(), d["n_calls"].to_pylist()))
+    assert got == [("a", -1), ("a", -1), ("b", 1), ("b", 1)]
+
+    prior = ray.data.from_arrow(pa.table({
+        "tool": pa.array(["a", "b", "c"]),
+        "n_calls": pa.array([2, 1, 5], pa.int64()),
+    }))
+    out = apply_tool_usage_feed(prior, ray.data.from_arrow(feed))
+    rows = {r["tool"]: r["n_calls"] for r in out.take_all()}
+    assert rows == {"b": 3, "c": 5}  # a: 2-2 -> dropped; b: 1+2

@@ -540,3 +540,83 @@ def boilerplate_texts(
 
     out = merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
     return carry_spool_lease(merged, out)
+
+
+def tool_usage(transcripts, n_coarse: int = 64, exchange: str = "spool"):
+    """Per-tool call counts over a streaming transcripts Dataset — the
+    second maintained view (see apply_tool_usage_feed): per-batch Arrow
+    count partials, one coarse-bucket sum keyed by tool."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.is_valid(t["tool"]))
+        g = s.select(["tool"]).group_by("tool").aggregate([([], "count_all")])
+        return pa.table(
+            {"tool": g["tool"], "n_calls": g["count_all"].cast(pa.int64())}
+        )
+
+    thin = transcripts.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_arrow_aggregate(
+        thin, "tool", [("n_calls", "sum")], ["n_calls"],
+        n_coarse=n_coarse, exchange=exchange,
+    )
+
+
+def tool_usage_feed_deltas(t: pa.Table) -> pa.Table:
+    """One change-feed batch (with before-images) -> per-tool count
+    deltas.  Unlike the conv-stats view, the GROUP KEY itself can change
+    (a U moving a turn from tool 'a' to tool 'b'), so a feed row
+    contributes up to TWO delta rows: (tool_old, -1) and (tool_new, +1).
+    The preimage null conventions again make one formula total: I rows
+    have a null preimage (add only), D rows a null postimage (subtract
+    only), U rows both sides."""
+    import pyarrow.compute as pc
+
+    old = t.filter(pc.is_valid(t["tool_old"]))
+    new = t.filter(pc.is_valid(t["tool"]))
+    return pa.table(
+        {
+            "tool": pa.concat_arrays(
+                [old["tool_old"].combine_chunks(), new["tool"].combine_chunks()]
+            ),
+            "n_calls": pa.array(
+                np.concatenate(
+                    [
+                        np.full(old.num_rows, -1, np.int64),
+                        np.ones(new.num_rows, np.int64),
+                    ]
+                )
+            ),
+        }
+    )
+
+
+def apply_tool_usage_feed(prior, feed, n_coarse: int = 64, exchange: str = "spool"):
+    """Incremental maintenance of the per-tool counts: union the prior
+    snapshot with the feed's ± delta rows, one coarse-bucket sum, drop
+    tools whose count reached zero.  O(prior + feed); equals recomputing
+    `tool_usage` on the as-of-to_run table (oracle-pinned)."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    deltas = feed.map_batches(
+        tool_usage_feed_deltas, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cols = ["tool", "n_calls"]
+    merged = grouped_arrow_aggregate(
+        prior.select_columns(cols).union(deltas.select_columns(cols)),
+        "tool", [("n_calls", "sum")], ["n_calls"],
+        n_coarse=n_coarse, exchange=exchange,
+    )
+    from ..pipelines import exchange as _ex
+
+    out = merged.map_batches(
+        lambda b: b.filter(pc.greater(b["n_calls"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _ex.carry_spool_lease(merged, out)
