@@ -470,7 +470,11 @@ def hash_join(left, right, on: "str | list[str]",
     join would emit an unmatched hot-right row once per replica — it
     raises instead.  Detect candidates with
     `ops.sketches.mg_partial_batch`-style heavy-hitter passes or pass
-    the keys you already know are pathological.
+    the keys you already know are pathological.  Measured rule
+    (BASELINE.md): salt when the hot key's OUTPUT or per-bucket memory
+    dominates the job (multi-match expansion: 1.7x), NOT merely its
+    input share — on a cheap unique-right gather the per-batch is_in +
+    extra hash made salting a 17% regression.
 
     `right_unique=True` (caller-asserted: the right side has at most one
     row per key — a dimension/lookup table) takes a one-gather fast path
