@@ -1147,3 +1147,50 @@ def test_user_growth_and_windowed_topk_synthetic(ray_session, tmp_path):
         ORDER BY hour, n DESC, event_type
     """).arrow()
     assert topk.to_pydict() == exp2.to_pydict()
+
+
+def test_detect_join_hot_keys(ray_session):
+    """Pigeonhole candidate pass + exact verify finds exactly the keys
+    at/above the global fraction, for int and string keys; uniform data
+    yields none."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.relational import detect_join_hot_keys
+
+    rng = np.random.default_rng(17)
+    n = 50_000
+    k = rng.integers(0, 5000, n)
+    k[rng.random(n) < 0.30] = 777
+    k[rng.random(n) < 0.08] = 999
+    ds = ray.data.from_arrow(pa.table({"k": pa.array(k, pa.int64())})).repartition(9)
+    assert detect_join_hot_keys(ds, "k", 0.05) == [777, 999]
+    assert detect_join_hot_keys(ds, "k", 0.20) == [777]
+    # native types: the detected keys drive hash_join(hot_keys=...) as-is
+    assert all(isinstance(v, int) for v in detect_join_hot_keys(ds, "k", 0.05))
+
+    s = ray.data.from_arrow(pa.table(
+        {"k": pa.array([f"u{v}" for v in k])}
+    )).repartition(9)
+    assert detect_join_hot_keys(s, "k", 0.20) == ["u777"]
+
+    uni = ray.data.from_arrow(pa.table(
+        {"k": pa.array(rng.integers(0, 100_000, n), pa.int64())}
+    )).repartition(9)
+    assert detect_join_hot_keys(uni, "k", 0.05) == []
+
+    # detected keys drive hash_join(hot_keys=...) end-to-end
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array([777, 999, 5, 6, 777], pa.int64()),
+        "rv": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    }))
+    small = ray.data.from_arrow(pa.table({"k": pa.array(k[:4000], pa.int64())}))
+    hot = detect_join_hot_keys(small, "k", 0.05)
+    plain = hash_join(small, right, on="k", num_buckets=16).take_all()
+    salted = hash_join(small, right, on="k", num_buckets=16,
+                       hot_keys=hot, hot_replicas=4).take_all()
+    key = lambda r: tuple(sorted(r.items()))
+    assert sorted(map(key, salted)) == sorted(map(key, plain))

@@ -3136,3 +3136,66 @@ def events_windowed_topk(sf_dir: str, k: int = 3):
         "event_type": out["event_type"],
         "n": out["n"].cast(pa.int64()),
     })
+
+
+def detect_join_hot_keys(ds, on: str, threshold_frac: float = 0.05) -> list:
+    """Value-skew candidates for `hash_join(hot_keys=...)`: every key
+    holding >= `threshold_frac` of the input rows.  Complete by
+    pigeonhole — a key globally at fraction f must reach f in at least
+    one block (its block shares average to f) — so per-block thresholded
+    value_counts form a candidate SUPERSET (tiny: <= 1/f keys per
+    block), and one exact counting pass over just the candidates
+    verifies.  Two streaming passes, shuffle-free; works for int or
+    string keys.  Apply the BASELINE.md when-to-salt rule before using
+    the result — input share alone does not justify salting."""
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(on).type
+        if t.num_rows == 0:
+            return pa.table({on: pa.array([], kt)})
+        vc = t[on].combine_chunks().value_counts()
+        keys, counts = vc.field("values"), vc.field("counts")
+        keep = pc.greater_equal(
+            counts.cast(pa.float64()),
+            pa.scalar(threshold_frac * t.num_rows),
+        )
+        return pa.table({on: keys.filter(keep)})
+
+    # NATIVE-typed candidates: hash_join(hot_keys=...) is_in's them
+    # against the key column, so a stringified key would never match
+    cands = set()
+    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        cands.add(row[on])
+    if not cands:
+        return []
+    cand_arr = pa.array(sorted(cands))
+
+    def exact(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(on).type
+        hit = t.filter(
+            pc.fill_null(pc.is_in(t[on], value_set=cand_arr.cast(kt)), False)
+        )
+        g = hit.select([on]).group_by(on).aggregate([([], "count_all")])
+        out = pa.table({on: g[on], "n": g["count_all"].cast(pa.int64())})
+        rows = np.zeros(out.num_rows, np.int64)
+        if out.num_rows:
+            rows[0] = t.num_rows
+        elif t.num_rows:  # carry the block's row count regardless
+            return pa.table({on: pa.nulls(1, kt),
+                             "n": pa.array([0], pa.int64()),
+                             "block_rows": pa.array([t.num_rows])})
+        return out.append_column("block_rows", pa.array(rows))
+
+    parts = pa.Table.from_pylist(
+        ds.map_batches(exact, batch_format="pyarrow").take_all()
+    )
+    if parts.num_rows == 0:
+        return []
+    total = int(pc.sum(parts["block_rows"]).as_py() or 0)
+    agg = parts.filter(pc.is_valid(parts[on])).group_by(on).aggregate([("n", "sum")])
+    out = [
+        k for k, n in zip(agg[on].to_pylist(), agg["n_sum"].to_pylist())
+        if total and n >= threshold_frac * total
+    ]
+    return sorted(out)
