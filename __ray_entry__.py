@@ -2076,13 +2076,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
-        "events_percent_rank": _events_percent_rank,
         "events_cube": _events_cube,
-        "events_ntile": R.events_ntile,
         "events_anomaly": _events_anomaly,
         "events_retention": R.events_retention,
-        "events_user_growth": R.events_user_growth,
-        "events_windowed_topk": R.events_windowed_topk,
         "events_funnel": R.events_funnel,
         "events_type_pagerank": _events_type_pagerank,
         # --- relational flagships (the real joins) ---
@@ -2132,6 +2128,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": _events_value_histogram,
         "users_in_both": _users_in_both,
         "docs_postings": _docs_postings,
+        "events_user_growth": R.events_user_growth,
+        "events_windowed_topk": R.events_windowed_topk,
+        "events_ntile": R.events_ntile,
+        "events_percent_rank": _events_percent_rank,
         "events_rollup": _events_rollup,
         "events_window_distinct_users": _events_window_distinct_users,
         "docs_prep_pipeline": _docs_prep_pipeline,
