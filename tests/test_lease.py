@@ -97,3 +97,38 @@ def test_writer_lease_helper_nullcontext(tmp_path):
     with writer_lease(cfg):  # no file, no error
         pass
     assert not os.path.exists(os.path.join(cfg.out_dir, LEASE_NAME))
+
+
+def test_lease_race_exactly_one_process_wins(tmp_path):
+    """Four PROCESSES contend for the same out_dir simultaneously
+    (in-process contention is re-entrant by design, so the race check
+    only shows cross-process): exactly one acquires, the rest get
+    LeaseHeld."""
+    import subprocess
+    import sys
+    import time as _time
+
+    d = str(tmp_path / "race")
+    start_at = _time.time() + 1.5
+    script = f"""
+import time
+time.sleep(max(0, {start_at} - time.time()))
+from tg_data_connector_ray.cdc.lease import LeaseHeld, WriterLease
+try:
+    l = WriterLease({d!r}).acquire()
+    print("WON")
+    time.sleep(1.0)  # hold while the others race
+    l.release()
+except LeaseHeld:
+    print("HELD")
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script],
+            stdout=subprocess.PIPE, text=True, cwd="/root/repo",
+        )
+        for _ in range(4)
+    ]
+    outs = [p.communicate(timeout=60)[0].strip() for p in procs]
+    assert sorted(outs) == ["HELD", "HELD", "HELD", "WON"], outs
+    assert not os.path.exists(os.path.join(d, LEASE_NAME))  # released
