@@ -215,7 +215,10 @@ def main(argv=None) -> int:
 
     import ray
 
-    if not ray.is_initialized():
+    # shut down only a session WE started: an in-process caller (tests,
+    # embedding apps) keeps its own Ray alive across main() calls
+    owns_ray = not ray.is_initialized()
+    if owns_ray:
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     try:
         from ray.data import DataContext
@@ -431,7 +434,8 @@ def main(argv=None) -> int:
         print(json.dumps(out, default=str))
         return 0
     finally:
-        ray.shutdown()
+        if owns_ray:
+            ray.shutdown()
 
 
 if __name__ == "__main__":
