@@ -792,6 +792,71 @@ def _run_cdc_multi_table(sf_dir: str):
     return pa.concat_tables(outs)
 
 
+def _run_cdc_multi_table_tail(sf_dir: str):
+    """The interleaved multi-table stream TAILED incrementally:
+    the tagged t2 log's shards arrive in three waves in a watched dir;
+    `tail_log_multi` splits each micro-batch by table and applies it to
+    each table's own out_dir under the batch's content-hash run id.
+    Lossless micro-batching + per-table exactly-once => identical to the
+    one-shot routing, so the oracle is cdc_multi_table's SQL verbatim."""
+    import pyarrow.compute as _pc
+
+    import ray
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import final_table_arrow, tail_log_multi
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    root = os.path.join(_CDC_OUT, "t2multitail")
+    tagged_dir = os.path.join(root, "tagged")
+    done = os.path.join(root, "_TAGGED_DONE")
+    if not os.path.exists(done):  # idempotent: symlinked waves point here
+        files = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+
+        def tag(t):
+            par = _pc.bit_wise_and(
+                _pc.cast(_pc.utf8_slice_codeunits(t["conv_id"], 4, 99), pa.int64()),
+                pa.scalar(1, pa.int64()),
+            )
+            tbl = _pc.if_else(
+                _pc.equal(par, 0), pa.scalar("alpha"), pa.scalar("beta")
+            )
+            return t.append_column("tbl", tbl)
+
+        shutil.rmtree(tagged_dir, ignore_errors=True)
+        ray.data.read_parquet(files).map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tagged_dir)
+        with open(done, "w") as f:
+            f.write("ok")
+
+    shards = sorted(list_files(tagged_dir, suffix=".parquet"))
+    watch = os.path.join(root, "watch")
+    os.makedirs(watch, exist_ok=True)
+    waves = [shards[i::3] for i in range(3)]
+    wi = iter(waves)
+
+    def drop_next(_s=None) -> None:
+        for f in next(wi, []):
+            dst = os.path.join(watch, os.path.basename(f))
+            if not os.path.exists(dst):
+                os.symlink(f, dst)
+
+    drop_next()
+    tail_log_multi(
+        watch, root, table_col="tbl", cfg_kwargs={"num_partitions": 8},
+        poll_interval=0.05, idle_polls=5, on_batch=drop_next,
+    )
+    outs = []
+    for name in ("alpha", "beta"):
+        cfg = CdcConfig(out_dir=os.path.join(root, name), num_partitions=8)
+        t = final_table_arrow(cfg, sort=True)
+        outs.append(t.append_column("tbl", pa.array([name] * t.num_rows)))
+    return pa.concat_tables(outs)
+
+
 def _run_cdc_dirty_repair(sf_dir: str):
     """Dead-letter repair-replay through the driver surface: the F5 edge
     corpus replays (dirty rows -> side-output), then `replay_dirty`
@@ -2050,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dirty_replay": _run_cdc_dirty,
         "cdc_dirty_repair": _run_cdc_dirty_repair,
         "cdc_multi_table": _run_cdc_multi_table,
+        "cdc_multi_table_tail": _run_cdc_multi_table_tail,
         "cdc_corrections": _run_cdc_corrections,
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
@@ -2395,6 +2461,13 @@ def oracle_sql() -> dict[str, str]:
         # multi-table routing: per-table contracts over whole convs ==
         # the global contract with the same deterministic table tag
         "cdc_multi_table": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT m.*, CASE WHEN CAST(substr(conv_id, 5) AS BIGINT) % 2 = 0
+                             THEN 'alpha' ELSE 'beta' END AS tbl
+            FROM m
+        """,
+        # incremental multi-table tailing converges identically
+        "cdc_multi_table_tail": f"""
             WITH m AS ({_cdc_oracle_sql("t2")})
             SELECT m.*, CASE WHEN CAST(substr(conv_id, 5) AS BIGINT) % 2 = 0
                              THEN 'alpha' ELSE 'beta' END AS tbl

@@ -1510,3 +1510,87 @@ def test_expire_rows_retention(t1, tmp_path):
     rep = compact(cfg)
     assert rep["tombstones_dropped"] >= s["turns_expired"]
     assert final_table_arrow(cfg, sort=True).equals(want)
+
+
+def test_tail_log_multi_interleaved_stream(t1, tmp_path):
+    """Multi-table tailing: interleaved waves split per table and apply
+    exactly-once into per-table dirs; a table appearing mid-stream
+    materializes on its first event; losing tail.log and re-delivering
+    everything changes nothing (ledgers + LSN fold dedup)."""
+    import numpy as np
+
+    from tg_data_connector_ray.cdc.pipeline import (
+        final_table_arrow,
+        tail_log_multi,
+    )
+
+    log = pa.concat_tables(
+        [pq.read_table(os.path.join(t1["cdc_log"], f))
+         for f in sorted(os.listdir(t1["cdc_log"]))],
+        promote_options="default",
+    )
+    # deterministic table tag by conv parity; a small 'gamma' slice only
+    # in the SECOND half of the stream (mid-stream table appearance)
+    num = pa.compute.cast(
+        pa.compute.utf8_slice_codeunits(log["conv_id"], 4, 99), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    tbl = np.where(num % 2 == 0, "alpha", "beta").astype(object)
+    half = log.num_rows // 2
+    gamma = (num % 17 == 0) & (np.arange(log.num_rows) >= half)
+    tbl[gamma] = "gamma"
+    tagged = log.append_column("tbl", pa.array(tbl.tolist(), pa.string()))
+
+    src = str(tmp_path / "shards")
+    os.makedirs(src)
+    n_shards = 6
+    k = log.num_rows // n_shards
+    for i in range(n_shards):
+        ln = k + (log.num_rows % n_shards if i == n_shards - 1 else 0)
+        pq.write_table(tagged.slice(i * k, ln),
+                       os.path.join(src, f"s-{i:02d}.parquet"))
+    shards = sorted(os.path.join(src, f) for f in os.listdir(src))
+
+    watch = str(tmp_path / "watch")
+    os.makedirs(watch)
+    waves = [shards[:2], shards[2:4], shards[4:]]
+    wi = iter(waves)
+
+    def drop(_s=None):
+        for f in next(wi, []):
+            os.symlink(f, os.path.join(watch, os.path.basename(f)))
+
+    drop()
+    root = str(tmp_path / "tables")
+    totals = tail_log_multi(watch, root, table_col="tbl",
+                            cfg_kwargs={"num_partitions": 4},
+                            poll_interval=0.05, idle_polls=5, on_batch=drop)
+    assert totals["batches"] == 3
+    assert totals["events_in"] == log.num_rows
+    assert set(totals["rows_live"]) == {"alpha", "beta", "gamma"}
+
+    # per-table convergence vs one-shot per-table applies
+    for name in ("alpha", "beta", "gamma"):
+        cfg = CdcConfig(out_dir=os.path.join(root, name), num_partitions=4)
+        got = final_table_arrow(cfg, sort=True)
+        ev = tagged.filter(pa.compute.equal(tagged["tbl"], name))
+        one = CdcConfig(out_dir=str(tmp_path / f"one-{name}"), num_partitions=4)
+        p = str(tmp_path / f"ev-{name}.parquet")
+        pq.write_table(ev.drop_columns(["tbl"]), p)
+        apply_cdc([p], one)
+        assert got.equals(final_table_arrow(one, sort=True))
+
+    # journal loss: full redelivery is a no-op
+    os.unlink(os.path.join(root, "tail.log"))
+    before = final_table_arrow(
+        CdcConfig(out_dir=os.path.join(root, "alpha"), num_partitions=4),
+        sort=True,
+    )
+    t2 = tail_log_multi(watch, root, table_col="tbl",
+                        cfg_kwargs={"num_partitions": 4},
+                        poll_interval=0.05, idle_polls=3)
+    assert t2["batches"] == 1  # everything redelivered as one batch
+    after = final_table_arrow(
+        CdcConfig(out_dir=os.path.join(root, "alpha"), num_partitions=4),
+        sort=True,
+    )
+    assert after.equals(before)

@@ -132,6 +132,12 @@ def main(argv=None) -> int:
         help="envelope = Debezium-shaped *.jsonl shards (staged to "
         "parquet per batch before the exactly-once apply)",
     )
+    tail.add_argument(
+        "--multi-table", dest="multi_table", default=None, metavar="COL",
+        help="interleaved multi-table stream: split each batch by this "
+        "column and apply per table into <out>/<table> (parquet format "
+        "only); --out becomes the tables root",
+    )
 
     rep = sub.add_parser(
         "repair",
@@ -378,6 +384,27 @@ def main(argv=None) -> int:
 
                 tail_kw = {"suffix": ".jsonl",
                            "prepare": stage_envelope_events}
+            if args.multi_table:
+                if args.format != "parquet":
+                    raise SystemExit("--multi-table needs --format parquet")
+                from .cdc.pipeline import tail_log_multi
+
+                out = tail_log_multi(
+                    args.events, args.out, table_col=args.multi_table,
+                    cfg_kwargs={
+                        "num_partitions": args.partitions,
+                        "merge_strategy": args.merge_strategy,
+                        **kw,
+                    },
+                    poll_interval=args.poll_interval,
+                    idle_polls=args.idle_polls,
+                    max_batches=args.max_batches,
+                    stop_file=args.stop_file,
+                    on_batch=lambda s: print(json.dumps(s, default=str),
+                                             file=sys.stderr),
+                )
+                print(json.dumps(out, default=str))
+                return 0
             out = tail_log(
                 args.events,
                 CdcConfig(

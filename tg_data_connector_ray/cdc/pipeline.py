@@ -1037,9 +1037,31 @@ def tail_log(
     hook.  One tail per table dir (same single-writer assumption as the
     run journal).  Returns totals across the session.
     """
+    def apply_batch(new, run_id):
+        if prepare is not None:
+            stage_dir = os.path.join(cfg.out_dir, "tail-stage", run_id)
+            inputs = prepare(new, stage_dir)
+        else:
+            inputs = new
+        return apply_cdc(inputs, cfg, run_id=run_id)
+
+    return _tail_loop(
+        log_dir, os.path.join(cfg.out_dir, "tail.log"), apply_batch,
+        poll_interval=poll_interval, idle_polls=idle_polls,
+        max_batches=max_batches, stop_file=stop_file, on_batch=on_batch,
+        suffix=suffix,
+    )
+
+
+def _tail_loop(log_dir, journal, apply_batch, *, poll_interval, idle_polls,
+               max_batches, stop_file, on_batch, suffix) -> dict:
+    """The shared poll-consume-journal loop behind tail_log (one table)
+    and tail_log_multi (interleaved stream).  `apply_batch(new_files,
+    run_id) -> summary` owns the actual apply; the loop owns discovery,
+    content-hash run identity, and the (optimization-only) consumed-file
+    journal."""
     import time as _time
 
-    journal = os.path.join(cfg.out_dir, "tail.log")
     consumed: "set[str]" = set()
     if os.path.exists(journal):
         with open(journal) as f:
@@ -1061,14 +1083,9 @@ def tail_log(
         if new:
             idle = 0
             run_id = compute_run_id(new)
-            if prepare is not None:
-                stage_dir = os.path.join(cfg.out_dir, "tail-stage", run_id)
-                inputs = prepare(new, stage_dir)
-            else:
-                inputs = new
-            s = apply_cdc(inputs, cfg, run_id=run_id)
+            s = apply_batch(new, run_id)
             consumed.update(new)
-            os.makedirs(cfg.out_dir, exist_ok=True)
+            os.makedirs(os.path.dirname(journal), exist_ok=True)
             with open(journal, "a") as f:
                 f.write("".join(p + "\n" for p in new))
             totals["batches"] += 1
@@ -1086,6 +1103,73 @@ def tail_log(
             break
         _time.sleep(poll_interval)
     return totals
+
+
+def tail_log_multi(
+    log_dir,
+    out_root: str,
+    *,
+    table_col: str = "tbl",
+    cfg_kwargs: "dict | None" = None,
+    poll_interval: float = 5.0,
+    idle_polls: "int | None" = None,
+    max_batches: "int | None" = None,
+    stop_file: "str | None" = None,
+    on_batch=None,
+    suffix: str = ".parquet",
+) -> dict:
+    """Continuous tailing of an INTERLEAVED multi-table change stream
+    (the Debezium topic shape): each new micro-batch is split by
+    `table_col` with one hive-partitioned write, then applied to each
+    table's own out_dir (`out_root/<table>` — own state, ledger,
+    lineage, journals) under the batch's content-hash run id.  A table
+    appearing mid-stream simply materializes on its first event.
+
+    Exactly-once per (table, batch): ledgers are per-table, the split
+    stage is rebuilt deterministically per run id (rmtree + rewrite), so
+    a crash anywhere re-splits and the committed partitions skip.
+    Summaries aggregate events across tables; rows_live is per-table."""
+    import shutil as _shutil
+
+    cfg_kwargs = dict(cfg_kwargs or {})
+
+    def apply_batch(new, run_id):
+        split_dir = os.path.join(out_root, "tail-split", run_id)
+        _shutil.rmtree(split_dir, ignore_errors=True)
+        os.makedirs(split_dir, exist_ok=True)
+
+        def check(t: pa.Table) -> pa.Table:
+            if t.num_rows and pa.compute.any(
+                pa.compute.is_null(t[table_col])
+            ).as_py():
+                raise ValueError(
+                    f"tail_log_multi: null {table_col!r} — refusing to "
+                    "merge unattributed events into a default table"
+                )
+            return t
+
+        ray.data.read_parquet(list(new)).map_batches(
+            check, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(split_dir, partition_cols=[table_col])
+        summary = {"run_id": run_id, "events_in": 0, "rows_live": {},
+                   "tables": []}
+        for d in sorted(os.listdir(split_dir)):
+            if not d.startswith(f"{table_col}="):
+                continue
+            table = d.split("=", 1)[1]
+            cfg = CdcConfig(out_dir=os.path.join(out_root, table), **cfg_kwargs)
+            s = apply_cdc([os.path.join(split_dir, d)], cfg, run_id=run_id)
+            summary["events_in"] += s["events_in"]
+            summary["rows_live"][table] = s["rows_live"]
+            summary["tables"].append(table)
+        return summary
+
+    return _tail_loop(
+        log_dir, os.path.join(out_root, "tail.log"), apply_batch,
+        poll_interval=poll_interval, idle_polls=idle_polls,
+        max_batches=max_batches, stop_file=stop_file, on_batch=on_batch,
+        suffix=suffix,
+    )
 
 
 @_with_writer_lease
