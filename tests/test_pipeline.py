@@ -1594,3 +1594,45 @@ def test_tail_log_multi_interleaved_stream(t1, tmp_path):
         sort=True,
     )
     assert after.equals(before)
+
+
+def test_mirror_to_sql_roundtrip(t1, tmp_path):
+    """The converged table mirrors into an RDBMS through the
+    exactly-once SQL sink; re-mirroring after an edit upserts (no dupes,
+    new values visible)."""
+    import sqlite3
+
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_corrections,
+        final_table_arrow,
+        mirror_to_sql,
+    )
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "mir"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+    db = str(tmp_path / "mirror.db")
+    factory = lambda: sqlite3.connect(db)  # noqa: E731
+
+    n = mirror_to_sql(cfg, factory, "transcripts")
+    exp = final_table_arrow(cfg, sort=True)
+    assert n == exp.num_rows
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT count(*) FROM transcripts").fetchone()[0] == n
+
+    fix = pa.table({
+        "conv_id": exp["conv_id"].slice(0, 1),
+        "turn_idx": exp["turn_idx"].slice(0, 1),
+        "text": pa.array(["mirrored-edit"]),
+    })
+    apply_corrections(cfg, fix, run_id="mir-fix")
+    mirror_to_sql(cfg, factory, "transcripts")
+    got = con.execute(
+        "SELECT count(*), sum(text = 'mirrored-edit') FROM transcripts"
+    ).fetchone()
+    assert got == (n, 1)
+    row = con.execute(
+        "SELECT text FROM transcripts WHERE conv_id = ? AND turn_idx = ?",
+        (exp["conv_id"][0].as_py(), exp["turn_idx"][0].as_py()),
+    ).fetchone()
+    assert row == ("mirrored-edit",)
+    con.close()

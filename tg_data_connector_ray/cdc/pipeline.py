@@ -1962,3 +1962,44 @@ def expire_rows(cfg: CdcConfig, older_than_ts, run_id: str) -> dict:
     summary = apply_cdc([path], cfg, run_id=run_id)
     summary["turns_expired"] = n
     return summary
+
+
+def mirror_to_sql(
+    cfg: CdcConfig,
+    connection_factory,
+    table: str,
+    *,
+    mode: str = "replace",
+    dialect: str = "sqlite",
+    exactly_once: bool = True,
+    concurrency: int = 1,
+) -> int:
+    """Mirror the converged live table into an RDBMS — the reference's
+    ONLY delivery mode (tigergraphwriter / CommonRdbmsWriter push rows at
+    a database), recreated as a downstream of the lake table: streaming
+    `read_final_table` -> the exactly-once SQL Datasink (per-batch ledger
+    committed atomically with the data, so Ray task retries never
+    double-insert).  mode "replace" upserts by (conv_id, turn_idx);
+    "insert" appends (for an empty destination).  Returns rows committed.
+
+    Keyed on the CURRENT table state: run it after each apply (or from
+    `tail_log`'s on_batch) for a continuously-refreshed mirror; the
+    upsert makes re-mirroring idempotent."""
+    from ..sinks.sql import SqlSinkConfig, write_sql
+
+    sink = SqlSinkConfig(
+        table=table,
+        columns=tuple(USER_COLS),
+        write_mode=mode,
+        conflict_keys=("conv_id", "turn_idx"),
+        dialect=dialect,
+        exactly_once=exactly_once,
+        concurrency=concurrency,
+        pre_sql=(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "conv_id TEXT NOT NULL, turn_idx INTEGER NOT NULL, "
+            "role TEXT, text TEXT, tool TEXT, ts TIMESTAMP, "
+            "PRIMARY KEY (conv_id, turn_idx))",
+        ),
+    )
+    return write_sql(read_final_table(cfg), connection_factory, sink)
