@@ -1636,3 +1636,12 @@ def test_mirror_to_sql_roundtrip(t1, tmp_path):
     ).fetchone()
     assert row == ("mirrored-edit",)
     con.close()
+
+
+def test_run_id_path_safety(t1, tmp_path):
+    """run ids name ledger/journal/stage paths: separators are refused."""
+    cfg = CdcConfig(out_dir=str(tmp_path / "rid"), num_partitions=2)
+    with pytest.raises(ValueError, match="path-safe"):
+        apply_cdc(t1["cdc_log"], cfg, run_id="bad/run")
+    # an empty run_id falls back to the content-derived id (falsy arg)
+    assert apply_cdc(t1["cdc_log"], cfg, run_id="")["rows_live"] > 0

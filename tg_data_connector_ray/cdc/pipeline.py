@@ -511,6 +511,10 @@ def apply_cdc(
     `_manifest-<run_id>.json` under out_dir).  Idempotent per run_id."""
     files = _expand(event_paths) if event_paths else []
     run_id = run_id or compute_run_id(files, snapshot_path)
+    if os.sep in run_id or not run_id:
+        # run ids name ledger/journal/stage paths — a separator would
+        # scatter them across nested dirs and break vacuum/journal parsing
+        raise ValueError(f"run_id must be a non-empty path-safe token: {run_id!r}")
     os.makedirs(cfg.out_dir, exist_ok=True)
     _check_state_format(cfg)
 
@@ -1162,6 +1166,9 @@ def tail_log_multi(
             summary["events_in"] += s["events_in"]
             summary["rows_live"][table] = s["rows_live"]
             summary["tables"].append(table)
+        # every table committed: the split stage is spent (a crash above
+        # re-splits deterministically on redelivery, so nothing is lost)
+        _shutil.rmtree(split_dir, ignore_errors=True)
         return summary
 
     return _tail_loop(
