@@ -1843,6 +1843,43 @@ def _docs_postings(sf_dir):
     return postings(ds, k=200)
 
 
+def _docs_dup_spans(sf_dir):
+    """Cross-document duplicated-SPAN statistics — substring-level dedup
+    (Lee et al. 2022 "Deduplicating Training Data", public paper), the
+    k-gram reformulation that distributes: thin per-block
+    (gram_hash, dmin, dmax) sketch -> coarse-bucket fold -> broadcast
+    dup-gram index -> shuffle-free per-doc gaps-and-islands span merge.
+    Window hash = md5-u64 (the winnow idiom), replayed bit-for-bit by
+    the oracle.  See ops/spans.py for the 100-TB shape."""
+    from tg_data_connector_ray.ops.spans import dup_span_stats
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        small_block_bytes=256 << 10,
+    )
+    return dup_span_stats(ds, k=8)
+
+
+def _docs_strip_dup_spans(sf_dir):
+    """Duplicated-span REMOVAL: drop every token covered by a duplicated
+    window whose (doc_id, pos) is not the gram's global canonical first
+    occurrence — exactly one copy of each repeated >= k-token run
+    survives.  Output is the tokenized view (doc_id, clean_text,
+    n_removed_tokens) for every doc; the oracle rebuilds the identical
+    kept-token join in SQL."""
+    from tg_data_connector_ray.ops.spans import strip_dup_spans
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        small_block_bytes=256 << 10,
+    )
+    return strip_dup_spans(ds, k=8)
+
+
 def _events_anomaly(sf_dir):
     """Per-user z-score outliers, integer-exact: the |v-mean| > 1.5*sigma
     test (rational threshold; uniform draws cap |z| at sqrt(3)) with both
@@ -2142,8 +2179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": _q3_shipping_priority,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
-        "events_cube": _events_cube,
-        "events_anomaly": _events_anomaly,
+        # --- round-5 closing additions: substring-level (span) dedup ---
+        "docs_dup_spans": _docs_dup_spans,
+        "docs_strip_dup_spans": _docs_strip_dup_spans,
         "events_retention": R.events_retention,
         "events_funnel": R.events_funnel,
         "events_type_pagerank": _events_type_pagerank,
@@ -2190,6 +2228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # subset of the CUBE grouping sets kept above), and the windowed
         # distinct count (hll + hourly_window keep both families)
         "docs_profile": _docs_profile,
+        # moved out of the checked prefix to make room for the span-dedup
+        # pair (both stable single-table shapes, still in the full sweep)
+        "events_cube": _events_cube,
+        "events_anomaly": _events_anomaly,
         "events_top_paths": _events_top_paths,
         "events_value_histogram": _events_value_histogram,
         "users_in_both": _users_in_both,
@@ -3817,6 +3859,108 @@ def oracle_sql() -> dict[str, str]:
                     AND sym_ratio_u6 < 10000 AND ellipsis_u6 < 200000
                     AND n_tok >= 5) AS keep
             FROM m
+        """,
+        # span-level dedup: the oracle replays the engine's exact window
+        # definition (k=8 token windows over lower+[a-z0-9_]+ tokens, gram
+        # hash = little-endian u64 of md5(gram) — the winnow idiom), the
+        # cross-doc test (>= 2 distinct doc_ids <=> min<max), and the
+        # gaps-and-islands merge (new span when the position gap > k)
+        "docs_dup_spans": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+                    FROM tok WHERE len(toks) >= 8)
+            ), h AS (
+              SELECT doc_id, pos,
+                list_sum(list_transform(range(0, 8), j ->
+                  CAST((strpos('0123456789abcdef', substr(md5(gram), 2*j+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(gram), 2*j+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*j) AS UBIGINT))) AS hv
+              FROM w
+            ), dup AS (
+              SELECT hv FROM h GROUP BY hv HAVING min(doc_id) < max(doc_id)
+            ), d AS (
+              SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                       OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8
+                     THEN 1 ELSE 0 END AS new_span
+              FROM h WHERE hv IN (SELECT hv FROM dup)
+            ), s AS (
+              SELECT doc_id, pos,
+                     sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM d
+            ), spans AS (
+              SELECT doc_id, span_id, count(*) AS n_wins, min(pos) AS p0, max(pos) AS p1
+              FROM s GROUP BY doc_id, span_id
+            )
+            SELECT doc_id,
+              CAST(sum(n_wins) AS BIGINT) AS n_dup_windows,
+              CAST(count(*) AS BIGINT) AS n_dup_spans,
+              CAST(sum(p1 - p0 + 8) AS BIGINT) AS dup_tokens,
+              CAST(max(p1 - p0 + 8) AS BIGINT) AS max_span_tokens
+            FROM spans GROUP BY doc_id
+        """,
+        # removal oracle: canonical owner = min(doc_id*2^32 + 0-based pos)
+        # per gram (SQL pos is 1-based, hence pos-1); removable windows
+        # merge with the same gap>k rule; covered token indices unnest
+        # from the merged spans; kept tokens re-join with ' '
+        "docs_strip_dup_spans": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 8 + 2)) AS i
+                    FROM tok WHERE len(toks) >= 8)
+            ), h AS (
+              SELECT doc_id, pos,
+                list_sum(list_transform(range(0, 8), j ->
+                  CAST((strpos('0123456789abcdef', substr(md5(gram), 2*j+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(gram), 2*j+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*j) AS UBIGINT))) AS hv
+              FROM w
+            ), own AS (
+              SELECT hv, min(doc_id) AS dmin, max(doc_id) AS dmax,
+                     min(doc_id * 4294967296 + (pos - 1)) AS owner
+              FROM h GROUP BY hv
+            ), r AS (
+              SELECT h.doc_id, h.pos,
+                CASE WHEN lag(h.pos) OVER (PARTITION BY h.doc_id ORDER BY h.pos) IS NULL
+                       OR h.pos - lag(h.pos) OVER (PARTITION BY h.doc_id ORDER BY h.pos) > 8
+                     THEN 1 ELSE 0 END AS new_span
+              FROM h JOIN own USING (hv)
+              WHERE own.dmin < own.dmax
+                AND h.doc_id * 4294967296 + (h.pos - 1) <> own.owner
+            ), s AS (
+              SELECT doc_id, pos,
+                     sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+              FROM r
+            ), spans AS (
+              SELECT doc_id, min(pos) AS p0, max(pos) AS p1
+              FROM s GROUP BY doc_id, span_id
+            ), covered AS (
+              SELECT DISTINCT doc_id, unnest(range(p0, p1 + 8)) AS cpos
+              FROM spans
+            ), toks_flat AS (
+              SELECT doc_id, unnest(range(1, len(toks) + 1)) AS ti, unnest(toks) AS tok
+              FROM tok
+            ), kept AS (
+              SELECT tf.doc_id, tf.ti, tf.tok
+              FROM toks_flat tf LEFT JOIN covered c
+                ON c.doc_id = tf.doc_id AND c.cpos = tf.ti
+              WHERE c.cpos IS NULL
+            ), agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY ti) AS clean_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(t.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed_tokens
+            FROM tok t LEFT JOIN agg a ON a.doc_id = t.doc_id
         """,
         "events_user_hll": """
             WITH u AS (
