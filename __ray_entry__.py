@@ -1857,7 +1857,7 @@ def _docs_dup_spans(sf_dir):
     ds = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
-        small_block_bytes=256 << 10,
+        small_block_bytes=32 << 10,
     )
     return dup_span_stats(ds, k=8)
 
@@ -1875,7 +1875,7 @@ def _docs_strip_dup_spans(sf_dir):
     ds = sized_read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
-        small_block_bytes=256 << 10,
+        small_block_bytes=32 << 10,
     )
     return strip_dup_spans(ds, k=8)
 
