@@ -199,6 +199,9 @@ def run_query_bench() -> "tuple[dict, dict]":
         "events_top_paths",
         "docs_profile",
         "events_value_histogram",
+        # round 5 closing: substring-level (span) dedup
+        "docs_dup_spans",
+        "docs_strip_dup_spans",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
