@@ -857,6 +857,124 @@ def _run_cdc_multi_table_tail(sf_dir: str):
     return pa.concat_tables(outs)
 
 
+def _run_cdc_consistent_read(sf_dir: str):
+    """Cross-table transactional visibility through the driver surface:
+    waves 1-2 of the tagged t2 stream tail in normally (each micro-batch
+    certified in tx.log only after BOTH tables' applies commit); wave 3
+    is TORN — a simulated crash between per-table applies leaves it
+    applied to table alpha only, uncertified.  `read_consistent` returns
+    the two tables at the wave-2 frontier: alpha's torn run is excluded
+    via an as-of-run read over its delta history, beta reads live — a
+    reader never observes alpha at batch 3 next to beta at batch 2.
+    Oracle: the merge contract over the wave-1+2 event shards only,
+    tagged with the same conv-parity CASE."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        compute_run_id,
+        read_consistent,
+        tail_log_multi,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    root = os.path.join(_CDC_OUT, "t2txread")
+    shards = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+    waves = [shards[i::3] for i in range(3)]
+
+    # tag shard-for-shard under the ORIGINAL basenames (deterministic, so
+    # wave membership survives reruns; the oracle reads the untagged
+    # fixture shards and re-derives the tag in SQL)
+    tagged_dir = os.path.join(root, "tagged")
+    done = os.path.join(root, "_TAGGED_DONE")
+    if not os.path.exists(done):
+        os.makedirs(tagged_dir, exist_ok=True)
+        for f in shards:
+            t = _pq.read_table(f)
+            par = _pc.bit_wise_and(
+                _pc.cast(
+                    _pc.utf8_slice_codeunits(t["conv_id"], 4, 99), pa.int64()
+                ),
+                pa.scalar(1, pa.int64()),
+            )
+            tbl = _pc.if_else(
+                _pc.equal(par, 0), pa.scalar("alpha"), pa.scalar("beta")
+            )
+            _pq.write_table(
+                t.append_column("tbl", tbl),
+                os.path.join(tagged_dir, os.path.basename(f)),
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    tag_waves = [
+        [os.path.join(tagged_dir, os.path.basename(f)) for f in w] for w in waves
+    ]
+
+    kw = {"num_partitions": 8, "merge_strategy": "delta"}
+    watch = os.path.join(root, "watch")
+    os.makedirs(watch, exist_ok=True)
+    wi = iter(tag_waves[:2])
+
+    def drop_next(_s=None) -> None:
+        for f in next(wi, []):
+            dst = os.path.join(watch, os.path.basename(f))
+            if not os.path.exists(dst):
+                os.symlink(f, dst)
+
+    drop_next()
+    tail_log_multi(
+        watch, root, table_col="tbl", cfg_kwargs=kw,
+        poll_interval=0.05, idle_polls=5, on_batch=drop_next,
+    )
+
+    # TORN wave 3: the crash window between per-table applies — alpha
+    # commits under the batch's run id, beta never runs, tx.log is never
+    # appended.  (The split drops the hive tag column, exactly like
+    # tail_log_multi's partitioned write does.)
+    run3 = compute_run_id(tag_waves[2])
+    torn_part = os.path.join(root, "torn-split", "alpha.parquet")
+    if not os.path.exists(torn_part):
+        os.makedirs(os.path.dirname(torn_part), exist_ok=True)
+        t = pa.concat_tables([_pq.read_table(f) for f in tag_waves[2]])
+        _pq.write_table(
+            t.filter(_pc.equal(t["tbl"], "alpha")).drop_columns(["tbl"]),
+            torn_part,
+        )
+    apply_cdc(
+        [torn_part],
+        CdcConfig(out_dir=os.path.join(root, "alpha"), **kw),
+        run_id=run3,
+    )
+    return read_consistent(root, cfg_kwargs=kw, sort=True)
+
+
+def _cdc_consistent_oracle_sql() -> str:
+    """Merge contract restricted to the certified frontier: only the
+    wave-1+2 fixture shards (the torn wave-3 batch is invisible to a
+    consistent reader), tagged with the same parity CASE as the engine's
+    routing."""
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.util import list_files
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    shards = sorted(list_files(fx["cdc_log"], suffix=".parquet"))
+    visible = sorted(shards[0::3] + shards[1::3])
+    files_sql = "[" + ", ".join(f"'{p}'" for p in visible) + "]"
+    src = f"""SELECT lsn, op, conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                 role, text, tool, ts
+          FROM read_parquet({files_sql}, union_by_name=true)"""
+    return f"""
+        WITH m AS ({_merge_contract_sql(src)})
+        SELECT m.*, CASE WHEN CAST(substr(conv_id, 5) AS BIGINT) % 2 = 0
+                         THEN 'alpha' ELSE 'beta' END AS tbl
+        FROM m
+    """
+
+
 def _run_cdc_dirty_repair(sf_dir: str):
     """Dead-letter repair-replay through the driver surface: the F5 edge
     corpus replays (dirty rows -> side-output), then `replay_dirty`
@@ -2153,6 +2271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dirty_repair": _run_cdc_dirty_repair,
         "cdc_multi_table": _run_cdc_multi_table,
         "cdc_multi_table_tail": _run_cdc_multi_table_tail,
+        "cdc_consistent_read": _run_cdc_consistent_read,
         "cdc_corrections": _run_cdc_corrections,
         "cdc_merge_events": R.cdc_merge_events,
         "cdc_scd2_history": _run_cdc_scd2,
@@ -2515,6 +2634,10 @@ def oracle_sql() -> dict[str, str]:
                              THEN 'alpha' ELSE 'beta' END AS tbl
             FROM m
         """,
+        # cross-table transactional visibility: a torn batch (applied to
+        # one table, uncertified) is invisible — contract over the
+        # certified waves only
+        "cdc_consistent_read": _cdc_consistent_oracle_sql(),
         # correction batch: contract over log + synthesized fix events
         "cdc_corrections": _cdc_corrections_oracle_sql(),
         # incremental two-batch ingest converges to the same final state

@@ -1166,8 +1166,13 @@ def tail_log_multi(
             summary["events_in"] += s["events_in"]
             summary["rows_live"][table] = s["rows_live"]
             summary["tables"].append(table)
-        # every table committed: the split stage is spent (a crash above
-        # re-splits deterministically on redelivery, so nothing is lost)
+        # every table committed: certify the batch in the cross-table
+        # transaction log (read_consistent's visibility frontier), THEN
+        # spend the split stage.  A crash before this append leaves the
+        # batch uncertified — applied-so-far tables are ahead of the
+        # frontier until redelivery completes the batch, and consistent
+        # readers never see the torn state.
+        _append_tx_manifest(out_root, run_id, summary["tables"])
         _shutil.rmtree(split_dir, ignore_errors=True)
         return summary
 
@@ -1177,6 +1182,102 @@ def tail_log_multi(
         max_batches=max_batches, stop_file=stop_file, on_batch=on_batch,
         suffix=suffix,
     )
+
+
+def _append_tx_manifest(out_root: str, run_id: str, tables: "list[str]") -> None:
+    """Certify one fully-applied multi-table micro-batch in the
+    cross-table transaction log (`tx.log`, one JSON object per line,
+    batch-completion order).  Called only AFTER every per-table apply of
+    the batch returned, so a line's presence == every (table, run) pair
+    it names is committed.  Redelivery of a crashed batch re-appends;
+    readers dedupe by run_id keeping the first occurrence."""
+    import json as _json
+
+    path = os.path.join(out_root, "tx.log")
+    os.makedirs(out_root, exist_ok=True)
+    with open(path, "a") as f:
+        f.write(_json.dumps({"run_id": run_id, "tables": sorted(tables)}) + "\n")
+
+
+def multi_table_tx_log(out_root: str) -> "list[dict]":
+    """The certified batch sequence: tx.log manifests in completion
+    order, deduped by run_id (redelivery re-appends; first wins)."""
+    import json as _json
+
+    path = os.path.join(out_root, "tx.log")
+    if not os.path.exists(path):
+        return []
+    seen, out = set(), []
+    with open(path) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            m = _json.loads(ln)
+            if m["run_id"] in seen:
+                continue
+            seen.add(m["run_id"])
+            out.append(m)
+    return out
+
+
+def read_consistent(
+    out_root: str,
+    table_col: str = "tbl",
+    cfg_kwargs: "dict | None" = None,
+    sort: bool = False,
+) -> pa.Table:
+    """Cross-table TRANSACTIONALLY-CONSISTENT read of a multi-table CDC
+    root (`tail_log_multi` layout): every table as of the last batch the
+    tx.log certifies — one atomic point in the global micro-batch
+    sequence.  A reader never observes a TORN batch (a crash or a
+    concurrent tailer that has applied batch N to table alpha but not
+    yet to table beta): uncertified runs are excluded via an as-of-run
+    read of the affected table.
+
+    Per table: its visibility frontier is the last certified manifest
+    naming it.  If the table's own run journal has moved PAST that
+    frontier (it holds torn-batch runs), the read time-travels to the
+    frontier run — which requires merge_strategy='delta' history (the
+    time_travel contract); a refold-mode table in that state raises
+    TimeTravelError with the torn run named, rather than silently
+    returning the torn state.  Tables exactly AT their frontier read the
+    live table directly (any merge strategy).  Tables named by no
+    certified manifest contribute nothing.
+
+    Scale note: consistency is decided from DRIVER-SIDE metadata only
+    (tx.log + per-table runs.log, bytes per batch); the data path is the
+    ordinary per-table partitioned read.  Returns the union of the
+    per-table tables with a `table_col` tag column."""
+    certified = multi_table_tx_log(out_root)
+    frontier: "dict[str, str]" = {}
+    for m in certified:
+        for t in m["tables"]:
+            frontier[t] = m["run_id"]
+    outs = []
+    for table in sorted(frontier):
+        cfg = CdcConfig(
+            out_dir=os.path.join(out_root, table), **dict(cfg_kwargs or {})
+        )
+        runs_path = os.path.join(cfg.out_dir, "runs.log")
+        applied: "list[str]" = []
+        if os.path.exists(runs_path):
+            with open(runs_path) as f:
+                applied = f.read().split()
+        want = frontier[table]
+        if applied and applied[-1] == want:
+            t = final_table_arrow(cfg, sort=sort)  # live == frontier
+        else:
+            t = time_travel(cfg, want, sort=sort)  # torn runs excluded
+        outs.append(
+            t.append_column(table_col, pa.array([table] * t.num_rows))
+        )
+    if not outs:
+        raise ValueError(
+            f"read_consistent: no certified batches in {out_root}/tx.log — "
+            "nothing is consistently visible yet"
+        )
+    return pa.concat_tables(outs)
 
 
 @_with_writer_lease
