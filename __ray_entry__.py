@@ -2076,6 +2076,21 @@ def _text_langid(sf_dir):
     return ds.select_columns(["doc_id", "lang_pred"])
 
 
+def _docs_shuffle_seeded(sf_dir):
+    """Reproducible global training-order shuffle: shuffle_rank is a pure
+    function of (seed, doc_id) — identical across runs, cluster sizes and
+    block layouts (random_shuffle cannot give this).  Distributed dense
+    rank via fixed u64 range partitioning of the md5 key space + driver
+    prefix sum of per-range counts; the payload never moves."""
+    from tg_data_connector_ray.ops.corpus import seeded_shuffle_rank
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    return seeded_shuffle_rank(ds, seed="ep0")
+
+
 def _docs_hash_split(sf_dir):
     """Deterministic train/val/test split by hashed doc_id — reproducible
     across runs/backfills (membership is a pure key function)."""
@@ -2369,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_heavy_tail": _users_heavy_tail,
         "label_centroids": _label_centroids,
         "docs_hash_split": _docs_hash_split,
+        "docs_shuffle_seeded": _docs_shuffle_seeded,
         "events_props_extract": _events_props_extract,
         "events_value_delta": _events_value_delta,
         "revenue_by_region": _revenue_by_region,
@@ -3390,6 +3406,25 @@ def oracle_sql() -> dict[str, str]:
                    (tok_start + greatest(n_tok, 1) - 1) // 2048 AS seq_last,
                    tok_start % 2048 AS off_in_seq
             FROM c
+        """,
+        # reproducible shuffle: same md5-u64 key, dense rank by (key, id)
+        "docs_shuffle_seeded": """
+            WITH k AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), j ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 2*j+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                        substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 2*j+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*j) AS UBIGINT))) AS hu
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(CASE WHEN hu >= CAST(9223372036854775808 AS HUGEINT)
+                        THEN CAST(hu AS HUGEINT) - CAST(18446744073709551616 AS HUGEINT)
+                        ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS shuffle_key,
+              CAST(row_number() OVER (ORDER BY hu, doc_id) - 1 AS BIGINT) AS shuffle_rank
+            FROM k
         """,
         "docs_hash_split": """
             WITH h AS (

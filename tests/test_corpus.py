@@ -427,3 +427,25 @@ def test_table_profile_matches_duckdb_and_edges(ray_session):
 
     empty = table_profile(ray.data.from_arrow(t.slice(0, 0)), ["k", "s"])
     assert empty.num_rows == 0 and empty.column_names == got.column_names
+
+
+def test_seeded_shuffle_rank_is_dense_and_layout_independent():
+    import pandas as pd
+
+    from tg_data_connector_ray.ops.corpus import seeded_shuffle_rank
+
+    ids = pa.table({"doc_id": pa.array(range(200), pa.int64())})
+    one_block = ray.data.from_arrow(ids)
+    many_blocks = ray.data.from_arrow(ids).repartition(7)
+
+    a = seeded_shuffle_rank(one_block, seed="s1").to_pandas().sort_values("doc_id")
+    b = seeded_shuffle_rank(many_blocks, seed="s1").to_pandas().sort_values("doc_id")
+    # ranks are a pure function of (seed, ids): block layout is invisible
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    # dense permutation of 0..n-1
+    assert sorted(a["shuffle_rank"]) == list(range(200))
+    # a different seed is a different permutation
+    c = seeded_shuffle_rank(one_block, seed="s2").to_pandas().sort_values("doc_id")
+    assert list(c["shuffle_rank"]) != list(a["shuffle_rank"])

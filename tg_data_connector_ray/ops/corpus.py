@@ -833,3 +833,99 @@ def table_profile(ds, columns: "list[str]") -> pa.Table:
         "max_v": pa.array(out["max_v"], pa.string()),
         "total_chars": pa.array(out["total_chars"], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# reproducible training-order shuffle
+
+def seeded_shuffle_rank(ds, seed: str, id_col: str = "doc_id",
+                        num_ranges: int = 64):
+    """Reproducible global training-order shuffle: every row gets
+    ``shuffle_key = md5-u64(seed || ':' || id)`` and ``shuffle_rank`` =
+    its 0-based position in ascending (key, id) order.  The order is a
+    FUNCTION of (seed, ids) — byte-identical across runs, cluster sizes,
+    and block layouts, which is what a resumable pretraining job needs:
+    epoch N's order can be re-derived after any failure, and a different
+    seed gives an independent permutation.  ``random_shuffle`` cannot
+    give this (its permutation depends on the block layout of the run).
+
+    Distributed shape (the pack_sequences prefix-sum idiom on the
+    uint64 key space): a thin (id, key) pass; keys range-partition by
+    VALUE (md5 keys are uniform by construction, so fixed equal-width
+    u64 ranges are balanced — no sampling pass needed); per-range
+    counts prefix-sum on the driver (O(num_ranges) state); a per-range
+    local sort assigns ranks.  Shuffle volume is two int64 columns —
+    the payload never moves; at 10^10 rows the exchange is ~160 GB of
+    thin pairs against a petabyte corpus.  Ranks are globally dense and
+    exact; md5 ties (collisions) break deterministically by id.
+
+    Returns (id_col, shuffle_key, shuffle_rank); join back on id_col or
+    feed the rank to a range read to stream epoch order."""
+    import hashlib as _hashlib
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = _i64(t[id_col])
+        ks = np.array(
+            [
+                int.from_bytes(
+                    _hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "little"
+                )
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shuffle_key": pa.array(ks.view(np.int64), pa.int64()),
+            }
+        )
+
+    thin = ds.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+    width = np.uint64((1 << 64) // num_ranges)
+
+    def tag_range(t: pa.Table) -> pa.Table:
+        k = _i64(t["shuffle_key"]).view(np.uint64)
+        rg = np.minimum(k // width, np.uint64(num_ranges - 1)).astype(np.int64)
+        return t.append_column("_rg", pa.array(rg))
+
+    tagged = thin.map_batches(
+        tag_range, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    counts = (
+        tagged.map_batches(
+            lambda t: pa.table(
+                {
+                    "_rg": t["_rg"],
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }
+            ).group_by("_rg").aggregate([("one", "sum")]).rename_columns(["_rg", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+        .groupby("_rg", as_index=False)["n"]
+        .sum()
+        .sort_values("_rg")
+    )
+    starts = np.concatenate([[0], np.cumsum(counts["n"].to_numpy(np.int64))])[:-1]
+    range_off = dict(zip(counts["_rg"].astype(np.int64), starts))
+
+    def assign(g: pa.Table) -> pa.Table:
+        ids = _i64(g[id_col])
+        k = _i64(g["shuffle_key"]).view(np.uint64)
+        rg = int(g["_rg"][0].as_py())
+        order = np.lexsort((ids, k))
+        rank = range_off[rg] + np.arange(len(ids), dtype=np.int64)
+        out = np.empty(len(ids), np.int64)
+        out[order] = rank
+        return pa.table(
+            {
+                id_col: g[id_col],
+                "shuffle_key": g["shuffle_key"],
+                "shuffle_rank": pa.array(out, pa.int64()),
+            }
+        )
+
+    return tagged.groupby("_rg").map_groups(assign, batch_format="pyarrow")
