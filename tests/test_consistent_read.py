@@ -104,3 +104,36 @@ def test_refold_table_with_torn_run_refuses(tmp_path):
     with pytest.raises((TimeTravelError, ValueError)):
         read_consistent(root, cfg_kwargs={"num_partitions": 2,
                                           "merge_strategy": "refold"})
+
+
+def test_cli_consistent_verb(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "tx")
+    _apply(root, "alpha", _events(1, [("c1", 0, "a1")]), "batch1", tmp_path)
+    _apply(root, "beta", _events(1, [("d1", 0, "b1")]), "batch1", tmp_path)
+    _append_tx_manifest(root, "batch1", ["alpha", "beta"])
+    # torn second batch: must stay invisible through the CLI too
+    _apply(root, "alpha", _events(10, [("c2", 0, "a2")]), "batch2", tmp_path)
+
+    dest = str(tmp_path / "snap.parquet")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "consistent",
+            "--root", root, "--partitions", "2", "--merge-strategy", "delta",
+            "--dest", dest,
+        ],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 2
+    assert summary["tables"] == {"alpha": 1, "beta": 1}
+    assert summary["certified_batches"] == 1
+    t = pq.read_table(dest)
+    assert "c2" not in t["conv_id"].to_pylist()

@@ -217,6 +217,21 @@ def main(argv=None) -> int:
     )
     sch.add_argument("--out", required=True)
 
+    con = sub.add_parser(
+        "consistent",
+        help="cross-table transactionally-consistent export of a "
+        "multi-table root (tail --multi-table layout): every table as of "
+        "the last tx.log-certified micro-batch — torn batches invisible",
+    )
+    con.add_argument("--root", required=True, help="multi-table root dir")
+    con.add_argument("--partitions", type=int, default=64)
+    con.add_argument("--merge-strategy", default="delta",
+                     choices=["refold", "delta"])
+    con.add_argument("--table-col", default="tbl")
+    con.add_argument("--dest", default=None,
+                     help="write the consistent union here as parquet "
+                     "(default: print row counts only)")
+
     args = p.parse_args(argv)
 
     import ray
@@ -283,6 +298,33 @@ def main(argv=None) -> int:
                 args.conv,
             )
             out = {"rows": t.num_rows, "turns": t.to_pylist()}
+        elif args.cmd == "consistent":
+            from .cdc.pipeline import multi_table_tx_log, read_consistent
+
+            t = read_consistent(
+                args.root,
+                table_col=args.table_col,
+                cfg_kwargs={"num_partitions": args.partitions,
+                            "merge_strategy": args.merge_strategy},
+                sort=True,
+            )
+            certified = multi_table_tx_log(args.root)
+            g = t.group_by(args.table_col).aggregate([([], "count_all")])
+            per_table = dict(
+                zip(g[args.table_col].to_pylist(), g["count_all"].to_pylist())
+            )
+            if args.dest:
+                import pyarrow.parquet as _pq
+
+                os.makedirs(os.path.dirname(args.dest) or ".", exist_ok=True)
+                _pq.write_table(t, args.dest)
+            out = {
+                "rows": t.num_rows,
+                "tables": per_table,
+                "frontier_run": certified[-1]["run_id"] if certified else None,
+                "certified_batches": len(certified),
+                "dest": args.dest,
+            }
         elif args.cmd == "vacuum":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import vacuum
