@@ -239,3 +239,79 @@ def test_funnel_chain_counts_equal_exhaustive_subsequence(events):
             if found:
                 exp[k - 1] += 1
     assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12)
+        .map(" ".join),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_dup_span_batch_kernels_equal_bruteforce(texts, k):
+    """The span-dedup batch kernels (window hashing + cross-doc dup set +
+    gaps-and-islands merge) against a brute-force reference: enumerate
+    every k-token window as a STRING, find windows appearing in >= 2
+    distinct docs, merge per doc with the gap > k rule."""
+    from tg_data_connector_ray.ops.spans import (
+        DupSpanStats,
+        _merge_spans,
+        _window_hashes,
+    )
+
+    # brute force over window strings (no hashing at all)
+    toks = [t.lower().split() for t in texts]
+    wins = {}  # gram -> set(doc)
+    per_doc = []  # (doc, pos) of every window
+    for d, tk in enumerate(toks):
+        for p in range(max(len(tk) - k + 1, 0)):
+            g = " ".join(tk[p : p + k])
+            wins.setdefault(g, set()).add(d)
+            per_doc.append((d, p, g))
+    dup_pos = [(d, p) for d, p, g in per_doc if len(wins[g]) >= 2]
+    exp_spans: dict = {}
+    for d in sorted({x for x, _ in dup_pos}):
+        ps = sorted(p for x, p in dup_pos if x == d)
+        spans = []
+        for p in ps:
+            if spans and p - spans[-1][1] <= k:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        exp_spans[d] = spans
+
+    # engine kernels on the same batch
+    batch = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    h, counts, _, _ = _window_hashes(batch["text"], k)
+    # dup set from hashes: >=2 distinct docs
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    by_hash: dict = {}
+    for hv, d in zip(h.tolist(), doc_of.tolist()):
+        by_hash.setdefault(hv, set()).add(d)
+    dup_sorted = np.sort(
+        np.array([hv for hv, ds_ in by_hash.items() if len(ds_) >= 2],
+                 dtype=np.uint64)
+    )
+    out = DupSpanStats(dup_sorted, k)(batch)
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["max_span_tokens"])
+        for r in out.to_pylist()
+    }
+    exp = {
+        d: (
+            len(sp),
+            sum(b - a + k for a, b in sp),
+            max(b - a + k for a, b in sp),
+        )
+        for d, sp in exp_spans.items()
+        if sp
+    }
+    assert got == exp
