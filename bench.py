@@ -113,6 +113,7 @@ def run_cdc_bench() -> dict:
         summary = apply_cdc(files, cfg)
         walls.append(time.monotonic() - t0)
         events = summary["events_in"]
+        print(f"[bench] cdc trial {len(walls)}/{trials}: {walls[-1]:.3f}s", file=sys.stderr)
     wall = sorted(walls)[(len(walls) - 1) // 2]  # lower median for even trial counts
     return {
         "sec": wall,
