@@ -11,6 +11,7 @@ Job shape (JSON-compatible dict):
         "writer":      {"name": "parquet"|"csv"|"stream", "parameter": {...}}
      }],
      "setting": {"errorLimit": {"record": N, "percentage": P},
+                 "speed": {"byte": Bps, "record": tps, "channel": C},
                  "dryRun": false}}}
 
 Lifecycle parity:
@@ -23,6 +24,9 @@ Lifecycle parity:
   Communication tree — the one shared-mutable-state actor in the engine);
 - readers/writers/transformers are looked up in registries keyed by
   config `name` (the plugin-SPI analogue, SURVEY.md §2.7);
+- setting.speed (Channel.java:54-60) throttles flow ahead of the writer
+  to protect EXTERNAL endpoints — engine-internal backpressure is Ray's
+  job, so limits <= 0 / absent mean "no throttle" (stages/ratelimit.py);
 - post-run hooks: callables invoked with the metrics dict
   (Hook SPI, HookInvoker.java:42-89).
 - sensitive config values (*password*, *accessKey*) are masked in logs
@@ -331,6 +335,16 @@ def run_job(config: dict) -> dict:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    speed = setting.get("speed", {})
+    if speed.get("byte", 0) > 0 or speed.get("record", 0) > 0:
+        from ..stages.ratelimit import throttle
+
+        ds = throttle(
+            ds,
+            byte_speed=float(speed.get("byte", 0)),
+            record_speed=float(speed.get("record", 0)),
+            channels=int(speed.get("channel", 1)),
+        )
     WRITERS[writer["name"]](ds, writer.get("parameter", {}))
 
     metrics = ray.get(counters.get.remote())
