@@ -2294,21 +2294,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_incremental_stats": _run_cdc_incremental_stats,
         "cdc_ivm_tool_usage": _run_cdc_ivm_tool_usage,
         "cdc_redact": _run_cdc_redact,
-        "transcript_stats": _transcript_stats,
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
-        "transcript_clip": _transcript_clip,
         "transcript_tool_transitions": _transcript_tool_transitions,
         "transcript_boilerplate": _transcript_boilerplate,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
-        # --- corpus LM-proxy quality score (train -> broadcast -> score) ---
-        "docs_bigram_lm": _docs_bigram_lm,
-        # --- balanced source mixing at a size budget ---
-        "docs_mix_to_budget": _docs_mix_to_budget,
-        # --- streaming-ingest dedup against persistent seen-state ---
+        # --- dedup family (graded first-class): batch + streaming-state
+        # exact, MinHash+LSH, SimHash, prefix-filtered exact Jaccard,
+        # embedding/semantic ---
+        "dedup_exact": _dedup_exact,
         "dedup_exact_incremental": _dedup_exact_incremental,
+        "dedup_minhash": _dedup_minhash,
+        "dedup_simhash": _dedup_simhash,
+        "ngram_jaccard": _ngram_jaccard,
+        "dedup_semantic": _dedup_semantic,
+        # --- similarity search: brute-force baseline + the full
+        # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
+        "ann_topk": _ann_topk,
+        "ivfpq_ann": _ivfpq_ann,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "events_heavy_hitters": _events_heavy_hitters,
@@ -2316,9 +2321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 closing additions: substring-level (span) dedup ---
         "docs_dup_spans": _docs_dup_spans,
         "docs_strip_dup_spans": _docs_strip_dup_spans,
-        "events_retention": R.events_retention,
-        "events_funnel": R.events_funnel,
-        "events_type_pagerank": _events_type_pagerank,
         # --- relational flagships (the real joins) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
@@ -2332,20 +2334,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_prior_view": R.events_asof_prior_view,
         # --- relational flagships (the real joins) ---
         "orders_without_lineitems": _orders_without_lineitems,
-        # --- dedup family ---
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash": _dedup_minhash,
-        "dedup_simhash": _dedup_simhash,
-        "ngram_jaccard": _ngram_jaccard,
+        # --- near-dup variant + similarity-search variants (their
+        # families lead the prefix; these cover the remaining modes) ---
         "embedding_near_dup": _embedding_near_dup,
-        "dedup_semantic": _dedup_semantic,
-        # --- similarity search ---
-        "ann_topk": _ann_topk,
         "ann_filtered_topk": _ann_filtered_topk,
         "ivf_ann": _ivf_ann,
         "pq_ann": _pq_ann,
-        "ivfpq_ann": _ivfpq_ann,
         "embedding_kmeans": _embedding_kmeans,
+        # --- demoted from the prefix round 5 (simple/derived shapes;
+        # families stay represented above): per-conv aggregates +
+        # clipping, LM-proxy scoring, budget mixing, cohort/funnel/
+        # pagerank analytics ---
+        "transcript_stats": _transcript_stats,
+        "transcript_clip": _transcript_clip,
+        "docs_bigram_lm": _docs_bigram_lm,
+        "docs_mix_to_budget": _docs_mix_to_budget,
+        "events_retention": R.events_retention,
+        "events_funnel": R.events_funnel,
+        "events_type_pagerank": _events_type_pagerank,
         # --- corpus analytics ---
         "events_quantiles": _events_quantiles,
         "docs_pack_sequences": _docs_pack_sequences,
