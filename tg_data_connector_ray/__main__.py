@@ -237,10 +237,18 @@ def main(argv=None) -> int:
     import ray
 
     # shut down only a session WE started: an in-process caller (tests,
-    # embedding apps) keeps its own Ray alive across main() calls
+    # embedding apps) keeps its own Ray alive across main() calls.
+    # Address resolution: honor RAY_ADDRESS so `ray job submit` /
+    # `ray start` cluster drivers connect to THE CLUSTER (hardcoding
+    # "local" would silently run every multi-node job single-node);
+    # with no RAY_ADDRESS set, start a local session as before.
     owns_ray = not ray.is_initialized()
     if owns_ray:
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS") or "local",
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     try:
         from ray.data import DataContext
 
