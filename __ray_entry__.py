@@ -1726,6 +1726,35 @@ def _dedup_exact_incremental(sf_dir):
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
 
 
+def _dedup_minhash_incremental(sf_dir):
+    """Streaming NEAR-dup dedup: two successive doc batches (ids < 250,
+    then the rest) against the persistent MinHash+LSH seen-corpus index
+    (ops/dedup_incremental.py).  Per-batch decision: connected components
+    over exact-Jaccard-verified candidates involving >= 1 new doc; a
+    component containing any seen doc drops its new members, a new-only
+    component keeps min id.  The oracle runs the same two CC passes in
+    SQL (edges within batch 1, then edges involving batch 2)."""
+    import shutil
+
+    from tg_data_connector_ray.ops.dedup_incremental import minhash_dedup_incremental
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    state = os.path.join(
+        _CDC_OUT, f"mh_inc_state_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh per invocation
+    kept1 = minhash_dedup_incremental(
+        docs.filter(expr="doc_id < 250"), state, batch_token="b1"
+    ).to_pandas()  # executes batch 1 fully before batch 2 reads the state
+    kept2 = minhash_dedup_incremental(
+        docs.filter(expr="doc_id >= 250"), state, batch_token="b2"
+    ).to_pandas()
+    import pandas as pd
+
+    out = pd.concat([kept1, kept2], ignore_index=True).sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
+
+
 def _docs_mix_to_budget(sf_dir):
     """Balanced source mixing at a 60k-char budget: per-source totals ->
     integer keep thresholds -> deterministic md5-bucket sampling; the
@@ -2307,6 +2336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "dedup_exact_incremental": _dedup_exact_incremental,
         "dedup_minhash": _dedup_minhash,
+        "dedup_minhash_incremental": _dedup_minhash_incremental,
         "dedup_simhash": _dedup_simhash,
         "ngram_jaccard": _ngram_jaccard,
         "dedup_semantic": _dedup_semantic,
@@ -2327,11 +2357,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _revenue_by_nation,
         "q5_region_supplier_volume": R.q5_region_supplier_volume,
         "top_orders_by_revenue": R.top_orders_by_revenue,
-        "events_user_hll": _events_user_hll,
         "docs_prep_v2": _docs_prep_v2,
         # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
+        "events_user_hll": _events_user_hll,
         # --- relational flagships (the real joins) ---
         "orders_without_lineitems": _orders_without_lineitems,
         # --- near-dup variant + similarity-search variants (their
@@ -2947,6 +2977,43 @@ def oracle_sql() -> dict[str, str]:
             ), {_CC_CTE}
             SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep USING (doc_id)
             WHERE rep.rep IS NULL OR rep.rep = d.doc_id
+        """,
+        # streaming near-dup: the engine's two-phase semantics in SQL —
+        # CC over batch-1 edges decides batch 1; CC over edges involving
+        # >= 1 batch-2 doc (seen docs are vertices too) decides batch 2:
+        # a batch-2 doc connected to ANY batch-1 doc gets rep < 250 (ids
+        # are batch-ordered) and drops; a new-only component keeps min id
+        "dedup_minhash_incremental": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_CTE}
+            ), p_all AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), e1 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b < 250
+              UNION SELECT b, a FROM p_all WHERE b < 250
+            ), r1(src, dst) AS (
+              SELECT DISTINCT src, src FROM e1
+              UNION
+              SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+            ), rep1 AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM r1 GROUP BY src
+            ), e2 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b >= 250
+              UNION SELECT b, a FROM p_all WHERE b >= 250
+            ), r2(src, dst) AS (
+              SELECT DISTINCT src, src FROM e2
+              UNION
+              SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+            ), rep2 AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM r2 GROUP BY src
+            )
+            SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep1 USING (doc_id)
+            WHERE d.doc_id < 250 AND (rep1.rep IS NULL OR rep1.rep = d.doc_id)
+            UNION ALL
+            SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep2 USING (doc_id)
+            WHERE d.doc_id >= 250 AND (rep2.rep IS NULL OR rep2.rep = d.doc_id)
         """,
         "dedup_simhash": f"""
             WITH RECURSIVE toks AS (

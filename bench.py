@@ -227,6 +227,8 @@ def run_query_bench() -> "tuple[dict, dict]":
         # round 5 closing: substring-level (span) dedup
         "docs_dup_spans",
         "docs_strip_dup_spans",
+        # round 5 sixth continuation: streaming near-dup vs persistent state
+        "dedup_minhash_incremental",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

@@ -1,0 +1,526 @@
+"""Streaming near-dup dedup: MinHash+LSH against a PERSISTENT seen-corpus
+index — the incremental sibling of `dedup.minhash_dedup_ids` (one-shot),
+and the near-dup sibling of `dedup.exact_dedup_incremental`.
+
+A continuous-ingest pipeline (the engine's core regime) cannot re-run
+batch dedup over 10^10 documents per micro-batch.  This operator makes
+each batch pay O(batch + candidates): the seen corpus lives on disk as
+two hash-partitioned LSM-ish run-file tables, and a new batch touches
+only the partitions its own hashes route to.
+
+State layout under `state_dir` (both tables append one run file per
+batch — O(new docs) write cost regardless of corpus history; reads merge
+the runs, bounded by batches-per-partition; `_FORMAT.json` pins the
+signature/partition parameters exactly like the CDC state marker):
+
+    bands/part=NNN/run-<token>.parquet   (band:int32, bh:uint64, doc_id)
+        partitioned by bh & (num_parts-1) — an LSH bucket (band, bh)
+        lives wholly in one partition, so candidate generation is a
+        per-partition merge of state rows + the batch's rows.
+    grams/part=NNN/run-<token>.parquet   (doc_id, grams:binary)
+        partitioned by mix64(doc_id) & (num_parts-1) — the sorted-unique
+        shingle sets exact verification needs (little-endian uint64
+        bytes: Arrow hash joins carry binary payloads but not list
+        columns), fetched only for the bounded candidate ids.
+
+Per-batch semantics (two-phase == the oracle's two CC passes):
+connected components over VERIFIED pairs that involve >= 1 new doc;
+a component containing ANY seen doc drops all its new members (the
+canonical copy already lives in the corpus); a new-only component keeps
+its min doc_id.  State accumulates EVERY new doc — kept and dropped —
+because a future doc near-duplicate of a dropped doc is still a
+duplicate (matching global-CC behavior through dropped bridges).
+
+Exactly-once: run files are named by `batch_token` and excluded from
+their own batch's reads, so Ray task retries and whole-call replays with
+the same token recompute the identical kept set (the
+`exact_dedup_incremental` protocol).
+
+Scale notes: only thin band rows and bounded candidate gram sets move;
+document text never enters this pipeline after signature prep.  The
+`max_bucket` cap bounds quadratic bucket blowup exactly as in the batch
+operator.  Reference near-dup context: SURVEY.md LLM-ops table; the
+batch operator's design notes in ops/dedup.py:1-30.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .dedup import (
+    SMALL_PAIRS_THRESHOLD,
+    SMALL_VERIFY_DOCS,
+    SMALL_VERIFY_PAIRS,
+    MinHasher,
+    _clusters_from_pairs,
+    _join_ready,
+    _keep_ids_broadcast,
+    _i64,
+    _jaccard_sorted,
+    _mix64,
+    _nonempty,
+    _run_pair_indices,
+    _shingle_hashes_flat,
+    _token_hashes_flat,
+    dropped_ids,
+    min_label_clusters,
+)
+
+SEEN_LABEL = -1  # all seen endpoints collapse to one node: components are
+# only ever merged ACROSS seen docs by this, and every such component's
+# decision ("contains a seen doc -> drop all new members") is identical
+# for the merged and unmerged graphs, so the collapse is loss-free and
+# keeps the label graph bounded by the batch's candidates.
+
+
+def _check_state_format(state_dir: str, params: dict) -> None:
+    """Pin signature + partition parameters per state_dir (the CDC
+    _FORMAT.json rule): a changed shingle_k/num_perm/seed would make old
+    signatures incomparable; a changed num_parts would mis-route."""
+    import json
+
+    from ..util import atomic_write_json
+
+    marker = os.path.join(state_dir, "_FORMAT.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            got = json.load(f)
+        if got != params:
+            raise ValueError(
+                f"minhash state at {state_dir} was written with {got}, this "
+                f"call uses {params}; signatures/routing would not match — "
+                "re-bootstrap into a fresh state_dir"
+            )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        atomic_write_json(marker, params)
+
+
+def _unique_gram_bins(sh: np.ndarray, sh_off: np.ndarray) -> pa.Array:
+    """Flat shingle hashes + offsets -> per-doc SORTED-UNIQUE gram sets as
+    a BINARY array (little-endian uint64 bytes), fully vectorized (one
+    lexsort + adjacent-dup mask, no per-doc loop).  Binary, not
+    list<uint64>: Arrow hash joins refuse list payload columns."""
+    D = len(sh_off) - 1
+    doc = np.repeat(np.arange(D, dtype=np.int64), np.diff(sh_off))
+    order = np.lexsort((sh, doc))
+    d, g = doc[order], sh[order]
+    keep = np.ones(len(g), dtype=bool)
+    if len(g):
+        keep[1:] = (d[1:] != d[:-1]) | (g[1:] != g[:-1])
+    d, g = d[keep], g[keep]
+    g = np.ascontiguousarray(g.astype("<u8"))
+    counts = np.bincount(d, minlength=D)
+    byte_offsets = np.concatenate([[0], np.cumsum(counts) * 8]).astype(np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        D,
+        [None, pa.py_buffer(byte_offsets.tobytes()), pa.py_buffer(g.tobytes())],
+    )
+
+
+class _PrepStage:
+    """One vectorized pass per batch: (doc_id, grams, band rows).
+
+    Emits the per-doc EXPLODED band rows (band, bh, doc_id) alongside a
+    parallel grams list column replicated per band row?  No — two
+    consumers need different shapes, so this emits the compact per-doc
+    table (doc_id, grams, bands:list<uint64>); cheap downstream maps
+    explode bands and project grams."""
+
+    def __init__(self, num_perm: int, bands: int, shingle_k: int, seed: int = 7):
+        self.h = MinHasher(num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = _i64(batch["doc_id"])
+        texts = batch["text"].to_pylist()
+        th, offs = _token_hashes_flat(texts)
+        sh, sh_off = _shingle_hashes_flat(th, offs, self.h.k)
+        grams = _unique_gram_bins(sh, sh_off)
+        vals = _mix64(sh[None, :] ^ self.h.c[:, None])  # (P, S)
+        sig = np.minimum.reduceat(vals, sh_off[:-1], axis=1)  # (P, D)
+        bh = self.h.band_hashes(sig)  # (bands, D)
+        D = len(ids)
+        boff = np.arange(0, (D + 1) * self.h.bands, self.h.bands)
+        bands_col = pa.ListArray.from_arrays(
+            pa.array(boff, pa.int32()),
+            pa.array(np.ascontiguousarray(bh.T).reshape(-1), pa.uint64()),
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "grams": grams, "bands": bands_col}
+        )
+
+
+def _explode_bands(t: pa.Table, num_parts: int) -> pa.Table:
+    ids = _i64(t["doc_id"])
+    lst = t["bands"].combine_chunks()
+    bands_per_doc = np.diff(lst.offsets.to_numpy())
+    bh = lst.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+    band_idx = np.concatenate(
+        [np.arange(n, dtype=np.int32) for n in bands_per_doc]
+    ) if len(ids) else np.empty(0, np.int32)
+    return pa.table(
+        {
+            "band": pa.array(band_idx, pa.int32()),
+            "bh": pa.array(bh, pa.uint64()),
+            "doc_id": pa.array(np.repeat(ids, bands_per_doc), pa.int64()),
+            "_part": pa.array(
+                (bh & np.uint64(num_parts - 1)).astype(np.int32), pa.int32()
+            ),
+        }
+    )
+
+
+def _read_runs(pdir: str, exclude_token: str) -> "pa.Table | None":
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(pdir):
+        return None
+    own = f"run-{exclude_token}.parquet"
+    files = sorted(
+        os.path.join(pdir, f)
+        for f in os.listdir(pdir)
+        if f.startswith("run-") and f.endswith(".parquet") and f != own
+    )
+    if not files:
+        return None
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def _commit_run(pdir: str, token: str, table: pa.Table) -> None:
+    """Idempotent append: temp + os.replace keyed by the batch token —
+    a retry rewrites the same file with the same content."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(pdir, exist_ok=True)
+    final = os.path.join(pdir, f"run-{token}.parquet")
+    tmp = final + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+
+
+def _band_part(
+    g: pa.Table, *, state_dir: str, token: str, max_bucket: int
+) -> pa.Table:
+    """Per-partition candidate step: merge this partition's seen band
+    rows with the batch's, emit bucket pairs involving >= 1 new doc, and
+    commit the batch's rows as this partition's next run file."""
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "bands", f"part={part:05d}")
+    new = g.select(["band", "bh", "doc_id"])
+    seen = _read_runs(pdir, token)
+    _commit_run(pdir, token, new)
+
+    n_new, n_seen = new.num_rows, (seen.num_rows if seen is not None else 0)
+    band = np.concatenate(
+        [
+            _i64(new["band"]),
+            _i64(seen["band"]) if n_seen else np.empty(0, np.int64),
+        ]
+    )
+    bh = np.concatenate(
+        [
+            new["bh"].combine_chunks().to_numpy(zero_copy_only=False),
+            seen["bh"].combine_chunks().to_numpy(zero_copy_only=False)
+            if n_seen
+            else np.empty(0, np.uint64),
+        ]
+    )
+    doc = np.concatenate(
+        [_i64(new["doc_id"]), _i64(seen["doc_id"]) if n_seen else np.empty(0, np.int64)]
+    )
+    is_new = np.zeros(n_new + n_seen, dtype=bool)
+    is_new[:n_new] = True
+
+    order = np.lexsort((doc, bh, band))
+    band, bh, doc, is_new = band[order], bh[order], doc[order], is_new[order]
+    ai, bi = _run_pair_indices([band, bh], max_bucket)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            # int32 1/0, not bool: these ride through distinct/groupby key
+            # hashing, which is integer-typed
+            "a_new": pa.array([], pa.int32()),
+            "b_new": pa.array([], pa.int32()),
+        }
+    )
+    if len(ai) == 0:
+        return empty
+    keep = is_new[ai] | is_new[bi]  # seen-seen pairs are not this batch's business
+    ai, bi = ai[keep], bi[keep]
+    if len(ai) == 0:
+        return empty
+    a, b = doc[ai], doc[bi]
+    an, bn = is_new[ai], is_new[bi]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    an2 = np.where(swap, bn, an)
+    bn2 = np.where(swap, an, bn)
+    keep2 = a2 != b2  # same doc sharing a bucket with itself via two batches
+    return pa.table(
+        {
+            "a": pa.array(a2[keep2], pa.int64()),
+            "b": pa.array(b2[keep2], pa.int64()),
+            "a_new": pa.array(an2[keep2].astype(np.int32), pa.int32()),
+            "b_new": pa.array(bn2[keep2].astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def _grams_part(g: pa.Table, *, state_dir: str, token: str) -> pa.Table:
+    """Fetch the grams of this partition's requested SEEN ids."""
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "grams", f"part={part:05d}")
+    seen = _read_runs(pdir, token)
+    if seen is None:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "grams": pa.array([], pa.binary()),
+            }
+        )
+    return seen.filter(pc.is_in(seen["doc_id"], value_set=g["doc_id"].combine_chunks()))
+
+
+def _grams_commit_part(g: pa.Table, *, state_dir: str, token: str) -> pa.Table:
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "grams", f"part={part:05d}")
+    _commit_run(pdir, token, g.select(["doc_id", "grams"]))
+    return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+
+def _verify_grams(t: pa.Table, threshold: float) -> pa.Table:
+    """Exact Jaccard over attached sorted-unique gram sets (binary-coded
+    uint64; np.frombuffer is zero-copy per row)."""
+    ga = t["grams_a"].to_pylist()
+    gb = t["grams_b"].to_pylist()
+    n = t.num_rows
+    jac = np.fromiter(
+        (
+            _jaccard_sorted(
+                np.frombuffer(ga[i], dtype="<u8"), np.frombuffer(gb[i], dtype="<u8")
+            )
+            for i in range(n)
+        ),
+        dtype=np.float64,
+        count=n,
+    )
+    keep = jac >= threshold
+    return t.select(["a", "b", "a_new", "b_new"]).filter(pa.array(keep))
+
+
+def minhash_dedup_incremental(
+    ds_new,
+    state_dir: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_parts: int = 16,
+    max_bucket: int = 64,
+    num_partitions: int = 8,
+    batch_token: "str | None" = None,
+):
+    """Near-dup dedup one NEW batch against the persistent seen corpus;
+    returns the batch's KEPT doc_ids as a Dataset ({doc_id}) and commits
+    every new doc's signature/gram state.  See module docstring."""
+    from functools import partial
+
+    from ..util import new_token
+
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+    _check_state_format(
+        state_dir,
+        {
+            "sig": "md5-shingle-minhash:1",
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "num_parts": num_parts,
+        },
+    )
+    token = batch_token or new_token()
+
+    prep = ds_new.map_batches(
+        _PrepStage(num_perm, bands, shingle_k), batch_format="pyarrow"
+    ).materialize()  # bounded: ONE ingest micro-batch (thin: ids + hashes)
+
+    # --- candidates + band-state commit (one partition exchange) --------
+    cand = (
+        prep.map_batches(
+            partial(_explode_bands, num_parts=num_parts),
+            batch_format="pyarrow",
+        )
+        .groupby("_part")
+        .map_groups(
+            partial(_band_part, state_dir=state_dir, token=token, max_bucket=max_bucket),
+            batch_format="pyarrow",
+        )
+    )
+    from ..pipelines.relational import distinct_rows
+
+    cand = distinct_rows(_nonempty(cand), ["a", "b", "a_new", "b_new"]).materialize()
+
+    # --- gram-state commit (every new doc, kept or dropped) -------------
+    def _tag_gram_part(t: pa.Table) -> pa.Table:
+        p = (_mix64(_i64(t["doc_id"]).view(np.uint64)) & np.uint64(num_parts - 1)).astype(
+            np.int32
+        )
+        return t.append_column("_part", pa.array(p, pa.int32()))
+
+    prep.select_columns(["doc_id", "grams"]).map_batches(
+        _tag_gram_part, batch_format="pyarrow"
+    ).groupby("_part").map_groups(
+        partial(_grams_commit_part, state_dir=state_dir, token=token),
+        batch_format="pyarrow",
+    ).count()  # eager: the commit must happen even when cand is empty
+
+    n_cand = cand.count()
+    if n_cand == 0:
+        return prep.select_columns(["doc_id"])
+
+    if n_cand <= SMALL_VERIFY_PAIRS:
+        # bounded driver fast path (the verified_jaccard_pairs SMALL
+        # protocol): thin pairs fit the driver; candidate gram sets are
+        # gathered once (new side: broadcast filter on prep, no shuffle;
+        # seen side: the partition-pruned state fetch, one exchange) and
+        # exact verify + union-find run driver-side.  Saves the two hash
+        # joins' and the label-propagation rounds' fixed costs — which
+        # dominate wall time for micro-batches.
+        rows = cand.take_all()
+        new_need = {r["a"] for r in rows if r["a_new"]} | {
+            r["b"] for r in rows if r["b_new"]
+        }
+        seen_need_ids = {r["a"] for r in rows if not r["a_new"]} | {
+            r["b"] for r in rows if not r["b_new"]
+        }
+        if len(new_need) + len(seen_need_ids) <= SMALL_VERIFY_DOCS:
+            need_arr = pa.array(sorted(new_need), pa.int64())
+            newg = {
+                r["doc_id"]: r["grams"]
+                for r in prep.map_batches(
+                    lambda b: b.filter(pc.is_in(b["doc_id"], value_set=need_arr)),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                ).take_all()
+            }
+            grams = dict(newg)
+            if seen_need_ids:
+                import ray.data
+
+                seen_need = ray.data.from_arrow(
+                    pa.table({"doc_id": pa.array(sorted(seen_need_ids), pa.int64())})
+                )
+                for r in (
+                    seen_need.map_batches(_tag_gram_part, batch_format="pyarrow")
+                    .groupby("_part")
+                    .map_groups(
+                        partial(_grams_part, state_dir=state_dir, token=token),
+                        batch_format="pyarrow",
+                    )
+                    .take_all()
+                ):
+                    grams[r["doc_id"]] = r["grams"]
+            edges = []
+            for r in rows:
+                ja = _jaccard_sorted(
+                    np.frombuffer(grams[r["a"]], dtype="<u8"),
+                    np.frombuffer(grams[r["b"]], dtype="<u8"),
+                )
+                if ja >= threshold:
+                    edges.append(
+                        (
+                            r["a"] if r["a_new"] else SEEN_LABEL,
+                            r["b"] if r["b_new"] else SEEN_LABEL,
+                        )
+                    )
+            rep = _clusters_from_pairs(edges)
+            dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
+            return _keep_ids_broadcast(prep, dropped)
+
+    # --- exact verification over gram sets -------------------------------
+    # seen members' grams come from state (partition-pruned reads); new
+    # members' grams ride in `prep`
+    def _seen_ids(t: pa.Table) -> pa.Table:
+        ids = np.concatenate(
+            [
+                _i64(t["a"])[_i64(t["a_new"]) == 0],
+                _i64(t["b"])[_i64(t["b_new"]) == 0],
+            ]
+        )
+        return pa.table({"doc_id": pa.array(np.unique(ids), pa.int64())})
+
+    seen_need = distinct_rows(_nonempty(cand.map_batches(_seen_ids, batch_format="pyarrow")), "doc_id")
+    seen_grams = _nonempty(
+        seen_need.map_batches(_tag_gram_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(
+            partial(_grams_part, state_dir=state_dir, token=token),
+            batch_format="pyarrow",
+        )
+    )
+    grams_all = prep.select_columns(["doc_id", "grams"]).union(seen_grams)
+
+    def _as_side(key: str, out: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["doc_id"], out: t["grams"]})
+
+        return _f
+
+    ga = _nonempty(grams_all.map_batches(_as_side("a", "grams_a"), batch_format="pyarrow"))
+    gb = _nonempty(grams_all.map_batches(_as_side("b", "grams_b"), batch_format="pyarrow"))
+    # _join_ready on every join input: zero-schema empty blocks entering
+    # Dataset.join fail with "No match for key field" (see dedup._join_ready)
+    cand = _join_ready(cand, ["a", "b", "a_new", "b_new"])
+    j = cand.join(ga, join_type="inner", num_partitions=num_partitions, on=("a",))
+    j = _join_ready(j, ["a", "b", "a_new", "b_new", "grams_a"])
+    j = j.join(gb, join_type="inner", num_partitions=num_partitions, on=("b",))
+    ver = _nonempty(
+        j.map_batches(partial(_verify_grams, threshold=threshold), batch_format="pyarrow")
+    ).materialize()
+
+    n_ver = ver.count()
+    if n_ver == 0:
+        return prep.select_columns(["doc_id"])
+
+    if n_ver <= SMALL_PAIRS_THRESHOLD:
+        # the batch-op fast path (dedup._dedup_via_pairs): thin verified
+        # pairs fit the driver, union-find there, broadcast-filter kept
+        # ids — saves the per-round fixed join cost of label propagation
+        rows = ver.select_columns(["a", "b", "a_new", "b_new"]).take_all()
+        rep = _clusters_from_pairs(
+            [
+                (
+                    r["a"] if r["a_new"] else SEEN_LABEL,
+                    r["b"] if r["b_new"] else SEEN_LABEL,
+                )
+                for r in rows
+            ]
+        )
+        dropped = {d for d, r in rep.items() if r != d and d != SEEN_LABEL}
+        return _keep_ids_broadcast(prep, dropped)
+
+    # --- decision: collapse seen endpoints to SEEN_LABEL, min-label CC ---
+    def _collapse(t: pa.Table) -> pa.Table:
+        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
+        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    labels = min_label_clusters(
+        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
+        num_partitions=num_partitions,
+    )
+    dropped = dropped_ids(labels)  # includes only nodes != their rep;
+    # SEEN_LABEL is its own rep, and new ids in seen components get
+    # rep == SEEN_LABEL < 0 != node, i.e. exactly the drop rule
+
+    from .dedup import _keep_ids_anti
+
+    return _keep_ids_anti(prep.select_columns(["doc_id"]), dropped, num_partitions)
