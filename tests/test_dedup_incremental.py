@@ -156,3 +156,69 @@ def test_distributed_path_matches_fast_path(ray_session, tmp_path, monkeypatch):
 
     expect = [12] if jaccard(OTHER, OTHER + " v2") >= 0.8 else [11, 12]
     assert k2 == expect
+
+
+def test_compaction_preserves_decisions_and_folds_runs(ray_session, tmp_path):
+    """Ingest two batches, compact, ingest a third: same decisions as the
+    uncompacted timeline; each partition holds exactly one file after."""
+    from tg_data_connector_ray.ops.dedup_incremental import compact_dedup_state
+
+    s_a = str(tmp_path / "compacted")
+    s_b = str(tmp_path / "plain")
+    b1 = _docs([(1, BASE), (2, OTHER)])
+    b2 = _docs([(10, OTHER + " x")])
+    b3 = _docs([(20, NEAR), (21, OTHER + " x y"), (22, "novel standalone words")])
+    for st in (s_a, s_b):
+        _kept(minhash_dedup_incremental(b1, st, batch_token="t1"))
+        _kept(minhash_dedup_incremental(b2, st, batch_token="t2"))
+    out = compact_dedup_state(s_a)
+    assert out["parts_compacted"] >= 1 and out["files_folded"] >= 2
+    k_a = _kept(minhash_dedup_incremental(b3, s_a, batch_token="t3"))
+    k_b = _kept(minhash_dedup_incremental(b3, s_b, batch_token="t3"))
+    assert k_a == k_b
+    # every compacted partition dir holds at most one base + t3's run
+    import os
+
+    for root, dirs, files in os.walk(s_a):
+        runs = [f for f in files if f.endswith(".parquet")]
+        if runs:
+            bases = [f for f in runs if "_base-" in f]
+            others = [f for f in runs if "_base-" not in f]
+            assert len(bases) <= 1
+            assert all("t3" in f for f in others)
+
+
+def test_replaying_folded_token_refuses(ray_session, tmp_path):
+    from tg_data_connector_ray.ops.dedup_incremental import compact_dedup_state
+
+    state = str(tmp_path / "st")
+    _kept(minhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1"))
+    _kept(minhash_dedup_incremental(_docs([(2, OTHER)]), state, batch_token="t2"))
+    compact_dedup_state(state)
+    with pytest.raises(ValueError, match="compacted"):
+        minhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1")
+    # fresh tokens keep working
+    k = _kept(minhash_dedup_incremental(_docs([(3, "new words here")]), state, batch_token="t9"))
+    assert k == [3]
+
+
+def test_compaction_exact_dedup_layout(ray_session, tmp_path):
+    from tg_data_connector_ray.ops.dedup import exact_dedup_incremental
+    from tg_data_connector_ray.ops.dedup_incremental import compact_dedup_state
+
+    state = str(tmp_path / "st")
+    d1 = _docs([(1, "aaa"), (2, "bbb")])
+    d2 = _docs([(10, "aaa"), (11, "ccc")])
+    assert sorted(
+        r["doc_id"] for r in exact_dedup_incremental(d1, state, batch_token="t1").take_all()
+    ) == [1, 2]
+    assert sorted(
+        r["doc_id"] for r in exact_dedup_incremental(d2, state, batch_token="t2").take_all()
+    ) == [11]
+    compact_dedup_state(state)
+    with pytest.raises(ValueError, match="compacted"):
+        exact_dedup_incremental(d1, state, batch_token="t1").take_all()
+    d3 = _docs([(20, "ccc"), (21, "ddd")])
+    assert sorted(
+        r["doc_id"] for r in exact_dedup_incremental(d3, state, batch_token="t3").take_all()
+    ) == [21]

@@ -1167,6 +1167,10 @@ def exact_dedup_incremental(ds_new, state_dir: str, col: str = "text",
         raise ValueError("num_parts must be a power of two")
     _check_dedup_state_format(state_dir, num_parts)
     batch_token = batch_token or new_token()
+    # runtime import: dedup_incremental imports this module (no cycle at load)
+    from .dedup_incremental import check_token_not_folded
+
+    check_token_not_folded(state_dir, batch_token)
     thin = ds_new.map_batches(
         lambda b: content_hash_batch(b, col), batch_format="pyarrow", zero_copy_batch=True
     )

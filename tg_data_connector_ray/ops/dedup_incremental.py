@@ -347,6 +347,7 @@ def minhash_dedup_incremental(
         },
     )
     token = batch_token or new_token()
+    check_token_not_folded(state_dir, token)
 
     prep = ds_new.map_batches(
         _PrepStage(num_perm, bands, shingle_k), batch_format="pyarrow"
@@ -524,3 +525,104 @@ def minhash_dedup_incremental(
     from .dedup import _keep_ids_anti
 
     return _keep_ids_anti(prep.select_columns(["doc_id"]), dropped, num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# LSM-state compaction (shared by exact_dedup_incremental's layout and the
+# minhash band/gram tables)
+
+_COMPACTED_MANIFEST = "_COMPACTED.json"
+
+
+def folded_tokens(state_dir: str) -> set:
+    import json
+
+    p = os.path.join(state_dir, _COMPACTED_MANIFEST)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f)["tokens"])
+
+
+def check_token_not_folded(state_dir: str, token: str) -> None:
+    """Compaction trades replay depth for read cost (the CDC tombstone-
+    retention rule applied here): a batch token folded into a base file
+    can no longer be excluded from its own reads, so replaying it would
+    see its own rows as 'seen' and return an empty kept set.  Refuse
+    LOUDLY instead of silently returning wrong results."""
+    if token.startswith("_base"):
+        raise ValueError("batch_token must not start with '_base' (reserved)")
+    if token in folded_tokens(state_dir):
+        raise ValueError(
+            f"batch token {token!r} was already ingested AND compacted into "
+            f"{state_dir}; replaying it is no longer idempotent — use a new "
+            "token (the batch's rows are already in the seen state)"
+        )
+
+
+def compact_dedup_state(state_dir: str) -> dict:
+    """Fold every partition's run files into ONE base file per partition.
+
+    Reads merge run files per partition, so a long-running stream's read
+    cost grows with batches-per-partition until compacted.  Works on both
+    persisted-dedup layouts (exact: `part=NNN/seen-<token>.parquet`;
+    minhash: `{bands,grams}/part=NNN/run-<token>.parquet`).  Crash-safe:
+    the merged base lands via temp + os.replace BEFORE the old files are
+    unlinked — a crash in between leaves duplicate seen rows, which are
+    harmless to both consumers (membership anti-join / distinct pairs)
+    and are deduplicated by the next compaction (drop_duplicates below).
+    Folded batch tokens are recorded in `_COMPACTED.json`; replaying a
+    folded token refuses (see check_token_not_folded)."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from ..util import atomic_write_json
+
+    parts = 0
+    files_folded = 0
+    tokens: set = folded_tokens(state_dir)
+    for root, dirs, files in os.walk(state_dir):
+        runs = sorted(
+            f
+            for f in files
+            if f.endswith(".parquet")
+            and (f.startswith("run-") or f.startswith("seen-"))
+        )
+        prefix = "run-" if runs and runs[0].startswith("run-") else "seen-"
+        non_base = [f for f in runs if not f.startswith(prefix + "_base-")]
+        # fold even a single run file: compaction SEALS every ingested
+        # token (the manifest must cover all of them for the replay-refusal
+        # contract to be uniform across partitions — a token folded in one
+        # partition but excludable in another would half-replay)
+        if not non_base and len(runs) <= 1:
+            continue
+        merged = pa.concat_tables(pq.read_table(os.path.join(root, f)) for f in runs)
+        df = merged.to_pandas()
+        merged = pa.Table.from_pandas(
+            df.drop_duplicates(ignore_index=True), schema=merged.schema
+        )
+        gen = 1 + max(
+            (
+                int(f[len(prefix) + 6 : -8])
+                for f in runs
+                if f.startswith(prefix + "_base-")
+            ),
+            default=0,
+        )
+        base = os.path.join(root, f"{prefix}_base-{gen}.parquet")
+        tmp = base + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, base)
+        for f in runs:
+            os.unlink(os.path.join(root, f))
+        parts += 1
+        files_folded += len(runs)
+        tokens.update(
+            f[len(prefix) : -8] for f in runs if not f.startswith(prefix + "_base-")
+        )
+    atomic_write_json(
+        os.path.join(state_dir, _COMPACTED_MANIFEST), {"tokens": sorted(tokens)}
+    )
+    return {"parts_compacted": parts, "files_folded": files_folded,
+            "tokens_folded": len(tokens)}
