@@ -222,3 +222,46 @@ def test_compaction_exact_dedup_layout(ray_session, tmp_path):
     assert sorted(
         r["doc_id"] for r in exact_dedup_incremental(d3, state, batch_token="t3").take_all()
     ) == [21]
+
+
+def test_cli_dedup_verb(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    src1 = tmp_path / "b1"
+    src2 = tmp_path / "b2"
+    src1.mkdir(), src2.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([BASE, OTHER], pa.string())}),
+        src1 / "d.parquet",
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([10, 11], pa.int64()),
+                  "text": pa.array([NEAR, "brand new words"], pa.string())}),
+        src2 / "d.parquet",
+    )
+    state = str(tmp_path / "st")
+    kept_out = str(tmp_path / "kept")
+    env_repo = "/root/repo"
+
+    def run(*extra):
+        r = subprocess.run(
+            [sys.executable, "-m", "tg_data_connector_ray", "dedup", "--state", state, *extra],
+            capture_output=True, text=True, cwd=env_repo,
+            env={**__import__("os").environ, "RAY_ADDRESS": ""},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    out1 = run("--docs", str(src1))
+    assert out1["kept"] == 2
+    out2 = run("--docs", str(src2), "--kept-out", kept_out)
+    assert out2["kept"] == 1  # NEAR drops against seen BASE
+    got = pq.read_table(kept_out)
+    assert got["doc_id"].to_pylist() == [11]
+    out3 = run("--compact")
+    assert out3["compact"]["tokens_folded"] >= 2

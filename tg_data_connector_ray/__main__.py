@@ -162,6 +162,25 @@ def main(argv=None) -> int:
     rep.add_argument("--empty-text-insert", action="store_true",
                      help="null_text_insert rows: set text to ''")
 
+    ddp = sub.add_parser(
+        "dedup",
+        help="streaming dedup: ingest a parquet doc batch against a "
+        "persistent seen-corpus state dir; prints kept count, optionally "
+        "writes kept ids; --compact folds the state's run files",
+    )
+    ddp.add_argument("--docs", help="parquet file/dir of (doc_id, text) to ingest")
+    ddp.add_argument("--state", required=True, help="persistent state dir")
+    ddp.add_argument("--mode", choices=["exact", "minhash"], default="minhash")
+    ddp.add_argument("--threshold", type=float, default=0.8,
+                     help="minhash: exact-Jaccard keep threshold")
+    ddp.add_argument("--batch-token", dest="batch_token", default=None,
+                     help="stable token for exactly-once replays "
+                     "(default: content-derived from the input file list)")
+    ddp.add_argument("--kept-out", dest="kept_out", default=None,
+                     help="write kept doc_ids as parquet here")
+    ddp.add_argument("--compact", action="store_true",
+                     help="fold state run files (seals ingested tokens)")
+
     mig = sub.add_parser(
         "migrate",
         help="re-route persisted state into a fresh out dir under the "
@@ -363,6 +382,42 @@ def main(argv=None) -> int:
             out = lineage_summary(CdcConfig(out_dir=args.out))
             if not args.parts:
                 out.pop("parts")
+        elif args.cmd == "dedup":
+            from .ops.dedup_incremental import compact_dedup_state
+
+            out = {}
+            if args.docs:
+                import ray.data as _rd
+
+                from .util import list_files
+
+                files = sorted(list_files(args.docs, suffix=".parquet")) if os.path.isdir(
+                    args.docs
+                ) else [args.docs]
+                token = args.batch_token
+                if token is None:
+                    from .cdc.pipeline import compute_run_id
+
+                    token = compute_run_id(files, None)
+                ds = _rd.read_parquet(files, columns=["doc_id", "text"])
+                if args.mode == "exact":
+                    from .ops.dedup import exact_dedup_incremental
+
+                    kept = exact_dedup_incremental(ds, args.state, batch_token=token)
+                else:
+                    from .ops.dedup_incremental import minhash_dedup_incremental
+
+                    kept = minhash_dedup_incremental(
+                        ds, args.state, threshold=args.threshold, batch_token=token
+                    )
+                if args.kept_out:
+                    kept = kept.materialize()
+                    kept.write_parquet(args.kept_out)
+                out.update({"batch_token": token, "kept": kept.count()})
+            if args.compact:
+                out["compact"] = compact_dedup_state(args.state)
+            if not args.docs and not args.compact:
+                raise SystemExit("dedup: pass --docs and/or --compact")
         elif args.cmd == "migrate":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import migrate_state
