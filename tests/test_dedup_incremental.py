@@ -97,13 +97,19 @@ def test_two_phase_matches_bruteforce_reference(ray_session, tmp_path):
     docs = pq.read_table(
         "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
     )
+    # 200-doc subset: the driver-side all-pairs jaccard reference is
+    # quadratic (the FULL corpus comparison lives in the
+    # dedup_minhash_incremental oracle at sf0.001 and sf0.01)
+    import pyarrow.compute as pc
+
+    docs = docs.filter(pc.less(docs["doc_id"], 200))
     ids = docs["doc_id"].to_pylist()
     texts = dict(zip(ids, docs["text"].to_pylist()))
-    X = 250
+    X = 100
     state = str(tmp_path / "st")
     d_all = ray.data.from_arrow(docs).repartition(4)
-    k1 = _kept(minhash_dedup_incremental(d_all.filter(expr="doc_id < 250"), state))
-    k2 = _kept(minhash_dedup_incremental(d_all.filter(expr="doc_id >= 250"), state))
+    k1 = _kept(minhash_dedup_incremental(d_all.filter(expr="doc_id < 100"), state))
+    k2 = _kept(minhash_dedup_incremental(d_all.filter(expr="doc_id >= 100"), state))
 
     pairs = [
         (a, b)
