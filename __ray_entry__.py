@@ -1755,6 +1755,32 @@ def _dedup_minhash_incremental(sf_dir):
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
 
 
+def _dedup_simhash_incremental(sf_dir):
+    """Streaming SimHash near-dup: same two-batch protocol and two-phase
+    CC semantics as _dedup_minhash_incremental, with pigeonhole-exact
+    banding (hamming <= 3 always shares a band) — the oracle's pair set
+    IS the engine's candidate set, no recall assumption."""
+    import shutil
+
+    from tg_data_connector_ray.ops.dedup_incremental import simhash_dedup_incremental
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    state = os.path.join(
+        _CDC_OUT, f"sh_inc_state_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh per invocation
+    kept1 = simhash_dedup_incremental(
+        docs.filter(expr="doc_id < 250"), state, batch_token="b1"
+    ).to_pandas()
+    kept2 = simhash_dedup_incremental(
+        docs.filter(expr="doc_id >= 250"), state, batch_token="b2"
+    ).to_pandas()
+    import pandas as pd
+
+    out = pd.concat([kept1, kept2], ignore_index=True).sort_values("doc_id")
+    return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
+
+
 def _docs_mix_to_budget(sf_dir):
     """Balanced source mixing at a 60k-char budget: per-source totals ->
     integer keep thresholds -> deterministic md5-bucket sampling; the
@@ -2338,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _dedup_minhash,
         "dedup_minhash_incremental": _dedup_minhash_incremental,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_incremental": _dedup_simhash_incremental,
         "ngram_jaccard": _ngram_jaccard,
         "dedup_semantic": _dedup_semantic,
         # --- similarity search: brute-force baseline + the full
@@ -2355,13 +2382,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": R.q1_pricing_summary,
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
         "revenue_by_nation": _revenue_by_nation,
-        "q5_region_supplier_volume": R.q5_region_supplier_volume,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "docs_prep_v2": _docs_prep_v2,
         # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
         "events_user_hll": _events_user_hll,
+        "q5_region_supplier_volume": R.q5_region_supplier_volume,
         # --- relational flagships (the real joins) ---
         "orders_without_lineitems": _orders_without_lineitems,
         # --- near-dup variant + similarity-search variants (their
@@ -2648,6 +2675,33 @@ _SHINGLES_CTE = """
               FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
                     FROM documents)
 """
+
+_SIMHASH_CTES = """toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM documents
+            ), th AS (
+              -- little-endian uint64 of md5(token)[0:8], the engine's token hash
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
+              FROM toks
+            ), bits AS (
+              SELECT doc_id, b.b AS bit,
+                sum(CASE WHEN (h // CAST(power(2, b.b) AS UBIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, (SELECT unnest(range(0, 64)) AS b) b
+              GROUP BY doc_id, b.b
+            ), simv AS (
+              SELECT doc_id,
+                coalesce(list_sum(list_transform(
+                  list(CASE WHEN v > 0 THEN bit ELSE NULL END),
+                  x -> CAST(power(2, x) AS UBIGINT))), 0) AS sh
+              FROM bits GROUP BY doc_id
+            ), allsh AS (
+              SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+              FROM documents d LEFT JOIN simv s USING (doc_id)
+            )"""
 
 # connected components over `pairs(a,b)` via recursive transitive closure;
 # kept docs = component minimum (or isolated) — the engine's min-label result
@@ -3016,38 +3070,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id >= 250 AND (rep2.rep IS NULL OR rep2.rep = d.doc_id)
         """,
         "dedup_simhash": f"""
-            WITH RECURSIVE toks AS (
-              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
-              FROM documents
-            ), th AS (
-              -- little-endian uint64 of md5(token)[0:8], the engine's token hash
-              SELECT doc_id,
-                list_sum(list_transform(range(0, 8), i ->
-                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
-                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
-              FROM toks
-            ), bits AS (
-              SELECT doc_id, b.b AS bit,
-                sum(CASE WHEN (h // CAST(power(2, b.b) AS UBIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-              FROM th, (SELECT unnest(range(0, 64)) AS b) b
-              GROUP BY doc_id, b.b
-            ), simv AS (
-              SELECT doc_id,
-                coalesce(list_sum(list_transform(
-                  list(CASE WHEN v > 0 THEN bit ELSE NULL END),
-                  x -> CAST(power(2, x) AS UBIGINT))), 0) AS sh
-              FROM bits GROUP BY doc_id
-            ), allsh AS (
-              SELECT d.doc_id, coalesce(s.sh, 0) AS sh
-              FROM documents d LEFT JOIN simv s USING (doc_id)
-            ), pairs AS (
+            WITH RECURSIVE {_SIMHASH_CTES}, pairs AS (
               SELECT a.doc_id AS a, b.doc_id AS b
               FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
               WHERE bit_count(xor(a.sh, b.sh)) <= 3
             ), {_CC_CTE}
             SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep USING (doc_id)
             WHERE rep.rep IS NULL OR rep.rep = d.doc_id
+        """,
+        # streaming simhash: the same two-phase CC construction as
+        # dedup_minhash_incremental (see that oracle's comment), over
+        # hamming<=3 pairs — banding is pigeonhole-exact, so engine
+        # candidates == these pairs with NO recall assumption
+        "dedup_simhash_incremental": f"""
+            WITH RECURSIVE {_SIMHASH_CTES}, p_all AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM allsh a JOIN allsh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.sh, b.sh)) <= 3
+            ), e1 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b < 250
+              UNION SELECT b, a FROM p_all WHERE b < 250
+            ), r1(src, dst) AS (
+              SELECT DISTINCT src, src FROM e1
+              UNION
+              SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+            ), rep1 AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM r1 GROUP BY src
+            ), e2 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b >= 250
+              UNION SELECT b, a FROM p_all WHERE b >= 250
+            ), r2(src, dst) AS (
+              SELECT DISTINCT src, src FROM e2
+              UNION
+              SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+            ), rep2 AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM r2 GROUP BY src
+            )
+            SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep1 USING (doc_id)
+            WHERE d.doc_id < 250 AND (rep1.rep IS NULL OR rep1.rep = d.doc_id)
+            UNION ALL
+            SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep2 USING (doc_id)
+            WHERE d.doc_id >= 250 AND (rep2.rep IS NULL OR rep2.rep = d.doc_id)
         """,
         "embedding_near_dup": """
             WITH aug AS (

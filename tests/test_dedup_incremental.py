@@ -271,3 +271,46 @@ def test_cli_dedup_verb(ray_session, tmp_path):
     assert got["doc_id"].to_pylist() == [11]
     out3 = run("--compact")
     assert out3["compact"]["tokens_folded"] >= 2
+
+
+# --- streaming SimHash ------------------------------------------------------
+
+from tg_data_connector_ray.ops.dedup_incremental import simhash_dedup_incremental
+
+
+def test_simhash_incremental_drops_against_seen(ray_session, tmp_path):
+    state = str(tmp_path / "st")
+    k1 = _kept(simhash_dedup_incremental(_docs([(1, BASE), (2, OTHER)]), state))
+    assert k1 == [1, 2]
+    # identical text = hamming 0 against seen doc 1; fresh text keeps
+    k2 = _kept(simhash_dedup_incremental(_docs([(10, BASE), (11, "fresh unrelated words")]), state))
+    assert k2 == [11]
+
+
+def test_simhash_incremental_within_batch_and_idempotent(ray_session, tmp_path):
+    state = str(tmp_path / "st")
+    k = _kept(
+        simhash_dedup_incremental(
+            _docs([(7, BASE), (4, BASE), (9, OTHER)]), state, batch_token="t1"
+        )
+    )
+    assert k == [4, 9]
+    k_replay = _kept(
+        simhash_dedup_incremental(
+            _docs([(7, BASE), (4, BASE), (9, OTHER)]), state, batch_token="t1"
+        )
+    )
+    assert k_replay == [4, 9]
+
+
+def test_simhash_incremental_compaction_seals(ray_session, tmp_path):
+    from tg_data_connector_ray.ops.dedup_incremental import compact_dedup_state
+
+    state = str(tmp_path / "st")
+    _kept(simhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1"))
+    out = compact_dedup_state(state)
+    assert out["tokens_folded"] >= 1
+    with pytest.raises(ValueError, match="compacted"):
+        simhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1")
+    k = _kept(simhash_dedup_incremental(_docs([(5, BASE), (6, "other words")]), state, batch_token="t2"))
+    assert k == [6]

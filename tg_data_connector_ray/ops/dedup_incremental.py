@@ -626,3 +626,166 @@ def compact_dedup_state(state_dir: str) -> dict:
     )
     return {"parts_compacted": parts, "files_folded": files_folded,
             "tokens_folded": len(tokens)}
+
+
+# ---------------------------------------------------------------------------
+# streaming SimHash near-dup (the zero-join sibling: the 64-bit simhash
+# rides in each band row, so hamming verification happens inside the
+# partition task — no gram table, no joins)
+
+def _sim_tag_part(t: pa.Table, num_parts: int) -> pa.Table:
+    key = _i64(t["bkey"]).astype(np.uint64) * np.uint64(4) + _i64(t["band"]).astype(
+        np.uint64
+    )
+    p = (_mix64(key) & np.uint64(num_parts - 1)).astype(np.int32)
+    return t.append_column("_part", pa.array(p, pa.int32()))
+
+
+def _sim_band_part(
+    g: pa.Table, *, state_dir: str, token: str, max_hamming: int, max_bucket: int
+) -> pa.Table:
+    """Merge this partition's seen band rows with the batch's, emit
+    HAMMING-VERIFIED pairs involving >= 1 new doc (pigeonhole banding has
+    perfect recall at <= 3 bits, so these pairs are final — no second
+    verification stage), and commit the batch's rows."""
+    from .dedup import _popcount64
+
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "simbands", f"part={part:05d}")
+    new = g.select(["band", "bkey", "doc_id", "simhash"])
+    seen = _read_runs(pdir, token)
+    _commit_run(pdir, token, new)
+
+    n_new = new.num_rows
+    tabs = [new] + ([seen] if seen is not None else [])
+    band = np.concatenate([_i64(t["band"]) for t in tabs])
+    bkey = np.concatenate([_i64(t["bkey"]) for t in tabs])
+    doc = np.concatenate([_i64(t["doc_id"]) for t in tabs])
+    sims = np.concatenate(
+        [t["simhash"].combine_chunks().to_numpy(zero_copy_only=False) for t in tabs]
+    ).astype(np.uint64)
+    is_new = np.zeros(len(doc), dtype=bool)
+    is_new[:n_new] = True
+
+    order = np.lexsort((doc, bkey, band))
+    band, bkey, doc, sims, is_new = (
+        band[order], bkey[order], doc[order], sims[order], is_new[order]
+    )
+    ai, bi = _run_pair_indices([band, bkey], max_bucket)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "a_new": pa.array([], pa.int32()),
+            "b_new": pa.array([], pa.int32()),
+        }
+    )
+    if len(ai) == 0:
+        return empty
+    keep = (is_new[ai] | is_new[bi]) & (
+        _popcount64(sims[ai] ^ sims[bi]) <= max_hamming
+    )
+    ai, bi = ai[keep], bi[keep]
+    if len(ai) == 0:
+        return empty
+    a, b, an, bn = doc[ai], doc[bi], is_new[ai], is_new[bi]
+    swap = a > b
+    a2, b2 = np.where(swap, b, a), np.where(swap, a, b)
+    an2, bn2 = np.where(swap, bn, an), np.where(swap, an, bn)
+    keep2 = a2 != b2
+    return pa.table(
+        {
+            "a": pa.array(a2[keep2], pa.int64()),
+            "b": pa.array(b2[keep2], pa.int64()),
+            "a_new": pa.array(an2[keep2].astype(np.int32), pa.int32()),
+            "b_new": pa.array(bn2[keep2].astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def simhash_dedup_incremental(
+    ds_new,
+    state_dir: str,
+    max_hamming: int = 3,
+    num_parts: int = 16,
+    max_bucket: int = 256,
+    num_partitions: int = 8,
+    batch_token: "str | None" = None,
+):
+    """SimHash near-dup dedup of one NEW batch against persistent state;
+    same two-phase semantics, exactly-once protocol, and compaction rules
+    as minhash_dedup_incremental (module docstring), with one table
+    (`simbands/`) and no verification joins."""
+    from functools import partial
+
+    from .dedup import SimHashStage
+    from ..pipelines.relational import distinct_rows
+    from ..util import new_token
+
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+    _check_state_format(
+        state_dir,
+        {"sig": "md5-token-simhash:1", "bands": 4, "bits": 16, "num_parts": num_parts},
+    )
+    token = batch_token or new_token()
+    check_token_not_folded(state_dir, token)
+
+    rows = (
+        ds_new.map_batches(SimHashStage(), batch_format="pyarrow")
+        .map_batches(
+            partial(_sim_tag_part, num_parts=num_parts),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()  # thin (4 band rows/doc); reused for ids below
+    )
+    ids_ds = distinct_rows(
+        rows.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
+        ),
+        "doc_id",
+    )
+    ver = (
+        rows.groupby("_part")
+        .map_groups(
+            partial(
+                _sim_band_part,
+                state_dir=state_dir,
+                token=token,
+                max_hamming=max_hamming,
+                max_bucket=max_bucket,
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ver = distinct_rows(_nonempty(ver), ["a", "b", "a_new", "b_new"]).materialize()
+    n_ver = ver.count()
+    if n_ver == 0:
+        return ids_ds
+    if n_ver <= SMALL_PAIRS_THRESHOLD:
+        rows_v = ver.take_all()
+        rep = _clusters_from_pairs(
+            [
+                (
+                    r["a"] if r["a_new"] else SEEN_LABEL,
+                    r["b"] if r["b_new"] else SEEN_LABEL,
+                )
+                for r in rows_v
+            ]
+        )
+        dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
+        return _keep_ids_broadcast(ids_ds, dropped)
+
+    def _collapse(t: pa.Table) -> pa.Table:
+        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
+        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    labels = min_label_clusters(
+        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
+        num_partitions=num_partitions,
+    )
+    from .dedup import _keep_ids_anti
+
+    return _keep_ids_anti(ids_ds, dropped_ids(labels), num_partitions)
