@@ -1187,6 +1187,69 @@ def _ngram_jaccard(sf_dir):
     return ngram_jaccard_pairs(_docs(sf_dir), threshold=0.8)
 
 
+def _embedding_near_dup_incremental(sf_dir):
+    """Streaming embedding near-dup: batch 1 = the embeddings table;
+    batch 2 = exact copies of vec_id < 5 at +100000 (must DROP against
+    the seen state) plus two copies of -vec0 at 300001/300002 (a
+    new-only component: 300001 keeps, 300002 drops; cosine(-v, v) = -1,
+    so they never match the originals).  Two-phase CC oracle over the
+    same augmented table split at vec_id 100000."""
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.dedup_incremental import (
+        embedding_near_dup_incremental,
+    )
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    embs = sized_read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+    def batch2(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        copies = t.filter(pc.less(t["vec_id"], 5))
+        out = pa.table(
+            {
+                "vec_id": pc.add(copies["vec_id"], 100000),
+                "embedding": copies["embedding"],
+            }
+        )
+        z = t.filter(pc.equal(t["vec_id"], 0))
+        if z.num_rows:
+            col = z["embedding"].combine_chunks()
+            neg = pa.array(
+                [[-x for x in col[0].as_py()]] * 2, type=col.type
+            )
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "vec_id": pa.array([300001, 300002], pa.int64()),
+                            "embedding": neg,
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    state = os.path.join(
+        _CDC_OUT, f"emb_inc_state_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh per invocation
+    kept1 = embedding_near_dup_incremental(embs, state, batch_token="b1").to_pandas()
+    kept2 = embedding_near_dup_incremental(
+        embs.map_batches(batch2, batch_format="pyarrow"), state, batch_token="b2"
+    ).to_pandas()
+    import pandas as pd
+
+    out = pd.concat([kept1, kept2], ignore_index=True).sort_values("vec_id")
+    return pa.table({"vec_id": pa.array(out["vec_id"].to_numpy("int64"), pa.int64())})
+
+
 def _embedding_near_dup(sf_dir):
     """Near-dup pairs at cosine >= 0.99 over the embeddings table plus 5
     seeded exact copies (vec_id + 100000) — the fixture has no natural
@@ -2394,6 +2457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- near-dup variant + similarity-search variants (their
         # families lead the prefix; these cover the remaining modes) ---
         "embedding_near_dup": _embedding_near_dup,
+        "embedding_near_dup_incremental": _embedding_near_dup_incremental,
         "ann_filtered_topk": _ann_filtered_topk,
         "ivf_ann": _ivf_ann,
         "pq_ann": _pq_ann,
@@ -3111,6 +3175,50 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d.doc_id AS doc_id FROM documents d LEFT JOIN rep2 USING (doc_id)
             WHERE d.doc_id >= 250 AND (rep2.rep IS NULL OR rep2.rep = d.doc_id)
+        """,
+        # streaming embedding near-dup: two-phase CC over the augmented
+        # table (batch 1 = originals < 100000; batch 2 = +100000 copies
+        # and the 300001/300002 negated pair), same construction as
+        # dedup_minhash_incremental's oracle
+        "embedding_near_dup_incremental": """
+            WITH RECURSIVE aug AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 5
+              UNION ALL
+              SELECT 300001, list_transform(embedding, x -> -x)
+              FROM embeddings WHERE vec_id = 0
+              UNION ALL
+              SELECT 300002, list_transform(embedding, x -> -x)
+              FROM embeddings WHERE vec_id = 0
+            ), p_all AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+            ), e1 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b < 100000
+              UNION SELECT b, a FROM p_all WHERE b < 100000
+            ), r1(src, dst) AS (
+              SELECT DISTINCT src, src FROM e1
+              UNION
+              SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+            ), rep1 AS (
+              SELECT src AS vec_id, min(dst) AS rep FROM r1 GROUP BY src
+            ), e2 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b >= 100000
+              UNION SELECT b, a FROM p_all WHERE b >= 100000
+            ), r2(src, dst) AS (
+              SELECT DISTINCT src, src FROM e2
+              UNION
+              SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+            ), rep2 AS (
+              SELECT src AS vec_id, min(dst) AS rep FROM r2 GROUP BY src
+            )
+            SELECT g.vec_id AS vec_id FROM aug g LEFT JOIN rep1 USING (vec_id)
+            WHERE g.vec_id < 100000 AND (rep1.rep IS NULL OR rep1.rep = g.vec_id)
+            UNION ALL
+            SELECT g.vec_id AS vec_id FROM aug g LEFT JOIN rep2 USING (vec_id)
+            WHERE g.vec_id >= 100000 AND (rep2.rep IS NULL OR rep2.rep = g.vec_id)
         """,
         "embedding_near_dup": """
             WITH aug AS (

@@ -314,3 +314,61 @@ def test_simhash_incremental_compaction_seals(ray_session, tmp_path):
         simhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1")
     k = _kept(simhash_dedup_incremental(_docs([(5, BASE), (6, "other words")]), state, batch_token="t2"))
     assert k == [6]
+
+
+# --- streaming embedding near-dup --------------------------------------------
+
+from tg_data_connector_ray.ops.dedup_incremental import embedding_near_dup_incremental
+
+
+def _vecs(rows) -> "ray.data.Dataset":
+    dim = len(rows[0][1])
+    flat = [x for _, v in rows for x in v]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(flat, pa.float32()), dim
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(2)
+
+
+V1 = [1.0, 0.0, 0.0, 0.5]
+V2 = [0.0, 1.0, 0.0, 0.0]
+
+
+def test_embedding_incremental_cross_batch_and_new_only(ray_session, tmp_path):
+    state = str(tmp_path / "st")
+    k1 = sorted(
+        r["vec_id"]
+        for r in embedding_near_dup_incremental(_vecs([(1, V1), (2, V2)]), state).take_all()
+    )
+    assert k1 == [1, 2]
+    # 10 == seen 1 (drops); 20/21 identical new-only pair (keep 20)
+    V3 = [0.3, 0.3, 0.9, 0.1]
+    k2 = sorted(
+        r["vec_id"]
+        for r in embedding_near_dup_incremental(
+            _vecs([(10, V1), (20, V3), (21, V3)]), state
+        ).take_all()
+    )
+    assert k2 == [20]
+
+
+def test_embedding_incremental_idempotent_and_sealed(ray_session, tmp_path):
+    from tg_data_connector_ray.ops.dedup_incremental import compact_dedup_state
+
+    state = str(tmp_path / "st")
+    embedding_near_dup_incremental(_vecs([(1, V1)]), state, batch_token="t1").take_all()
+    k = lambda tok: sorted(
+        r["vec_id"]
+        for r in embedding_near_dup_incremental(
+            _vecs([(5, V1), (6, V2)]), state, batch_token=tok
+        ).take_all()
+    )
+    assert k("t2") == [6] == k("t2")  # replay idempotent
+    compact_dedup_state(state)
+    with pytest.raises(ValueError, match="compacted"):
+        embedding_near_dup_incremental(_vecs([(1, V1)]), state, batch_token="t1").take_all()

@@ -598,10 +598,15 @@ def compact_dedup_state(state_dir: str) -> dict:
         if not non_base and len(runs) <= 1:
             continue
         merged = pa.concat_tables(pq.read_table(os.path.join(root, f)) for f in runs)
-        df = merged.to_pandas()
-        merged = pa.Table.from_pandas(
-            df.drop_duplicates(ignore_index=True), schema=merged.schema
-        )
+        if not any(pa.types.is_nested(f.type) for f in merged.schema):
+            # self-heal duplicate rows left by a crash between base-write
+            # and old-file unlink; nested payload columns (the embedding
+            # table's vectors) skip this — their duplicates are equally
+            # harmless and pandas cannot hash them
+            df = merged.to_pandas()
+            merged = pa.Table.from_pandas(
+                df.drop_duplicates(ignore_index=True), schema=merged.schema
+            )
         gen = 1 + max(
             (
                 int(f[len(prefix) + 6 : -8])
@@ -789,3 +794,218 @@ def simhash_dedup_incremental(
     from .dedup import _keep_ids_anti
 
     return _keep_ids_anti(ids_ds, dropped_ids(labels), num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding near-dup (vectors ride in the band rows like the
+# simhash word — exact-cosine verification inside the partition task)
+
+def _emb_bucket_rows(batch: pa.Table, n_planes: int, seed: int,
+                     num_parts: int) -> pa.Table:
+    """(vec_id, embedding) -> 2 rotated random-hyperplane bucket rows per
+    vector, original float32 payload attached (the batch op's bucketing,
+    dedup.embedding_near_dup_pairs, re-emitted with a partition tag)."""
+    from .similarity import _emb_matrix
+
+    emb = _emb_matrix(batch)
+    dim = emb.shape[1]
+    rng = np.random.default_rng(seed)  # same (seed, dim) in every task
+    planes = [rng.standard_normal((dim, n_planes)) for _ in range(2)]
+    nemb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    ids = _i64(batch["vec_id"])
+    n = len(ids)
+    keys = np.concatenate(
+        [((nemb @ P) > 0) @ (1 << np.arange(n_planes)) for P in planes]
+    ).astype(np.int64)
+    rot = np.repeat(np.arange(2, dtype=np.int32), n)
+    flat = np.tile(emb.astype(np.float32).reshape(-1), 2)
+    vec = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), dim)
+    part = (
+        _mix64(keys.view(np.uint64) * np.uint64(2) + rot.astype(np.uint64))
+        & np.uint64(num_parts - 1)
+    ).astype(np.int32)
+    return pa.table(
+        {
+            "rot": pa.array(rot),
+            "bkey": pa.array(keys, pa.int64()),
+            "vec_id": pa.array(np.tile(ids, 2), pa.int64()),
+            "vec": vec,
+            "_part": pa.array(part, pa.int32()),
+        }
+    )
+
+
+def _emb_band_part(
+    g: pa.Table, *, state_dir: str, token: str, threshold: float, max_bucket: int
+) -> pa.Table:
+    """Per-partition: merge seen bucket rows with the batch's, emit
+    EXACT-COSINE-verified pairs involving >= 1 new vector (float64
+    normalize + one einsum over the candidate pairs), commit the batch's
+    rows."""
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "embands", f"part={part:05d}")
+    new = g.select(["rot", "bkey", "vec_id", "vec"])
+    seen = _read_runs(pdir, token)
+    _commit_run(pdir, token, new)
+
+    n_new = new.num_rows
+    tabs = [new] + ([seen] if seen is not None else [])
+
+    def _vecs(t: pa.Table) -> np.ndarray:
+        col = t["vec"].combine_chunks()
+        return (
+            col.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(len(col), -1)
+        )
+
+    rot = np.concatenate([_i64(t["rot"]) for t in tabs])
+    bkey = np.concatenate([_i64(t["bkey"]) for t in tabs])
+    vid = np.concatenate([_i64(t["vec_id"]) for t in tabs])
+    emb = np.concatenate([_vecs(t) for t in tabs], axis=0)
+    is_new = np.zeros(len(vid), dtype=bool)
+    is_new[:n_new] = True
+
+    order = np.lexsort((vid, bkey, rot))
+    rot, bkey, vid, emb, is_new = (
+        rot[order], bkey[order], vid[order], emb[order], is_new[order]
+    )
+    ai, bi = _run_pair_indices([rot, bkey], max_bucket)
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "a_new": pa.array([], pa.int32()),
+            "b_new": pa.array([], pa.int32()),
+        }
+    )
+    if len(ai) == 0:
+        return empty
+    keep = is_new[ai] | is_new[bi]
+    ai, bi = ai[keep], bi[keep]
+    if len(ai) == 0:
+        return empty
+    nemb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    cos = np.einsum("ij,ij->i", nemb[ai], nemb[bi])
+    keep2 = cos >= threshold
+    ai, bi = ai[keep2], bi[keep2]
+    if len(ai) == 0:
+        return empty
+    a, b, an, bn = vid[ai], vid[bi], is_new[ai], is_new[bi]
+    swap = a > b
+    a2, b2 = np.where(swap, b, a), np.where(swap, a, b)
+    an2, bn2 = np.where(swap, bn, an), np.where(swap, an, bn)
+    keep3 = a2 != b2
+    return pa.table(
+        {
+            "a": pa.array(a2[keep3], pa.int64()),
+            "b": pa.array(b2[keep3], pa.int64()),
+            "a_new": pa.array(an2[keep3].astype(np.int32), pa.int32()),
+            "b_new": pa.array(bn2[keep3].astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def embedding_near_dup_incremental(
+    ds_new,
+    state_dir: str,
+    threshold: float = 0.99,
+    n_planes: int = 12,
+    seed: int = 5,
+    num_parts: int = 16,
+    max_bucket: int = 64,
+    num_partitions: int = 8,
+    batch_token: "str | None" = None,
+):
+    """Embedding-cosine near-dup dedup of one NEW vector batch against
+    persistent state (id column `vec_id`); same two-phase semantics,
+    exactly-once protocol, and compaction rules as the minhash/simhash
+    siblings.  Candidate recall is the batch op's 2-rotation hyperplane
+    LSH (deterministic per (seed, dim), so cross-batch pairs collide
+    exactly as in-batch pairs do); verification is exact cosine in
+    float64 inside the partition task."""
+    from functools import partial
+
+    from ..pipelines.relational import distinct_rows
+    from ..util import new_token
+
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+    _check_state_format(
+        state_dir,
+        {
+            "sig": "hyperplane-lsh:1",
+            "n_planes": n_planes,
+            "seed": seed,
+            "rotations": 2,
+            "num_parts": num_parts,
+        },
+    )
+    token = batch_token or new_token()
+    check_token_not_folded(state_dir, token)
+
+    rows = ds_new.map_batches(
+        partial(_emb_bucket_rows, n_planes=n_planes, seed=seed, num_parts=num_parts),
+        batch_format="pyarrow",
+    ).materialize()
+    ids_ds = distinct_rows(
+        rows.map_batches(
+            lambda t: pa.table({"vec_id": t["vec_id"]}), batch_format="pyarrow"
+        ),
+        "vec_id",
+    )
+    ver = rows.groupby("_part").map_groups(
+        partial(
+            _emb_band_part,
+            state_dir=state_dir,
+            token=token,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        ),
+        batch_format="pyarrow",
+    )
+    ver = distinct_rows(_nonempty(ver), ["a", "b", "a_new", "b_new"]).materialize()
+    n_ver = ver.count()
+    if n_ver == 0:
+        return ids_ds
+    if n_ver <= SMALL_PAIRS_THRESHOLD:
+        rows_v = ver.take_all()
+        rep = _clusters_from_pairs(
+            [
+                (
+                    r["a"] if r["a_new"] else SEEN_LABEL,
+                    r["b"] if r["b_new"] else SEEN_LABEL,
+                )
+                for r in rows_v
+            ]
+        )
+        dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
+
+        def _f(b: pa.Table) -> pa.Table:
+            drop_arr = pa.array(sorted(dropped), pa.int64())
+            keep = pc.invert(
+                pc.fill_null(pc.is_in(b["vec_id"], value_set=drop_arr), False)
+            )
+            return b.filter(keep)
+
+        return ids_ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _collapse(t: pa.Table) -> pa.Table:
+        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
+        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    labels = min_label_clusters(
+        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
+        num_partitions=num_partitions,
+    )
+    drop_ds = dropped_ids(labels).map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"]}), batch_format="pyarrow"
+    )
+    left = ids_ds.map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"]}), batch_format="pyarrow"
+    )
+    return left.join(
+        _nonempty(drop_ds), join_type="left_anti",
+        num_partitions=num_partitions, on=("vec_id",),
+    )
