@@ -170,9 +170,11 @@ def main(argv=None) -> int:
     )
     ddp.add_argument("--docs", help="parquet file/dir of (doc_id, text) to ingest")
     ddp.add_argument("--state", required=True, help="persistent state dir")
-    ddp.add_argument("--mode", choices=["exact", "minhash"], default="minhash")
-    ddp.add_argument("--threshold", type=float, default=0.8,
-                     help="minhash: exact-Jaccard keep threshold")
+    ddp.add_argument("--mode", choices=["exact", "minhash", "simhash", "embedding"],
+                     default="minhash")
+    ddp.add_argument("--threshold", type=float, default=None,
+                     help="similarity threshold (default: 0.8 Jaccard for "
+                     "minhash, 0.99 cosine for embedding)")
     ddp.add_argument("--batch-token", dest="batch_token", default=None,
                      help="stable token for exactly-once replays "
                      "(default: content-derived from the input file list)")
@@ -399,16 +401,33 @@ def main(argv=None) -> int:
                     from .cdc.pipeline import compute_run_id
 
                     token = compute_run_id(files, None)
-                ds = _rd.read_parquet(files, columns=["doc_id", "text"])
+                cols = ["vec_id", "embedding"] if args.mode == "embedding" else [
+                    "doc_id", "text"
+                ]
+                ds = _rd.read_parquet(files, columns=cols)
                 if args.mode == "exact":
                     from .ops.dedup import exact_dedup_incremental
 
                     kept = exact_dedup_incremental(ds, args.state, batch_token=token)
+                elif args.mode == "simhash":
+                    from .ops.dedup_incremental import simhash_dedup_incremental
+
+                    kept = simhash_dedup_incremental(ds, args.state, batch_token=token)
+                elif args.mode == "embedding":
+                    from .ops.dedup_incremental import embedding_near_dup_incremental
+
+                    kept = embedding_near_dup_incremental(
+                        ds, args.state,
+                        threshold=args.threshold if args.threshold is not None else 0.99,
+                        batch_token=token,
+                    )
                 else:
                     from .ops.dedup_incremental import minhash_dedup_incremental
 
                     kept = minhash_dedup_incremental(
-                        ds, args.state, threshold=args.threshold, batch_token=token
+                        ds, args.state,
+                        threshold=args.threshold if args.threshold is not None else 0.8,
+                        batch_token=token,
                     )
                 if args.kept_out:
                     kept = kept.materialize()
