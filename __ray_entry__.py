@@ -1844,6 +1844,19 @@ def _dedup_simhash_incremental(sf_dir):
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
 
 
+_BM25_TERMS = ("spark", "window", "hash", "stream")
+
+
+def _docs_bm25(sf_dir):
+    """BM25 top-10 for a fixed 4-term query over documents — the
+    log-damped ranked-retrieval contract beside keyword_topk's integer
+    tf sum; micro-unit round_even scores keep ranking and value hashing
+    integer-exact vs the oracle (the text_tfidf convention)."""
+    from tg_data_connector_ray.ops.corpus import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), list(_BM25_TERMS), k=10)
+
+
 def _docs_mix_to_budget(sf_dir):
     """Balanced source mixing at a 60k-char budget: per-source totals ->
     integer keep thresholds -> deterministic md5-bucket sampling; the
@@ -2527,6 +2540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _docs_repetition,
         # --- text analysis (stable single-table transforms) ---
         "docs_keyword_topk": _docs_keyword_topk,
+        "docs_bm25": _docs_bm25,
         "docs_chunk": _docs_chunk,
         "docs_normalize_text": _docs_normalize_text,
         "text_quality": _text_quality,
@@ -3697,6 +3711,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT ngram, count(*) AS n
             FROM b GROUP BY ngram
             ORDER BY n DESC, ngram LIMIT 50
+        """,
+        # BM25: same libm-ln + micro-unit round_even convention as
+        # text_tfidf; expression structure mirrored by ops.corpus.bm25_topk
+        "docs_bm25": """
+            WITH toks AS (
+              SELECT doc_id,
+                unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ), q(term) AS (VALUES ('spark'), ('window'), ('hash'), ('stream')
+            ), tfq AS (
+              SELECT tf.doc_id, tf.term, tf.tf FROM tf JOIN q USING (term)
+            ), dl AS (
+              SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+            ), st AS (
+              SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT CAST(sum(tf) AS DOUBLE) FROM tf) AS l
+            ), df AS (
+              SELECT term, count(*) AS df FROM tfq GROUP BY term
+            ), sc AS (
+              SELECT tfq.doc_id,
+                sum( ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                     * (tfq.tf * (1.2 + 1))
+                     / (tfq.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (st.l / st.n))) )
+                AS score
+              FROM tfq JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+              GROUP BY tfq.doc_id
+            )
+            SELECT doc_id, CAST(round_even(score * 1e6, 0) AS BIGINT) AS score_u
+            FROM sc ORDER BY score_u DESC, doc_id LIMIT 10
         """,
         "text_tfidf": """
             WITH toks AS (

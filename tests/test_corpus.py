@@ -449,3 +449,63 @@ def test_seeded_shuffle_rank_is_dense_and_layout_independent():
     # a different seed is a different permutation
     c = seeded_shuffle_rank(one_block, seed="s2").to_pandas().sort_values("doc_id")
     assert list(c["shuffle_rank"]) != list(a["shuffle_rank"])
+
+
+def test_bm25_topk_matches_reference(ray_session):
+    """BM25 on 3 tiny docs vs a direct float reference (Lucene idf,
+    k1=1.2, b=0.75, micro-unit round_even)."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.corpus import bm25_topk
+
+    docs = {
+        1: "spark spark window join",
+        2: "window scan scan scan",
+        3: "hash hash hash hash spark",
+    }
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(docs), pa.int64()),
+            "text": pa.array(list(docs.values()), pa.string()),
+        }
+    )
+    got = bm25_topk(ray.data.from_arrow(t).repartition(2), ["spark", "hash"], k=3)
+
+    # reference
+    N, L = 3, sum(len(v.split()) for v in docs.values())
+    avgdl = L / N
+    tf = {d: {} for d in docs}
+    for d, txt in docs.items():
+        for w in txt.split():
+            tf[d][w] = tf[d].get(w, 0) + 1
+    df = {q: sum(1 for d in docs if q in tf[d]) for q in ("spark", "hash")}
+    exp = {}
+    for d in docs:
+        s = 0.0
+        dl = sum(tf[d].values())
+        for q in ("spark", "hash"):
+            f = tf[d].get(q, 0)
+            if f:
+                idf = math.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1)
+                s += idf * (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        if s > 0:
+            exp[d] = int(np.round(s * 1e6))
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert got["doc_id"].to_pylist() == order
+    assert got["score_u"].to_pylist() == [exp[d] for d in order]
+
+
+def test_bm25_topk_empty_query_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from tg_data_connector_ray.ops.corpus import bm25_topk
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"], pa.string())})
+    with pytest.raises(ValueError):
+        bm25_topk(ray.data.from_arrow(t), [])

@@ -929,3 +929,106 @@ def seeded_shuffle_rank(ds, seed: str, id_col: str = "doc_id",
         )
 
     return tagged.groupby("_rg").map_groups(assign, batch_format="pyarrow")
+
+
+def bm25_topk(ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
+              col: str = "text") -> pa.Table:
+    """BM25 ranked retrieval (Robertson/Lucene idf: ln((N-df+0.5)/(df+0.5)+1);
+    tf normalization tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))), global top-k
+    by (score DESC, doc_id ASC).  Scores are micro-unit round_even int64
+    (the text_tfidf oracle convention, _round_even_u6) so ranking and
+    value hashing are integer-exact against the SQL oracle; the float
+    expression mirrors the oracle's operation structure term-for-term.
+
+    The log-damped complement of keyword_topk's raw integer tf contract
+    and the lexical sibling of ann_topk.
+
+    Scale shape — two streaming passes, train -> broadcast -> score (the
+    docs_bigram_lm discipline):
+      pass 1 emits per-block THIN stats rows (per-query-term df partial +
+      one (n_docs, total_tokens) row); the driver reduces O(q + blocks)
+      rows to an idf vector + avgdl that ride to pass 2 in the
+      (object-store-cached) task closure;
+      pass 2 re-reads only `col`, scores each block's matching docs and
+      emits its local top-k — k x blocks thin rows finish on the driver.
+    Text never leaves a block task; nothing wide shuffles."""
+    import pyarrow.compute as pc
+
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    term_arr = pa.array(terms, pa.string())
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tfr = term_freq_batch(t, col)
+        tot = int(pc.sum(tfr["tf"]).as_py() or 0)
+        tfq = tfr.filter(pc.is_in(tfr["term"], value_set=term_arr))
+        g = tfq.group_by("term").aggregate([("doc_id", "count")])
+        n = g.num_rows
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [g["term"].combine_chunks().cast(pa.string()), pa.array([""], pa.string())]
+                ),
+                "df": pa.array(
+                    list(g["doc_id_count"].to_numpy(zero_copy_only=False)) + [0],
+                    pa.int64(),
+                ),
+                "n_docs": pa.array([0] * n + [t.num_rows], pa.int64()),
+                "toks": pa.array([0] * n + [tot], pa.int64()),
+            }
+        )
+
+    stats = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    N = int(stats["n_docs"].sum())
+    L = int(stats["toks"].sum())
+    if N == 0 or L == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_u": pa.array([], pa.int64())})
+    avgdl = float(L) / N  # double, same single division as the oracle's L/n
+    df_by_term = stats[stats["term"] != ""].groupby("term")["df"].sum()
+    # ln((N - df + 0.5)/(df + 0.5) + 1), one libm call per query term
+    idf = {
+        t: float(np.log((N - int(d) + 0.5) / (int(d) + 0.5) + 1.0))
+        for t, d in df_by_term.items()
+    }
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score_u": pa.array([], pa.int64())})
+        tfr = term_freq_batch(t, col)
+        if tfr.num_rows == 0:
+            return empty
+        doc = _i64(tfr["doc_id"])
+        tf = _i64(tfr["tf"])
+        # dl = total tokens per doc (sum of tf over ALL its terms)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        dl = np.bincount(inv, weights=tf.astype(np.float64))
+        trm = tfr["term"].to_numpy(zero_copy_only=False)
+        w = np.array([idf.get(x, 0.0) for x in trm], np.float64)
+        m = w > 0.0
+        if not m.any():
+            return empty
+        # mirror the oracle's expression structure exactly:
+        # tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        tfm = tf[m].astype(np.float64)
+        dlm = dl[inv[m]]
+        contrib = w[m] * (tfm * (k1 + 1)) / (tfm + k1 * (1 - b + b * dlm / avgdl))
+        docs_m = doc[m]
+        u2, inv2 = np.unique(docs_m, return_inverse=True)
+        score = np.bincount(inv2, weights=contrib)
+        su = _round_even_u6(score)
+        top = np.lexsort((u2, -su))[:k]
+        return pa.table({"doc_id": pa.array(u2[top], pa.int64()),
+                         "score_u": pa.array(su[top], pa.int64())})
+
+    parts = ds.map_batches(
+        score_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    ids = np.array([r["doc_id"] for r in parts], np.int64)
+    su = np.array([r["score_u"] for r in parts], np.int64)
+    top = np.lexsort((ids, -su))[:k]
+    return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
+                     "score_u": pa.array(su[top], pa.int64())})
