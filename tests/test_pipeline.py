@@ -1645,3 +1645,37 @@ def test_run_id_path_safety(t1, tmp_path):
         apply_cdc(t1["cdc_log"], cfg, run_id="bad/run")
     # an empty run_id falls back to the content-derived id (falsy arg)
     assert apply_cdc(t1["cdc_log"], cfg, run_id="")["rows_live"] > 0
+
+
+def test_journaled_replay_skips_exchange_entirely(t1, tmp_path, monkeypatch):
+    """A journaled, manifest-intact, lineage-complete run replays as a
+    pure metadata read — the event log is never re-read.  Losing any
+    partition's lineage falls back to the repairing slow path."""
+    import os
+    import shutil
+
+    import tg_data_connector_ray.cdc.pipeline as P
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "out"), num_partitions=4)
+    s1 = apply_cdc(t1["cdc_log"], cfg)
+
+    def boom(*a, **k):
+        raise AssertionError("exchange ran on a fully-committed replay")
+
+    monkeypatch.setattr(P, "_run_exchange_and_merge", boom)
+    s2 = apply_cdc(t1["cdc_log"], cfg)  # fast path: boom not reached
+    assert s2["run_id"] == s1["run_id"]
+    assert s2["partitions_skipped"] == s2["partitions"] == s1["partitions"]
+    assert s2["partitions_applied"] == 0
+    assert s2["rows_live"] == s1["rows_live"]
+    monkeypatch.undo()
+
+    # lose one partition's lineage record -> slow path repairs
+    lroot = os.path.join(cfg.out_dir, "lineage")
+    victim = sorted(os.listdir(lroot))[0]
+    os.unlink(os.path.join(lroot, victim, f"{s1['run_id']}.json"))
+    shutil.rmtree(cfg.state_dir(int(victim.split("=")[1])), ignore_errors=True)
+    s3 = apply_cdc(t1["cdc_log"], cfg)
+    assert s3["partitions_applied"] == 1
+    assert s3["partitions_skipped"] == s3["partitions"] - 1
+    assert_converged(cfg, pq.read_table(t1["transcripts"]))

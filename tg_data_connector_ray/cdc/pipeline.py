@@ -501,6 +501,55 @@ def _check_state_format(cfg: CdcConfig) -> None:
         atomic_write_json(marker, want)
 
 
+def _replay_fast_path(cfg: CdcConfig, run_id: str) -> "dict | None":
+    """Whole-run no-op replay detection: a run that is JOURNALED (appended
+    to runs.log only after a complete apply, under the lease), whose
+    manifest survives, and whose lineage record still exists in EVERY
+    partition the manifest counted, is fully committed — return the
+    persisted summary (statuses transposed to all-skipped, matching what
+    the slow path reports on replay) without rebuilding the spool.
+
+    Why this matters: the spool is dropped after merge by default, so the
+    slow replay path re-reads and re-normalizes the WHOLE event log just
+    to let every partition skip via lineage — O(input) for a no-op.  At
+    10^10 events that is the difference between a free restart and a full
+    pass over the log.
+
+    Why it is exactly as safe as the slow path: the slow path's skip test
+    is the per-partition lineage file; this fast path requires the same
+    files (all of them), plus the journal entry proving the original
+    apply COMPLETED (so no partition was never attempted).  A partition
+    whose lineage was lost (the crash-repair scenario) fails the count
+    and falls through to the slow path, which repairs it."""
+    from ..util import read_json
+
+    manifest = os.path.join(cfg.out_dir, f"_manifest-{run_id}.json")
+    runs_log = os.path.join(cfg.out_dir, "runs.log")
+    if not (os.path.exists(manifest) and os.path.exists(runs_log)):
+        return None
+    with open(runs_log) as f:
+        if run_id not in f.read().split():
+            return None
+    try:
+        summary = read_json(manifest)
+    except (OSError, ValueError):
+        return None
+    lroot = os.path.join(cfg.out_dir, "lineage")
+    n_lineage = 0
+    if os.path.isdir(lroot):
+        for d in os.listdir(lroot):
+            if d.startswith("part=") and os.path.exists(
+                os.path.join(lroot, d, f"{run_id}.json")
+            ):
+                n_lineage += 1
+    if n_lineage != summary.get("partitions"):
+        return None
+    summary = dict(summary)
+    summary["partitions_skipped"] = summary["partitions"]
+    summary["partitions_applied"] = 0
+    return summary
+
+
 def apply_cdc(
     event_paths,
     cfg: CdcConfig,
@@ -517,6 +566,23 @@ def apply_cdc(
         raise ValueError(f"run_id must be a non-empty path-safe token: {run_id!r}")
     os.makedirs(cfg.out_dir, exist_ok=True)
     _check_state_format(cfg)
+
+    fast = _replay_fast_path(cfg, run_id)
+    if fast is not None:
+        # re-enforce error limits against THIS call's config (the original
+        # apply may have run with different limits)
+        n_dirty = fast["dirty_records"]
+        if cfg.error_limit_records is not None and n_dirty > cfg.error_limit_records:
+            raise ErrorLimitExceeded(
+                f"dirty records {n_dirty} > limit {cfg.error_limit_records}"
+            )
+        if cfg.error_limit_pct is not None:
+            total = fast["events_in"] + n_dirty
+            if total and n_dirty / total > cfg.error_limit_pct:
+                raise ErrorLimitExceeded(
+                    f"dirty ratio {n_dirty / total:.4f} > limit {cfg.error_limit_pct}"
+                )
+        return fast
 
     from .lease import writer_lease
 
