@@ -372,3 +372,65 @@ def test_embedding_incremental_idempotent_and_sealed(ray_session, tmp_path):
     compact_dedup_state(state)
     with pytest.raises(ValueError, match="compacted"):
         embedding_near_dup_incremental(_vecs([(1, V1)]), state, batch_token="t1").take_all()
+
+
+# --- review-pass regression tests ---------------------------------------
+
+
+def test_saturated_bucket_still_catches_new_duplicates(ray_session, tmp_path):
+    """max_bucket cap must never starve the CURRENT batch: with the cap
+    at 4 and 6 identical seen docs, a 7th identical (higher-id) doc must
+    still drop — new rows sort first within each bucket."""
+    state = str(tmp_path / "st")
+    # batch 1 at the default cap: all 6 identical docs pair, 1 kept
+    seen = _docs([(i, BASE) for i in range(1, 7)])
+    k1 = _kept(minhash_dedup_incremental(seen, state))
+    assert k1 == [1]
+    # batch 2 with cap 4 < 6 seen rows per bucket: the new doc must still
+    # participate (new-first ordering) and drop against the seen corpus
+    k2 = _kept(minhash_dedup_incremental(_docs([(100, BASE)]), state, max_bucket=4))
+    assert k2 == []
+
+
+def test_compaction_seals_before_unlinking(ray_session, tmp_path, monkeypatch):
+    """A crash between base-write and old-file unlink must leave the
+    folded tokens SEALED (replays refuse) — the manifest is written
+    before any file is touched."""
+    import os as _os
+
+    from tg_data_connector_ray.ops.dedup_incremental import (
+        compact_dedup_state,
+        folded_tokens,
+    )
+
+    state = str(tmp_path / "st")
+    _kept(minhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1"))
+
+    real_unlink = _os.unlink
+
+    def boom(path):
+        raise OSError("simulated crash during unlink")
+
+    monkeypatch.setattr(_os, "unlink", boom)
+    with pytest.raises(OSError):
+        compact_dedup_state(state)
+    monkeypatch.setattr(_os, "unlink", real_unlink)
+    assert "t1" in folded_tokens(state)
+    with pytest.raises(ValueError, match="compacted"):
+        minhash_dedup_incremental(_docs([(1, BASE)]), state, batch_token="t1")
+
+
+def test_embedding_dim_change_refuses_before_commit(ray_session, tmp_path):
+    state = str(tmp_path / "st")
+    embedding_near_dup_incremental(_vecs([(1, V1)]), state, batch_token="t1").take_all()
+    bad = _vecs([(2, [1.0, 0.0])])  # dim 2 vs dim 4
+    with pytest.raises(Exception, match="re-bootstrap"):
+        embedding_near_dup_incremental(bad, state, batch_token="t2").take_all()
+    # state still serves the original dimension
+    k = sorted(
+        r["vec_id"]
+        for r in embedding_near_dup_incremental(
+            _vecs([(3, V1), (4, V2)]), state, batch_token="t3"
+        ).take_all()
+    )
+    assert k == [4]

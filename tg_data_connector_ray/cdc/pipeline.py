@@ -501,7 +501,8 @@ def _check_state_format(cfg: CdcConfig) -> None:
         atomic_write_json(marker, want)
 
 
-def _replay_fast_path(cfg: CdcConfig, run_id: str) -> "dict | None":
+def _replay_fast_path(cfg: CdcConfig, run_id: str, files,
+                      snapshot_path) -> "dict | None":
     """Whole-run no-op replay detection: a run that is JOURNALED (appended
     to runs.log only after a complete apply, under the lease), whose
     manifest survives, and whose lineage record still exists in EVERY
@@ -533,6 +534,14 @@ def _replay_fast_path(cfg: CdcConfig, run_id: str) -> "dict | None":
     try:
         summary = read_json(manifest)
     except (OSError, ValueError):
+        return None
+    # identity check: an EXPLICIT run_id reused with different inputs must
+    # take the slow path (which applies the new events); manifests written
+    # before input_token existed fall back to requiring a content-derived
+    # run_id
+    want = compute_run_id(files, snapshot_path)
+    have = summary.get("input_token")
+    if (have is not None and have != want) or (have is None and run_id != want):
         return None
     lroot = os.path.join(cfg.out_dir, "lineage")
     n_lineage = 0
@@ -567,7 +576,7 @@ def apply_cdc(
     os.makedirs(cfg.out_dir, exist_ok=True)
     _check_state_format(cfg)
 
-    fast = _replay_fast_path(cfg, run_id)
+    fast = _replay_fast_path(cfg, run_id, files, snapshot_path)
     if fast is not None:
         # re-enforce error limits against THIS call's config (the original
         # apply may have run with different limits)
@@ -597,6 +606,10 @@ def apply_cdc(
     events_in = int(lin["events_in"].sum()) if len(lin) else 0
     summary = {
         "run_id": run_id,
+        # input identity (content-derived even when run_id is explicit):
+        # lets the replay fast path refuse when a caller reuses a run_id
+        # with DIFFERENT inputs (the slow path would apply the new events)
+        "input_token": compute_run_id(files, snapshot_path),
         "partitions": int(len(lin)),
         "partitions_applied": int((lin["status"] == "applied").sum()) if len(lin) else 0,
         "partitions_skipped": int((lin["status"] == "skipped").sum()) if len(lin) else 0,

@@ -58,7 +58,6 @@ from .dedup import (
     MinHasher,
     _clusters_from_pairs,
     _join_ready,
-    _keep_ids_broadcast,
     _i64,
     _jaccard_sorted,
     _mix64,
@@ -236,7 +235,12 @@ def _band_part(
     is_new = np.zeros(n_new + n_seen, dtype=bool)
     is_new[:n_new] = True
 
-    order = np.lexsort((doc, bh, band))
+    # NEW rows sort FIRST within each bucket: the max_bucket cap keeps a
+    # run's leading rows, and a cap that filled up with history would
+    # otherwise starve every future doc routed to a hot bucket (its
+    # duplicates would be kept forever) — new-first guarantees this
+    # batch's rows always participate, and seen rows fill the remainder
+    order = np.lexsort((doc, (~is_new).astype(np.int8), bh, band))
     band, bh, doc, is_new = band[order], bh[order], doc[order], is_new[order]
     ai, bi = _run_pair_indices([band, bh], max_bucket)
     empty = pa.table(
@@ -315,6 +319,66 @@ def _verify_grams(t: pa.Table, threshold: float) -> pa.Table:
     return t.select(["a", "b", "a_new", "b_new"]).filter(pa.array(keep))
 
 
+def _broadcast_keep(ids_ds, dropped: set, id_col: str):
+    """ids minus a SMALL driver-side dropped set — broadcast filter."""
+    if not dropped:
+        return ids_ds
+    drop_arr = pa.array(sorted(dropped), pa.int64())
+
+    def _f(b: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.fill_null(pc.is_in(b[id_col], value_set=drop_arr), False))
+        return b.filter(keep)
+
+    return ids_ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _edges_collapsed(rows) -> list:
+    """Verified pair rows -> union-find edges with seen endpoints
+    collapsed to SEEN_LABEL."""
+    return [
+        (r["a"] if r["a_new"] else SEEN_LABEL, r["b"] if r["b_new"] else SEEN_LABEL)
+        for r in rows
+    ]
+
+
+def _finish_from_edges(edges, ids_ds, id_col: str):
+    rep = _clusters_from_pairs(edges)
+    dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
+    return _broadcast_keep(ids_ds, dropped, id_col)
+
+
+def _decide_kept(ver, ids_ds, id_col: str = "doc_id", num_partitions: int = 8):
+    """The ONE two-phase decision endgame shared by every streaming-dedup
+    mode: over VERIFIED (a, b, a_new, b_new) pairs, collapse seen
+    endpoints to SEEN_LABEL, take connected components, drop every new id
+    that is not its component representative (a seen-containing component
+    has rep SEEN_LABEL < 0, so all its new members drop).  Driver
+    union-find + broadcast filter under SMALL_PAIRS_THRESHOLD; min-label
+    propagation + the shared bounded anti-join above it."""
+    n_ver = ver.count()
+    if n_ver == 0:
+        return ids_ds
+    if n_ver <= SMALL_PAIRS_THRESHOLD:
+        rows = ver.select_columns(["a", "b", "a_new", "b_new"]).take_all()
+        return _finish_from_edges(_edges_collapsed(rows), ids_ds, id_col)
+
+    def _collapse(t: pa.Table) -> pa.Table:
+        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
+        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+
+    labels = min_label_clusters(
+        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
+        num_partitions=num_partitions,
+    )
+    from .dedup import filter_out_ids
+
+    dropped = dropped_ids(labels).map_batches(
+        lambda t: pa.table({id_col: t["doc_id"]}), batch_format="pyarrow"
+    )
+    return filter_out_ids(ids_ds, dropped, id_col=id_col, num_partitions=num_partitions)
+
+
 def minhash_dedup_incremental(
     ds_new,
     state_dir: str,
@@ -353,6 +417,25 @@ def minhash_dedup_incremental(
         _PrepStage(num_perm, bands, shingle_k), batch_format="pyarrow"
     ).materialize()  # bounded: ONE ingest micro-batch (thin: ids + hashes)
 
+    def _tag_gram_part(t: pa.Table) -> pa.Table:
+        p = (_mix64(_i64(t["doc_id"]).view(np.uint64)) & np.uint64(num_parts - 1)).astype(
+            np.int32
+        )
+        return t.append_column("_part", pa.array(p, pa.int32()))
+
+    # --- gram-state commit FIRST (every new doc, kept or dropped) -------
+    # Commit ORDER is a crash-safety invariant: grams land before band
+    # rows.  Grams without bands are unreferenced orphans (harmless;
+    # overwritten on the token's retry), but bands without grams would
+    # make a LATER batch generate candidates whose verification grams
+    # don't exist.
+    prep.select_columns(["doc_id", "grams"]).map_batches(
+        _tag_gram_part, batch_format="pyarrow"
+    ).groupby("_part").map_groups(
+        partial(_grams_commit_part, state_dir=state_dir, token=token),
+        batch_format="pyarrow",
+    ).count()  # eager: the commit must happen even when cand is empty
+
     # --- candidates + band-state commit (one partition exchange) --------
     cand = (
         prep.map_batches(
@@ -368,20 +451,6 @@ def minhash_dedup_incremental(
     from ..pipelines.relational import distinct_rows
 
     cand = distinct_rows(_nonempty(cand), ["a", "b", "a_new", "b_new"]).materialize()
-
-    # --- gram-state commit (every new doc, kept or dropped) -------------
-    def _tag_gram_part(t: pa.Table) -> pa.Table:
-        p = (_mix64(_i64(t["doc_id"]).view(np.uint64)) & np.uint64(num_parts - 1)).astype(
-            np.int32
-        )
-        return t.append_column("_part", pa.array(p, pa.int32()))
-
-    prep.select_columns(["doc_id", "grams"]).map_batches(
-        _tag_gram_part, batch_format="pyarrow"
-    ).groupby("_part").map_groups(
-        partial(_grams_commit_part, state_dir=state_dir, token=token),
-        batch_format="pyarrow",
-    ).count()  # eager: the commit must happen even when cand is empty
 
     n_cand = cand.count()
     if n_cand == 0:
@@ -406,7 +475,7 @@ def minhash_dedup_incremental(
             need_arr = pa.array(sorted(new_need), pa.int64())
             newg = {
                 r["doc_id"]: r["grams"]
-                for r in prep.map_batches(
+                for r in prep.select_columns(["doc_id", "grams"]).map_batches(
                     lambda b: b.filter(pc.is_in(b["doc_id"], value_set=need_arr)),
                     batch_format="pyarrow",
                     zero_copy_batch=True,
@@ -431,9 +500,16 @@ def minhash_dedup_incremental(
                     grams[r["doc_id"]] = r["grams"]
             edges = []
             for r in rows:
+                ga_, gb_ = grams.get(r["a"]), grams.get(r["b"])
+                if ga_ is None or gb_ is None:
+                    raise ValueError(
+                        f"gram state missing for candidate doc "
+                        f"{r['a'] if ga_ is None else r['b']} in {state_dir} — "
+                        "band rows exist without grams (corrupted/partial "
+                        "state; re-ingest that batch's token)"
+                    )
                 ja = _jaccard_sorted(
-                    np.frombuffer(grams[r["a"]], dtype="<u8"),
-                    np.frombuffer(grams[r["b"]], dtype="<u8"),
+                    np.frombuffer(ga_, dtype="<u8"), np.frombuffer(gb_, dtype="<u8")
                 )
                 if ja >= threshold:
                     edges.append(
@@ -442,9 +518,7 @@ def minhash_dedup_incremental(
                             r["b"] if r["b_new"] else SEEN_LABEL,
                         )
                     )
-            rep = _clusters_from_pairs(edges)
-            dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
-            return _keep_ids_broadcast(prep, dropped)
+            return _finish_from_edges(edges, prep.select_columns(["doc_id"]), "doc_id")
 
     # --- exact verification over gram sets -------------------------------
     # seen members' grams come from state (partition-pruned reads); new
@@ -487,44 +561,7 @@ def minhash_dedup_incremental(
         j.map_batches(partial(_verify_grams, threshold=threshold), batch_format="pyarrow")
     ).materialize()
 
-    n_ver = ver.count()
-    if n_ver == 0:
-        return prep.select_columns(["doc_id"])
-
-    if n_ver <= SMALL_PAIRS_THRESHOLD:
-        # the batch-op fast path (dedup._dedup_via_pairs): thin verified
-        # pairs fit the driver, union-find there, broadcast-filter kept
-        # ids — saves the per-round fixed join cost of label propagation
-        rows = ver.select_columns(["a", "b", "a_new", "b_new"]).take_all()
-        rep = _clusters_from_pairs(
-            [
-                (
-                    r["a"] if r["a_new"] else SEEN_LABEL,
-                    r["b"] if r["b_new"] else SEEN_LABEL,
-                )
-                for r in rows
-            ]
-        )
-        dropped = {d for d, r in rep.items() if r != d and d != SEEN_LABEL}
-        return _keep_ids_broadcast(prep, dropped)
-
-    # --- decision: collapse seen endpoints to SEEN_LABEL, min-label CC ---
-    def _collapse(t: pa.Table) -> pa.Table:
-        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
-        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-    labels = min_label_clusters(
-        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
-        num_partitions=num_partitions,
-    )
-    dropped = dropped_ids(labels)  # includes only nodes != their rep;
-    # SEEN_LABEL is its own rep, and new ids in seen components get
-    # rep == SEEN_LABEL < 0 != node, i.e. exactly the drop rule
-
-    from .dedup import _keep_ids_anti
-
-    return _keep_ids_anti(prep.select_columns(["doc_id"]), dropped, num_partitions)
+    return _decide_kept(ver, prep.select_columns(["doc_id"]), "doc_id", num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -582,6 +619,14 @@ def compact_dedup_state(state_dir: str) -> dict:
     parts = 0
     files_folded = 0
     tokens: set = folded_tokens(state_dir)
+
+    # Phase 0: SEAL first.  The manifest (replay-refusal source of truth)
+    # must cover every token about to be folded BEFORE any run file is
+    # rewritten or unlinked — a crash mid-fold then leaves tokens sealed
+    # with their files intact (replays refuse: conservative and correct),
+    # never tokens folded but unsealed (replays would silently see their
+    # own rows as seen and return wrong kept sets).
+    to_fold: "list[tuple[str, list[str], str]]" = []
     for root, dirs, files in os.walk(state_dir):
         runs = sorted(
             f
@@ -597,6 +642,14 @@ def compact_dedup_state(state_dir: str) -> dict:
         # partition but excludable in another would half-replay)
         if not non_base and len(runs) <= 1:
             continue
+        to_fold.append((root, runs, prefix))
+        tokens.update(
+            f[len(prefix) : -8] for f in runs if not f.startswith(prefix + "_base-")
+        )
+    atomic_write_json(
+        os.path.join(state_dir, _COMPACTED_MANIFEST), {"tokens": sorted(tokens)}
+    )
+    for root, runs, prefix in to_fold:
         merged = pa.concat_tables(pq.read_table(os.path.join(root, f)) for f in runs)
         if not any(pa.types.is_nested(f.type) for f in merged.schema):
             # self-heal duplicate rows left by a crash between base-write
@@ -623,12 +676,6 @@ def compact_dedup_state(state_dir: str) -> dict:
             os.unlink(os.path.join(root, f))
         parts += 1
         files_folded += len(runs)
-        tokens.update(
-            f[len(prefix) : -8] for f in runs if not f.startswith(prefix + "_base-")
-        )
-    atomic_write_json(
-        os.path.join(state_dir, _COMPACTED_MANIFEST), {"tokens": sorted(tokens)}
-    )
     return {"parts_compacted": parts, "files_folded": files_folded,
             "tokens_folded": len(tokens)}
 
@@ -672,7 +719,8 @@ def _sim_band_part(
     is_new = np.zeros(len(doc), dtype=bool)
     is_new[:n_new] = True
 
-    order = np.lexsort((doc, bkey, band))
+    # new-first within buckets: see _band_part's cap-starvation note
+    order = np.lexsort((doc, (~is_new).astype(np.int8), bkey, band))
     band, bkey, doc, sims, is_new = (
         band[order], bkey[order], doc[order], sims[order], is_new[order]
     )
@@ -765,35 +813,7 @@ def simhash_dedup_incremental(
         )
     )
     ver = distinct_rows(_nonempty(ver), ["a", "b", "a_new", "b_new"]).materialize()
-    n_ver = ver.count()
-    if n_ver == 0:
-        return ids_ds
-    if n_ver <= SMALL_PAIRS_THRESHOLD:
-        rows_v = ver.take_all()
-        rep = _clusters_from_pairs(
-            [
-                (
-                    r["a"] if r["a_new"] else SEEN_LABEL,
-                    r["b"] if r["b_new"] else SEEN_LABEL,
-                )
-                for r in rows_v
-            ]
-        )
-        dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
-        return _keep_ids_broadcast(ids_ds, dropped)
-
-    def _collapse(t: pa.Table) -> pa.Table:
-        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
-        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-    labels = min_label_clusters(
-        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
-        num_partitions=num_partitions,
-    )
-    from .dedup import _keep_ids_anti
-
-    return _keep_ids_anti(ids_ds, dropped_ids(labels), num_partitions)
+    return _decide_kept(ver, ids_ds, "doc_id", num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -846,6 +866,15 @@ def _emb_band_part(
     pdir = os.path.join(state_dir, "embands", f"part={part:05d}")
     new = g.select(["rot", "bkey", "vec_id", "vec"])
     seen = _read_runs(pdir, token)
+    if seen is not None and seen.schema.field("vec").type != new.schema.field("vec").type:
+        # the vector DIMENSION is part of the state identity (hyperplanes
+        # are per-(seed, dim)); committing a mismatched batch would brick
+        # the partition with unreadable mixed schemas
+        raise ValueError(
+            f"embedding state at {pdir} holds {seen.schema.field('vec').type}, "
+            f"this batch is {new.schema.field('vec').type} — re-bootstrap "
+            "into a fresh state_dir"
+        )
     _commit_run(pdir, token, new)
 
     n_new = new.num_rows
@@ -866,7 +895,8 @@ def _emb_band_part(
     is_new = np.zeros(len(vid), dtype=bool)
     is_new[:n_new] = True
 
-    order = np.lexsort((vid, bkey, rot))
+    # new-first within buckets: see _band_part's cap-starvation note
+    order = np.lexsort((vid, (~is_new).astype(np.int8), bkey, rot))
     rot, bkey, vid, emb, is_new = (
         rot[order], bkey[order], vid[order], emb[order], is_new[order]
     )
@@ -948,6 +978,28 @@ def embedding_near_dup_incremental(
         partial(_emb_bucket_rows, n_planes=n_planes, seed=seed, num_parts=num_parts),
         batch_format="pyarrow",
     ).materialize()
+    # pin the vector DIMENSION driver-side BEFORE any state commit (the
+    # input schema is variable list<float>, so dim is only knowable from
+    # data; hyperplanes are per-(seed, dim), and a mixed-dim state dir
+    # would brick _read_runs with unreadable schemas).  Single-writer per
+    # state_dir, like every dedup state op.
+    vec_type = rows.schema().base_schema.field("vec").type
+    dim_marker = os.path.join(state_dir, "_DIM.json")
+    import json as _json
+
+    if os.path.exists(dim_marker):
+        with open(dim_marker) as f:
+            have_dim = _json.load(f)["dim"]
+        if have_dim != vec_type.list_size:
+            raise ValueError(
+                f"embedding state at {state_dir} holds dim {have_dim}, this "
+                f"batch is dim {vec_type.list_size} — re-bootstrap into a "
+                "fresh state_dir"
+            )
+    else:
+        from ..util import atomic_write_json
+
+        atomic_write_json(dim_marker, {"dim": vec_type.list_size})
     ids_ds = distinct_rows(
         rows.map_batches(
             lambda t: pa.table({"vec_id": t["vec_id"]}), batch_format="pyarrow"
@@ -965,47 +1017,4 @@ def embedding_near_dup_incremental(
         batch_format="pyarrow",
     )
     ver = distinct_rows(_nonempty(ver), ["a", "b", "a_new", "b_new"]).materialize()
-    n_ver = ver.count()
-    if n_ver == 0:
-        return ids_ds
-    if n_ver <= SMALL_PAIRS_THRESHOLD:
-        rows_v = ver.take_all()
-        rep = _clusters_from_pairs(
-            [
-                (
-                    r["a"] if r["a_new"] else SEEN_LABEL,
-                    r["b"] if r["b_new"] else SEEN_LABEL,
-                )
-                for r in rows_v
-            ]
-        )
-        dropped = {d for d, rp in rep.items() if rp != d and d != SEEN_LABEL}
-
-        def _f(b: pa.Table) -> pa.Table:
-            drop_arr = pa.array(sorted(dropped), pa.int64())
-            keep = pc.invert(
-                pc.fill_null(pc.is_in(b["vec_id"], value_set=drop_arr), False)
-            )
-            return b.filter(keep)
-
-        return ids_ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
-
-    def _collapse(t: pa.Table) -> pa.Table:
-        a = np.where(_i64(t["a_new"]) != 0, _i64(t["a"]), SEEN_LABEL)
-        b = np.where(_i64(t["b_new"]) != 0, _i64(t["b"]), SEEN_LABEL)
-        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
-
-    labels = min_label_clusters(
-        _nonempty(ver.map_batches(_collapse, batch_format="pyarrow")),
-        num_partitions=num_partitions,
-    )
-    drop_ds = dropped_ids(labels).map_batches(
-        lambda t: pa.table({"vec_id": t["doc_id"]}), batch_format="pyarrow"
-    )
-    left = ids_ds.map_batches(
-        lambda t: pa.table({"vec_id": t["vec_id"]}), batch_format="pyarrow"
-    )
-    return left.join(
-        _nonempty(drop_ds), join_type="left_anti",
-        num_partitions=num_partitions, on=("vec_id",),
-    )
+    return _decide_kept(ver, ids_ds, "vec_id", num_partitions)
