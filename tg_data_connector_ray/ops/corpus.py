@@ -1006,8 +1006,13 @@ def bm25_topk(ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
         # dl = total tokens per doc (sum of tf over ALL its terms)
         uniq, inv = np.unique(doc, return_inverse=True)
         dl = np.bincount(inv, weights=tf.astype(np.float64))
-        trm = tfr["term"].to_numpy(zero_copy_only=False)
-        w = np.array([idf.get(x, 0.0) for x in trm], np.float64)
+        # vectorized idf lookup: index_in against the (tiny) query-term
+        # list, then one gather — no Python loop over the (doc, term) rows
+        idf_vec = np.array([idf.get(t_, 0.0) for t_ in terms] + [0.0], np.float64)
+        codes = pc.fill_null(
+            pc.index_in(tfr["term"], value_set=term_arr), len(terms)
+        ).to_numpy(zero_copy_only=False)
+        w = idf_vec[codes]
         m = w > 0.0
         if not m.any():
             return empty
