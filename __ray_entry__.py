@@ -3556,7 +3556,7 @@ def oracle_sql() -> dict[str, str]:
                      / greatest(length(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1)
                      AS stop_ratio,
                    length(regexp_extract_all(text,
-                          '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))
+                          '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+'))
                      AS n_tokens_bpe
             FROM documents
         """,
