@@ -774,13 +774,19 @@ def _run_cdc_multi_table(sf_dir: str):
         tbl = _pc.if_else(_pc.equal(par, 0), pa.scalar("alpha"), pa.scalar("beta"))
         return t.append_column("tbl", tbl)
 
-    tagged_dir = os.path.join(root, "tagged")
-    shutil.rmtree(tagged_dir, ignore_errors=True)
-    ray.data.read_parquet(files).map_batches(
-        tag, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(tagged_dir)
+    # fused + idempotent: tag + hive split in ONE pass (route_by_table
+    # takes a Dataset thunk — no staged full copy of the log), and the
+    # input token lets a replay of the same source files reuse the split,
+    # which in turn keeps the per-table apply run ids stable so they hit
+    # the CDC whole-run fast path
+    from tg_data_connector_ray.cdc.pipeline import compute_run_id
 
-    routed = route_by_table(tagged_dir, root)
+    def tagged():
+        return ray.data.read_parquet(files).map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    routed = route_by_table(tagged, root, input_token=compute_run_id(files))
     outs = []
     for name, shard_dir in sorted(routed.items()):
         cfg = CdcConfig(

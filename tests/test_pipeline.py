@@ -1286,6 +1286,66 @@ def test_route_by_table_splits_and_applies_per_table(t1, tmp_path):
     with pytest.raises(ray.exceptions.RayTaskError, match="null 'tbl'"):
         route_by_table(str(bad), str(tmp_path / "badrouted"))
 
+    # Dataset input: tagging fused into the hive split (no staged tagged
+    # copy) must produce byte-identical per-table shards
+    fused = route_by_table(
+        ray.data.read_parquet(files).map_batches(
+            tag, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        str(tmp_path / "routed_fused"),
+    )
+    assert sorted(fused) == ["a", "b"]
+    for name, shard_dir in fused.items():
+        got = (
+            pa.parquet.ParquetDataset(shard_dir).read()
+            .sort_by([("conv_id", "ascending"), ("lsn", "ascending")])
+        )
+        want = (
+            pa.parquet.ParquetDataset(routed[name]).read()
+            .sort_by([("conv_id", "ascending"), ("lsn", "ascending")])
+        )
+        assert got.equals(want)
+
+    # input_token idempotence: same token -> the split is NOT rebuilt
+    # (file mtimes+sizes untouched, the Dataset thunk never runs); a
+    # different token -> rebuilt; a truncated shard -> rebuilt (manifest
+    # size check fails)
+    from tg_data_connector_ray.util import list_files as _lf
+
+    tok_root = tmp_path / "routed_tok"
+    r1 = route_by_table(str(tagged), str(tok_root), input_token="tok-1")
+    sig1 = {
+        f: (os.stat(f).st_size, os.stat(f).st_mtime_ns)
+        for d in r1.values() for f in _lf(d, suffix=".parquet")
+    }
+
+    def boom():
+        raise AssertionError("thunk must not run on a manifest hit")
+
+    r2 = route_by_table(boom, str(tok_root), input_token="tok-1")
+    assert r2 == r1
+    sig2 = {
+        f: (os.stat(f).st_size, os.stat(f).st_mtime_ns)
+        for d in r2.values() for f in _lf(d, suffix=".parquet")
+    }
+    assert sig2 == sig1
+
+    r3 = route_by_table(str(tagged), str(tok_root), input_token="tok-2")
+    assert sorted(r3) == ["a", "b"]
+
+    victim = _lf(r3["a"], suffix=".parquet")[0]
+    with open(victim, "ab") as fh:
+        fh.write(b"x")
+    r4 = route_by_table(str(tagged), str(tok_root), input_token="tok-2")
+    assert sorted(r4) == ["a", "b"]
+    tot = sum(
+        pa.parquet.ParquetDataset(d).read().num_rows for d in r4.values()
+    )
+    want_tot = sum(
+        pa.parquet.ParquetDataset(d).read().num_rows for d in routed.values()
+    )
+    assert tot == want_tot
+
 
 def test_apply_corrections_sparse_images_and_validation(t1, tmp_path):
     """Correction batches: only the provided columns change (U-merge

@@ -1032,7 +1032,30 @@ def apply_corrections(cfg: CdcConfig, corrections: pa.Table, run_id: str) -> dic
     return summary
 
 
-def route_by_table(event_paths, out_root: str, table_col: str = "tbl") -> dict:
+def _split_manifest_ok(split_dir: str, input_token: str) -> bool:
+    """True iff the split dir carries a completion manifest for exactly
+    this input token and every file it recorded still exists at the
+    recorded size (a partially-deleted or overwritten split rebuilds)."""
+    from ..util import file_size, read_json
+
+    marker = os.path.join(split_dir, "_split_manifest.json")
+    try:
+        man = read_json(marker)
+    except (OSError, ValueError):
+        return False
+    if man.get("input_token") != input_token:
+        return False
+    try:
+        return all(
+            file_size(os.path.join(split_dir, rel)) == sz
+            for rel, sz in man["files"].items()
+        )
+    except OSError:
+        return False
+
+
+def route_by_table(event_paths, out_root: str, table_col: str = "tbl",
+                   input_token: "str | None" = None) -> dict:
     """Multi-table log routing: a Debezium-style stream interleaves many
     tables' change events in one shard sequence; split it into
     per-table shard directories with ONE parallel hive-partitioned
@@ -1040,16 +1063,43 @@ def route_by_table(event_paths, out_root: str, table_col: str = "tbl") -> dict:
     write task fans its rows out by table), then apply each table with
     its own `apply_cdc` (own state dir, own ledger, own lineage).
 
+    `event_paths` may be file/dir paths, an already-built
+    ``ray.data.Dataset``, or a ZERO-ARG CALLABLE returning a Dataset —
+    the Dataset forms fuse the tagging transform into the one hive write
+    instead of staging a full tagged copy first (the callable defers even
+    the read_parquet metadata fetch to the rebuild path).
+
+    `input_token` (e.g. ``compute_run_id(source_files)``) makes the split
+    IDEMPOTENT: a completion manifest (token + every written file's size,
+    written only after a successful split) lets a replay with the same
+    token return the existing split with zero Ray work — and because the
+    files are untouched, the downstream per-table `apply_cdc` run ids
+    (path+size) are stable too, so the whole multi-table replay collapses
+    to the CDC whole-run fast path.  Without a token every call rewrites
+    the split (parallel write file sizes are NOT deterministic run-to-run,
+    so downstream run ids change and tables re-apply).
+
     Returns {table_name: shard_dir}.  Rows with a null `table_col`
     raise — silently routing them to a default table would merge two
-    producers' keyspaces.  Idempotent per out_root content: rerunning
-    overwrites the split (Dataset.write_parquet deterministic names
-    hold only within one write, so the split dir is truncated first);
-    per-table applies stay exactly-once through their run ledgers."""
+    producers' keyspaces.  Not concurrency-safe per out_root (the rebuild
+    truncates the split dir); per-table applies stay exactly-once through
+    their run ledgers."""
     import shutil as _shutil
 
-    files = _expand(event_paths)
+    from ..util import atomic_write_json, file_size
+
     split_dir = os.path.join(out_root, "by_table")
+
+    def _mapping() -> dict:
+        out = {}
+        for d in sorted(os.listdir(split_dir)):
+            if d.startswith(f"{table_col}="):
+                out[d.split("=", 1)[1]] = os.path.join(split_dir, d)
+        return out
+
+    if input_token is not None and _split_manifest_ok(split_dir, input_token):
+        return _mapping()
+
     _shutil.rmtree(split_dir, ignore_errors=True)
     os.makedirs(split_dir, exist_ok=True)
 
@@ -1063,14 +1113,27 @@ def route_by_table(event_paths, out_root: str, table_col: str = "tbl") -> dict:
             )
         return t
 
-    ray.data.read_parquet(files).map_batches(
+    if callable(event_paths) and not isinstance(event_paths, ray.data.Dataset):
+        event_paths = event_paths()
+    ds = (
+        event_paths
+        if isinstance(event_paths, ray.data.Dataset)
+        else ray.data.read_parquet(_expand(event_paths))
+    )
+    ds.map_batches(
         check, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(split_dir, partition_cols=[table_col])
-    out = {}
-    for d in sorted(os.listdir(split_dir)):
-        if d.startswith(f"{table_col}="):
-            out[d.split("=", 1)[1]] = os.path.join(split_dir, d)
-    return out
+    if input_token is not None:
+        files = {}
+        for root, _dirs, names in os.walk(split_dir):
+            for n in names:
+                p = os.path.join(root, n)
+                files[os.path.relpath(p, split_dir)] = file_size(p)
+        atomic_write_json(
+            os.path.join(split_dir, "_split_manifest.json"),
+            {"input_token": input_token, "files": files},
+        )
+    return _mapping()
 
 
 def tail_log(
