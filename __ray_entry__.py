@@ -505,6 +505,25 @@ def _run_cdc_scd2(sf_dir: str):
     return scd2_history(ray.data.read_parquet(files))
 
 
+def _t2_base_table():
+    """ONE shared converged t2 table for the read-only transcript views
+    (render / sft_pairs / clip / tool_transitions / boilerplate): each
+    used to replay the same log into its OWN out_dir, paying five cold
+    applies for identical state.  The views never mutate state (unlike
+    compact / corrections / redact, which keep dedicated dirs), so they
+    share a single apply — the architecture a real deployment has (one
+    merged table, many downstream views), and every view after the first
+    rides the whole-run replay fast path."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.fixtures import write_fixture
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2base"), num_partitions=16)
+    apply_cdc(fx["cdc_log"], cfg)
+    return read_final_table(cfg)
+
+
 def _transcript_sft_pairs(sf_dir: str):
     """CDC output feeding training-data extraction: replay the t2 log,
     then pair every assistant turn (non-null text) with the latest prior
@@ -512,16 +531,9 @@ def _transcript_sft_pairs(sf_dir: str):
     table read — one conv_id hash shuffle, then a vectorized running-max
     pass per bucket.  Oracle: IGNORE NULLS window over the merge-contract
     reconstruction."""
-    from tg_data_connector_ray.cdc.config import CdcConfig
-    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
-    from tg_data_connector_ray.fixtures import write_fixture
     from tg_data_connector_ray.ops.transcripts import sft_pairs
 
-    fx = write_fixture(_FIXTURE_CACHE, "t2")
-    out = os.path.join(_CDC_OUT, "t2sft")
-    cfg = CdcConfig(out_dir=out, num_partitions=16)
-    apply_cdc(fx["cdc_log"], cfg)
-    return sft_pairs(read_final_table(cfg))
+    return sft_pairs(_t2_base_table())
 
 
 def _transcript_render(sf_dir: str):
@@ -530,16 +542,9 @@ def _transcript_render(sf_dir: str):
     over the streaming final-table read.  String assembly never leaves
     Arrow C kernels (element-wise join + per-segment ListArray join).
     Oracle: string_agg with ORDER BY turn_idx over the merge contract."""
-    from tg_data_connector_ray.cdc.config import CdcConfig
-    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
-    from tg_data_connector_ray.fixtures import write_fixture
     from tg_data_connector_ray.ops.transcripts import render_conversations
 
-    fx = write_fixture(_FIXTURE_CACHE, "t2")
-    out = os.path.join(_CDC_OUT, "t2render")
-    cfg = CdcConfig(out_dir=out, num_partitions=16)
-    apply_cdc(fx["cdc_log"], cfg)
-    return render_conversations(read_final_table(cfg))
+    return render_conversations(_t2_base_table())
 
 
 def _transcript_clip(sf_dir: str):
@@ -548,16 +553,9 @@ def _transcript_clip(sf_dir: str):
     chars (newest-context-first truncation).  Segmented reverse-cumsum
     kernel over the spool exchange.  Oracle: a descending-turn running
     sum window with the same integer lengths."""
-    from tg_data_connector_ray.cdc.config import CdcConfig
-    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
-    from tg_data_connector_ray.fixtures import write_fixture
     from tg_data_connector_ray.ops.transcripts import clip_to_context
 
-    fx = write_fixture(_FIXTURE_CACHE, "t2")
-    out = os.path.join(_CDC_OUT, "t2clip")
-    cfg = CdcConfig(out_dir=out, num_partitions=16)
-    apply_cdc(fx["cdc_log"], cfg)
-    return clip_to_context(read_final_table(cfg), budget=1500)
+    return clip_to_context(_t2_base_table(), budget=1500)
 
 
 def _transcript_tool_transitions(sf_dir: str):
@@ -566,15 +564,9 @@ def _transcript_tool_transitions(sf_dir: str):
     this tool) transitions globally — conv_id co-location, a vectorized
     per-bucket partial bounded at |tools|^2 rows, then a tiny composite-
     key finishing aggregate.  Oracle: lag() over the merge contract."""
-    from tg_data_connector_ray.cdc.config import CdcConfig
-    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
-    from tg_data_connector_ray.fixtures import write_fixture
     from tg_data_connector_ray.ops.transcripts import tool_transitions
 
-    fx = write_fixture(_FIXTURE_CACHE, "t2")
-    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2tooltrans"), num_partitions=16)
-    apply_cdc(fx["cdc_log"], cfg)
-    return tool_transitions(read_final_table(cfg))
+    return tool_transitions(_t2_base_table())
 
 
 def _transcript_boilerplate(sf_dir: str):
@@ -584,15 +576,9 @@ def _transcript_boilerplate(sf_dir: str):
     partials per batch, text-hash co-location, one Arrow group_by
     (sum + count_distinct) per bucket.  Oracle: GROUP BY text HAVING
     count(DISTINCT conv_id) over the merge contract."""
-    from tg_data_connector_ray.cdc.config import CdcConfig
-    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
-    from tg_data_connector_ray.fixtures import write_fixture
     from tg_data_connector_ray.ops.transcripts import boilerplate_texts
 
-    fx = write_fixture(_FIXTURE_CACHE, "t2")
-    cfg = CdcConfig(out_dir=os.path.join(_CDC_OUT, "t2boiler"), num_partitions=16)
-    apply_cdc(fx["cdc_log"], cfg)
-    return boilerplate_texts(read_final_table(cfg), min_convs=2)
+    return boilerplate_texts(_t2_base_table(), min_convs=2)
 
 
 def _run_cdc_compact(sf_dir: str):
