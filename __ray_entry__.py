@@ -2214,6 +2214,35 @@ def _docs_shuffle_seeded(sf_dir):
     return seeded_shuffle_rank(ds, seed="ep0")
 
 
+def _docs_leakage_split(sf_dir):
+    """Leakage-safe train/val/test split: near-dup components (MinHash-LSH
+    candidates, exact shingle-Jaccard >= 0.8 verify, min-label CC — the
+    dedup_minhash machinery) key the split by their representative, so a
+    near-copy of a val doc can never land in train (the train/eval overlap
+    Lee et al. 2022 measure).  Isolated docs reduce to docs_hash_split."""
+    from tg_data_connector_ray.ops.sampling import leakage_safe_split
+
+    return leakage_safe_split(_docs(sf_dir))
+
+
+def _docs_quality_classifier(sf_dir):
+    """fastText-style linear quality scoring (CCNet / LLaMA-prep dataflow):
+    md5-bucketed token features x broadcast weight vector, exact int64
+    scores, keep = score >= 0.  Weights are md5-derived so the oracle
+    replays them bit-for-bit; a trained model swaps in unchanged."""
+    from tg_data_connector_ray.ops.text import QualityClassifier
+    from tg_data_connector_ray.util import sized_read_parquet
+
+    ds = sized_read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        small_block_bytes=256 << 10,
+    )
+    return ds.map_batches(
+        QualityClassifier(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _docs_hash_split(sf_dir):
     """Deterministic train/val/test split by hashed doc_id — reproducible
     across runs/backfills (membership is a pure key function)."""
@@ -2435,6 +2464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_incremental": _dedup_simhash_incremental,
         "ngram_jaccard": _ngram_jaccard,
         "dedup_semantic": _dedup_semantic,
+        "docs_leakage_split": _docs_leakage_split,
+        "docs_quality_classifier": _docs_quality_classifier,
         # --- similarity search: brute-force baseline + the full
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
@@ -3675,6 +3706,66 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(hu AS HUGEINT) END AS BIGINT) AS shuffle_key,
               CAST(row_number() OVER (ORDER BY hu, doc_id) - 1 AS BIGINT) AS shuffle_rank
             FROM k
+        """,
+        # leakage-safe split: the dedup_minhash pair/CC construction gives
+        # each doc its component rep (isolated docs rep themselves); the
+        # split bucket is docs_hash_split's md5 formula applied to rep
+        "docs_leakage_split": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_CTE}
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), {_CC_CTE}
+            , r AS (
+              SELECT d.doc_id, coalesce(rep.rep, d.doc_id) AS rep
+              FROM documents d LEFT JOIN rep USING (doc_id)
+            ), h AS (
+              SELECT doc_id, rep,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM r
+            )
+            SELECT doc_id, rep,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        # fastText-style linear scoring: token md5-u64 (the simhash
+        # oracle's hash transform) bucketed mod 512; weight =
+        # md5_u64('w:' || bucket) % 2001 - 1000; score = sum with
+        # multiplicity; tokenless (null/empty) docs score 0 and keep
+        "docs_quality_classifier": """
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM documents
+            ), th AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
+              FROM toks
+            ), wt AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) % 2001 AS BIGINT) - 1000 AS w
+              FROM th
+            ), sc AS (
+              SELECT doc_id, sum(w) AS s FROM wt GROUP BY doc_id
+            )
+            SELECT d.doc_id AS doc_id,
+                   CAST(coalesce(sc.s, 0) AS BIGINT) AS clf_score,
+                   coalesce(sc.s, 0) >= 0 AS keep
+            FROM documents d LEFT JOIN sc USING (doc_id)
         """,
         "docs_hash_split": """
             WITH h AS (

@@ -1034,3 +1034,99 @@ def test_integer_pagerank_ds_equals_driver_fixpoint(ray_session):
     )
     got = {r["node"]: r["rank_u"] for r in got_ds.take_all()}
     assert got == want
+
+
+def test_quality_classifier_formula_and_edges(ray_session):
+    """Hand-computed linear score; null/empty text scores 0 (keep);
+    block-boundary independence (stateless per-doc scores)."""
+    from tg_data_connector_ray.ops.dedup import _md5_u64
+    from tg_data_connector_ray.ops.text import QualityClassifier, classifier_weights
+
+    w = classifier_weights()
+    clf = QualityClassifier()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["hello world hello", None, "", "HELLO, hello!"],
+        }
+    )
+    out = clf(t).to_pydict()
+    exp1 = 2 * w[_md5_u64("hello") % 512] + w[_md5_u64("world") % 512]
+    exp4 = 2 * w[_md5_u64("hello") % 512]  # case-folded, punctuation split
+    assert out["clf_score"] == [exp1, 0, 0, exp4]
+    assert out["keep"] == [exp1 >= 0, True, True, exp4 >= 0]
+
+    # dataset path: per-doc scores independent of block boundaries
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = sorted(
+        (r["doc_id"], r["clf_score"])
+        for r in ds.map_batches(clf, batch_format="pyarrow").take_all()
+    )
+    assert got == [(1, exp1), (2, 0), (3, 0), (4, exp4)]
+
+    # custom weights must match dim
+    with pytest.raises(ValueError):
+        QualityClassifier(dim=8, weights=np.zeros(4, np.int64))
+
+
+def test_leakage_safe_split_clusters_share_split(ray_session):
+    """Near-dup docs land in the SAME split keyed by the component min;
+    isolated docs key by themselves (== plain hash_split); both the
+    broadcast and the distributed-join paths agree."""
+    from tg_data_connector_ray.ops.sampling import (
+        hash_split_batch,
+        leakage_safe_split,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = []
+    # a 3-doc near-dup component (ids 0,1,2) + isolated docs 10..29
+    for i, suffix in enumerate(["", " today", " again"]):
+        rows.append({"doc_id": i, "text": base + suffix})
+    for i in range(10, 30):
+        rows.append({"doc_id": i, "text": f"unique document number {i} " * 3 + str(i)})
+    t = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "text": [r["text"] for r in rows],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = {
+        r["doc_id"]: (r["rep"], r["split"])
+        for r in leakage_safe_split(ds).take_all()
+    }
+    assert len(out) == len(rows)
+    # the component shares rep=0 and one split
+    assert out[0][0] == 0 and out[1][0] == 0 and out[2][0] == 0
+    assert out[0][1] == out[1][1] == out[2][1]
+    # isolated docs: rep = self, split = plain hash_split of doc_id
+    plain = hash_split_batch(
+        pa.table({"doc_id": pa.array(list(range(10, 30)), pa.int64())}),
+        col="doc_id",
+    ).to_pydict()
+    for did, split in zip(plain["doc_id"], plain["split"]):
+        assert out[did] == (did, split)
+
+    # distributed-join fallback (broadcast_limit=0) must agree exactly
+    out2 = {
+        r["doc_id"]: (r["rep"], r["split"])
+        for r in leakage_safe_split(ds, broadcast_limit=0).take_all()
+    }
+    assert out2 == out
+
+
+def test_leakage_safe_split_no_pairs_path(ray_session):
+    """A corpus with no near-dup candidates takes the pairs-empty short
+    circuit: every doc is its own rep."""
+    from tg_data_connector_ray.ops.sampling import leakage_safe_split
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 6], pa.int64()),
+            "text": ["alpha beta gamma delta", "one two three four five six"],
+        }
+    )
+    out = leakage_safe_split(ray.data.from_arrow(t)).take_all()
+    assert sorted(r["doc_id"] for r in out) == [5, 6]
+    assert all(r["rep"] == r["doc_id"] for r in out)

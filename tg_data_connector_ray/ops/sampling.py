@@ -105,3 +105,121 @@ def mix_to_budget(ds_docs, budget_chars: int, source_col: str = "source",
         )
 
     return ds_docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def leakage_safe_split(
+    docs,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    splits: "tuple[tuple[str, float], ...]" = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split",
+    num_partitions: int = 8,
+    broadcast_limit: "int | None" = None,
+):
+    """Cluster-coherent train/val/test split — the leakage-safe variant of
+    `hash_split_batch`: near-duplicate documents always land in the SAME
+    split, because the split key is the near-dup component REPRESENTATIVE
+    (min doc_id), not the doc itself.  Plain per-doc hash splitting leaks
+    near-copies of held-out documents into train on any corpus with
+    duplication — the train/eval-overlap effect Lee et al. 2022
+    (arXiv:2107.06499, §6) measure; keying the split by the component
+    closes it while keeping membership a pure key function (re-runs and
+    backfills land identically).
+
+    Pipeline: MinHash-LSH candidates -> exact shingle-Jaccard verify at
+    `threshold` -> distributed min-label connected components — exactly
+    `minhash_dedup_ids`'s machinery (thin int64 edges, bounded buckets,
+    no driver union-find); then rep = coalesce(component label, doc_id)
+    and the standard md5 split bucket on `rep`.
+
+    100-TB shape: the label map covers only docs that sit in some
+    component (the duplicated subset, corpus-dependent); it broadcasts as
+    sorted arrays inside an instance-shipped stage when under
+    `broadcast_limit` rows and falls back to a distributed left hash_join
+    otherwise — the `filter_out_ids` dual-path bound.  Output:
+    (doc_id, rep, split).
+    """
+    from .dedup import (
+        SMALL_PAIRS_THRESHOLD,
+        _i64,
+        _nonempty,
+        lsh_candidate_pairs,
+        min_label_clusters,
+        verified_jaccard_pairs,
+    )
+
+    if broadcast_limit is None:
+        broadcast_limit = SMALL_PAIRS_THRESHOLD
+
+    cand = lsh_candidate_pairs(docs, {"shingle_k": shingle_k})
+    ver = verified_jaccard_pairs(docs, cand, threshold, shingle_k, num_partitions)
+    thin = docs.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _split_by_rep(ids: np.ndarray, rep: np.ndarray) -> pa.Table:
+        out = pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "rep": pa.array(rep, pa.int64())}
+        )
+        return hash_split_batch(out, col="rep", splits=splits, salt=salt)
+
+    ver = _nonempty(ver)
+    if ver.count() == 0:
+        return thin.map_batches(
+            lambda t: _split_by_rep(_i64(t["doc_id"]), _i64(t["doc_id"])),
+            batch_format="pyarrow",
+        )
+    labels = _nonempty(min_label_clusters(ver, num_partitions))
+
+    if labels.count() <= broadcast_limit:
+        rows = labels.take_all()
+        nodes = np.fromiter((r["node"] for r in rows), np.int64, count=len(rows))
+        labs = np.fromiter((r["lab"] for r in rows), np.int64, count=len(rows))
+        order = np.argsort(nodes)
+        stage = _RepSplit(nodes[order], labs[order], _split_by_rep)
+        return thin.map_batches(stage, batch_format="pyarrow")
+
+    from ..pipelines.relational import hash_join
+
+    lab2 = labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "lab": t["lab"]}),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(thin, lab2, on="doc_id", how="left", right_unique=True)
+
+    def _fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = _i64(t["doc_id"])
+        rep = _i64(pc.coalesce(t["lab"], t["doc_id"]))
+        return _split_by_rep(ids, rep)
+
+    return joined.map_batches(_fin, batch_format="pyarrow")
+
+
+class _RepSplit:
+    """Instance-shipped rep-lookup split stage: the sorted (node -> lab)
+    map rides the closure (object-store cached once per node); per batch
+    one searchsorted gather, unmatched docs key by themselves."""
+
+    def __init__(self, nodes: np.ndarray, labs: np.ndarray, finish):
+        self.nodes = nodes
+        self.labs = labs
+        self.finish = finish
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .dedup import _i64
+
+        ids = _i64(t["doc_id"])
+        if len(self.nodes):
+            pos = np.minimum(
+                np.searchsorted(self.nodes, ids), len(self.nodes) - 1
+            )
+            rep = np.where(self.nodes[pos] == ids, self.labs[pos], ids)
+        else:
+            rep = ids
+        return self.finish(ids, rep)

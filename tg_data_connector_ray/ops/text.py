@@ -619,3 +619,68 @@ def chunk_batch(t: pa.Table, chunk_size: int = 200, step: int = 150) -> pa.Table
             }
         )
     return pa.concat_tables(out, promote_options="default")
+
+
+def classifier_weights(dim: int = 512, salt: str = "w") -> np.ndarray:
+    """Deterministic md5-derived linear weights in [-1000, 1000] — the
+    SQL-replayable stand-in for a trained fastText weight vector:
+    ``w[b] = md5_u64(f"{salt}:{b}") % 2001 - 1000``."""
+    from .dedup import _md5_u64
+
+    return np.array(
+        [int(_md5_u64(f"{salt}:{b}") % 2001) - 1000 for b in range(dim)],
+        dtype=np.int64,
+    )
+
+
+class QualityClassifier:
+    """fastText-style linear quality classifier as an instance-shipped
+    task stage — the classifier-based corpus filter of CCNet / LLaMA-style
+    data prep (Wenzek et al. 2020, arXiv:1911.00359: a linear
+    bag-of-hashed-ngrams model scores every document; low scorers drop).
+    The reference connector has no model-scoring stage at all
+    (transforms are per-cell string ops, `transformer/README.md`); this is
+    the beyond-reference scoring shape: model rides the task closure
+    (object-store cached once per node, never per batch), scoring is one
+    vectorized gather + segmented sum per batch.
+
+    Features are the engine-wide token identity — the shared
+    ``[a-z0-9_]+`` tokenizer hashed md5-u64 (`_token_hashes_flat`) —
+    bucketed ``h % dim``; ``score = sum over tokens (with multiplicity)
+    of weights[bucket]`` in exact int64; ``keep = score >= 0``.  The
+    default weights are `classifier_weights` (md5-derived, so a DuckDB
+    oracle replays scores bit-for-bit); swapping in real trained fastText
+    weights changes nothing about the dataflow.
+
+    100-TB shape: stateless streaming pass, text never leaves the block,
+    the model is dim x 8 B in the shipped instance.  |w| <= 1000 bounds
+    |score| <= 1000 * tokens(doc), so int64 is exact for any document
+    under ~9e15 tokens.
+    """
+
+    def __init__(self, dim: int = 512, salt: str = "w", col: str = "text",
+                 id_col: str = "doc_id", weights: "np.ndarray | None" = None):
+        self.dim = np.uint64(dim)
+        self.weights = (
+            weights.astype(np.int64) if weights is not None
+            else classifier_weights(dim, salt)
+        )
+        if len(self.weights) != dim:
+            raise ValueError(f"weights must have dim={dim} entries")
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .dedup import _token_hashes_flat
+
+        h, offs = _token_hashes_flat(t[self.col])
+        vals = self.weights[(h % self.dim).astype(np.int64)]
+        cs = np.concatenate([[0], np.cumsum(vals)])
+        scores = (cs[offs[1:]] - cs[offs[:-1]]).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t[self.id_col],
+                "clf_score": pa.array(scores),
+                "keep": pa.array(scores >= 0),
+            }
+        )
