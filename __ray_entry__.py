@@ -2301,6 +2301,59 @@ def _docs_prep_pipeline(sf_dir):
     return out.select_columns(["doc_id", "n_tokens", "n_stopwords", "stop_ratio"])
 
 
+def _docs_prep_v3(sf_dir):
+    """Corpus-prep capstone v3 — the classifier-era prep chain composed
+    end-to-end: fastText-style linear quality filter (keep = clf_score
+    >= 0) -> leakage-safe cluster-coherent train/val/test split over the
+    KEPT corpus -> GPT-style sequence packing of the TRAIN split in
+    doc_id order.  The kept corpus spools once (bounded checkpoint);
+    after the two text passes (score+filter, shingle LSH) everything
+    moves as thin int64 rows — the train semi-join and the packing
+    prefix-sum exchange never ship text."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.corpus import pack_sequences_thin
+    from tg_data_connector_ray.ops.sampling import leakage_safe_split
+    from tg_data_connector_ray.ops.text import QualityClassifier
+    from tg_data_connector_ray.pipelines.relational import hash_join
+    from tg_data_connector_ray.util import sized_read_parquet, spool_checkpoint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = sized_read_parquet(
+        path, columns=["doc_id", "text"], small_block_bytes=256 << 10
+    )
+    clf = QualityClassifier()
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        return t.filter(clf(t)["keep"])
+
+    kept = spool_checkpoint(
+        docs.map_batches(keep_filter, batch_format="pyarrow", zero_copy_batch=True),
+        "prep3_kept",
+        size_hint_bytes=os.path.getsize(path),
+    )
+    split = leakage_safe_split(kept(["doc_id", "text"]))
+
+    def train_thin(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["split"], "train")
+        return t.filter(keep).select(["doc_id", "rep"])
+
+    train = split.map_batches(train_thin, batch_format="pyarrow", zero_copy_batch=True)
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        # raw-text token budget, the docs_pack_sequences convention
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), "[A-Za-z0-9_]+"
+        ).cast(pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "n_tok": n_tok})
+
+    counts = kept(["doc_id", "text"]).map_batches(
+        tok_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    thin = hash_join(counts, train, on="doc_id", how="inner", right_unique=True)
+    return pack_sequences_thin(thin, budget=2048, extra_cols=("rep",))
+
+
 def _docs_prep_v2(sf_dir):
     """Corpus-prep v2 — the round-3 stages composed end-to-end the way a
     pretraining job runs them: token-count floor -> repetition filter
@@ -2483,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _revenue_by_nation,
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "docs_prep_v2": _docs_prep_v2,
+        "docs_prep_v3": _docs_prep_v3,
         # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
@@ -2776,6 +2830,10 @@ _SHINGLES_CTE = """
               FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS toks
                     FROM documents)
 """
+
+# the shingle CTE over the quality-kept corpus (docs_prep_v3 composes the
+# classifier filter ahead of the leakage-split machinery)
+_SHINGLES_KEPT_CTE = _SHINGLES_CTE.replace("FROM documents", "FROM kept")
 
 _SIMHASH_CTES = """toks AS (
               SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
@@ -3766,6 +3824,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sc.s, 0) AS BIGINT) AS clf_score,
                    coalesce(sc.s, 0) >= 0 AS keep
             FROM documents d LEFT JOIN sc USING (doc_id)
+        """,
+        # capstone v3: classifier filter -> kept-corpus leakage split ->
+        # train-split sequence packing; every fragment is a proven oracle
+        # (docs_quality_classifier, docs_leakage_split, docs_pack_sequences)
+        "docs_prep_v3": f"""
+            WITH RECURSIVE ctoks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM documents
+            ), cth AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
+              FROM ctoks
+            ), cwt AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) % 2001 AS BIGINT) - 1000 AS w
+              FROM cth
+            ), csc AS (
+              SELECT doc_id, sum(w) AS s FROM cwt GROUP BY doc_id
+            ), kept AS (
+              SELECT d.doc_id, d.text
+              FROM documents d LEFT JOIN csc USING (doc_id)
+              WHERE coalesce(csc.s, 0) >= 0
+            ), sh AS ({_SHINGLES_KEPT_CTE}
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), {_CC_CTE}
+            , r AS (
+              SELECT k.doc_id, coalesce(rep.rep, k.doc_id) AS rep
+              FROM kept k LEFT JOIN rep USING (doc_id)
+            ), sp AS (
+              SELECT doc_id, rep,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM r
+            ), train AS (
+              SELECT doc_id, rep FROM sp WHERE b < 9000
+            ), t AS (
+              SELECT k.doc_id, tr.rep,
+                CAST(len(regexp_extract_all(k.text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tok
+              FROM kept k JOIN train tr USING (doc_id)
+            ), c AS (
+              SELECT doc_id, rep, n_tok,
+                CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+              FROM t
+            )
+            SELECT doc_id, n_tok, tok_start,
+                   tok_start // 2048 AS seq_first,
+                   (tok_start + greatest(n_tok, 1) - 1) // 2048 AS seq_last,
+                   tok_start % 2048 AS off_in_seq,
+                   rep
+            FROM c
         """,
         "docs_hash_split": """
             WITH h AS (

@@ -229,6 +229,10 @@ def run_query_bench() -> "tuple[dict, dict]":
         "docs_strip_dup_spans",
         # round 5 sixth continuation: streaming near-dup vs persistent state
         "dedup_minhash_incremental",
+        # round 5 ninth continuation: cluster-coherent split + linear
+        # quality classifier
+        "docs_leakage_split",
+        "docs_quality_classifier",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()

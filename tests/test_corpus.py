@@ -509,3 +509,31 @@ def test_bm25_topk_empty_query_raises(ray_session):
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array(["x"], pa.string())})
     with pytest.raises(ValueError):
         bm25_topk(ray.data.from_arrow(t), [])
+
+
+def test_pack_sequences_thin_extras_and_order(ray_session):
+    """pack_sequences_thin: offsets match the doc_id-ordered prefix sum
+    and extra columns ride through reordered with their doc."""
+    import pyarrow as pa
+    import ray.data
+
+    from tg_data_connector_ray.ops.corpus import pack_sequences_thin
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([30, 10, 20, 40], pa.int64()),
+            "n_tok": pa.array([5, 3, 0, 7], pa.int64()),
+            "rep": pa.array([300, 100, 200, 400], pa.int64()),
+        }
+    )
+    out = pack_sequences_thin(
+        ray.data.from_arrow(t).repartition(2), budget=4, extra_cols=("rep",)
+    )
+    rows = {r["doc_id"]: r for r in out.take_all()}
+    # doc order 10,20,30,40 -> starts 0,3,3,8
+    assert [rows[i]["tok_start"] for i in (10, 20, 30, 40)] == [0, 3, 3, 8]
+    assert [rows[i]["rep"] for i in (10, 20, 30, 40)] == [100, 200, 300, 400]
+    assert rows[10]["seq_first"] == 0 and rows[10]["seq_last"] == 0
+    assert rows[30]["seq_first"] == 0 and rows[30]["seq_last"] == 1  # spans 3..7
+    assert rows[20]["n_tok"] == 0 and rows[20]["seq_last"] == rows[20]["seq_first"]
+    assert rows[40]["off_in_seq"] == 0 and rows[40]["seq_first"] == 2

@@ -399,7 +399,19 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
         ).cast(pa.int64())
         return pa.table({id_col: t[id_col], "n_tok": n_tok})
 
-    thin = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    thin = ds.map_batches(tok_counts, batch_format="pyarrow", zero_copy_batch=True)
+    return pack_sequences_thin(thin, budget=budget, id_col=id_col, num_ranges=num_ranges)
+
+
+def pack_sequences_thin(thin, budget: int = 2048, id_col: str = "doc_id",
+                        num_ranges: int = 64, extra_cols: "tuple[str, ...]" = ()):
+    """Packing from already-computed thin (id, n_tok[, extras]) rows — the
+    composition entry point: a capstone that filters or semi-joins the
+    corpus decides membership on THIN rows and never re-ships text into
+    the packing exchange.  `extra_cols` ride through to the output
+    unchanged (reordered with their doc).  Same prefix-sum machinery and
+    output contract as `pack_sequences`."""
+    thin = thin.materialize()
     # id min+max in ONE pass (per-block partials + driver reduce) instead
     # of two Dataset executions — fixed orchestration cost matters in
     # composite pipelines
@@ -416,7 +428,8 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
     if len(mm) == 0:  # empty corpus
         return pa.table(
             {c: pa.array([], type=pa.int64())
-             for c in (id_col, "n_tok", "tok_start", "seq_first", "seq_last", "off_in_seq")}
+             for c in (id_col, "n_tok", "tok_start", "seq_first", "seq_last",
+                       "off_in_seq", *extra_cols)}
         )
     lo = int(mm["lo"].min())
     span = max(int(mm["hi"].max()) - lo + 1, 1)
@@ -453,7 +466,7 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
         tok_start = range_off[rg] + np.concatenate([[0], np.cumsum(n_tok)])[:-1]
         seq_first = tok_start // budget
         seq_last = (tok_start + np.maximum(n_tok, 1) - 1) // budget
-        return pa.table(
+        out = pa.table(
             {
                 id_col: pa.array(ids, pa.int64()),
                 "n_tok": pa.array(n_tok, pa.int64()),
@@ -463,6 +476,10 @@ def pack_sequences(ds, budget: int = 2048, id_col: str = "doc_id",
                 "off_in_seq": pa.array(tok_start % budget, pa.int64()),
             }
         )
+        take = pa.array(order)
+        for c in extra_cols:
+            out = out.append_column(c, g[c].take(take))
+        return out
 
     return tagged.groupby("_rg").map_groups(assign, batch_format="pyarrow")
 
