@@ -938,3 +938,83 @@ def test_review_fixes_sources_sinks(tmp_path):
         str(src), columns=[ColumnSpec(index=-1, type="string", name="x")]
     )
     assert ds.count() == 0
+
+
+def test_write_jsonl_roundtrip_modes_and_codec(tmp_path, ray_session):
+    import glob
+    import gzip
+    import json as _json
+
+    import ray.data
+
+    from tg_data_connector_ray.sinks.files import write_jsonl
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["a", None, "line\nbreak", 'quote"inside'],
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(2)
+    out = str(tmp_path / "shards")
+    write_jsonl(ds, out, rows_per_file=2)
+    files = sorted(glob.glob(out + "/*.json"))
+    assert len(files) >= 2  # one shard per block, never one giant file
+    back = ray.data.read_json(out).to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == [1, 2, 3, 4]
+    assert back["text"].tolist()[1] is None  # null survives
+    assert back["text"].tolist()[2] == "line\nbreak"  # escaped in transit
+
+    # nonConflict refuses a non-empty target
+    from tg_data_connector_ray.sinks.files import WriteModeError
+
+    with pytest.raises(WriteModeError):
+        write_jsonl(ds, out, write_mode="nonConflict")
+
+    # gzip codec: suffixed files, valid stream, one JSON object per line
+    outgz = str(tmp_path / "gz")
+    write_jsonl(ds, outgz, compression="gzip")
+    gz = sorted(glob.glob(outgz + "/*.json.gz"))
+    assert gz
+    with gzip.open(gz[0], "rt") as f:
+        row = _json.loads(f.readline())
+    assert set(row) == {"doc_id", "text"}
+
+    with pytest.raises(ValueError):
+        write_jsonl(ds, str(tmp_path / "bad"), compression="zstd")
+
+
+def test_jsonl_writer_through_job_runner(tmp_path, ray_session):
+    import glob
+
+    from tg_data_connector_ray.pipelines.runner import run_job
+
+    src = str(tmp_path / "in.csv")
+    with open(src, "w") as f:
+        f.write("7,hello\n8,world\n")
+    out = str(tmp_path / "out_jsonl")
+    job = {
+        "job": {
+            "content": [
+                {
+                    "reader": {
+                        "name": "csv",
+                        "parameter": {
+                            "path": src,
+                            "column": [
+                                {"index": 0, "type": "long"},
+                                {"index": 1, "type": "string"},
+                            ],
+                        },
+                    },
+                    "writer": {"name": "jsonl", "parameter": {"path": out}},
+                }
+            ]
+        }
+    }
+    run_job(job)
+    assert glob.glob(out + "/*.json")
+    import ray.data
+
+    back = ray.data.read_json(out).to_pandas()
+    assert len(back) == 2

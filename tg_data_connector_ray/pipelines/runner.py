@@ -148,6 +148,18 @@ def _write_csv(ds, param: dict):
     )
 
 
+def _write_jsonl(ds, param: dict):
+    from ..sinks.files import write_jsonl
+
+    write_jsonl(
+        ds,
+        param["path"],
+        write_mode=param.get("writeMode", "truncate"),
+        compression=param.get("compress"),
+        rows_per_file=param.get("rowsPerFile"),
+    )
+
+
 def _write_stream(ds, param: dict):
     # debug sink (reference streamwriter): print first rows
     n = int(param.get("limit", 20))
@@ -191,6 +203,7 @@ def _write_sql(ds, param: dict):
 WRITERS = {
     "parquet": _write_parquet,
     "csv": _write_csv,
+    "jsonl": _write_jsonl,
     "stream": _write_stream,
     "sql": _write_sql,
 }

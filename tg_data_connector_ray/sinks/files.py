@@ -154,3 +154,47 @@ def write_parquet_sink(ds, path: str, *, write_mode: str = "truncate", partition
     if partition_cols:
         kwargs["partition_cols"] = list(partition_cols)
     ds.write_parquet(path, **kwargs)
+
+
+def write_jsonl(
+    ds,
+    path: str,
+    *,
+    write_mode: str = "truncate",
+    compression: "str | None" = None,
+    rows_per_file: "int | None" = None,
+):
+    """JSONL shard sink — the interchange format LLM training and eval
+    stacks consume (one JSON object per line, one shard file per block).
+    Same writeMode semantics (`truncate` / `append` / `nonConflict`) and
+    gzip/bz2 stream codecs as `write_delimited`; `rows_per_file` caps
+    shard size so downstream loaders parallelize (and a failed export
+    re-run under `truncate` replaces a partial tree atomically enough —
+    shards are never half-written: Ray tasks write whole files).
+
+    The reference has no JSON writer (its writer surface is delimited
+    lines + JDBC, `txtfilewriter`/`tigergraphwriter`); this is part of
+    the beyond-reference training-data layer.  Scale shape: a pure
+    streaming terminal — no shuffle, no driver materialization; text
+    serializes inside the write tasks.
+    """
+    if compression not in (None, "gzip", "bz2"):
+        raise ValueError(f"compression must be None|gzip|bz2, got {compression}")
+    prepare_output_dir(path, write_mode)
+    kwargs = {}
+    if rows_per_file:
+        kwargs["num_rows_per_file"] = int(rows_per_file)
+    if compression:
+        codec, suffix = {"gzip": ("gzip", ".gz"), "bz2": ("bz2", ".bz2")}[compression]
+        from ray.data.datasource.filename_provider import _DefaultFilenameProvider
+
+        class _SuffixNames(_DefaultFilenameProvider):
+            def get_filename_for_block(self, block, write_uuid, task_index, block_index):
+                return (
+                    super().get_filename_for_block(block, write_uuid, task_index, block_index)
+                    + suffix
+                )
+
+        kwargs["arrow_open_stream_args"] = {"compression": codec}
+        kwargs["filename_provider"] = _SuffixNames(dataset_uuid=None, file_format="json")
+    ds.write_json(path, **kwargs)
