@@ -1018,3 +1018,39 @@ def test_jsonl_writer_through_job_runner(tmp_path, ray_session):
 
     back = ray.data.read_json(out).to_pandas()
     assert len(back) == 2
+
+
+def test_jsonl_reader_round_trips_writer_output(tmp_path, ray_session):
+    import ray.data
+
+    from tg_data_connector_ray.pipelines.runner import run_job
+    from tg_data_connector_ray.sinks.files import write_jsonl
+
+    t = pa.table(
+        {"doc_id": pa.array([1, 2], pa.int64()), "text": ["x", None]}
+    )
+    src_dir = str(tmp_path / "src")
+    write_jsonl(ray.data.from_arrow(t), src_dir, compression="gzip")
+    out = str(tmp_path / "roundtrip.parquet_dir")
+    run_job(
+        {
+            "job": {
+                "content": [
+                    {
+                        "reader": {
+                            "name": "jsonl",
+                            "parameter": {
+                                "path": src_dir,
+                                "compress": "gzip",
+                                "columns": ["doc_id", "text"],
+                            },
+                        },
+                        "writer": {"name": "parquet", "parameter": {"path": out}},
+                    }
+                ]
+            }
+        }
+    )
+    back = ray.data.read_parquet(out).to_pandas().sort_values("doc_id")
+    assert list(back["doc_id"]) == [1, 2]
+    assert back["text"].tolist() == ["x", None]

@@ -121,7 +121,22 @@ def _read_csv(param: dict) -> "ray.data.Dataset":
     )
 
 
-READERS = {"parquet": _read_parquet, "csv": _read_csv}
+def _read_jsonl(param: dict) -> "ray.data.Dataset":
+    """JSONL source (one object per line; .gz transparently) — the
+    round-trip partner of the `jsonl` writer.  Optional `columns` prunes
+    at the read."""
+    ds = ray.data.read_json(
+        param["path"],
+        arrow_open_stream_args=(
+            {"compression": param["compress"]} if param.get("compress") else None
+        ),
+    )
+    if param.get("columns"):
+        ds = ds.select_columns(list(param["columns"]))
+    return ds
+
+
+READERS = {"parquet": _read_parquet, "csv": _read_csv, "jsonl": _read_jsonl}
 
 
 # --- writer registry --------------------------------------------------------
