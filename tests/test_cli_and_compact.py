@@ -517,3 +517,57 @@ def test_runs_report_orders_manifests(t1, tmp_path):
     assert rep[0]["order"] == 0 and rep[1]["order"] == 1
     from tg_data_connector_ray.__main__ import main
     assert main(["runs", "--out", cfg.out_dir]) == 0
+
+
+def test_cli_export_sft_view_jsonl(t1, tmp_path):
+    """export --view sft --format jsonl: the converged table renders to
+    (prompt, response) pairs matching the in-process sft_pairs over the
+    same state, shipped as JSONL shards."""
+    import subprocess
+    import sys
+
+    import ray.data
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, read_final_table
+    from tg_data_connector_ray.ops.transcripts import sft_pairs
+
+    files = sorted(
+        os.path.join(t1["cdc_log"], f) for f in os.listdir(t1["cdc_log"])
+    )
+    out = str(tmp_path / "sftexp")
+    cfg = CdcConfig(out_dir=out, num_partitions=4)
+    apply_cdc(files, cfg)
+    want = (
+        sft_pairs(read_final_table(cfg))
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+
+    dest = str(tmp_path / "sft_dest")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "tg_data_connector_ray", "export",
+            "--out", out, "--dest", dest, "--partitions", "4",
+            "--view", "sft", "--format", "jsonl",
+        ],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "RAY_ADDRESS": "local"},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rep["view"] == "sft" and rep["format"] == "jsonl"
+    got = (
+        ray.data.read_json(dest)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert rep["rows"] == len(want)
+    # JSON carries no int32: widen before the exact compare
+    want = want.astype({"turn_idx": "int64"})
+    got = got.astype({"turn_idx": "int64"})
+    assert got[["conv_id", "turn_idx", "prompt", "response"]].equals(
+        want[["conv_id", "turn_idx", "prompt", "response"]]
+    )

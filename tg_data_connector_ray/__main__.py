@@ -73,6 +73,12 @@ def main(argv=None) -> int:
         help="jsonl writes one JSON object per line (sharded) — the "
         "hand-off format LLM training pipelines ingest",
     )
+    exp.add_argument(
+        "--view", choices=["table", "sft", "render"], default="table",
+        help="what to export: the converged table itself, (prompt, "
+        "response) SFT pairs, or one rendered document per conversation "
+        "— the chat-log -> training-set hand-off in one verb",
+    )
 
     cf = sub.add_parser(
         "changefeed",
@@ -456,6 +462,15 @@ def main(argv=None) -> int:
             cfg = CdcConfig(out_dir=args.out, num_partitions=args.partitions)
             runs = time_travel_runs(cfg, args.as_of) if args.as_of else None
             ds = read_final_table(cfg, runs=runs)
+            view = getattr(args, "view", "table")
+            if view == "sft":
+                from .ops.transcripts import sft_pairs
+
+                ds = sft_pairs(ds)
+            elif view == "render":
+                from .ops.transcripts import render_conversations
+
+                ds = render_conversations(ds)
             if getattr(args, "fmt", "parquet") == "jsonl":
                 ds.write_json(args.dest)
                 rows = 0
@@ -471,7 +486,7 @@ def main(argv=None) -> int:
                 )
             out = {
                 "rows": rows, "dest": args.dest, "as_of": args.as_of,
-                "format": getattr(args, "fmt", "parquet"),
+                "format": getattr(args, "fmt", "parquet"), "view": view,
             }
         elif args.cmd == "changefeed":
             import glob as _glob

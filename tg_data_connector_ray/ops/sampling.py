@@ -145,6 +145,7 @@ def leakage_safe_split(
     """
     from .dedup import (
         SMALL_PAIRS_THRESHOLD,
+        _clusters_from_pairs,
         _i64,
         _nonempty,
         lsh_candidate_pairs,
@@ -167,12 +168,23 @@ def leakage_safe_split(
         )
         return hash_split_batch(out, col="rep", splits=splits, salt=salt)
 
-    ver = _nonempty(ver)
-    if ver.count() == 0:
+    ver = _nonempty(ver).materialize()
+    n_pairs = ver.count()
+    if n_pairs == 0:
         return thin.map_batches(
             lambda t: _split_by_rep(_i64(t["doc_id"]), _i64(t["doc_id"])),
             batch_format="pyarrow",
         )
+    if n_pairs <= broadcast_limit:
+        # small verified-pair set: driver union-find (the _dedup_via_pairs
+        # fast path) — skips the iterative label-propagation rounds
+        rows = ver.select_columns(["a", "b"]).take_all()
+        rep_map = _clusters_from_pairs([(r["a"], r["b"]) for r in rows])
+        nodes = np.fromiter(rep_map.keys(), np.int64, count=len(rep_map))
+        labs = np.fromiter(rep_map.values(), np.int64, count=len(rep_map))
+        order = np.argsort(nodes)
+        stage = _RepSplit(nodes[order], labs[order], _split_by_rep)
+        return thin.map_batches(stage, batch_format="pyarrow")
     labels = _nonempty(min_label_clusters(ver, num_partitions))
 
     if labels.count() <= broadcast_limit:
