@@ -1810,6 +1810,42 @@ def _dedup_minhash_incremental(sf_dir):
     return pa.table({"doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64())})
 
 
+def _docs_leakage_split_incremental(sf_dir):
+    """SPLIT-STABLE leakage-safe assignment under continuous ingest: two
+    successive doc batches (ids < 250, then the rest) against the
+    persistent minhash rep state (ops/dedup_incremental.py,
+    leakage_split_incremental).  Batch-2 docs near-duplicating a batch-1
+    doc inherit its PERSISTED rep (hence its split) — shipped train/val
+    membership never flips as the corpus grows.  The oracle replays the
+    same two-phase construction: CC within batch 1, then CC over batch-2
+    edges with batch-1 reps attached as plain nodes."""
+    import shutil
+
+    import pandas as pd
+
+    from tg_data_connector_ray.ops.dedup_incremental import leakage_split_incremental
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    state = os.path.join(
+        _CDC_OUT, f"split_inc_state_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(state, ignore_errors=True)  # fresh per invocation
+    s1 = leakage_split_incremental(
+        docs.filter(expr="doc_id < 250"), state, batch_token="b1"
+    ).to_pandas()
+    s2 = leakage_split_incremental(
+        docs.filter(expr="doc_id >= 250"), state, batch_token="b2"
+    ).to_pandas()
+    out = pd.concat([s1, s2], ignore_index=True).sort_values("doc_id")
+    return pa.table(
+        {
+            "doc_id": pa.array(out["doc_id"].to_numpy("int64"), pa.int64()),
+            "rep": pa.array(out["rep"].to_numpy("int64"), pa.int64()),
+            "split": pa.array(out["split"], pa.string()),
+        }
+    )
+
+
 def _dedup_simhash_incremental(sf_dir):
     """Streaming SimHash near-dup: same two-batch protocol and two-phase
     CC semantics as _dedup_minhash_incremental, with pigeonhole-exact
@@ -2518,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": _ngram_jaccard,
         "dedup_semantic": _dedup_semantic,
         "docs_leakage_split": _docs_leakage_split,
+        "docs_leakage_split_incremental": _docs_leakage_split_incremental,
         "docs_quality_classifier": _docs_quality_classifier,
         # --- similarity search: brute-force baseline + the full
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
@@ -3786,6 +3823,64 @@ def oracle_sql() -> dict[str, str]:
                         substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
                     AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
               FROM r
+            )
+            SELECT doc_id, rep,
+                   CASE WHEN b < 9000 THEN 'train'
+                        WHEN b < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
+        """,
+        # streaming split stability: batch 1 (ids < 250) = the batch CC;
+        # batch 2 edges include ATTACHMENTS to batch-1 reps as plain
+        # nodes (a mixed pair always has seen = a since a < b), so a
+        # batch-2 component min = min(new ids, inherited old reps) — the
+        # engine's first-assignment-wins contract
+        "docs_leakage_split_incremental": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_CTE}
+            ), p_all AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), e1 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE b < 250
+              UNION SELECT b, a FROM p_all WHERE b < 250
+            ), r1(src, dst) AS (
+              SELECT DISTINCT src, src FROM e1
+              UNION
+              SELECT r.src, e.dst FROM r1 r JOIN e1 e ON r.dst = e.src
+            ), rep1 AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM r1 GROUP BY src
+            ), f1 AS (
+              SELECT d.doc_id, coalesce(rep1.rep, d.doc_id) AS rep
+              FROM documents d LEFT JOIN rep1 USING (doc_id)
+              WHERE d.doc_id < 250
+            ), e2 AS (
+              SELECT a AS src, b AS dst FROM p_all WHERE a >= 250
+              UNION SELECT b, a FROM p_all WHERE a >= 250
+              UNION SELECT p.b, f.rep FROM p_all p JOIN f1 f ON f.doc_id = p.a
+                WHERE p.a < 250 AND p.b >= 250
+              UNION SELECT f.rep, p.b FROM p_all p JOIN f1 f ON f.doc_id = p.a
+                WHERE p.a < 250 AND p.b >= 250
+            ), r2(src, dst) AS (
+              SELECT DISTINCT src, src FROM e2
+              UNION
+              SELECT r.src, e.dst FROM r2 r JOIN e2 e ON r.dst = e.src
+            ), rep2 AS (
+              SELECT src AS doc_id, min(dst) AS rep FROM r2 GROUP BY src
+            ), f2 AS (
+              SELECT d.doc_id, coalesce(rep2.rep, d.doc_id) AS rep
+              FROM documents d LEFT JOIN rep2 USING (doc_id)
+              WHERE d.doc_id >= 250
+            ), allr AS (
+              SELECT * FROM f1 UNION ALL SELECT * FROM f2
+            ), h AS (
+              SELECT doc_id, rep,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM allr
             )
             SELECT doc_id, rep,
                    CASE WHEN b < 9000 THEN 'train'

@@ -434,3 +434,181 @@ def test_embedding_dim_change_refuses_before_commit(ray_session, tmp_path):
         ).take_all()
     )
     assert k == [4]
+
+
+def _split_docs_tbl(rows):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": [r[1] for r in rows],
+        }
+    )
+
+
+_SPLIT_BASE = "the quick brown fox jumps over the lazy dog by the river bank today"
+
+
+def _split_fixture_batches():
+    """batch 1: component {0,1} + isolated 5, 6; batch 2: 100 (near-dup of
+    1 -> inherits rep 0), 200+201 (new-only pair -> rep 200), 300
+    (isolated -> rep 300)."""
+    b1 = _split_docs_tbl(
+        [
+            (0, _SPLIT_BASE),
+            (1, _SPLIT_BASE + " again"),
+            (5, "completely different words about cooking pasta with garlic"),
+            (6, "another unrelated text concerning winter mountain hiking gear"),
+        ]
+    )
+    b2 = _split_docs_tbl(
+        [
+            (100, _SPLIT_BASE + " soon"),
+            (200, "rare purple elephants dance quietly under neon city lights"),
+            (201, "rare purple elephants dance quietly under neon city lights yes"),
+            (300, "isolated second batch document with its own vocabulary entirely"),
+        ]
+    )
+    return b1, b2
+
+
+def test_leakage_split_incremental_first_assignment_wins(ray_session, tmp_path):
+    import ray.data
+
+    from tg_data_connector_ray.ops.dedup_incremental import (
+        leakage_split_incremental,
+    )
+    from tg_data_connector_ray.ops.sampling import hash_split_batch
+
+    b1, b2 = _split_fixture_batches()
+    state = str(tmp_path / "split_state")
+    out1 = {
+        r["doc_id"]: (r["rep"], r["split"])
+        for r in leakage_split_incremental(
+            ray.data.from_arrow(b1), state, batch_token="s1"
+        ).take_all()
+    }
+    assert out1[0][0] == 0 and out1[1][0] == 0  # component rep = min id
+    assert out1[0][1] == out1[1][1]  # same split
+    assert out1[5][0] == 5 and out1[6][0] == 6
+
+    out2 = {
+        r["doc_id"]: (r["rep"], r["split"])
+        for r in leakage_split_incremental(
+            ray.data.from_arrow(b2), state, batch_token="s2"
+        ).take_all()
+    }
+    # near-dup of batch-1 doc 1 inherits the PERSISTED rep 0 -> same split
+    assert out2[100][0] == 0 and out2[100][1] == out1[0][1]
+    # new-only component keeps its own min id
+    assert out2[200] == out2[201] and out2[200][0] == 200
+    assert out2[300][0] == 300
+    # split values equal plain hash_split of the rep
+    import pyarrow as pa
+
+    reps = pa.table({"rep": pa.array([v[0] for v in out2.values()], pa.int64())})
+    expect = hash_split_batch(reps, col="rep")["split"].to_pylist()
+    assert [v[1] for v in out2.values()] == expect
+
+    # idempotent by token: same batch, same token -> identical output,
+    # no double-counted state
+    again = {
+        r["doc_id"]: (r["rep"], r["split"])
+        for r in leakage_split_incremental(
+            ray.data.from_arrow(b2), state, batch_token="s2"
+        ).take_all()
+    }
+    assert again == out2
+
+
+def test_leakage_split_incremental_distributed_path_matches(
+    ray_session, tmp_path, monkeypatch
+):
+    import ray.data
+
+    import tg_data_connector_ray.ops.dedup_incremental as M
+
+    b1, b2 = _split_fixture_batches()
+
+    def run(root):
+        o1 = {
+            r["doc_id"]: (r["rep"], r["split"])
+            for r in M.leakage_split_incremental(
+                ray.data.from_arrow(b1), root, batch_token="s1"
+            ).take_all()
+        }
+        o2 = {
+            r["doc_id"]: (r["rep"], r["split"])
+            for r in M.leakage_split_incremental(
+                ray.data.from_arrow(b2), root, batch_token="s2"
+            ).take_all()
+        }
+        return o1, o2
+
+    fast = run(str(tmp_path / "fast"))
+    monkeypatch.setattr(M, "SMALL_VERIFY_PAIRS", -1)
+    slow = run(str(tmp_path / "slow"))
+    assert fast == slow
+
+
+def test_cli_dedup_split_mode(ray_session, tmp_path):
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    b1, b2 = _split_fixture_batches()
+    p1, p2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    pq.write_table(b1, p1)
+    pq.write_table(b2, p2)
+    state = str(tmp_path / "cli_split_state")
+    env = {**__import__("os").environ, "RAY_ADDRESS": "local"}
+    for p, tok in ((p1, "c1"), (p2, "c2")):
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "tg_data_connector_ray", "dedup",
+                "--mode", "split", "--docs", p, "--state", state,
+                "--batch-token", tok,
+                "--kept-out", str(tmp_path / f"out_{tok}"),
+            ],
+            capture_output=True, text=True, cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+    import pyarrow.dataset as pads
+
+    o2 = {
+        r["doc_id"]: r["rep"]
+        for r in pads.dataset(str(tmp_path / "out_c2")).to_table().to_pylist()
+    }
+    assert o2[100] == 0  # inherited batch-1 rep through the CLI
+    assert o2[200] == 200 and o2[201] == 200 and o2[300] == 300
+
+
+def test_leakage_split_incremental_survives_compaction(ray_session, tmp_path):
+    """Compaction folds the reps run files too: attachments after a
+    compact still resolve, and a folded token refuses replay."""
+    import ray.data
+
+    from tg_data_connector_ray.ops.dedup_incremental import (
+        compact_dedup_state,
+        leakage_split_incremental,
+    )
+
+    b1, b2 = _split_fixture_batches()
+    state = str(tmp_path / "split_compact_state")
+    leakage_split_incremental(
+        ray.data.from_arrow(b1), state, batch_token="s1"
+    ).take_all()
+    compact_dedup_state(state)
+    out2 = {
+        r["doc_id"]: r["rep"]
+        for r in leakage_split_incremental(
+            ray.data.from_arrow(b2), state, batch_token="s2"
+        ).take_all()
+    }
+    assert out2[100] == 0 and out2[200] == 200  # reps read from the base
+    with pytest.raises(ValueError, match="compacted"):
+        leakage_split_incremental(
+            ray.data.from_arrow(b1), state, batch_token="s1"
+        )

@@ -176,8 +176,12 @@ def main(argv=None) -> int:
     )
     ddp.add_argument("--docs", help="parquet file/dir of (doc_id, text) to ingest")
     ddp.add_argument("--state", required=True, help="persistent state dir")
-    ddp.add_argument("--mode", choices=["exact", "minhash", "simhash", "embedding"],
-                     default="minhash")
+    ddp.add_argument("--mode",
+                     choices=["exact", "minhash", "simhash", "embedding", "split"],
+                     default="minhash",
+                     help="'split' assigns SPLIT-STABLE leakage-safe "
+                     "train/val/test labels instead of deduping (near-dups "
+                     "of already-ingested docs inherit their rep's split)")
     ddp.add_argument("--threshold", type=float, default=None,
                      help="similarity threshold (default: 0.8 Jaccard for "
                      "minhash, 0.99 cosine for embedding)")
@@ -425,6 +429,14 @@ def main(argv=None) -> int:
                     kept = embedding_near_dup_incremental(
                         ds, args.state,
                         threshold=args.threshold if args.threshold is not None else 0.99,
+                        batch_token=token,
+                    )
+                elif args.mode == "split":
+                    from .ops.dedup_incremental import leakage_split_incremental
+
+                    kept = leakage_split_incremental(
+                        ds, args.state,
+                        threshold=args.threshold if args.threshold is not None else 0.8,
                         batch_token=token,
                     )
                 else:

@@ -379,49 +379,36 @@ def _decide_kept(ver, ids_ds, id_col: str = "doc_id", num_partitions: int = 8):
     return filter_out_ids(ids_ds, dropped, id_col=id_col, num_partitions=num_partitions)
 
 
-def minhash_dedup_incremental(
+def _tag_part_by_doc(t: pa.Table, num_parts: int) -> pa.Table:
+    p = (_mix64(_i64(t["doc_id"]).view(np.uint64)) & np.uint64(num_parts - 1)).astype(
+        np.int32
+    )
+    return t.append_column("_part", pa.array(p, pa.int32()))
+
+
+def _ingest_candidates(
     ds_new,
     state_dir: str,
-    threshold: float = 0.8,
-    shingle_k: int = 3,
-    num_perm: int = 64,
-    bands: int = 16,
-    num_parts: int = 16,
-    max_bucket: int = 64,
-    num_partitions: int = 8,
-    batch_token: "str | None" = None,
+    token: str,
+    *,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+    num_parts: int,
+    max_bucket: int,
 ):
-    """Near-dup dedup one NEW batch against the persistent seen corpus;
-    returns the batch's KEPT doc_ids as a Dataset ({doc_id}) and commits
-    every new doc's signature/gram state.  See module docstring."""
+    """Shared ingest front half of the streaming minhash modes (dedup and
+    leakage split): signature prep, gram-state then band-state commits,
+    distinct candidate pairs involving >= 1 new doc.  Returns
+    (prep, cand) — prep is materialized thin rows (doc_id, grams, band
+    hashes), cand is a materialized (a, b, a_new, b_new) Dataset."""
     from functools import partial
-
-    from ..util import new_token
-
-    if num_parts & (num_parts - 1):
-        raise ValueError("num_parts must be a power of two")
-    _check_state_format(
-        state_dir,
-        {
-            "sig": "md5-shingle-minhash:1",
-            "num_perm": num_perm,
-            "bands": bands,
-            "shingle_k": shingle_k,
-            "num_parts": num_parts,
-        },
-    )
-    token = batch_token or new_token()
-    check_token_not_folded(state_dir, token)
 
     prep = ds_new.map_batches(
         _PrepStage(num_perm, bands, shingle_k), batch_format="pyarrow"
     ).materialize()  # bounded: ONE ingest micro-batch (thin: ids + hashes)
 
-    def _tag_gram_part(t: pa.Table) -> pa.Table:
-        p = (_mix64(_i64(t["doc_id"]).view(np.uint64)) & np.uint64(num_parts - 1)).astype(
-            np.int32
-        )
-        return t.append_column("_part", pa.array(p, pa.int32()))
+    _tag_gram_part = partial(_tag_part_by_doc, num_parts=num_parts)
 
     # --- gram-state commit FIRST (every new doc, kept or dropped) -------
     # Commit ORDER is a crash-safety invariant: grams land before band
@@ -451,11 +438,29 @@ def minhash_dedup_incremental(
     from ..pipelines.relational import distinct_rows
 
     cand = distinct_rows(_nonempty(cand), ["a", "b", "a_new", "b_new"]).materialize()
+    return prep, cand
 
+
+def _verified_pairs(
+    prep,
+    cand,
+    state_dir: str,
+    token: str,
+    *,
+    threshold: float,
+    num_parts: int,
+    num_partitions: int,
+):
+    """Exact-Jaccard verification of candidate pairs, IDENTITY-PRESERVING
+    (seen endpoints keep their real doc ids — the caller decides whether
+    to collapse them).  Returns ("rows", [row dicts]) on the bounded
+    driver fast path, ("ds", Dataset[a, b, a_new, b_new]) otherwise."""
+    from functools import partial
+
+    from ..pipelines.relational import distinct_rows
+
+    _tag_gram_part = partial(_tag_part_by_doc, num_parts=num_parts)
     n_cand = cand.count()
-    if n_cand == 0:
-        return prep.select_columns(["doc_id"])
-
     if n_cand <= SMALL_VERIFY_PAIRS:
         # bounded driver fast path (the verified_jaccard_pairs SMALL
         # protocol): thin pairs fit the driver; candidate gram sets are
@@ -498,7 +503,7 @@ def minhash_dedup_incremental(
                     .take_all()
                 ):
                     grams[r["doc_id"]] = r["grams"]
-            edges = []
+            verified = []
             for r in rows:
                 ga_, gb_ = grams.get(r["a"]), grams.get(r["b"])
                 if ga_ is None or gb_ is None:
@@ -512,13 +517,8 @@ def minhash_dedup_incremental(
                     np.frombuffer(ga_, dtype="<u8"), np.frombuffer(gb_, dtype="<u8")
                 )
                 if ja >= threshold:
-                    edges.append(
-                        (
-                            r["a"] if r["a_new"] else SEEN_LABEL,
-                            r["b"] if r["b_new"] else SEEN_LABEL,
-                        )
-                    )
-            return _finish_from_edges(edges, prep.select_columns(["doc_id"]), "doc_id")
+                    verified.append(r)
+            return "rows", verified
 
     # --- exact verification over gram sets -------------------------------
     # seen members' grams come from state (partition-pruned reads); new
@@ -560,8 +560,362 @@ def minhash_dedup_incremental(
     ver = _nonempty(
         j.map_batches(partial(_verify_grams, threshold=threshold), batch_format="pyarrow")
     ).materialize()
+    return "ds", ver
 
-    return _decide_kept(ver, prep.select_columns(["doc_id"]), "doc_id", num_partitions)
+
+def minhash_dedup_incremental(
+    ds_new,
+    state_dir: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_parts: int = 16,
+    max_bucket: int = 64,
+    num_partitions: int = 8,
+    batch_token: "str | None" = None,
+):
+    """Near-dup dedup one NEW batch against the persistent seen corpus;
+    returns the batch's KEPT doc_ids as a Dataset ({doc_id}) and commits
+    every new doc's signature/gram state.  See module docstring."""
+    from ..util import new_token
+
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+    _check_state_format(
+        state_dir,
+        {
+            "sig": "md5-shingle-minhash:1",
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "num_parts": num_parts,
+        },
+    )
+    token = batch_token or new_token()
+    check_token_not_folded(state_dir, token)
+    prep, cand = _ingest_candidates(
+        ds_new, state_dir, token,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        num_parts=num_parts, max_bucket=max_bucket,
+    )
+    ids = prep.select_columns(["doc_id"])
+    if cand.count() == 0:
+        return ids
+    mode, ver = _verified_pairs(
+        prep, cand, state_dir, token,
+        threshold=threshold, num_parts=num_parts, num_partitions=num_partitions,
+    )
+    if mode == "rows":
+        return _finish_from_edges(_edges_collapsed(ver), ids, "doc_id")
+    return _decide_kept(ver, ids, "doc_id", num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# streaming leakage-safe split (split-stable assignment under continuous
+# ingest) — the incremental sibling of ops/sampling.leakage_safe_split
+
+
+def _reps_part(g: pa.Table, *, state_dir: str, token: str) -> pa.Table:
+    """Fetch the persisted reps of this partition's requested SEEN ids."""
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "reps", f"part={part:05d}")
+    seen = _read_runs(pdir, token)
+    if seen is None:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rep": pa.array([], pa.int64())}
+        )
+    return seen.filter(pc.is_in(seen["doc_id"], value_set=g["doc_id"].combine_chunks()))
+
+
+def _reps_commit_part(g: pa.Table, *, state_dir: str, token: str) -> pa.Table:
+    part = int(g["_part"][0].as_py())
+    pdir = os.path.join(state_dir, "reps", f"part={part:05d}")
+    _commit_run(pdir, token, g.select(["doc_id", "rep"]))
+    return pa.table({"n": pa.array([g.num_rows], pa.int64())})
+
+
+def _fetch_reps(state_dir: str, token: str, ids, num_parts: int) -> dict:
+    """doc_id -> rep for the given SEEN ids (partition-pruned state read).
+    Raises loudly on a missing rep: band rows exist without reps only in
+    the crash window between a batch's band commit and its rep commit —
+    re-ingest that batch's token to repair."""
+    from functools import partial
+
+    import ray.data
+
+    ids = sorted(ids)
+    if not ids:
+        return {}
+    need = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64())})
+    )
+    out = {}
+    for r in (
+        need.map_batches(
+            partial(_tag_part_by_doc, num_parts=num_parts), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(
+            partial(_reps_part, state_dir=state_dir, token=token),
+            batch_format="pyarrow",
+        )
+        .take_all()
+    ):
+        out[r["doc_id"]] = r["rep"]
+    missing = [i for i in ids if i not in out]
+    if missing:
+        raise ValueError(
+            f"rep state missing for seen docs {missing[:5]}... in {state_dir} — "
+            "band rows exist without reps (crash between band and rep "
+            "commits; re-ingest that batch's token)"
+        )
+    return out
+
+
+def leakage_split_incremental(
+    ds_new,
+    state_dir: str,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    num_parts: int = 16,
+    max_bucket: int = 64,
+    num_partitions: int = 8,
+    batch_token: "str | None" = None,
+    splits: "tuple[tuple[str, float], ...]" = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: str = "split",
+):
+    """SPLIT-STABLE leakage-safe train/val/test assignment for ONE new
+    batch against the persistent seen corpus — the streaming sibling of
+    `ops.sampling.leakage_safe_split` and the split-assignment answer to
+    "the corpus grows continuously but shipped train/val membership must
+    never flip" (re-running the batch split over a grown corpus can merge
+    components and MOVE old docs across splits — exactly the train/eval
+    leak it was built to prevent).
+
+    Contract (first-assignment-wins):
+    - Previously ingested docs NEVER change rep or split.
+    - A new doc's rep = min over {ids of its new-new verified component}
+      ∪ {persisted reps of all matched seen docs}: near-dups of an
+      already-shipped doc inherit its rep (hence its split) forever.
+    - Two old components bridged by a new doc do NOT merge retroactively
+      (their docs are shipped); the new doc takes the smaller rep.
+    - Batch-boundary dependence is inherent to streaming assignment; the
+      oracle replays it with the same two-batch construction as
+      `dedup_minhash_incremental`.
+
+    Mechanics: the shared minhash ingest (signatures, gram+band LSM
+    commits, candidate pairs vs state) and exact-Jaccard verification,
+    then connected components over (new-new edges) ∪ (new -> seen-rep
+    attachment edges) — seen reps participate as plain nodes, so two new
+    components matching the same old cluster merge THROUGH its rep, which
+    is the correct semantics.  Driver union-find under the small-pairs
+    bound, distributed min-label propagation above it.  Each new doc's
+    (doc_id, rep) commits to a `reps/part=NNN` LSM table (idempotent by
+    batch token) AFTER assignment; rep reads for later batches are
+    partition-pruned.  Returns (doc_id, rep, split) for the batch.
+
+    100-TB shape: identical to the streaming dedup family — per-batch
+    cost O(batch + candidates), never O(corpus); the reps table adds 16 B
+    per ingested doc, read only for matched seen docs.
+    """
+    from functools import partial
+
+    from ..util import new_token
+    from .sampling import hash_split_batch
+
+    if num_parts & (num_parts - 1):
+        raise ValueError("num_parts must be a power of two")
+    _check_state_format(
+        state_dir,
+        {
+            "sig": "md5-shingle-minhash-split:1",
+            "num_perm": num_perm,
+            "bands": bands,
+            "shingle_k": shingle_k,
+            "num_parts": num_parts,
+        },
+    )
+    token = batch_token or new_token()
+    check_token_not_folded(state_dir, token)
+    prep, cand = _ingest_candidates(
+        ds_new, state_dir, token,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+        num_parts=num_parts, max_bucket=max_bucket,
+    )
+    ids = prep.select_columns(["doc_id"])
+
+    def _commit_and_split(reps_ds):
+        """(doc_id, rep) Dataset -> commit to the reps LSM table, then
+        attach the md5 split column."""
+        reps_ds = reps_ds.materialize()
+        reps_ds.map_batches(
+            partial(_tag_part_by_doc, num_parts=num_parts), batch_format="pyarrow"
+        ).groupby("_part").map_groups(
+            partial(_reps_commit_part, state_dir=state_dir, token=token),
+            batch_format="pyarrow",
+        ).count()  # eager: later batches' attachments need these rows
+        return reps_ds.map_batches(
+            lambda t: hash_split_batch(t, col="rep", splits=splits, salt=salt),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _self_reps(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "rep": t["doc_id"]})
+
+    if cand.count() == 0:
+        return _commit_and_split(ids.map_batches(_self_reps, batch_format="pyarrow"))
+
+    mode, ver = _verified_pairs(
+        prep, cand, state_dir, token,
+        threshold=threshold, num_parts=num_parts, num_partitions=num_partitions,
+    )
+    if mode == "rows":
+        seen_ids = {r["a"] for r in ver if not r["a_new"]} | {
+            r["b"] for r in ver if not r["b_new"]
+        }
+        rep_of = _fetch_reps(state_dir, token, seen_ids, num_parts)
+        pairs = [
+            (
+                r["a"] if r["a_new"] else rep_of[r["a"]],
+                r["b"] if r["b_new"] else rep_of[r["b"]],
+            )
+            for r in ver
+        ]
+        rep_map = _clusters_from_pairs(pairs)
+
+        def _assign(t: pa.Table) -> pa.Table:
+            d = _i64(t["doc_id"])
+            rep = np.fromiter(
+                (rep_map.get(int(x), int(x)) for x in d), np.int64, count=len(d)
+            )
+            return pa.table(
+                {"doc_id": pa.array(d, pa.int64()), "rep": pa.array(rep, pa.int64())}
+            )
+
+        return _commit_and_split(ids.map_batches(_assign, batch_format="pyarrow"))
+
+    # distributed path: resolve matched seen ids to reps, rewrite every
+    # verified pair's seen endpoints to their reps (reps join the CC as
+    # plain nodes), min-label propagate, left-join labels back onto ids
+    def _seen_side(t: pa.Table) -> pa.Table:
+        ids_ = np.concatenate(
+            [
+                _i64(t["a"])[_i64(t["a_new"]) == 0],
+                _i64(t["b"])[_i64(t["b_new"]) == 0],
+            ]
+        )
+        return pa.table({"doc_id": pa.array(np.unique(ids_), pa.int64())})
+
+    from ..pipelines.relational import distinct_rows
+
+    seen_need = distinct_rows(
+        _nonempty(ver.map_batches(_seen_side, batch_format="pyarrow")), "doc_id"
+    )
+    n_seen_need = seen_need.count()
+    if n_seen_need == 0:
+        # all-new batch: edges are the verified pairs verbatim (no rep
+        # joins — an empty join side would hit Ray's zero-schema blocks)
+        edges_ds = ver.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        )
+        labels = _nonempty(
+            min_label_clusters(_nonempty(edges_ds), num_partitions=num_partitions)
+        )
+        lab2 = labels.map_batches(
+            lambda t: pa.table({"doc_id": t["node"], "lab": t["lab"]}),
+            batch_format="pyarrow",
+        )
+        from ..pipelines.relational import hash_join
+
+        joined = hash_join(ids, lab2, on="doc_id", how="left", right_unique=True)
+
+        def _coalesce0(t: pa.Table) -> pa.Table:
+            d = _i64(t["doc_id"])
+            rep = _i64(pc.coalesce(t["lab"], t["doc_id"]))
+            return pa.table(
+                {"doc_id": pa.array(d, pa.int64()), "rep": pa.array(rep, pa.int64())}
+            )
+
+        return _commit_and_split(joined.map_batches(_coalesce0, batch_format="pyarrow"))
+    seen_reps = _nonempty(
+        seen_need.map_batches(
+            partial(_tag_part_by_doc, num_parts=num_parts), batch_format="pyarrow"
+        )
+        .groupby("_part")
+        .map_groups(
+            partial(_reps_part, state_dir=state_dir, token=token),
+            batch_format="pyarrow",
+        )
+    ).materialize()
+    if seen_reps.count() < n_seen_need:
+        raise ValueError(
+            f"rep state missing for matched seen docs in {state_dir} — "
+            "band rows exist without reps (crash between band and rep "
+            "commits; re-ingest that batch's token)"
+        )
+
+    def _as_lookup(key: str, out: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table({key: t["doc_id"], out: t["rep"]})
+
+        return _f
+
+    ver = _join_ready(ver, ["a", "b", "a_new", "b_new"])
+    ra = _nonempty(seen_reps.map_batches(_as_lookup("a", "rep_a"), batch_format="pyarrow"))
+    rb = _nonempty(seen_reps.map_batches(_as_lookup("b", "rep_b"), batch_format="pyarrow"))
+    j = ver.join(ra, join_type="left_outer", num_partitions=num_partitions, on=("a",))
+    j = _join_ready(j, ["a", "b", "a_new", "b_new", "rep_a"])
+    j = j.join(rb, join_type="left_outer", num_partitions=num_partitions, on=("b",))
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        a = _i64(t["a"])
+        b = _i64(t["b"])
+        a_new = _i64(t["a_new"]) != 0
+        b_new = _i64(t["b_new"]) != 0
+        # seen side with a null rep = the crash window; refuse loudly
+        null_a = pc.is_null(t["rep_a"]).to_numpy(zero_copy_only=False)
+        null_b = pc.is_null(t["rep_b"]).to_numpy(zero_copy_only=False)
+        if ((~a_new) & null_a).any() or ((~b_new) & null_b).any():
+            raise ValueError(
+                f"rep state missing for matched seen docs in {state_dir} — "
+                "re-ingest that batch's token"
+            )
+        rep_a = _i64(pc.fill_null(t["rep_a"], 0))
+        rep_b = _i64(pc.fill_null(t["rep_b"], 0))
+        ea = np.where(a_new, a, rep_a)
+        eb = np.where(b_new, b, rep_b)
+        return pa.table({"a": pa.array(ea, pa.int64()), "b": pa.array(eb, pa.int64())})
+
+    labels = _nonempty(
+        min_label_clusters(
+            _nonempty(j.map_batches(_edge_rows, batch_format="pyarrow")),
+            num_partitions=num_partitions,
+        )
+    )
+    lab2 = labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "lab": t["lab"]}),
+        batch_format="pyarrow",
+    )
+    from ..pipelines.relational import hash_join
+
+    joined = hash_join(ids, lab2, on="doc_id", how="left", right_unique=True)
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        d = _i64(t["doc_id"])
+        rep = _i64(pc.coalesce(t["lab"], t["doc_id"]))
+        return pa.table(
+            {"doc_id": pa.array(d, pa.int64()), "rep": pa.array(rep, pa.int64())}
+        )
+
+    return _commit_and_split(joined.map_batches(_coalesce, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
