@@ -230,9 +230,11 @@ def run_query_bench() -> "tuple[dict, dict]":
         # round 5 sixth continuation: streaming near-dup vs persistent state
         "dedup_minhash_incremental",
         # round 5 ninth continuation: cluster-coherent split + linear
-        # quality classifier
+        # quality classifier + classifier-era capstone + streaming split
         "docs_leakage_split",
         "docs_quality_classifier",
+        "docs_prep_v3",
+        "docs_leakage_split_incremental",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
