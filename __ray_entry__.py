@@ -1333,6 +1333,51 @@ def _ivf_ann(sf_dir):
     return idx.search(idx.assign(embs), q, k=5, nprobe=16).select(["query_id", "vec_id"])
 
 
+def _ivf_append_ann(sf_dir):
+    """PERSISTENT IVF index with O(delta) streaming append — the ANN
+    ingest path at 100 TB: build the index over the first half of the
+    embeddings (frozen coarse quantizer + committed base run), APPEND the
+    second half as a new immutable run (one streaming assign pass over
+    the delta; the base run's files are never touched), then answer
+    queries over the combined committed runs with directory-pruned probe
+    reads.  With nprobe = n_centroids the probed search is exact, so the
+    entire persisted path (build, frozen-centroid append, atomic run
+    commit, committed-run listing, pruned read) shares ivf_ann's hard
+    brute-force SQL oracle; recall below full probe and append/compact
+    idempotency are pinned by pytest (test_ops.py::test_persistent_ivf*).
+
+    The index dir is content-keyed under /tmp, so driver re-runs on the
+    same input land on already-committed runs and skip both writes —
+    the cdc run-ledger idempotency contract applied to ANN ingest."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf
+    from tg_data_connector_ray.util import file_size, sized_read_parquet
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _first_query_vectors(path, 3)
+    n_rows = pq.read_metadata(path).num_rows
+    half = n_rows // 2
+    sig = hashlib.sha256(
+        f"{os.path.abspath(path)}:{file_size(path)}:{half}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(tempfile.gettempdir(), "graft_ivf_append", sig)
+    base = sized_read_parquet(
+        path, columns=["vec_id", "embedding"], filter=_pc.field("vec_id") < half
+    )
+    idx = PersistentIvf.build(index_dir, base, n_centroids=16, iters=5, n_rows=half)
+    idx.append(base, run_id=f"base-{half}")
+    delta = sized_read_parquet(
+        path, columns=["vec_id", "embedding"], filter=_pc.field("vec_id") >= half
+    )
+    idx.append(delta, run_id=f"delta-{half}")
+    return idx.search(q, k=5, nprobe=16).select(["query_id", "vec_id"])
+
+
 def _snapped_embeddings(sf_dir, n_queries: int = 3):
     """Shared oracle-exact ANN fixture: the embeddings sign-snapped to
     {-1,+1} per component (engine-side) plus the first `n_queries`
@@ -2560,13 +2605,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
         "ivfpq_ann": _ivfpq_ann,
+        # --- round-5: persistent IVF with O(delta) streaming append ---
+        "ivf_append_ann": _ivf_append_ann,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "events_heavy_hitters": _events_heavy_hitters,
         "docs_c4_quality": _docs_c4_quality,
-        # --- round-5 closing additions: substring-level (span) dedup ---
+        # --- round-5 closing additions: substring-level (span) dedup
+        # (the strip variant moved to the tail to keep the flagship
+        # joins in the prefix when ivf_append_ann landed; the span
+        # family stays represented here) ---
         "docs_dup_spans": _docs_dup_spans,
-        "docs_strip_dup_spans": _docs_strip_dup_spans,
         # --- relational flagships (the real joins) ---
         "q1_pricing_summary": R.q1_pricing_summary,
         "revenue_by_mktsegment": R.revenue_by_mktsegment,
@@ -2616,6 +2665,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # subset of the CUBE grouping sets kept above), and the windowed
         # distinct count (hll + hourly_window keep both families)
         "docs_profile": _docs_profile,
+        # demoted round 5 for ivf_append_ann (span family stays in the
+        # prefix via docs_dup_spans; still in the full sweep)
+        "docs_strip_dup_spans": _docs_strip_dup_spans,
         # moved out of the checked prefix to make room for the span-dedup
         # pair (both stable single-table shapes, still in the full sweep)
         "events_cube": _events_cube,
@@ -3363,6 +3415,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
         """,
         "ivf_ann": """
+            SELECT query_id, vec_id FROM (
+              SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
+                     row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e2.embedding, e.embedding) DESC,
+                                 e2.vec_id) AS rn
+              FROM embeddings e CROSS JOIN embeddings e2
+              WHERE e.vec_id < 3) t
+            WHERE rn <= 5
+        """,
+        # persistent build+append then nprobe=all probe is EXACT over the
+        # union of the committed runs = the whole table, so the oracle is
+        # the same brute-force cosine top-k as ivf_ann
+        "ivf_append_ann": """
             SELECT query_id, vec_id FROM (
               SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
                      row_number() OVER (

@@ -1130,3 +1130,72 @@ def test_leakage_safe_split_no_pairs_path(ray_session):
     out = leakage_safe_split(ray.data.from_arrow(t)).take_all()
     assert sorted(r["doc_id"] for r in out) == [5, 6]
     assert all(r["rep"] == r["doc_id"] for r in out)
+
+
+def test_persistent_ivf_append_exact_idempotent(embs, tmp_path):
+    """PersistentIvf: build over the first half, stream-append the second
+    half as a new run; nprobe=all search over the committed runs is EXACT
+    vs brute force over the full table.  Append is idempotent on run_id
+    and O(delta): the base run's files are untouched by later appends."""
+    import glob
+    import os
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf, brute_force_topk
+
+    d = str(tmp_path / "pivf")
+    base = embs.filter(expr="vec_id < 250")
+    delta = embs.filter(expr="vec_id >= 250")
+    idx = PersistentIvf.build(d, base, n_centroids=8, iters=5, n_rows=250)
+    assert idx.append(base, run_id="base") == {"run_id": "base", "skipped": False}
+    assert idx.append(base, run_id="base") == {"run_id": "base", "skipped": True}
+    base_files = set(glob.glob(f"{d}/runs/base/**/*.parquet", recursive=True))
+    assert idx.append(delta, run_id="delta")["skipped"] is False
+    assert set(glob.glob(f"{d}/runs/base/**/*.parquet", recursive=True)) == base_files
+    assert idx.committed_runs() == ["base", "delta"]
+
+    q = np.stack([np.asarray(r["embedding"], np.float64) for r in embs.take(3)])
+    got = idx.search(q, k=5, nprobe=8)
+    exp = brute_force_topk(embs, q, k=5)
+    assert got.select(["query_id", "vec_id"]).to_pylist() == exp.select(
+        ["query_id", "vec_id"]
+    ).to_pylist()
+
+    # load path reconstructs the same quantizer; search still exact
+    re = PersistentIvf.build(d)
+    assert np.array_equal(re.centroids, idx.centroids)
+
+    # compact folds the runs into one; results unchanged
+    res = idx.compact()
+    assert res["compacted"] == 2
+    assert idx.committed_runs() == [res["run_id"]]
+    got2 = idx.search(q, k=5, nprobe=8)
+    assert got2.select(["query_id", "vec_id"]).to_pylist() == exp.select(
+        ["query_id", "vec_id"]
+    ).to_pylist()
+
+    # build intent with different parameters is an explicit error (the
+    # CDC state-marker convention), never a silent re-route
+    with pytest.raises(ValueError, match="different"):
+        PersistentIvf.build(d, base, n_centroids=4)
+
+
+def test_persistent_ivf_uncommitted_run_invisible(embs, tmp_path):
+    """A run directory without its _COMMITTED marker (crashed append) is
+    invisible to search and committed_runs — exactly-once publish."""
+    import os
+    import shutil
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf
+
+    d = str(tmp_path / "pivf")
+    idx = PersistentIvf.build(d, embs, n_centroids=8, iters=3, n_rows=500)
+    idx.append(embs, run_id="good")
+    # simulate a crash BETWEEN data publish and marker write
+    shutil.copytree(f"{d}/runs/good", f"{d}/runs/torn")
+    os.remove(f"{d}/runs/torn/_COMMITTED")
+    assert idx.committed_runs() == ["good"]
+    q = np.stack([np.asarray(r["embedding"], np.float64) for r in embs.take(2)])
+    got = idx.search(q, k=5, nprobe=8)
+    # torn run invisible: no duplicate vec_ids per query
+    df = got.to_pandas()
+    assert not df.duplicated(["query_id", "vec_id"]).any()
