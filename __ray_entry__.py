@@ -1378,6 +1378,44 @@ def _ivf_append_ann(sf_dir):
     return idx.search(q, k=5, nprobe=16).select(["query_id", "vec_id"])
 
 
+def _ivf_delete_ann(sf_dir):
+    """PersistentIvf DELETES: build + append as in ivf_append_ann, then
+    tombstone vec_ids 10..29 (a retraction/redaction feed) — they vanish
+    from search immediately, before any compaction, via the broadcast
+    tombstone filter on the probed read.  nprobe=all keeps the search
+    exact, so the oracle is the brute-force top-k EXCLUDING the deleted
+    ids; the compact()-applies-and-reclaims-tombstones path is pinned by
+    pytest (test_persistent_ivf_delete_tombstones)."""
+    import hashlib
+    import tempfile
+
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf
+    from tg_data_connector_ray.util import file_size, sized_read_parquet
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _first_query_vectors(path, 3)
+    n_rows = pq.read_metadata(path).num_rows
+    half = n_rows // 2
+    sig = hashlib.sha256(
+        f"del:{os.path.abspath(path)}:{file_size(path)}:{half}".encode()
+    ).hexdigest()[:16]
+    index_dir = os.path.join(tempfile.gettempdir(), "graft_ivf_append", sig)
+    base = sized_read_parquet(
+        path, columns=["vec_id", "embedding"], filter=_pc.field("vec_id") < half
+    )
+    idx = PersistentIvf.build(index_dir, base, n_centroids=16, iters=5, n_rows=half)
+    idx.append(base, run_id=f"base-{half}")
+    delta = sized_read_parquet(
+        path, columns=["vec_id", "embedding"], filter=_pc.field("vec_id") >= half
+    )
+    idx.append(delta, run_id=f"delta-{half}")
+    idx.delete(range(10, 30), run_id="retract-10-29")
+    return idx.search(q, k=5, nprobe=16).select(["query_id", "vec_id"])
+
+
 def _snapped_embeddings(sf_dir, n_queries: int = 3):
     """Shared oracle-exact ANN fixture: the embeddings sign-snapped to
     {-1,+1} per component (engine-side) plus the first `n_queries`
@@ -2583,7 +2621,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
         "transcript_tool_transitions": _transcript_tool_transitions,
-        "transcript_boilerplate": _transcript_boilerplate,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -2605,8 +2642,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
         "ivfpq_ann": _ivfpq_ann,
-        # --- round-5: persistent IVF with O(delta) streaming append ---
+        # --- round-5: persistent IVF with O(delta) streaming append
+        # and CDC-tombstone deletes ---
         "ivf_append_ann": _ivf_append_ann,
+        "ivf_delete_ann": _ivf_delete_ann,
         # --- round-4/5 additions: joins, windows, sketches, quality ---
         "q3_shipping_priority": _q3_shipping_priority,
         "events_heavy_hitters": _events_heavy_hitters,
@@ -2665,9 +2704,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # subset of the CUBE grouping sets kept above), and the windowed
         # distinct count (hll + hourly_window keep both families)
         "docs_profile": _docs_profile,
-        # demoted round 5 for ivf_append_ann (span family stays in the
-        # prefix via docs_dup_spans; still in the full sweep)
+        # demoted round 5 for ivf_append_ann / ivf_delete_ann (their
+        # families stay in the prefix via docs_dup_spans and the other
+        # three transcript views; both still in the full sweep)
         "docs_strip_dup_spans": _docs_strip_dup_spans,
+        "transcript_boilerplate": _transcript_boilerplate,
         # moved out of the checked prefix to make room for the span-dedup
         # pair (both stable single-table shapes, still in the full sweep)
         "events_cube": _events_cube,
@@ -3423,6 +3464,19 @@ def oracle_sql() -> dict[str, str]:
                                  e2.vec_id) AS rn
               FROM embeddings e CROSS JOIN embeddings e2
               WHERE e.vec_id < 3) t
+            WHERE rn <= 5
+        """,
+        # tombstoned ids (10..29) vanish from the nprobe=all (exact) probe
+        # immediately — the oracle is brute force EXCLUDING them
+        "ivf_delete_ann": """
+            SELECT query_id, vec_id FROM (
+              SELECT e.vec_id AS query_id, e2.vec_id AS vec_id,
+                     row_number() OVER (
+                        PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(e2.embedding, e.embedding) DESC,
+                                 e2.vec_id) AS rn
+              FROM embeddings e CROSS JOIN embeddings e2
+              WHERE e.vec_id < 3 AND e2.vec_id NOT BETWEEN 10 AND 29) t
             WHERE rn <= 5
         """,
         # persistent build+append then nprobe=all probe is EXACT over the

@@ -1199,3 +1199,59 @@ def test_persistent_ivf_uncommitted_run_invisible(embs, tmp_path):
     # torn run invisible: no duplicate vec_ids per query
     df = got.to_pandas()
     assert not df.duplicated(["query_id", "vec_id"]).any()
+
+
+def test_persistent_ivf_delete_tombstones(embs, tmp_path):
+    """LSM deletes: tombstoned ids vanish from search immediately; compact
+    applies and reclaims the tombstones (files physically dropped); a
+    repeated delete run_id is a no-op."""
+    import os
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf, brute_force_topk
+
+    d = str(tmp_path / "pivf")
+    idx = PersistentIvf.build(d, embs, n_centroids=8, iters=3, n_rows=500)
+    idx.append(embs, run_id="all")
+    q = np.stack([np.asarray(r["embedding"], np.float64) for r in embs.take(3)])
+    full = idx.search(q, k=5, nprobe=8).to_pandas()
+    victims = [int(v) for v in sorted(set(full["vec_id"]) - {0, 1, 2})[:3]]
+    res = idx.delete(victims, run_id="retract")
+    assert res == {"run_id": "retract", "skipped": False, "tombstoned": 3}
+    assert idx.delete(victims, run_id="retract") == {"run_id": "retract", "skipped": True}
+
+    import pyarrow.compute as _pc
+
+    victim_set = pa.array(victims, pa.int64())
+    exp = brute_force_topk(
+        embs.map_batches(
+            lambda t: t.filter(
+                _pc.invert(_pc.is_in(t["vec_id"], value_set=victim_set))
+            ),
+            batch_format="pyarrow",
+        ),
+        q,
+        k=5,
+    )
+    got = idx.search(q, k=5, nprobe=8)
+    assert got.select(["query_id", "vec_id"]).to_pylist() == exp.select(
+        ["query_id", "vec_id"]
+    ).to_pylist()
+
+    res = idx.compact()
+    assert res["tombstones_applied"] == 3
+    assert not os.path.isdir(os.path.join(d, "tombstones"))
+    got2 = idx.search(q, k=5, nprobe=8)
+    assert got2.select(["query_id", "vec_id"]).to_pylist() == exp.select(
+        ["query_id", "vec_id"]
+    ).to_pylist()
+    # physically gone: a full-probe scan of the compacted run sees no victim
+    import glob
+
+    import pyarrow.parquet as _pq
+
+    remaining = pa.concat_tables(
+        [_pq.read_table(f, columns=["vec_id"])
+         for f in glob.glob(f"{d}/runs/*/**/*.parquet", recursive=True)]
+    )["vec_id"].to_pylist()
+    assert not set(victims) & set(remaining)
+    assert len(remaining) == 500 - 3

@@ -629,6 +629,53 @@ class PersistentIvf:
             f.write(run_id)
         return {"run_id": run_id, "skipped": False}
 
+    # -- deletes (CDC tombstones) -------------------------------------------
+
+    def delete(self, vec_ids, run_id: str) -> dict:
+        """Tombstone ``vec_ids``: they vanish from every committed run's
+        search results immediately and are physically removed at the next
+        ``compact()`` — the LSM delete, same shape as the CDC table's
+        tombstone-then-compact (cdc/merge.py).  One atomically-published
+        parquet per delete run; idempotent on ``run_id``.
+
+        A live tombstone is terminal for its vec_id — re-appending it
+        before a compact() leaves it hidden (runs carry no LSN order by
+        design; versioned upsert is the CDC table's job, the index is its
+        downstream).  ``vec_ids`` is a driver-side id list: deletes are
+        retractions/redactions, orders of magnitude smaller than ingest —
+        a delete feed that no longer fits the driver should compact first
+        or arrive batched."""
+        import os
+
+        from ..util import atomic_write_parquet
+
+        td = os.path.join(self.index_dir, "tombstones")
+        path = os.path.join(td, f"{run_id}.parquet")
+        if os.path.exists(path):
+            return {"run_id": run_id, "skipped": True}
+        os.makedirs(td, exist_ok=True)
+        ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
+        atomic_write_parquet(path, pa.table({"vec_id": pa.array(ids, pa.int64())}))
+        return {"run_id": run_id, "skipped": False, "tombstoned": int(len(ids))}
+
+    def _tombstones(self) -> "pa.Array":
+        """All live tombstoned vec_ids (driver-side, see delete())."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        td = os.path.join(self.index_dir, "tombstones")
+        if not os.path.isdir(td):
+            return pa.array([], pa.int64())
+        files = [
+            os.path.join(td, f) for f in sorted(os.listdir(td)) if f.endswith(".parquet")
+        ]
+        if not files:
+            return pa.array([], pa.int64())
+        return pa.concat_tables([pq.read_table(f) for f in files])[
+            "vec_id"
+        ].combine_chunks()
+
     # -- search ------------------------------------------------------------
 
     @staticmethod
@@ -677,16 +724,31 @@ class PersistentIvf:
                  "vec_id": pa.array([], pa.int64()),
                  "sim": pa.array([], pa.float64())})), k)
         sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+        tomb = self._tombstones()
+        if len(tomb):
+            import pyarrow.compute as pc
+
+            # the tombstone array ships in the task closure (object-store
+            # cached broadcast); LIVE tombstones are bounded by the delete
+            # contract and reclaimed by compact()
+            sub = sub.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["vec_id"], value_set=tomb))
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         return brute_force_topk(sub, q, k)
 
     def compact(self) -> dict:
         """Fold all committed runs into ONE new run (read-merge-rewrite per
-        inverted list — the LSM compaction move), publish it atomically,
-        then retire the old runs.  Safe against crashes at any point: the
-        compacted run only becomes visible with its marker, and a reader
-        that raced the retirement still sees a complete (if duplicated)
-        view only BETWEEN marker-write and retire — callers needing strict
-        isolation compact in a maintenance window, as with cdc compact."""
+        inverted list — the LSM compaction move), applying and reclaiming
+        live tombstones, publish it atomically, then retire the old runs.
+        Safe against crashes at any point: the compacted run only becomes
+        visible with its marker, and a reader that raced the retirement
+        still sees a complete (if duplicated) view only BETWEEN
+        marker-write and retire — callers needing strict isolation compact
+        in a maintenance window, as with cdc compact."""
         import os
         import shutil
 
@@ -695,8 +757,13 @@ class PersistentIvf:
         from ..util import new_token
 
         old = self.committed_runs()
-        if len(old) <= 1:
+        tomb = self._tombstones()
+        if len(old) <= 1 and not len(tomb):
             return {"compacted": 0, "run_id": None}
+        if not old:
+            # tombstones over an empty index reference nothing — reclaim
+            shutil.rmtree(os.path.join(self.index_dir, "tombstones"), ignore_errors=True)
+            return {"compacted": 0, "run_id": None, "tombstones_applied": int(len(tomb))}
         rd = self._runs_dir()
         token = f"compact-{new_token()[:12]}"
         staging = os.path.join(rd, f".staging-{token}")
@@ -704,6 +771,16 @@ class PersistentIvf:
             self._parquet_files(*(os.path.join(rd, r) for r in old)),
             columns=["vec_id", "embedding"],
         )
+        if len(tomb):
+            import pyarrow.compute as pc
+
+            ds = ds.map_batches(
+                lambda t: t.filter(
+                    pc.invert(pc.is_in(t["vec_id"], value_set=tomb))
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         core = IvfIndex(n_centroids=len(self.centroids))
         core.centroids = self.centroids
         core.assign(ds).write_parquet(staging, partition_cols=["centroid"])
@@ -713,4 +790,8 @@ class PersistentIvf:
             f.write(token)
         for r in old:
             shutil.rmtree(os.path.join(rd, r), ignore_errors=True)
-        return {"compacted": len(old), "run_id": token}
+        # tombstones are folded into the compacted run — reclaim them
+        # AFTER the old runs retire (a crash in between leaves surplus
+        # tombstones over already-deleted ids: harmless, re-applied)
+        shutil.rmtree(os.path.join(self.index_dir, "tombstones"), ignore_errors=True)
+        return {"compacted": len(old), "run_id": token, "tombstones_applied": int(len(tomb))}
