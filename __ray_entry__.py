@@ -321,6 +321,81 @@ def _run_cdc_changefeed(sf_dir: str):
     return change_feed(cfg, applied12[-1], applied[-1])
 
 
+# fixed probe texts for cdc_index_search (constants: the oracle SQL embeds
+# the same literals) — drawn from the fixture word bank so the dots are
+# non-degenerate
+_IDX_QUERY_TEXTS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit",
+    "tempor incididunt ut labore et dolore magna aliqua",
+    "quis nostrud exercitation ullamco laboris nisi aliquip",
+)
+_IDX_DIM = 64
+
+
+def _run_cdc_index_search(sf_dir: str):
+    """CDC-maintained ANN index through the driver surface — the derived
+    vector store every retrieval consumer of a CDC lake needs: the t2 log
+    lands as three delta-mode runs; a PersistentIvf over sign-snapped
+    hash embeddings (ops/index_sync.py) is BOOTSTRAPPED from the table
+    as-of run 1, then kept in sync by two change-feed windows (update =
+    epoch-ordered tombstone + re-embed append, delete = tombstone,
+    unchanged text untouched).  The final nprobe=all search is exact, so
+    the oracle is brute-force integer-dot top-k over the SQL-replayed
+    embeddings of the SQL-reconstructed final table — one hash mismatch
+    anywhere in merge contract, feed classification, upsert ordering or
+    embedding identity fails the row."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        change_feed,
+        read_final_table,
+        time_travel_runs,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.index_sync import (
+        bootstrap_index,
+        embed_rows,
+        sync_from_feed,
+    )
+    from tg_data_connector_ray.ops.similarity import PersistentIvf, hash_embed
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2idxsync")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    batches, _ = _cdc_travel_prefix(fx)
+    applied = []
+    for i, b in enumerate(batches, start=1):
+        if b:
+            apply_cdc(b, cfg, run_id=f"ix-r{i}")
+            applied.append(f"ix-r{i}")
+    index_dir = os.path.join(_CDC_OUT, "t2idxsync-ivf")
+    runs1 = time_travel_runs(cfg, applied[0])
+    # one bootstrap materialization feeds both the centroid fit and the
+    # append (at lake scale: spool_checkpoint instead, util.py)
+    boot = read_final_table(
+        cfg, columns=["conv_id", "turn_idx", "text"], runs=runs1
+    ).map_batches(
+        lambda t: embed_rows(t, _IDX_DIM),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    idx = PersistentIvf.build(
+        index_dir, boot, n_centroids=16, iters=4, n_rows=boot.count()
+    )
+    idx.append(boot, run_id="boot")
+    for prev, cur in zip(applied, applied[1:]):
+        sync_from_feed(
+            idx,
+            change_feed(cfg, prev, cur, include_before=True),
+            f"sync-{cur}",
+            dim=_IDX_DIM,
+        )
+    q = hash_embed(list(_IDX_QUERY_TEXTS), dim=_IDX_DIM)
+    return idx.search(q, k=5, nprobe=len(idx.centroids)).select(
+        ["query_id", "vec_id"]
+    )
+
+
 def _run_cdc_envelope(sf_dir: str):
     """Binlog-tail ingestion through the driver surface: the t2 event log
     rendered as a Debezium-shaped JSON envelope stream (sparse after
@@ -1363,7 +1438,7 @@ def _ivf_append_ann(sf_dir):
     n_rows = pq.read_metadata(path).num_rows
     half = n_rows // 2
     sig = hashlib.sha256(
-        f"{os.path.abspath(path)}:{file_size(path)}:{half}".encode()
+        f"v2:{os.path.abspath(path)}:{file_size(path)}:{half}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(tempfile.gettempdir(), "graft_ivf_append", sig)
     base = sized_read_parquet(
@@ -1400,7 +1475,7 @@ def _ivf_delete_ann(sf_dir):
     n_rows = pq.read_metadata(path).num_rows
     half = n_rows // 2
     sig = hashlib.sha256(
-        f"del:{os.path.abspath(path)}:{file_size(path)}:{half}".encode()
+        f"del:v2:{os.path.abspath(path)}:{file_size(path)}:{half}".encode()
     ).hexdigest()[:16]
     index_dir = os.path.join(tempfile.gettempdir(), "graft_ivf_append", sig)
     base = sized_read_parquet(
@@ -2612,7 +2687,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_multi_table_tail": _run_cdc_multi_table_tail,
         "cdc_consistent_read": _run_cdc_consistent_read,
         "cdc_corrections": _run_cdc_corrections,
-        "cdc_merge_events": R.cdc_merge_events,
+        # round-5 closing addition: the CDC-maintained ANN index (feed ->
+        # epoch-ordered tombstone/append upsert -> exact probe); promoted
+        # into the checked prefix in place of cdc_merge_events (the cdc
+        # family's smallest helper query — still in the full sweep)
+        "cdc_index_search": _run_cdc_index_search,
         "cdc_scd2_history": _run_cdc_scd2,
         "cdc_envelope_replay": _run_cdc_envelope,
         "cdc_incremental_stats": _run_cdc_incremental_stats,
@@ -2709,6 +2788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # three transcript views; both still in the full sweep)
         "docs_strip_dup_spans": _docs_strip_dup_spans,
         "transcript_boilerplate": _transcript_boilerplate,
+        "cdc_merge_events": R.cdc_merge_events,
         # moved out of the checked prefix to make room for the span-dedup
         # pair (both stable single-table shapes, still in the full sweep)
         "events_cube": _events_cube,
@@ -2863,6 +2943,91 @@ def _cdc_time_travel_oracle_sql() -> str:
     return _merge_contract_sql(src)
 
 
+def _md5_u64_sql(expr: str) -> str:
+    """DuckDB expression for the engine's md5-u64 identity (little-endian
+    uint64 of md5(x)[0:8], ops/dedup._md5_u64) — the shared token/key hash
+    every hash-exact oracle replays."""
+    return f"""list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef', substr(md5({expr}), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5({expr}), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT)))"""
+
+
+def _cdc_index_search_oracle_sql() -> str:
+    """Brute-force replay of the CDC-synced ANN index: reconstruct the
+    final converged table (merge contract), hash-embed every live turn
+    (md5-u64 token -> bucket h%64 / sign (h//64)%2, signed counts snapped
+    to {-1,+1} — sign-snapping makes every norm sqrt(64), so cosine order
+    == integer-dot order and the comparison is exact), embed the same
+    fixed probe texts, integer-dot top-5 with (dot DESC, vec_id ASC)
+    ties; vec_id = int64 two's-complement of md5-u64('<conv>:<turn>')."""
+    qvals = ", ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in enumerate(_IDX_QUERY_TEXTS)
+    )
+    d = _IDX_DIM
+    return f"""
+        WITH m AS ({_cdc_oracle_sql("t2")}),
+        toks AS (
+          SELECT conv_id, turn_idx,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS tok
+          FROM m
+        ), th AS (
+          SELECT conv_id, turn_idx, {_md5_u64_sql('tok')} AS h FROM toks
+        ), sums AS (
+          SELECT conv_id, turn_idx, h % {d} AS bucket,
+                 SUM(CASE WHEN (h // {d}) % 2 = 0 THEN 1 ELSE -1 END) AS s
+          FROM th GROUP BY 1, 2, 3
+        ), grid AS (
+          SELECT k.conv_id, k.turn_idx, CAST(g.range AS UBIGINT) AS bucket
+          FROM (SELECT conv_id, turn_idx FROM m) k CROSS JOIN range({d}) g
+        ), emb AS (
+          SELECT g.conv_id, g.turn_idx, g.bucket,
+                 CASE WHEN coalesce(s.s, 0) >= 0 THEN 1 ELSE -1 END AS v
+          FROM grid g LEFT JOIN sums s
+            ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
+           AND s.bucket = g.bucket
+        ), qdocs(query_id, qtext) AS (VALUES {qvals}),
+        qtoks AS (
+          SELECT query_id,
+                 unnest(regexp_extract_all(lower(qtext), '[a-z0-9_]+')) AS tok
+          FROM qdocs
+        ), qth AS (
+          SELECT query_id, {_md5_u64_sql('tok')} AS h FROM qtoks
+        ), qsums AS (
+          SELECT query_id, h % {d} AS bucket,
+                 SUM(CASE WHEN (h // {d}) % 2 = 0 THEN 1 ELSE -1 END) AS s
+          FROM qth GROUP BY 1, 2
+        ), qemb AS (
+          SELECT q.query_id, CAST(g.range AS UBIGINT) AS bucket,
+                 CASE WHEN coalesce(s.s, 0) >= 0 THEN 1 ELSE -1 END AS v
+          FROM (SELECT query_id FROM qdocs) q
+          CROSS JOIN range({d}) g
+          LEFT JOIN qsums s
+            ON s.query_id = q.query_id AND s.bucket = CAST(g.range AS UBIGINT)
+        ), dots AS (
+          SELECT q.query_id, e.conv_id, e.turn_idx, SUM(q.v * e.v) AS dot
+          FROM qemb q JOIN emb e USING (bucket)
+          GROUP BY 1, 2, 3
+        ), ids AS (
+          SELECT query_id, dot,
+                 {_md5_u64_sql("conv_id || ':' || CAST(turn_idx AS VARCHAR)")} AS u
+          FROM dots
+        ), wrapped AS (
+          SELECT query_id, dot,
+                 CAST(CASE WHEN u >= CAST(9223372036854775808 AS UBIGINT)
+                      THEN CAST(u AS HUGEINT) - 18446744073709551616
+                      ELSE CAST(u AS HUGEINT) END AS BIGINT) AS vec_id
+          FROM ids
+        )
+        SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (
+                    PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rn
+          FROM wrapped) t
+        WHERE rn <= 5
+    """
+
+
 def _cdc_changefeed_oracle_sql() -> str:
     """FULL OUTER join of the merge-contract reconstructions as of run 2
     (two-batch prefix) and run 3 (whole log): presence flips are I/D, a
@@ -3010,6 +3175,7 @@ def oracle_sql() -> dict[str, str]:
         # flagship: full replay vs an independent window-SQL reconstruction
         # of the merge contract over the same deterministic event log
         "cdc_replay": _cdc_oracle_sql("t2"),
+        "cdc_index_search": _cdc_index_search_oracle_sql(),
         "cdc_compact": _cdc_oracle_sql("t2", with_watermark=True),
         "cdc_dirty_replay": _cdc_dirty_oracle_sql(),
         # dead-letter repair-replay: fix-by-reason then revalidate

@@ -1146,7 +1146,7 @@ def test_persistent_ivf_append_exact_idempotent(embs, tmp_path):
     base = embs.filter(expr="vec_id < 250")
     delta = embs.filter(expr="vec_id >= 250")
     idx = PersistentIvf.build(d, base, n_centroids=8, iters=5, n_rows=250)
-    assert idx.append(base, run_id="base") == {"run_id": "base", "skipped": False}
+    assert idx.append(base, run_id="base")["skipped"] is False
     assert idx.append(base, run_id="base") == {"run_id": "base", "skipped": True}
     base_files = set(glob.glob(f"{d}/runs/base/**/*.parquet", recursive=True))
     assert idx.append(delta, run_id="delta")["skipped"] is False
@@ -1216,7 +1216,7 @@ def test_persistent_ivf_delete_tombstones(embs, tmp_path):
     full = idx.search(q, k=5, nprobe=8).to_pandas()
     victims = [int(v) for v in sorted(set(full["vec_id"]) - {0, 1, 2})[:3]]
     res = idx.delete(victims, run_id="retract")
-    assert res == {"run_id": "retract", "skipped": False, "tombstoned": 3}
+    assert (res["skipped"], res["tombstoned"]) == (False, 3)
     assert idx.delete(victims, run_id="retract") == {"run_id": "retract", "skipped": True}
 
     import pyarrow.compute as _pc
@@ -1255,3 +1255,53 @@ def test_persistent_ivf_delete_tombstones(embs, tmp_path):
     )["vec_id"].to_pylist()
     assert not set(victims) & set(remaining)
     assert len(remaining) == 500 - 3
+
+
+def test_persistent_ivf_upsert_and_revert(embs, tmp_path):
+    """Epoch-ordered visibility: delete-then-append is an upsert (the
+    re-appended vector lands at a higher epoch and WINS over its own
+    tombstone), and a later revert to a previously-tombstoned value also
+    resurfaces — the A -> B -> A sequence a CDC-synced index must get
+    right with no compact in between."""
+    import ray
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf
+
+    d = str(tmp_path / "pivf")
+    idx = PersistentIvf.build(d, embs, n_centroids=4, iters=2, n_rows=500)
+    idx.append(embs, run_id="base")
+
+    # A -> B: upsert vec 7 to a new vector equal to vec 3's embedding
+    emb3 = np.asarray(
+        [r["embedding"] for r in embs.take_all() if r["vec_id"] == 3][0], np.float64
+    )
+    emb7 = np.asarray(
+        [r["embedding"] for r in embs.take_all() if r["vec_id"] == 7][0], np.float64
+    )
+    up1 = pa.table({"vec_id": pa.array([7], pa.int64()),
+                    "embedding": pa.array([emb3.tolist()])})
+    idx.delete([7], run_id="up1-del")
+    idx.append(ray.data.from_arrow(up1), run_id="up1-add")
+    got = idx.search(emb3[None, :], k=2, nprobe=4).to_pandas()
+    # both vec 3 and the upserted vec 7 now sit at the query point
+    assert set(got["vec_id"]) == {3, 7}
+
+    # B -> A: revert vec 7 to its ORIGINAL embedding (present in the
+    # tombstoned base run — the terminal-tombstone design would hide it)
+    up2 = pa.table({"vec_id": pa.array([7], pa.int64()),
+                    "embedding": pa.array([emb7.tolist()])})
+    idx.delete([7], run_id="up2-del")
+    idx.append(ray.data.from_arrow(up2), run_id="up2-add")
+    got = idx.search(emb7[None, :], k=1, nprobe=4).to_pandas()
+    assert list(got["vec_id"]) == [7] and got["sim"].iloc[0] == pytest.approx(1.0)
+    # the up1 version of vec 7 (at emb3's location) is gone: top-2 at emb3
+    # no longer contains a second vec-7 row
+    got = idx.search(emb3[None, :], k=2, nprobe=4).to_pandas()
+    assert (got["vec_id"] == 7).sum() == 0 or emb3 @ emb7 > 0.99 * (
+        np.linalg.norm(emb3) * np.linalg.norm(emb7)
+    )
+
+    # compact folds everything, reclaims tombstones, answers unchanged
+    idx.compact()
+    got2 = idx.search(emb7[None, :], k=1, nprobe=4).to_pandas()
+    assert list(got2["vec_id"]) == [7]

@@ -30,6 +30,37 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     return flat.reshape(len(col), -1)
 
 
+def hash_embed(texts, dim: int = 64) -> np.ndarray:
+    """Deterministic sign-snapped feature-hash text embedding — the
+    oracle-exact stand-in for a neural encoder (swap in a real model and
+    nothing else in the index/sync dataflow changes).
+
+    Per text: tokens via the engine-wide shared tokenizer
+    (dedup._split_tokens_arrow, == the SQL oracles'
+    ``regexp_extract_all(lower(text), '[a-z0-9_]+')``), token hash h =
+    md5-u64 (little-endian first 8 bytes), bucket ``h % dim``, sign ``+1
+    if (h // dim) % 2 == 0 else -1``; the signed counts are then snapped
+    to {-1.0, +1.0} per bucket (empty/negative-free buckets -> +1).  Sign
+    snapping makes every vector's norm exactly sqrt(dim), so cosine order
+    == integer-dot order, and with dim a power of two every intermediate
+    float is a dyadic rational — search results replay BIT-EXACTLY in
+    DuckDB (the `_snapped_embeddings` fixture trick, applied to text).
+    Null text embeds as the empty string (zero tokens -> all +1).
+
+    Fully vectorized: one tokenizer pass, md5 once per unique token, one
+    bincount; no per-row Python in the hot path."""
+    from .dedup import _token_hashes_flat
+
+    h, offs = _token_hashes_flat(texts)
+    n = len(offs) - 1
+    d = np.uint64(dim)
+    bucket = (h % d).astype(np.int64)
+    sign = np.where(((h // d) % np.uint64(2)) == 0, 1.0, -1.0)
+    row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    sums = np.bincount(row * dim + bucket, weights=sign, minlength=n * dim)
+    return np.where(sums.reshape(n, dim) >= 0, 1.0, -1.0)
+
+
 class TopKScorer:
     """Actor stage: queries normalized ONCE per actor.  The query matrix is
     passed by value in the constructor kwargs (it is q x dim floats — tiny
@@ -493,6 +524,16 @@ class PersistentIvf:
       pruning, unprobed lists are never opened.  With ``nprobe ==
       n_centroids`` the search is exact (the oracle path); below it the
       recall/latency knob is covered by pytest, like IvfIndex.
+    - **Epoch-ordered visibility (LSM sequence numbers).** Every publish
+      (append / delete / compact) takes the next integer epoch; run rows
+      carry their run's epoch as a column, tombstones carry theirs.  A
+      row is visible iff its epoch is GREATER than the newest tombstone
+      epoch for its vec_id — so delete-then-append is a correct UPSERT
+      (the re-appended vector lands at a higher epoch and wins), and a
+      revert to a previously-tombstoned version resurfaces correctly.
+      Epochs are assigned by the single maintenance writer (the CDC-sync
+      convention); concurrent APPENDS of distinct runs are safe, but
+      deletes must not race appends they are meant to order against.
 
     Scale shape: append streams (assign is a stateless vectorized
     map_batches; the write is Ray's partitioned parquet sink), search
@@ -501,7 +542,7 @@ class PersistentIvf:
     run, published with the same atomic marker before old runs retire.
     """
 
-    FORMAT = {"kind": "ivf-append", "version": 1}
+    FORMAT = {"kind": "ivf-append", "version": 2}
 
     def __init__(self, index_dir: str, centroids: np.ndarray):
         self.index_dir = index_dir
@@ -597,13 +638,45 @@ class PersistentIvf:
             and os.path.exists(os.path.join(rd, r, "_COMMITTED"))
         )
 
+    def _next_epoch(self) -> int:
+        """1 + the max epoch across committed run markers and live
+        tombstones — the LSM sequence counter.  O(committed publishes)
+        tiny reads, all driver-side."""
+        import json
+        import os
+
+        hi = 0
+        rd = self._runs_dir()
+        for r in self.committed_runs():
+            try:
+                with open(os.path.join(rd, r, "_COMMITTED")) as f:
+                    hi = max(hi, int(json.loads(f.read()).get("epoch", 0)))
+            except (ValueError, OSError):
+                pass  # legacy plain-text marker: epoch 0
+        tomb = self._tombstones()
+        if tomb.num_rows:
+            import pyarrow.compute as pc
+
+            hi = max(hi, pc.max(tomb["epoch"]).as_py())
+        return hi + 1
+
+    @staticmethod
+    def _write_marker(run_dir: str, run_id: str, epoch: int) -> None:
+        import json
+        import os
+
+        with open(os.path.join(run_dir, "_COMMITTED"), "w") as f:
+            f.write(json.dumps({"run_id": run_id, "epoch": int(epoch)}))
+
     # -- ingest ------------------------------------------------------------
 
     def append(self, ds, run_id: str) -> dict:
         """Route ``ds`` (vec_id, embedding) into the inverted lists as run
         ``run_id`` — O(delta): one streaming assign pass over the new
         vectors, one partitioned write, zero touches of existing runs.
-        Idempotent on ``run_id`` (see class contract)."""
+        Idempotent on ``run_id`` (see class contract).  The run's epoch
+        rides every row as a constant int64 column (RLE — bytes on disk),
+        ordering it against tombstones."""
         import os
 
         from ..util import new_token
@@ -611,40 +684,55 @@ class PersistentIvf:
         run_dir = os.path.join(self._runs_dir(), run_id)
         if os.path.exists(os.path.join(run_dir, "_COMMITTED")):
             return {"run_id": run_id, "skipped": True}
+        epoch = self._next_epoch()
         core = IvfIndex(n_centroids=len(self.centroids))
         core.centroids = self.centroids
+
+        def _stamp(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "epoch", pa.array(np.full(t.num_rows, epoch, np.int64))
+            )
+
         staging = os.path.join(self._runs_dir(), f".staging-{run_id}-{new_token()}")
-        core.assign(ds).write_parquet(staging, partition_cols=["centroid"])
+        core.assign(ds).map_batches(
+            _stamp, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(staging, partition_cols=["centroid"])
         try:
             os.replace(staging, run_dir)
         except OSError:
-            # a concurrent/earlier append published this run first: theirs
-            # wins, ours is surplus staging (same-content by the run_id
-            # contract) — drop it
+            # run_dir already exists: either a concurrent/earlier append
+            # published it (theirs wins — same content by the run_id
+            # contract), or a prior attempt crashed BETWEEN os.replace and
+            # the marker write.  The torn dir is complete data (os.replace
+            # is atomic), so publishing it now is sound; its rows carry the
+            # earlier attempt's epoch, which is <= ours and orders the same
+            # against every tombstone that existed before either attempt.
             import shutil
 
             shutil.rmtree(staging, ignore_errors=True)
-            return {"run_id": run_id, "skipped": True}
-        with open(os.path.join(run_dir, "_COMMITTED"), "w") as f:
-            f.write(run_id)
-        return {"run_id": run_id, "skipped": False}
+            if os.path.exists(os.path.join(run_dir, "_COMMITTED")):
+                return {"run_id": run_id, "skipped": True}
+            self._write_marker(run_dir, run_id, epoch)
+            return {"run_id": run_id, "skipped": False, "recovered": True}
+        self._write_marker(run_dir, run_id, epoch)
+        return {"run_id": run_id, "skipped": False, "epoch": epoch}
 
     # -- deletes (CDC tombstones) -------------------------------------------
 
     def delete(self, vec_ids, run_id: str) -> dict:
-        """Tombstone ``vec_ids``: they vanish from every committed run's
-        search results immediately and are physically removed at the next
-        ``compact()`` — the LSM delete, same shape as the CDC table's
-        tombstone-then-compact (cdc/merge.py).  One atomically-published
-        parquet per delete run; idempotent on ``run_id``.
+        """Tombstone ``vec_ids`` at the next epoch: rows of those ids in
+        every run committed SO FAR vanish from search immediately and are
+        physically removed at the next ``compact()`` — the LSM delete,
+        same shape as the CDC table's tombstone-then-compact
+        (cdc/merge.py).  One atomically-published parquet per delete run;
+        idempotent on ``run_id``.
 
-        A live tombstone is terminal for its vec_id — re-appending it
-        before a compact() leaves it hidden (runs carry no LSN order by
-        design; versioned upsert is the CDC table's job, the index is its
-        downstream).  ``vec_ids`` is a driver-side id list: deletes are
-        retractions/redactions, orders of magnitude smaller than ingest —
-        a delete feed that no longer fits the driver should compact first
-        or arrive batched."""
+        A later ``append`` of the same vec_id lands at a HIGHER epoch and
+        is visible — so delete-then-append is the index's upsert (the
+        CDC-sync move, ops/index_sync.py).  ``vec_ids`` is a driver-side
+        id list: deletes are retractions/redactions/update-preimages,
+        O(delta) next to ingest — a delete feed that no longer fits the
+        driver should arrive batched."""
         import os
 
         from ..util import atomic_write_parquet
@@ -654,27 +742,69 @@ class PersistentIvf:
         if os.path.exists(path):
             return {"run_id": run_id, "skipped": True}
         os.makedirs(td, exist_ok=True)
+        epoch = self._next_epoch()
         ids = np.unique(np.asarray(list(vec_ids), dtype=np.int64))
-        atomic_write_parquet(path, pa.table({"vec_id": pa.array(ids, pa.int64())}))
-        return {"run_id": run_id, "skipped": False, "tombstoned": int(len(ids))}
+        atomic_write_parquet(
+            path,
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "epoch": pa.array(np.full(len(ids), epoch, np.int64)),
+                }
+            ),
+        )
+        return {
+            "run_id": run_id, "skipped": False,
+            "tombstoned": int(len(ids)), "epoch": epoch,
+        }
 
-    def _tombstones(self) -> "pa.Array":
-        """All live tombstoned vec_ids (driver-side, see delete())."""
+    def _tombstones(self) -> pa.Table:
+        """Live tombstones as (vec_id, epoch) with the NEWEST epoch per
+        vec_id (driver-side, see delete())."""
         import os
 
         import pyarrow.parquet as pq
 
         td = os.path.join(self.index_dir, "tombstones")
+        empty = pa.table(
+            {"vec_id": pa.array([], pa.int64()), "epoch": pa.array([], pa.int64())}
+        )
         if not os.path.isdir(td):
-            return pa.array([], pa.int64())
+            return empty
         files = [
             os.path.join(td, f) for f in sorted(os.listdir(td)) if f.endswith(".parquet")
         ]
         if not files:
-            return pa.array([], pa.int64())
-        return pa.concat_tables([pq.read_table(f) for f in files])[
-            "vec_id"
-        ].combine_chunks()
+            return empty
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return (
+            t.group_by("vec_id").aggregate([("epoch", "max")])
+            .rename_columns(["vec_id", "epoch"]).combine_chunks()
+        )
+
+    @staticmethod
+    def _tomb_filter(tomb: pa.Table):
+        """Batch filter applying the epoch rule: keep a row iff its vec_id
+        has no tombstone OR the row's epoch is newer than the newest
+        tombstone for that id.  The tombstone table ships in the task
+        closure (object-store cached broadcast); live tombstones are
+        O(deletes since last compact)."""
+        import pyarrow.compute as pc
+
+        ids = tomb["vec_id"].combine_chunks()
+        eps = tomb["epoch"].to_numpy()
+
+        def _f(t: pa.Table) -> pa.Table:
+            pos = pc.index_in(t["vec_id"], value_set=ids)
+            posn = pos.to_numpy(zero_copy_only=False)
+            hit = posn == posn  # non-null -> tombstoned id
+            keep = np.ones(t.num_rows, bool)
+            if hit.any():
+                row_ep = t["epoch"].to_numpy()
+                keep[hit] = row_ep[hit] > eps[posn[hit].astype(np.int64)]
+            return t.filter(pa.array(keep))
+
+        return _f
 
     # -- search ------------------------------------------------------------
 
@@ -723,18 +853,12 @@ class PersistentIvf:
                 {"query_id": pa.array([], pa.int64()),
                  "vec_id": pa.array([], pa.int64()),
                  "sim": pa.array([], pa.float64())})), k)
-        sub = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
         tomb = self._tombstones()
-        if len(tomb):
-            import pyarrow.compute as pc
-
-            # the tombstone array ships in the task closure (object-store
-            # cached broadcast); LIVE tombstones are bounded by the delete
-            # contract and reclaimed by compact()
+        cols = ["vec_id", "embedding"] + (["epoch"] if tomb.num_rows else [])
+        sub = ray.data.read_parquet(paths, columns=cols)
+        if tomb.num_rows:
             sub = sub.map_batches(
-                lambda t: t.filter(
-                    pc.invert(pc.is_in(t["vec_id"], value_set=tomb))
-                ),
+                self._tomb_filter(tomb),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -758,40 +882,47 @@ class PersistentIvf:
 
         old = self.committed_runs()
         tomb = self._tombstones()
-        if len(old) <= 1 and not len(tomb):
+        n_tomb = tomb.num_rows
+        if len(old) <= 1 and not n_tomb:
             return {"compacted": 0, "run_id": None}
         if not old:
             # tombstones over an empty index reference nothing — reclaim
             shutil.rmtree(os.path.join(self.index_dir, "tombstones"), ignore_errors=True)
-            return {"compacted": 0, "run_id": None, "tombstones_applied": int(len(tomb))}
+            return {"compacted": 0, "run_id": None, "tombstones_applied": n_tomb}
         rd = self._runs_dir()
+        epoch = self._next_epoch()
         token = f"compact-{new_token()[:12]}"
         staging = os.path.join(rd, f".staging-{token}")
+        cols = ["vec_id", "embedding"] + (["epoch"] if n_tomb else [])
         ds = ray.data.read_parquet(
             self._parquet_files(*(os.path.join(rd, r) for r in old)),
-            columns=["vec_id", "embedding"],
+            columns=cols,
         )
-        if len(tomb):
-            import pyarrow.compute as pc
-
+        if n_tomb:
+            flt = self._tomb_filter(tomb)
             ds = ds.map_batches(
-                lambda t: t.filter(
-                    pc.invert(pc.is_in(t["vec_id"], value_set=tomb))
-                ),
+                lambda t: flt(t).drop_columns(["epoch"]),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+
+        def _stamp(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "epoch", pa.array(np.full(t.num_rows, epoch, np.int64))
+            )
+
         core = IvfIndex(n_centroids=len(self.centroids))
         core.centroids = self.centroids
-        core.assign(ds).write_parquet(staging, partition_cols=["centroid"])
+        core.assign(ds).map_batches(
+            _stamp, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(staging, partition_cols=["centroid"])
         run_dir = os.path.join(rd, token)
         os.replace(staging, run_dir)
-        with open(os.path.join(run_dir, "_COMMITTED"), "w") as f:
-            f.write(token)
+        self._write_marker(run_dir, token, epoch)
         for r in old:
             shutil.rmtree(os.path.join(rd, r), ignore_errors=True)
         # tombstones are folded into the compacted run — reclaim them
         # AFTER the old runs retire (a crash in between leaves surplus
         # tombstones over already-deleted ids: harmless, re-applied)
         shutil.rmtree(os.path.join(self.index_dir, "tombstones"), ignore_errors=True)
-        return {"compacted": len(old), "run_id": token, "tombstones_applied": int(len(tomb))}
+        return {"compacted": len(old), "run_id": token, "tombstones_applied": n_tomb}
