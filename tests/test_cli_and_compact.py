@@ -571,3 +571,50 @@ def test_cli_export_sft_view_jsonl(t1, tmp_path):
     assert got[["conv_id", "turn_idx", "prompt", "response"]].equals(
         want[["conv_id", "turn_idx", "prompt", "response"]]
     )
+
+
+def test_cli_index_verb(t1, tmp_path):
+    """index bootstrap -> sync -> search -> compact from the command line:
+    the searched hits equal brute-force over embeddings of the live table,
+    before and after compaction."""
+    import numpy as np
+
+    from tg_data_connector_ray.__main__ import main
+    from tg_data_connector_ray.cdc.pipeline import read_final_table
+    from tg_data_connector_ray.ops.index_sync import embed_rows
+    from tg_data_connector_ray.ops.similarity import brute_force_topk, hash_embed
+    from tg_data_connector_ray.util import list_files
+
+    out = str(tmp_path / "cdc")
+    ix = str(tmp_path / "ivf")
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+    k = max(1, len(files) // 2)
+    cfg = CdcConfig(out_dir=out, num_partitions=4, merge_strategy="delta")
+    apply_cdc(files[:k], cfg, run_id="r1")
+    base = ["--index", ix, "--out", out, "--partitions", "4", "--dim", "16",
+            "--centroids", "2"]
+    assert main(["index", "bootstrap", *base]) == 0
+    apply_cdc(files[k:], cfg, run_id="r2")
+    assert main(["index", "sync", *base, "--from-run", "r1",
+                 "--to-run", "r2"]) == 0
+
+    from tg_data_connector_ray.ops.similarity import PersistentIvf
+
+    idx = PersistentIvf.load(ix)
+    probe = "lorem ipsum dolor sit amet"
+    q = hash_embed([probe], dim=16)
+    got = idx.search(q, k=3, nprobe=2).select(["query_id", "vec_id"])
+    exp = brute_force_topk(
+        read_final_table(cfg, columns=["conv_id", "turn_idx", "text"]).map_batches(
+            lambda t: embed_rows(t, 16), batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        q, k=3,
+    ).select(["query_id", "vec_id"])
+    assert got.to_pylist() == exp.to_pylist()
+
+    assert main(["index", "search", "--index", ix, "--dim", "16",
+                 "--text", probe, "--k", "3"]) == 0
+    assert main(["index", "compact", "--index", ix]) == 0
+    assert idx.search(q, k=3, nprobe=2).select(
+        ["query_id", "vec_id"]).to_pylist() == exp.to_pylist()

@@ -248,6 +248,32 @@ def main(argv=None) -> int:
     )
     sch.add_argument("--out", required=True)
 
+    ixp = sub.add_parser(
+        "index",
+        help="CDC-maintained ANN index over the converged table "
+        "(ops/index_sync): bootstrap once, then sync change-feed windows; "
+        "search / compact the persistent IVF index",
+    )
+    ixp.add_argument("action", choices=["bootstrap", "sync", "search", "compact"])
+    ixp.add_argument("--index", required=True, help="index directory")
+    ixp.add_argument("--out", default=None,
+                     help="CDC table out dir (bootstrap/sync)")
+    ixp.add_argument("--partitions", type=int, default=64)
+    ixp.add_argument("--merge-strategy", default="delta",
+                     choices=["refold", "delta"],
+                     help="sync needs delta history for change_feed")
+    ixp.add_argument("--dim", type=int, default=64)
+    ixp.add_argument("--centroids", type=int, default=64)
+    ixp.add_argument("--run-id", default=None,
+                     help="idempotency id (default: boot / sync-<to-run>)")
+    ixp.add_argument("--from-run", dest="from_run", default=None)
+    ixp.add_argument("--to-run", dest="to_run", default=None)
+    ixp.add_argument("--text", action="append", default=None,
+                     help="probe text (repeatable; search)")
+    ixp.add_argument("--k", type=int, default=5)
+    ixp.add_argument("--nprobe", type=int, default=None,
+                     help="default: all centroids (exact)")
+
     con = sub.add_parser(
         "consistent",
         help="cross-table transactionally-consistent export of a "
@@ -364,6 +390,62 @@ def main(argv=None) -> int:
                 "certified_batches": len(certified),
                 "dest": args.dest,
             }
+        elif args.cmd == "index":
+            from .ops.index_sync import bootstrap_index, embed_rows, sync_from_feed
+            from .ops.similarity import PersistentIvf, hash_embed
+
+            if args.action == "compact":
+                out = PersistentIvf.load(args.index).compact()
+            elif args.action == "search":
+                idx = PersistentIvf.load(args.index)
+                q = hash_embed(args.text or [], dim=args.dim)
+                t = idx.search(
+                    q, k=args.k, nprobe=args.nprobe or len(idx.centroids)
+                )
+                out = {"hits": t.to_pylist()}
+            else:
+                if not args.out:
+                    p.error("index bootstrap/sync requires --out")
+                from .cdc.config import CdcConfig
+                from .cdc.pipeline import read_final_table
+
+                cfg = CdcConfig(
+                    out_dir=args.out,
+                    num_partitions=args.partitions,
+                    merge_strategy=args.merge_strategy,
+                )
+                cols = ["conv_id", "turn_idx", "text"]
+                if args.action == "bootstrap":
+                    if not os.path.exists(
+                        os.path.join(args.index, "_FORMAT.json")
+                    ):
+                        boot = read_final_table(cfg, columns=cols).map_batches(
+                            lambda t: embed_rows(t, args.dim),
+                            batch_format="pyarrow",
+                            zero_copy_batch=True,
+                        )
+                        PersistentIvf.build(
+                            args.index, boot, n_centroids=args.centroids
+                        )
+                    idx = PersistentIvf.load(args.index)
+                    out = bootstrap_index(
+                        idx, read_final_table(cfg, columns=cols),
+                        run_id=args.run_id or "boot", dim=args.dim,
+                    )
+                else:  # sync
+                    if not (args.from_run and args.to_run):
+                        p.error("index sync requires --from-run and --to-run")
+                    from .cdc.pipeline import change_feed
+
+                    idx = PersistentIvf.load(args.index)
+                    out = sync_from_feed(
+                        idx,
+                        change_feed(
+                            cfg, args.from_run, args.to_run, include_before=True
+                        ),
+                        args.run_id or f"sync-{args.to_run}",
+                        dim=args.dim,
+                    )
         elif args.cmd == "vacuum":
             from .cdc.config import CdcConfig
             from .cdc.pipeline import vacuum
