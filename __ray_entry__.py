@@ -559,6 +559,46 @@ def _run_cdc_ivm_tool_usage(sf_dir: str):
     return apply_tool_usage_feed(prior, feed)
 
 
+def _run_cdc_ivm_turn_context(sf_dir: str):
+    """Third maintained view — the JOIN shape (view = turns ⋈ per-conv
+    aggregate on conv_id): every feed row invalidates ALL of its
+    conversation's view rows, so maintenance is per-key re-derivation —
+    distinct changed conv_ids -> pruned point-read of only those
+    conversations (read_convs, never a table scan) -> re-run the view
+    kernel on the slice -> union with the anti-filtered prior snapshot.
+    Shares the t2ivm delta-mode table with the other IVM queries
+    (idempotent applies); oracle = window-function recompute over the
+    complete merge contract."""
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import (
+        apply_cdc,
+        change_feed,
+        read_final_table,
+        time_travel_runs,
+    )
+    from tg_data_connector_ray.fixtures import write_fixture
+    from tg_data_connector_ray.ops.transcripts import (
+        apply_turn_context_feed,
+        turn_context,
+    )
+
+    fx = write_fixture(_FIXTURE_CACHE, "t2")
+    out = os.path.join(_CDC_OUT, "t2ivm")
+    cfg = CdcConfig(out_dir=out, num_partitions=16, merge_strategy="delta")
+    batches, _ = _cdc_travel_prefix(fx)
+    applied = []
+    for i, b in enumerate(batches, start=1):
+        if b:
+            apply_cdc(b, cfg, run_id=f"ivm-r{i}")
+            applied.append(f"ivm-r{i}")
+    mid, head = applied[-2], applied[-1]
+    prior = turn_context(
+        read_final_table(cfg, runs=time_travel_runs(cfg, mid))
+    )
+    feed = change_feed(cfg, mid, head, include_before=True)
+    return apply_turn_context_feed(prior, feed, cfg)
+
+
 def _run_cdc_scd2(sf_dir: str):
     """SCD Type-2 version history straight from the t2 event log: one row
     per applied change event carrying the full post-event visible state
@@ -2696,6 +2736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_envelope_replay": _run_cdc_envelope,
         "cdc_incremental_stats": _run_cdc_incremental_stats,
         "cdc_ivm_tool_usage": _run_cdc_ivm_tool_usage,
+        "cdc_ivm_turn_context": _run_cdc_ivm_turn_context,
         "cdc_redact": _run_cdc_redact,
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
@@ -3215,6 +3256,19 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS ({_cdc_oracle_sql("t2")})
             SELECT tool, CAST(count(*) AS BIGINT) AS n_calls
             FROM m WHERE tool IS NOT NULL GROUP BY tool
+        """,
+        # third maintained view, JOIN shape: per-turn rows carrying
+        # conversation aggregates — maintenance re-derives changed keys
+        # via pruned point-reads; oracle = window-fn full recompute
+        "cdc_ivm_turn_context": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")})
+            SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, role, tool,
+                   CAST(coalesce(length(text), 0) AS BIGINT) AS text_chars,
+                   CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT)
+                       AS conv_turns,
+                   CAST(sum(coalesce(length(text), 0))
+                            OVER (PARTITION BY conv_id) AS BIGINT) AS conv_chars
+            FROM m
         """,
         # incremental view maintenance == full recompute of the view
         "cdc_incremental_stats": f"""

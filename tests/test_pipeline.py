@@ -1031,6 +1031,57 @@ def test_incremental_stats_maintenance_equals_recompute(t2, tmp_path):
     assert got.equals(exp)
 
 
+def test_turn_context_maintenance_equals_recompute(t2, tmp_path):
+    """JOIN-shaped IVM on the t2 fixture: the per-turn view (turns ⋈
+    conv aggregates) as of run 1, maintained by per-key re-derivation
+    from the change feed, equals a full recompute on the final table —
+    on three paths: the pruned point-read path, the forced full-recompute
+    fallback (max_changed_convs=0), and the empty-feed no-op."""
+    from tg_data_connector_ray.cdc.pipeline import (
+        change_feed,
+        read_final_table,
+        time_travel_runs,
+    )
+    from tg_data_connector_ray.ops.transcripts import (
+        apply_turn_context_feed,
+        turn_context,
+    )
+    from tg_data_connector_ray.util import list_files
+
+    def norm(df):
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "ivmj"), num_partitions=8, merge_strategy="delta"
+    )
+    files = sorted(list_files(t2["cdc_log"], suffix=".parquet"))
+    k = max(1, len(files) // 3)
+    apply_cdc(files[: 2 * k], cfg, run_id="r1")
+    apply_cdc(files[2 * k :], cfg, run_id="r2")
+
+    prior = turn_context(read_final_table(cfg, runs=time_travel_runs(cfg, "r1")))
+    feed = change_feed(cfg, "r1", "r2", include_before=True)
+    exp = norm(turn_context(read_final_table(cfg)).to_pandas())
+
+    got = norm(apply_turn_context_feed(prior, feed, cfg).to_pandas())
+    assert got.equals(exp)
+
+    # forced fallback: every changed set exceeds the bound -> full recompute
+    prior2 = turn_context(read_final_table(cfg, runs=time_travel_runs(cfg, "r1")))
+    fb = norm(
+        apply_turn_context_feed(
+            prior2, feed, cfg, max_changed_convs=0
+        ).to_pandas()
+    )
+    assert fb.equals(exp)
+
+    # empty feed is a no-op (the prior snapshot comes back unchanged)
+    empty_feed = change_feed(cfg, "r2", "r2", include_before=True)
+    head_view = turn_context(read_final_table(cfg))
+    same = norm(apply_turn_context_feed(head_view, empty_feed, cfg).to_pandas())
+    assert same.equals(exp)
+
+
 def test_redact_convs_through_the_log(t1, tmp_path):
     """Right-to-be-forgotten via synthesized U events: target convs'
     live turns get text := [REDACTED] (roles/ts untouched), other convs

@@ -620,3 +620,145 @@ def apply_tool_usage_feed(prior, feed, n_coarse: int = 64, exchange: str = "spoo
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return _ex.carry_spool_lease(merged, out)
+
+
+# ---------------------------------------------------------------------------
+# Join-shaped maintained view: per-turn rows enriched with conversation
+# aggregates (turns JOIN conv-level stats on conv_id)
+# ---------------------------------------------------------------------------
+
+TURN_CONTEXT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("tool", pa.string()),
+        ("text_chars", pa.int64()),
+        ("conv_turns", pa.int64()),
+        ("conv_chars", pa.int64()),
+    ]
+)
+
+_TCTX_IN_COLS = ["conv_id", "turn_idx", "role", "tool", "text"]
+
+
+def turn_context_block(g: pa.Table) -> pa.Table:
+    """One co-located bucket of the turn-context view: every live turn
+    carries its conversation's turn count and total characters — the
+    fact-side of a `turns JOIN conv_stats ON conv_id` evaluated without a
+    join: dictionary-encode conv_id, two np.bincount segment reductions,
+    one gather back to row order.  Exact int64 (bincount's float64
+    accumulator is exact for integer weights far below 2^53 — a single
+    conversation's character total)."""
+    import pyarrow.compute as pc
+
+    if "_cg" in g.column_names:
+        g = g.drop_columns(["_cg"])
+    if g.num_rows == 0:
+        return TURN_CONTEXT_SCHEMA.empty_table()
+
+    conv_dict = _col_np(g, "conv_id").dictionary_encode()
+    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_codes = len(conv_dict.dictionary)
+    chars = (
+        pc.fill_null(pc.utf8_length(g["text"]), 0)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+    )
+    conv_turns = np.bincount(codes, minlength=n_codes).astype(np.int64)
+    conv_chars = np.bincount(codes, weights=chars, minlength=n_codes).astype(
+        np.int64
+    )
+    return pa.table(
+        {
+            "conv_id": g["conv_id"],
+            "turn_idx": g["turn_idx"].cast(pa.int32()),
+            "role": g["role"],
+            "tool": g["tool"],
+            "text_chars": pa.array(chars),
+            "conv_turns": pa.array(conv_turns[codes]),
+            "conv_chars": pa.array(conv_chars[codes]),
+        },
+        schema=TURN_CONTEXT_SCHEMA,
+    )
+
+
+def turn_context(transcripts, n_coarse: int = 64, exchange: str = "spool"):
+    """Per-turn view enriched with conversation-level aggregates — the
+    JOIN-shaped sibling of the `conv_stats` / `tool_usage` maintained
+    views (view = turns ⋈ per-conv aggregate on conv_id).  Same exchange
+    shape as `sft_pairs`: one conv_id hash co-location, then a vectorized
+    per-bucket kernel; output streams as Arrow blocks, O(turns)."""
+    return _conv_grouped(
+        transcripts.select_columns(_TCTX_IN_COLS),
+        turn_context_block,
+        n_coarse,
+        exchange,
+        "tctx",
+    )
+
+
+class _NotInConvs:
+    """Instance-shipped anti-filter: drop rows whose conv_id is in the
+    (bounded) changed-key set.  The value_set rides the instance into the
+    object store once, not per-batch."""
+
+    def __init__(self, conv_ids: "list[str]"):
+        self.value_set = pa.array(conv_ids, type=pa.string())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.invert(pc.is_in(t["conv_id"], value_set=self.value_set))
+        )
+
+
+def apply_turn_context_feed(
+    prior,
+    feed,
+    cfg,
+    max_changed_convs: int = 50_000,
+    n_coarse: int = 64,
+    exchange: str = "spool",
+):
+    """Incremental maintenance of the JOIN-shaped view: because every
+    group key the feed touches invalidates ALL of that conversation's
+    view rows (one new turn changes conv_turns on every sibling row),
+    the delta algebra is per-KEY re-derivation, not per-row ± folding —
+    (1) distinct changed conv_ids from the feed, (2) pruned point-read
+    of ONLY those conversations' live turns from the converged table
+    (`read_convs`: O(distinct partitions of the keys), never a table
+    scan), (3) re-run the view kernel on that slice, (4) union with the
+    prior snapshot anti-filtered by the changed set.  Cost O(prior scan
+    + feed + changed convs' rows); fully-deleted conversations drop out
+    (their point-read returns no live rows), inserts/resurrections
+    appear.
+
+    The feed must end at the table's current head (`read_convs` reads
+    live state).  Past ``max_changed_convs`` the changed-set point-read
+    and broadcast anti-filter stop being "small side" (read_convs
+    returns driver-side rows) — fall back to a full recompute, the same
+    bound-then-fallback contract as the broadcast joins."""
+    import ray
+
+    from ..cdc.pipeline import read_convs, read_final_table
+
+    changed = feed.unique("conv_id")
+    if not changed:
+        return prior
+    if len(changed) > max_changed_convs:
+        return turn_context(
+            read_final_table(cfg, columns=_TCTX_IN_COLS),
+            n_coarse=n_coarse,
+            exchange=exchange,
+        )
+    changed = sorted(changed)
+    fresh_rows = read_convs(cfg, changed).select(_TCTX_IN_COLS)
+    fresh = ray.data.from_arrow(turn_context_block(fresh_rows))
+    kept = prior.map_batches(
+        _NotInConvs(changed), batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ..pipelines import exchange as _ex
+
+    return _ex.carry_spool_lease(prior, kept.union(fresh))
