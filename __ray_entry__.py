@@ -684,6 +684,20 @@ def _transcript_tool_transitions(sf_dir: str):
     return tool_transitions(_t2_base_table())
 
 
+def _transcript_validate(sf_dir: str):
+    """Conversation-structure QA over the merged table — the gate a chat
+    corpus passes before SFT extraction/rendering: per conversation,
+    turn_idx holes (CDC deletes leave gaps), consecutive same-role turns,
+    whether turn 0 survived, null-role/empty-text counts, and tool values
+    on non-tool roles (orphan-update registers can set tool while the
+    visible role differs).  conv_id co-location + one lexsort + segment
+    bincounts per bucket.  Oracle: lag()/min() window recompute over the
+    merge contract."""
+    from tg_data_connector_ray.ops.transcripts import transcript_validate
+
+    return transcript_validate(_t2_base_table())
+
+
 def _transcript_boilerplate(sf_dir: str):
     """Boilerplate / canned-response detection over the merged table:
     exact assistant texts recurring across >= 2 distinct conversations,
@@ -2741,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sft_pairs": _transcript_sft_pairs,
         "transcript_render": _transcript_render,
         "transcript_tool_transitions": _transcript_tool_transitions,
+        "transcript_validate": _transcript_validate,
         # --- multimodal (oracle-checked real PPM / WAV decode) ---
         "multimodal_image_stats": _multimodal_image_stats,
         "multimodal_audio_stats": _multimodal_audio_stats,
@@ -3358,6 +3373,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s WHERE src_tool IS NOT NULL
             GROUP BY src_tool, dst_tool
             ORDER BY src_tool, dst_tool
+        """,
+        # per-conversation structural QA (gaps, role repeats, payload nulls)
+        "transcript_validate": f"""
+            WITH m AS ({_cdc_oracle_sql("t2")}), s AS (
+              SELECT conv_id, turn_idx, role, text, tool,
+                     lag(turn_idx) OVER w AS prev_idx,
+                     lag(role) OVER w AS prev_role
+              FROM m WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN prev_idx IS NOT NULL
+                                  AND turn_idx - prev_idx > 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS idx_gaps,
+                   CAST(sum(CASE WHEN role IS NOT NULL AND prev_role IS NOT NULL
+                                  AND role = prev_role
+                            THEN 1 ELSE 0 END) AS BIGINT) AS role_repeats,
+                   CAST(CASE WHEN min(turn_idx) = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS starts_at_zero,
+                   CAST(sum(CASE WHEN role IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS null_role,
+                   CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+                   CAST(sum(CASE WHEN tool IS NOT NULL
+                                  AND (role IS NULL OR role <> 'tool')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tool_mismatch
+            FROM s GROUP BY conv_id
         """,
         # assistant texts recurring across >= 2 distinct conversations
         "transcript_boilerplate": f"""

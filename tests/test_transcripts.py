@@ -363,3 +363,97 @@ def test_tool_usage_feed_key_moving_deltas(ray_session):
     out = apply_tool_usage_feed(prior, ray.data.from_arrow(feed))
     rows = {r["tool"]: r["n_calls"] for r in out.take_all()}
     assert rows == {"b": 3, "c": 5}  # a: 2-2 -> dropped; b: 1+2
+
+
+def vtbl(rows):
+    """rows: (conv_id, turn_idx, role, text, tool)"""
+    return pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+
+
+def test_validate_block_flags_every_defect_class():
+    """One crafted bucket covering each QA signal: turn_idx holes,
+    same-role runs, a conversation not starting at 0, null roles,
+    empty/null texts, and tool set on a non-tool role."""
+    from tg_data_connector_ray.ops.transcripts import validate_block
+
+    out = validate_block(
+        vtbl(
+            [
+                    # clean conversation
+                    ("a", 0, "user", "hi", None),
+                    ("a", 1, "assistant", "yo", None),
+                    ("a", 2, "tool", "out", "grep"),
+                    # gap (1 missing), role repeat, starts at 0
+                    ("b", 0, "user", "q", None),
+                    ("b", 2, "assistant", "x", None),
+                    ("b", 3, "assistant", "y", None),
+                    # starts at 4 (deleted head), null role, empty+null text,
+                    # tool on an assistant turn
+                    ("c", 4, None, "", None),
+                    ("c", 5, "assistant", None, "sed"),
+                ]
+        )
+    )
+    got = {r["conv_id"]: r for r in out.to_pylist()}
+    a, b, c = got["a"], got["b"], got["c"]
+    assert (a["n_turns"], a["idx_gaps"], a["role_repeats"]) == (3, 0, 0)
+    assert (a["starts_at_zero"], a["null_role"], a["null_text"]) == (1, 0, 0)
+    assert a["tool_mismatch"] == 0
+    assert (b["n_turns"], b["idx_gaps"], b["role_repeats"]) == (3, 1, 1)
+    assert b["starts_at_zero"] == 1
+    assert (c["n_turns"], c["starts_at_zero"]) == (2, 0)
+    assert (c["null_role"], c["null_text"], c["tool_mismatch"]) == (1, 2, 1)
+
+
+def test_validate_block_unsorted_and_empty():
+    """Row order must not matter (the kernel lexsorts), and an empty
+    bucket yields the typed empty table."""
+    from tg_data_connector_ray.ops.transcripts import validate_block
+
+    rows = [
+        ("z", 3, "assistant", "y", None),
+        ("z", 0, "user", "q", None),
+        ("z", 1, "assistant", "x", None),
+    ]
+    got = validate_block(vtbl(rows)).to_pylist()[0]
+    # the (1,3) assistant pair counts as a repeat even across the gap —
+    # lag(role) semantics, same as the SQL oracle
+    assert (got["idx_gaps"], got["role_repeats"], got["starts_at_zero"]) == (1, 1, 1)
+    assert validate_block(vtbl([])).num_rows == 0
+
+
+def test_validate_dataset_matches_kernel(t1):
+    """Distributed QA over the golden final table == one-shot kernel over
+    the same table read whole (both exchange paths)."""
+    import ray
+
+    from tg_data_connector_ray.cdc.golden import golden_apply
+    from tg_data_connector_ray.ops.transcripts import (
+        transcript_validate,
+        validate_block,
+    )
+    from tg_data_connector_ray.util import list_files
+
+    files = sorted(list_files(t1["cdc_log"], suffix=".parquet"))
+    golden = golden_apply([pa.parquet.read_table(f) for f in files])
+    want = validate_block(
+        golden.select(["conv_id", "turn_idx", "role", "tool", "text"])
+    ).sort_by("conv_id")
+
+    for exchange in ("spool", "groupby"):
+        out = transcript_validate(
+            ray.data.from_arrow(golden), n_coarse=8, exchange=exchange
+        )
+        got = pa.concat_tables(
+            t for t in ray.get(out.to_arrow_refs()) if t.num_rows
+        ).sort_by("conv_id")
+        assert got.num_rows == want.num_rows > 0
+        assert got.equals(want)

@@ -698,6 +698,110 @@ def turn_context(transcripts, n_coarse: int = 64, exchange: str = "spool"):
     )
 
 
+# ---------------------------------------------------------------------------
+# Conversation-structure validation (chat-log QA)
+# ---------------------------------------------------------------------------
+
+VALIDATE_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("n_turns", pa.int64()),
+        ("idx_gaps", pa.int64()),
+        ("role_repeats", pa.int64()),
+        ("starts_at_zero", pa.int64()),
+        ("null_role", pa.int64()),
+        ("null_text", pa.int64()),
+        ("tool_mismatch", pa.int64()),
+    ]
+)
+
+
+def validate_block(g: pa.Table) -> pa.Table:
+    """Structural QA over one co-located bucket — the signals a training
+    pipeline checks before rendering chat logs into documents: per
+    conversation, turn_idx holes (deleted/missing turns), consecutive
+    same-role turns (broken user/assistant alternation), whether the
+    conversation still starts at turn 0, null/empty payload counts, and
+    tool values on non-tool roles (an orphan-update register can set
+    `tool` while the visible role differs).  One lexsort, then segment
+    reductions (np.bincount over conv codes) — no per-conversation
+    dispatch."""
+    import pyarrow.compute as pc
+
+    if "_cg" in g.column_names:
+        g = g.drop_columns(["_cg"])
+    if g.num_rows == 0:
+        return VALIDATE_SCHEMA.empty_table()
+
+    conv_dict = _col_np(g, "conv_id").dictionary_encode()
+    codes = conv_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_codes = len(conv_dict.dictionary)
+    turn = _col_np(g, "turn_idx").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((turn, codes))
+    codes_s, turn_s = codes[order], turn[order]
+    take = pa.array(order)
+
+    role_dict = _col_np(g, "role").take(take).dictionary_encode()
+    r = pc.fill_null(role_dict.indices, -1).to_numpy(zero_copy_only=False)
+    r = r.astype(np.int64)
+    roles = role_dict.dictionary.to_pylist()
+    tool_code = roles.index("tool") if "tool" in roles else -2
+
+    text_s = _col_np(g, "text").take(take)
+    text_empty = (
+        pc.equal(pc.fill_null(pc.utf8_length(text_s), 0), 0)
+        .to_numpy(zero_copy_only=False)
+    )
+    tool_set = pc.is_valid(_col_np(g, "tool").take(take)).to_numpy(
+        zero_copy_only=False
+    )
+
+    same_conv = codes_s[1:] == codes_s[:-1]
+    pair_codes = codes_s[1:]
+    gaps = same_conv & (turn_s[1:] - turn_s[:-1] > 1)
+    repeats = same_conv & (r[1:] == r[:-1]) & (r[1:] >= 0)
+
+    n_turns = np.bincount(codes_s, minlength=n_codes)
+    idx_gaps = np.bincount(pair_codes[gaps], minlength=n_codes)
+    role_repeats = np.bincount(pair_codes[repeats], minlength=n_codes)
+    null_role = np.bincount(codes_s[r < 0], minlength=n_codes)
+    null_text = np.bincount(codes_s[text_empty], minlength=n_codes)
+    mism = tool_set & (r != tool_code)
+    tool_mismatch = np.bincount(codes_s[mism], minlength=n_codes)
+    starts = np.concatenate([[0], np.nonzero(~same_conv)[0] + 1])
+    starts_at_zero = np.zeros(n_codes, np.int64)
+    starts_at_zero[codes_s[starts]] = (turn_s[starts] == 0).astype(np.int64)
+
+    return pa.table(
+        {
+            "conv_id": conv_dict.dictionary.cast(pa.string()),
+            "n_turns": pa.array(n_turns.astype(np.int64)),
+            "idx_gaps": pa.array(idx_gaps.astype(np.int64)),
+            "role_repeats": pa.array(role_repeats.astype(np.int64)),
+            "starts_at_zero": pa.array(starts_at_zero),
+            "null_role": pa.array(null_role.astype(np.int64)),
+            "null_text": pa.array(null_text.astype(np.int64)),
+            "tool_mismatch": pa.array(tool_mismatch.astype(np.int64)),
+        },
+        schema=VALIDATE_SCHEMA,
+    )
+
+
+def transcript_validate(transcripts, n_coarse: int = 64, exchange: str = "spool"):
+    """Per-conversation structural QA view (see `validate_block`) — the
+    gate a transcript corpus passes before SFT-pair extraction or
+    rendering.  Same exchange shape as the other conversation views:
+    one conv_id hash co-location, vectorized per-bucket kernel,
+    O(conversations) output."""
+    return _conv_grouped(
+        transcripts.select_columns(_TCTX_IN_COLS),
+        validate_block,
+        n_coarse,
+        exchange,
+        "tval",
+    )
+
+
 class _NotInConvs:
     """Instance-shipped anti-filter: drop rows whose conv_id is in the
     (bounded) changed-key set.  The value_set rides the instance into the
