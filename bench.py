@@ -235,6 +235,10 @@ def run_query_bench() -> "tuple[dict, dict]":
         "docs_quality_classifier",
         "docs_prep_v3",
         "docs_leakage_split_incremental",
+        # round 5 closing continuation: join-shaped IVM + transcript QA
+        # (fixture-scale)
+        "cdc_ivm_turn_context",
+        "transcript_validate",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
