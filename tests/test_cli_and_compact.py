@@ -618,3 +618,67 @@ def test_cli_index_verb(t1, tmp_path):
     assert main(["index", "compact", "--index", ix]) == 0
     assert idx.search(q, k=3, nprobe=2).select(
         ["query_id", "vec_id"]).to_pylist() == exp.to_pylist()
+
+
+def test_plan_ingest_rules():
+    """The sizing arithmetic: partitions from run volume rounded up to a
+    CPU multiple, the merge-wave cap, and state-band repartition advice
+    in both directions."""
+    from tg_data_connector_ray.cdc.plan import (
+        GiB,
+        MiB,
+        plan_ingest,
+    )
+
+    # the measured sweet spot reproduces: 2.3 GB / 32 CPUs -> 96 parts
+    p = plan_ingest(2_300_000_000, cpus=32)
+    assert p["recommended"]["num_partitions"] == 96
+    assert p["recommended"]["override_num_blocks"] == 35  # ceil(2.3e9/64MiB)
+    assert not p["warnings"]
+
+    # tiny run floors at 2x CPUs
+    assert plan_ingest(1 * MiB, cpus=8)["recommended"]["num_partitions"] == 16
+
+    # huge single run hits the wave cap and warns to split the run
+    big = plan_ingest(1000 * GiB, cpus=32)
+    assert big["recommended"]["num_partitions"] == 16 * 32
+    assert any("smaller runs" in w for w in big["warnings"])
+
+    # oversized state -> migrate up (doubling until inside the band)
+    s = plan_ingest(1 * GiB, cpus=8, existing_partitions=8,
+                    state_bytes=40 * GiB)
+    assert s["state"]["recommend_migrate_to"] == 32
+    assert any("migrate --to-partitions 32" in w for w in s["warnings"])
+
+    # dust-sized state across many partitions -> migrate down
+    s2 = plan_ingest(1 * GiB, cpus=4, existing_partitions=256,
+                     state_bytes=256 * MiB)
+    assert s2["state"]["recommend_migrate_to"] == 8
+    # healthy state: no advice
+    s3 = plan_ingest(1 * GiB, cpus=8, existing_partitions=8,
+                     state_bytes=8 * GiB)
+    assert "recommend_migrate_to" not in s3["state"]
+
+
+def test_cli_plan_verb(t1, tmp_path):
+    """`plan` CLI: derives log size/events from footers and state advice
+    from an applied table, metadata-only."""
+    from tg_data_connector_ray.__main__ import main
+
+    cfg = CdcConfig(out_dir=str(tmp_path / "pl"), num_partitions=4)
+    apply_cdc(t1["cdc_log"], cfg)
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["plan", "--log", t1["cdc_log"], "--out", cfg.out_dir,
+                   "--cpus", "4"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["cpus"] == 4
+    assert rep["n_files"] > 0
+    assert rep["events"] > 0 and rep["events_estimated"] is False
+    assert rep["recommended"]["num_partitions"] % 4 == 0
+    assert rep["state"]["partitions"] == 4

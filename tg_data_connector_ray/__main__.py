@@ -209,6 +209,17 @@ def main(argv=None) -> int:
     lin.add_argument("--out", required=True)
     lin.add_argument("--parts", action="store_true", help="include per-partition rows")
 
+    pln = sub.add_parser(
+        "plan", help="capacity advisor: recommend --partitions / read "
+        "blocks for a log batch from its size, and repartition advice "
+        "for an existing table vs the 0.5-2 GiB state band (metadata "
+        "only — never reads table data)"
+    )
+    pln.add_argument("--log", required=True, help="CDC log directory")
+    pln.add_argument("--out", help="existing table dir for state advice")
+    pln.add_argument("--cpus", type=int, default=None,
+                     help="cluster CPU total (default: this node's)")
+
     get = sub.add_parser(
         "get", help="point lookup: the live turns of specific conv_ids "
         "(pruned partition reads, never a table scan)"
@@ -476,6 +487,10 @@ def main(argv=None) -> int:
             out = lineage_summary(CdcConfig(out_dir=args.out))
             if not args.parts:
                 out.pop("parts")
+        elif args.cmd == "plan":
+            from .cdc.plan import plan_from_paths
+
+            out = plan_from_paths(args.log, out_dir=args.out, cpus=args.cpus)
         elif args.cmd == "dedup":
             from .ops.dedup_incremental import compact_dedup_state
 
