@@ -209,6 +209,19 @@ def main(argv=None) -> int:
     lin.add_argument("--out", required=True)
     lin.add_argument("--parts", action="store_true", help="include per-partition rows")
 
+    vw = sub.add_parser(
+        "view", help="persistent maintained views: bootstrap a derived "
+        "table (conv_stats / tool_usage / turn_context) off the converged "
+        "table, then sync folds only the change feed since the last "
+        "synced run (delta-mode source required)"
+    )
+    vw.add_argument("action", choices=["bootstrap", "sync", "show"])
+    vw.add_argument("--view-dir", required=True)
+    vw.add_argument("--out", help="source table dir (bootstrap/sync)")
+    vw.add_argument("--kind", help="view kind (bootstrap)")
+    vw.add_argument("--partitions", type=int, default=64,
+                    help="source table partition count")
+
     pln = sub.add_parser(
         "plan", help="capacity advisor: recommend --partitions / read "
         "blocks for a log batch from its size, and repartition advice "
@@ -487,6 +500,28 @@ def main(argv=None) -> int:
             out = lineage_summary(CdcConfig(out_dir=args.out))
             if not args.parts:
                 out.pop("parts")
+        elif args.cmd == "view":
+            from .cdc.config import CdcConfig
+            from .cdc.views import bootstrap_view, read_view, sync_view
+
+            if args.action == "show":
+                from .util import read_json as _rj
+
+                out = _rj(os.path.join(args.view_dir, "view.json"))
+                out["rows"] = read_view(args.view_dir).count()
+            else:
+                if not args.out:
+                    p.error("view bootstrap/sync requires --out")
+                vcfg = CdcConfig(
+                    out_dir=args.out, num_partitions=args.partitions,
+                    merge_strategy="delta",
+                )
+                if args.action == "bootstrap":
+                    if not args.kind:
+                        p.error("view bootstrap requires --kind")
+                    out = bootstrap_view(args.view_dir, args.kind, vcfg)
+                else:
+                    out = sync_view(args.view_dir, vcfg)
         elif args.cmd == "plan":
             from .cdc.plan import plan_from_paths
 
