@@ -1790,3 +1790,83 @@ def test_journaled_replay_skips_exchange_entirely(t1, tmp_path, monkeypatch):
     assert s3["partitions_applied"] == 1
     assert s3["partitions_skipped"] == s3["partitions"] - 1
     assert_converged(cfg, pq.read_table(t1["transcripts"]))
+
+
+def test_change_feed_prunes_untouched_partitions(tmp_path):
+    """A window that touches one conversation folds only that key's
+    partition: _window_touched_dirs keeps a strict subset, the pruned
+    feed equals the brute diff of the two as-of tables, an empty window
+    yields a typed empty feed, and compaction past from_run still raises
+    TimeTravelError (pruning must never turn the horizon error into a
+    silently short feed)."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.cdc.merge import TimeTravelError
+    from tg_data_connector_ray.cdc.pipeline import (
+        _partition_state_dirs,
+        _window_touched_dirs,
+        change_feed,
+        compact,
+        time_travel,
+        time_travel_runs,
+    )
+
+    def log(path, rows):
+        t = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "conv_id": pa.array([r[2] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[4] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array(["2026-01-01 00:00:01"] * len(rows), pa.string()),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path)
+        return path
+
+    cfg = CdcConfig(
+        out_dir=str(tmp_path / "pr"), num_partitions=16, merge_strategy="delta"
+    )
+    # run 1 spreads 64 keys over all partitions; run 2 touches ONE conv
+    f1 = log(
+        str(tmp_path / "l1" / "b.parquet"),
+        [(i + 1, "I", f"conv{i:03d}", 0, "v1") for i in range(64)],
+    )
+    f2 = log(
+        str(tmp_path / "l2" / "b.parquet"),
+        [(100, "U", "conv007", 0, "v2")],
+    )
+    apply_cdc([f1], cfg, run_id="r1")
+    apply_cdc([f2], cfg, run_id="r2")
+
+    ra, rb = time_travel_runs(cfg, "r1"), time_travel_runs(cfg, "r2")
+    touched = _window_touched_dirs(cfg, ra, rb)
+    assert 0 < len(touched) < len(_partition_state_dirs(cfg))
+
+    feed = change_feed(cfg, "r1", "r2").to_pandas()
+    assert list(feed["conv_id"]) == ["conv007"] and list(feed["op"]) == ["U"]
+    # brute diff agrees: exactly the rows whose text changed between folds
+    before = time_travel(cfg, "r1", sort=True)
+    after = time_travel(cfg, "r2", sort=True)
+    diff = after.filter(pc.equal(after["conv_id"], "conv007"))
+    assert diff["text"].to_pylist() == ["v2"]
+    assert before.num_rows == after.num_rows == 64
+
+    # empty window -> typed empty feed (no partition folds at all); the
+    # Dataset-level schema keeps the preimage columns (to_pandas drops
+    # columns on any empty Ray dataset — pre-existing Ray quirk, same as
+    # the unpruned path)
+    empty = change_feed(cfg, "r2", "r2", include_before=True)
+    assert empty.count() == 0 and "text_old" in empty.schema().names
+
+    # compaction folds the window into every base: the horizon error
+    # must still surface (kept-dir path), not a silent empty feed
+    compact(cfg)
+    import pytest as _pt
+
+    with _pt.raises(TimeTravelError):
+        change_feed(cfg, "r1", "r2").to_pandas()

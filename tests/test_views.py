@@ -134,3 +134,53 @@ def test_cli_view_verbs(t2, tmp_path):
     assert s["synced"] is True and s["synced_run"] == "r2"
     sh = run("view", "show", "--view-dir", vdir)
     assert sh["kind"] == "tool_usage" and sh["rows"] > 0
+
+
+def test_sync_views_shared_feed_equals_per_view(t2, tmp_path):
+    """Batched sync (one derived feed for all views) lands every view on
+    the same snapshot content as per-view syncs; a second batched call
+    is a no-op for all of them."""
+    cfg, rest = _two_run_table(t2, tmp_path)
+    from tg_data_connector_ray.cdc.views import _builders, sync_views
+
+    dirs = {}
+    for kind in VIEW_KINDS:
+        dirs[kind] = str(tmp_path / f"b_{kind}")
+        bootstrap_view(dirs[kind], kind, cfg)
+    apply_cdc(rest, cfg, run_id="r2")
+
+    res = sync_views(list(dirs.values()), cfg)
+    assert all(r["synced"] and r["synced_run"] == "r2" for r in res)
+    for kind in VIEW_KINDS:
+        build, _ = _builders()[kind]
+        keys = ["conv_id", "turn_idx"] if kind == "turn_context" else (
+            ["tool"] if kind == "tool_usage" else ["conv_id"]
+        )
+        got = _norm(read_view(dirs[kind]), keys)
+        want = _norm(build(read_final_table(cfg), cfg), keys)
+        assert got.equals(want)
+
+    res2 = sync_views(list(dirs.values()), cfg)
+    assert all(r["synced"] is False for r in res2)
+
+
+def test_sync_views_mixed_cursors_fall_back(t2, tmp_path):
+    """Views lagging at different cursors have no shared feed window —
+    the batched call degrades to per-view syncs and still converges."""
+    cfg, rest = _two_run_table(t2, tmp_path)
+    a = str(tmp_path / "ma")
+    bootstrap_view(a, "conv_stats", cfg)
+    apply_cdc(rest[: len(rest) // 2 or 1], cfg, run_id="r2")
+    b = str(tmp_path / "mb")
+    bootstrap_view(b, "tool_usage", cfg)  # cursor r2; a lags at r1
+    apply_cdc(rest[len(rest) // 2 or 1 :], cfg, run_id="r3")
+
+    from tg_data_connector_ray.cdc.views import _builders, sync_views
+
+    res = sync_views([a, b], cfg)
+    assert all(r["synced_run"] == "r3" for r in res)
+    for d, kind, keys in ((a, "conv_stats", ["conv_id"]), (b, "tool_usage", ["tool"])):
+        build, _ = _builders()[kind]
+        assert _norm(read_view(d), keys).equals(
+            _norm(build(read_final_table(cfg), cfg), keys)
+        )

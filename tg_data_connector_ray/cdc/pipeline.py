@@ -1655,7 +1655,17 @@ def change_feed(
     sufficient for downstream incremental view maintenance (subtract the
     old contribution, add the new: see ops.transcripts.apply_stats_feed).
     Requires merge_strategy='delta' history reaching back to `from_run`
-    (else merge.TimeTravelError, never a wrong feed)."""
+    (else merge.TimeTravelError, never a wrong feed).
+
+    Partitions untouched in the window are PRUNED before any fold: a
+    partition's state can only differ between the two as-of reads if it
+    holds a delta-run file named by a window run, so the feed costs
+    O(touched partitions), not O(all partitions) — the property that
+    makes small-delta syncs cheap on a wide table.  Pruning is
+    conservative at the compaction horizon: a partition whose base
+    already folds past `from_run` is kept so the fold raises
+    TimeTravelError exactly as before (never a silently-shorter feed);
+    see `_window_touched_dirs`."""
     runs_a = time_travel_runs(cfg, from_run)
     runs_b = time_travel_runs(cfg, to_run)
     if not runs_a <= runs_b:
@@ -1666,6 +1676,17 @@ def change_feed(
     from .merge import read_partition_state
 
     policy = cfg.orphan_updates
+
+    def _empty_feed() -> pa.Table:
+        payload = [c for c in USER_COLS if c not in ("conv_id", "turn_idx")]
+        sch = _empty_final_table().schema
+        cols = {"op": pa.array([], pa.string())}
+        for c in USER_COLS:
+            cols[c] = pa.array([], sch.field(c).type)
+        if include_before:
+            for c in payload:
+                cols[f"{c}_old"] = pa.array([], sch.field(c).type)
+        return pa.table(cols)
 
     def _keystr(t: pa.Table) -> pa.Array:
         return pa.compute.binary_join_element_wise(
@@ -1680,25 +1701,7 @@ def change_feed(
         pc_ = pa.compute
         outs = []
         payload_cols = [c for c in USER_COLS if c not in ("conv_id", "turn_idx")]
-        empty = pa.table(
-            {
-                "op": pa.array([], pa.string()),
-                **{
-                    c: pa.array([], _empty_final_table().schema.field(c).type)
-                    for c in USER_COLS
-                },
-                **(
-                    {
-                        f"{c}_old": pa.array(
-                            [], _empty_final_table().schema.field(c).type
-                        )
-                        for c in payload_cols
-                    }
-                    if include_before
-                    else {}
-                ),
-            }
-        )
+        empty = _empty_feed()
         for d in t["part_dir"].to_pylist():
             a = read_partition_state(d, policy=policy, runs=runs_a)
             b = read_partition_state(d, policy=policy, runs=runs_b)
@@ -1776,10 +1779,51 @@ def change_feed(
             outs.append(pa.table(cols))
         return pa.concat_tables(outs) if outs else empty
 
-    dirs = _partition_state_dirs(cfg)
+    dirs = _window_touched_dirs(cfg, runs_a, runs_b)
+    if not dirs:
+        return ray.data.from_arrow(_empty_feed())
     return ray.data.from_items([{"part_dir": d} for d in dirs]).map_batches(
         feed_dir, batch_format="pyarrow", batch_size=1
     )
+
+
+def _window_touched_dirs(
+    cfg: CdcConfig, runs_a: "frozenset[str]", runs_b: "frozenset[str]"
+) -> "list[str]":
+    """Partition dirs that can contribute change-feed rows for the window
+    runs_b - runs_a.  A partition's two as-of folds can only differ if a
+    window run landed a delta file there (delta filenames carry the run
+    id), so dirs without one are pruned.  A base state folding runs
+    outside runs_a (compaction past from_run, refold-mode bases,
+    pre-run-tracking state) cannot serve the from_run fold at all —
+    raise TimeTravelError here, driver-side and unwrapped, instead of
+    letting the task fold hit it: pruning must never turn the horizon
+    error into a silently shorter feed.  Driver-side metadata only
+    (dir listings + parquet footers of suspect bases)."""
+    from .merge import (
+        TimeTravelError,
+        _delta_run_id,
+        folded_runs_of,
+        partition_state_files,
+    )
+
+    window = set(runs_b) - set(runs_a)
+    allowed = set(runs_a)
+    out = []
+    for d in _partition_state_dirs(cfg):
+        base, deltas = partition_state_files(d)
+        if base is not None:
+            folded = folded_runs_of(base)
+            if folded is None or not set(folded) <= allowed:
+                raise TimeTravelError(
+                    f"{base} folds runs {sorted(folded) if folded else '<unrecorded>'} "
+                    "beyond the feed window's from_run — compaction moved the "
+                    "horizon past it; the change feed reaches back only to the "
+                    "last compacted base"
+                )
+        if any(_delta_run_id(f) in window for f in deltas):
+            out.append(d)
+    return out
 
 
 def verify_against(cfg: CdcConfig, expected_path: str) -> dict:

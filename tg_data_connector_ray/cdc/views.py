@@ -155,6 +155,48 @@ def sync_view(view_dir: str, cfg: CdcConfig) -> dict:
     return {**meta, "synced": True, "head": head}
 
 
+def sync_views(view_dirs: "list[str]", cfg: CdcConfig) -> "list[dict]":
+    """Sync several views of ONE source table in one pass: the change
+    feed — the expensive half of a sync (two as-of state folds across
+    every partition) — is derived ONCE and pinned in the object store,
+    then each view folds it.  This is the amortization that makes
+    maintained views pay at cheap-aggregate tiers (measured: a single
+    conv_stats sync costs ~2x its recompute because the feed derivation
+    is O(state folds); three views off one feed flip it — see
+    BASELINE.md view_sync_bench).  Views whose cursor is already at head
+    are skipped; all views must share the source and, for a shared feed,
+    the same cursor (differing cursors fall back to per-view syncs)."""
+    metas = [read_json(_meta_path(d)) for d in view_dirs]
+    runs = _journaled_runs(cfg)
+    head = runs[-1] if runs else None
+    pending = [
+        (d, m) for d, m in zip(view_dirs, metas) if m["synced_run"] != head
+    ]
+    if not pending:
+        return [{**m, "synced": False, "head": head} for m in metas]
+    cursors = {m["synced_run"] for _, m in pending}
+    if len(cursors) > 1:  # mixed lag: no shared window to amortize
+        return [sync_view(d, cfg) for d in view_dirs]
+    (cursor,) = cursors
+    if cursor not in runs:
+        raise ValueError(
+            f"view cursor {cursor!r} is not journaled in {cfg.out_dir}"
+        )
+    from .pipeline import change_feed
+
+    feed = change_feed(cfg, cursor, head, include_before=True).materialize()
+    out = []
+    for d, m in zip(view_dirs, metas):
+        if m["synced_run"] == head:
+            out.append({**m, "synced": False, "head": head})
+            continue
+        _, apply_feed = _builders()[m["kind"]]
+        updated = apply_feed(read_view(d), feed, cfg)
+        m2 = _commit_snapshot(d, updated, {**m, "synced_run": head})
+        out.append({**m2, "synced": True, "head": head})
+    return out
+
+
 def read_view(view_dir: str):
     """The view's current snapshot as a streaming Dataset."""
     import ray
