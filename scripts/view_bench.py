@@ -54,7 +54,7 @@ def main() -> None:
     files = sorted(
         os.path.join(log, f) for f in os.listdir(log) if f.endswith(".parquet")
     )
-    boot, tail = files[:-4], files[-4:]
+    boot, tail, tail2 = files[:-4], files[-4:-2], files[-2:]
     for p in files:  # page-cache warm
         with open(p, "rb") as f:
             while f.read(1 << 24):
@@ -95,7 +95,7 @@ def main() -> None:
     # derived+pinned feed (sync_views) vs re-bootstrapping all of them
     from tg_data_connector_ray.cdc.views import sync_views
 
-    s3 = apply_cdc(files[-5:-4], cfg, run_id="tail2")
+    s3 = apply_cdc(tail2, cfg, run_id="tail2")
     results["tail2_events"] = s3["events_in"]
     dirs = [os.path.join(root, f"v_{k}") for k in VIEW_KINDS]
     t0 = time.monotonic()

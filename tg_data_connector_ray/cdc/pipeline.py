@@ -1676,6 +1676,38 @@ def change_feed(
     from .merge import read_partition_state
 
     policy = cfg.orphan_updates
+    window = frozenset(runs_b) - frozenset(runs_a)
+
+    def _state_plus_window(d: str, a: pa.Table) -> pa.Table:
+        """As-of-to_run state from the already-folded as-of-from state
+        plus ONLY the window delta files — one fold over O(a + window)
+        events instead of refolding base + every pre-window delta from
+        scratch (sound by the fold's associativity, property-tested).
+        Only the upsert orphan policy composes prefix-wise (a drop fold
+        may discard an orphan U whose I lands inside the window); drop
+        tables take the two-fold path."""
+        if policy != "upsert":
+            return read_partition_state(d, policy=policy, runs=runs_b)
+        import pyarrow.parquet as pq
+
+        from .merge import (
+            _delta_run_id,
+            fold,
+            partition_state_files,
+            state_to_events,
+        )
+
+        _, deltas = partition_state_files(d)
+        win = [f for f in deltas if _delta_run_id(f) in window]
+        if not win:
+            return a
+        pieces = ([state_to_events(a)] if a.num_rows else []) + [
+            state_to_events(pq.read_table(f)) for f in win
+        ]
+        state, _ = fold(
+            pa.concat_tables(pieces, promote_options="default"), policy="upsert"
+        )
+        return state
 
     def _empty_feed() -> pa.Table:
         payload = [c for c in USER_COLS if c not in ("conv_id", "turn_idx")]
@@ -1704,7 +1736,7 @@ def change_feed(
         empty = _empty_feed()
         for d in t["part_dir"].to_pylist():
             a = read_partition_state(d, policy=policy, runs=runs_a)
-            b = read_partition_state(d, policy=policy, runs=runs_b)
+            b = _state_plus_window(d, a)
             if b.num_rows == 0:
                 continue
             live_b = pc_.invert(
