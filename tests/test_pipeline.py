@@ -1870,3 +1870,100 @@ def test_change_feed_prunes_untouched_partitions(tmp_path):
 
     with _pt.raises(TimeTravelError):
         change_feed(cfg, "r1", "r2").to_pandas()
+
+
+def test_change_feed_incremental_fold_and_drop_fallback(tmp_path):
+    """The upsert-policy incremental as-of-to fold (from-state + window
+    deltas only, change_feed._state_plus_window) must agree with the
+    from-scratch refold, and the drop policy must take the two-fold path.
+
+    The fixture is the one history where the two compositions diverge if
+    mishandled: an orphan U (key c, lsn 6) lands in run 2, and its
+    matching I arrives LATER (run 3) at a LOWER lsn (4) — cross-run
+    out-of-order delivery.
+
+    - upsert: c becomes visible in run 2 (orphan upserted, text "cu");
+      run 3's I is fully shadowed per-column (setter lsn 6 > 4) and the
+      watermark stays 6, so the (r2, r3] feed must emit NOTHING for c —
+      a broken incremental fold (lost from-state, or treating the
+      synthesized state event as partial) emits a spurious U/I here.
+    - drop: as of r2 the orphan U is invisible, but the r3 refold sees
+      I+U together so c surfaces with text "cu" (setter lsn 6).  A
+      prefix-composed fold would have discarded the U with the r2 state
+      and emit text "c1" — the exact unsoundness that forces the
+      two-fold fallback.
+    """
+    import pandas as pd
+
+    from tg_data_connector_ray.cdc.pipeline import change_feed
+
+    def log(path, rows):
+        t = pa.table(
+            {
+                "lsn": pa.array([r[0] for r in rows], pa.int64()),
+                "op": pa.array([r[1] for r in rows], pa.string()),
+                "conv_id": pa.array([r[2] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[3] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[4] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                "ts": pa.array(["2026-01-01 00:00:01"] * len(rows), pa.string()),
+            }
+        )
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        pq.write_table(t, path)
+        return path
+
+    f1 = log(
+        str(tmp_path / "l1" / "b.parquet"),
+        [(1, "I", "a", 0, "a1"), (2, "I", "b", 0, "b1")],
+    )
+    f2 = log(
+        str(tmp_path / "l2" / "b.parquet"),
+        [(5, "U", "a", 0, "a2"), (6, "U", "c", 0, "cu")],
+    )
+    f3 = log(
+        str(tmp_path / "l3" / "b.parquet"),
+        [(4, "I", "c", 0, "c1"), (7, "D", "b", 0, None)],
+    )
+
+    def feed_ops(cfg, a, b) -> dict:
+        df = change_feed(cfg, a, b).to_pandas()
+        return {
+            (r.conv_id, r.op): (None if pd.isna(r.text) else r.text)
+            for r in df.itertuples()
+        }
+
+    for policy, c_text in (("upsert", "cu"), ("drop", "cu")):
+        cfg = CdcConfig(
+            out_dir=str(tmp_path / f"cf_{policy}"),
+            num_partitions=4,
+            merge_strategy="delta",
+            orphan_updates=policy,
+        )
+        apply_cdc([f1], cfg, run_id="r1")
+        apply_cdc([f2], cfg, run_id="r2")
+        apply_cdc([f3], cfg, run_id="r3")
+
+        if policy == "upsert":
+            # c fully shadowed in (r2, r3]; only b's delete shows
+            assert feed_ops(cfg, "r2", "r3") == {("b", "D"): None}
+        else:
+            # c INVISIBLE as of r2 (orphan dropped), surfaces in the r3
+            # refold with the U applied on top of the late I
+            assert feed_ops(cfg, "r2", "r3") == {
+                ("b", "D"): None,
+                ("c", "I"): "cu",
+            }
+        # wide window agrees with the composed narrow windows under both
+        # policies, and with the time-travel folds themselves
+        assert feed_ops(cfg, "r1", "r3") == {
+            ("a", "U"): "a2",
+            ("b", "D"): None,
+            ("c", "I"): c_text,
+        }
+        from tg_data_connector_ray.cdc.pipeline import time_travel
+
+        live3 = time_travel(cfg, "r3", sort=True)
+        assert live3["conv_id"].to_pylist() == ["a", "c"]
+        assert live3["text"].to_pylist() == ["a2", "cu"]
