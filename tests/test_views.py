@@ -75,9 +75,14 @@ def test_sync_recovers_from_crashed_attempt(t2, tmp_path):
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "w") as f:
         f.write("not parquet")
+    # ... and a crash BEFORE the rename: an abandoned staging dir
+    stale = os.path.join(vdir, ".stage-deadbeef")
+    os.makedirs(stale)
 
     s = sync_view(vdir, cfg)
     assert s["synced"] is True and s["snapshot"] == "snapshot-000002"
+    assert not os.path.exists(stale)  # orphan staging reclaimed at commit
+    assert not [d for d in os.listdir(vdir) if d.startswith(".stage-")]
     from tg_data_connector_ray.ops.transcripts import conv_stats
 
     got = _norm(read_view(vdir), ["conv_id"])

@@ -97,6 +97,11 @@ def _commit_snapshot(view_dir: str, ds, meta: dict) -> dict:
         if old.startswith("snapshot-") and old != name:
             if int(old.split("-")[1]) < seq - 1:
                 shutil.rmtree(os.path.join(view_dir, old))
+        elif old.startswith(".stage-"):
+            # a crashed prior attempt's staging (ours was consumed by the
+            # os.replace above) — view_dir is single-writer, same premise
+            # as the orphaned-`final` rmtree, so any survivor is garbage
+            shutil.rmtree(os.path.join(view_dir, old), ignore_errors=True)
     return meta
 
 
