@@ -4,6 +4,9 @@ row count, column set, and order-insensitive exact values (floats must be
 bit-equal after the engine's documented 4dp rounding).
 
 Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+       python scripts/check_oracles.py /root/testdata/sf0.1 --skip-quadratic-oracles
+           (curated robustness sweep: skips queries whose DuckDB ORACLE —
+           not the engine — is quadratic/recursive in table size)
 """
 
 from __future__ import annotations
@@ -41,9 +44,31 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+# Self-join pair oracles that are quadratic WITHOUT a CROSS JOIN /
+# RECURSIVE keyword (shingle- and vector-pair overlap SQL) — see
+# quadratic_oracles().
+EXTRA_QUADRATIC = {"ngram_jaccard", "embedding_near_dup"}
+
+
+def quadratic_oracles(oracles: dict) -> set:
+    """Queries whose DUCKDB ORACLE (not the engine) is quadratic or
+    recursive in table size — detected from the SQL itself (CROSS JOIN /
+    WITH RECURSIVE) plus the named self-join-pair shapes.  Used by
+    --skip-quadratic-oracles for the sf0.1 robustness sweep: the engine
+    side of these runs at sf0.1 every round in bench.py; their full
+    exact comparison is the sf0.001 + sf0.01 record."""
+    import re
+
+    return {
+        k for k, v in oracles.items() if re.search(r"CROSS JOIN|RECURSIVE", v, re.I)
+    } | EXTRA_QUADRATIC
+
+
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--skip-quadratic-oracles"]
+    skip_quadratic = len(argv) != len(sys.argv) - 1
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -53,6 +78,10 @@ def main():
     import __ray_entry__ as E
 
     qs, oracles = E.queries(), E.oracle_sql()
+    if skip_quadratic:
+        quad = quadratic_oracles(oracles)
+        print(f"[skip] {len(quad)} quadratic-oracle queries: {sorted(quad)}")
+        qs = {k: v for k, v in qs.items() if k not in quad}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
