@@ -9,6 +9,7 @@ generated adversarially by hypothesis."""
 
 import numpy as np
 import pyarrow as pa
+import ray
 from hypothesis import given, settings, strategies as st
 
 from tg_data_connector_ray.cdc.golden import golden_apply
@@ -193,3 +194,92 @@ def test_scd2_history_slices_match_golden_at_any_lsn(events, cutoff):
     got = {key(r): (r["role"], r["text"], r["tool"], r["ts"]) for r in active}
     want = {key(r): (r["role"], r["text"], r["tool"], r["ts"]) for r in golden}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# change-feed algebra, end-to-end on disk: for ANY log and ANY run split,
+# the feed is exactly the state diff — applying it to the older time-travel
+# state reconstructs the newer one, and consecutive narrow windows compose
+# to the wide window.  This pins the incremental as-of fold (upsert) AND
+# the two-fold drop fallback in cdc/pipeline.change_feed against the same
+# adversarial inputs as the fold itself (orphan updates, redeliveries,
+# resurrections, cross-run out-of-order arrival).
+
+_PAYLOAD = ["role", "text", "tool", "ts"]
+
+
+def _live_map(t: pa.Table) -> dict:
+    rows = t.select(["conv_id", "turn_idx"] + _PAYLOAD).to_pylist()
+    return {(r["conv_id"], r["turn_idx"]): tuple(r[c] for c in _PAYLOAD) for r in rows}
+
+
+def _apply_feed(state: dict, feed: pa.Table) -> dict:
+    out = dict(state)
+    for r in feed.select(["op", "conv_id", "turn_idx"] + _PAYLOAD).to_pylist():
+        k = (r["conv_id"], r["turn_idx"])
+        if r["op"] == "D":
+            out.pop(k, None)
+        else:
+            out[k] = tuple(r[c] for c in _PAYLOAD)
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=event_log(),
+    cuts=st.tuples(st.integers(0, 45), st.integers(0, 45)),
+    policy=st.sampled_from(["upsert", "drop"]),
+)
+def test_change_feed_composes_and_applies_any_log(events, cuts, policy):
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.cdc.config import CdcConfig
+    from tg_data_connector_ray.cdc.pipeline import apply_cdc, change_feed, time_travel
+
+    bounds = sorted({min(c, len(events)) for c in cuts})
+    segments, prev = [], 0
+    for b in bounds + [len(events)]:
+        if events[prev:b]:
+            segments.append(events[prev:b])
+        prev = b
+    if len(segments) < 2:
+        return  # nothing to window over
+
+    root = tempfile.mkdtemp(prefix="cfprop-")
+    try:
+        cfg = CdcConfig(
+            out_dir=os.path.join(root, "t"),
+            num_partitions=2,
+            merge_strategy="delta",
+            orphan_updates=policy,
+        )
+        run_ids = []
+        for i, seg in enumerate(segments):
+            f = os.path.join(root, f"log{i}.parquet")
+            pq.write_table(to_table(seg), f)
+            rid = f"r{i}"
+            apply_cdc([f], cfg, run_id=rid)
+            run_ids.append(rid)
+
+        live = {
+            rid: _live_map(time_travel(cfg, rid, sort=True)) for rid in run_ids
+        }
+        # narrow windows: each feed transforms the prior live state into
+        # the next — and therefore composes across the whole journal
+        state = dict(live[run_ids[0]])
+        for a, b in zip(run_ids, run_ids[1:]):
+            f = change_feed(cfg, a, b).to_arrow_refs()
+            feed = pa.concat_tables([ray.get(r) for r in f])
+            state = _apply_feed(state, feed)
+            assert state == live[b], (policy, a, b)
+        # wide window: one feed jumps first -> last to the same state
+        wide = pa.concat_tables(
+            [ray.get(r) for r in change_feed(cfg, run_ids[0], run_ids[-1]).to_arrow_refs()]
+        )
+        assert _apply_feed(live[run_ids[0]], wide) == live[run_ids[-1]], policy
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
