@@ -1759,6 +1759,37 @@ def _docs_pack_sequences(sf_dir):
     return pack_sequences(_docs(sf_dir).select_columns(["doc_id", "text"]), budget=2048)
 
 
+def _docs_tokenize_ids(sf_dir):
+    """Vocabulary build (V=256, count DESC / term ASC rank ids) +
+    tokenize-to-ids over documents — the id-mapping step between token
+    counting and sequence packing (ops/corpus.build_vocab /
+    tokenize_to_ids).  The ids list<int32> column renders as a
+    comma-joined string for the driver's hash compare (vectorized
+    pc.binary_join, no per-row Python); OOV id = 256."""
+    from tg_data_connector_ray.ops.corpus import build_vocab, tokenize_to_ids
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    vocab = build_vocab(ds, size=256)
+
+    def render(t: pa.Table) -> pa.Table:
+        lst = t["ids"].combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):  # pyarrow-version tolerance
+            lst = lst.combine_chunks() if lst.num_chunks != 1 else lst.chunk(0)
+        as_str = pa.ListArray.from_arrays(
+            lst.offsets, pa.compute.cast(lst.values, pa.string())
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "ids_str": pa.compute.binary_join(as_str, ","),
+            "n_tokens": t["n_tokens"],
+            "n_oov": t["n_oov"],
+        })
+
+    return tokenize_to_ids(ds, vocab).map_batches(
+        render, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _revenue_by_nation(sf_dir):
     """Four-table join breadth: lineitem JOIN orders (partitioned hash
     join) -> broadcast custkey->nation lookup -> nation revenue."""
@@ -2773,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_leakage_split": _docs_leakage_split,
         "docs_leakage_split_incremental": _docs_leakage_split_incremental,
         "docs_quality_classifier": _docs_quality_classifier,
+        "docs_tokenize_ids": _docs_tokenize_ids,
         # --- similarity search: brute-force baseline + the full
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
@@ -4273,6 +4305,38 @@ def oracle_sql() -> dict[str, str]:
         # fastText-style linear scoring: token md5-u64 (the simhash
         # oracle's hash transform) bucketed mod 512; weight =
         # md5_u64('w:' || bucket) % 2001 - 1000; score = sum with
+        # vocab = top-256 terms by (count DESC, term ASC), dense ids in
+        # rank order, OOV id 256; parallel unnest keeps token order for
+        # the comma-joined id string; tokenless docs keep '' / 0 / 0
+        "docs_tokenize_ids": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(l) AS term,
+                     unnest(range(1, len(l) + 1)) AS ord
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                    FROM documents)
+            ), vocab AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS id
+              FROM tok GROUP BY term
+            ), mapped AS (
+              SELECT t.doc_id, t.ord,
+                     CASE WHEN v.id < 256 THEN v.id ELSE 256 END AS id
+              FROM tok t JOIN vocab v USING (term)
+            ), agg AS (
+              SELECT doc_id,
+                     string_agg(CAST(id AS VARCHAR), ',' ORDER BY ord) AS ids_str,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(CASE WHEN id = 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+              FROM mapped GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.ids_str, '') AS ids_str,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   coalesce(a.n_oov, 0) AS n_oov
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
         # multiplicity; tokenless (null/empty) docs score 0 and keep
         "docs_quality_classifier": """
             WITH toks AS (

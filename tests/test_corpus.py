@@ -537,3 +537,46 @@ def test_pack_sequences_thin_extras_and_order(ray_session):
     assert rows[30]["seq_first"] == 0 and rows[30]["seq_last"] == 1  # spans 3..7
     assert rows[20]["n_tok"] == 0 and rows[20]["seq_last"] == rows[20]["seq_first"]
     assert rows[40]["off_in_seq"] == 0 and rows[40]["seq_first"] == 2
+
+
+def test_build_vocab_and_tokenize_to_ids_edges(ray_session):
+    """Vocab rank = (count DESC, term ASC) with dense ids; OOV id =
+    len(vocab); searchsorted clamp handles tokens sorting above the last
+    vocab term; empty / null docs emit empty lists with 0/0 counts and
+    do not shift neighbours' per-doc OOV attribution."""
+    from tg_data_connector_ray.ops.corpus import build_vocab, tokenize_to_ids
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(
+            ["the cat sat on the mat", "", None, "the dog", "zzz zzz the"],
+            pa.string(),
+        ),
+    })
+    ds = ray.data.from_arrow(docs)
+    v = build_vocab(ds, size=3)
+    # counts: the=4, zzz=2, rest=1 -> ties broken by term asc (cat first)
+    assert v["term"].to_pylist() == ["the", "zzz", "cat"]
+    assert v["id"].to_pylist() == [0, 1, 2]
+    assert v["n"].to_pylist() == [4, 2, 1]
+
+    out = (
+        tokenize_to_ids(ds, v)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # OOV id = 3; "zzz" sorts ABOVE every vocab term (clamp path)
+    assert list(out["ids"].map(list)) == [
+        [0, 2, 3, 3, 0, 3],  # the cat sat on the mat
+        [],
+        [],
+        [0, 3],              # the dog
+        [1, 1, 0],           # zzz zzz the
+    ]
+    assert list(out["n_tokens"]) == [6, 0, 0, 2, 3]
+    assert list(out["n_oov"]) == [3, 0, 0, 1, 0]
+
+    # degenerate: empty corpus -> empty typed vocab
+    empty = build_vocab(ray.data.from_arrow(docs.slice(1, 2)), size=3)
+    assert empty.num_rows == 0 and empty.column_names == ["term", "id", "n"]

@@ -1054,3 +1054,113 @@ def bm25_topk(ds, terms, k: int = 10, k1: float = 1.2, b: float = 0.75,
     top = np.lexsort((ids, -su))[:k]
     return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
                      "score_u": pa.array(su[top], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# vocabulary build + tokenize-to-ids (the id-mapping step between token
+# counting and sequence packing in a pretraining prep chain)
+
+def build_vocab(ds, size: int, col: str = "text") -> pa.Table:
+    """Global top-`size` vocabulary by (count DESC, term ASC), assigned
+    dense ids 0..size-1 in rank order (the fastText/word-level convention;
+    OOV id = `size` by downstream convention).
+
+    Shape (one streamed pass): per-batch (term, n) partials via one
+    np.unique over the shared flat tokenizer -> coarse-bucket SUM
+    (`grouped_arrow_aggregate`: shuffle carries unique-terms-per-batch
+    rows, never token instances) -> per-bucket top-`size` -> driver
+    merge of n_coarse x size rows.  Driver state is O(buckets x size);
+    the full vocabulary never gathers (Heaps-law bounded per bucket but
+    unbounded corpus-wide — same discipline as tfidf_topk)."""
+    from ..pipelines.relational import grouped_arrow_aggregate
+
+    def term_partial(t: pa.Table) -> pa.Table:
+        flat, _ = _tokens_flat(t[col])
+        if not len(flat):
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        terms, counts = np.unique(flat, return_counts=True)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "n": pa.array(counts, pa.int64())})
+
+    total = grouped_arrow_aggregate(
+        ds.map_batches(term_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "term", [("n", "sum")], ["n"],
+    )
+
+    def bucket_topk(g: pa.Table) -> pa.Table:
+        cnt = _i64(g["n"])
+        tm = g["term"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((tm, -cnt))[:size]
+        return pa.table({"term": pa.array(tm[order], pa.string()),
+                         "n": pa.array(cnt[order], pa.int64())})
+
+    head = total.map_batches(bucket_topk, batch_format="pyarrow").to_pandas()
+    if head.empty:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "id": pa.array([], pa.int32()),
+                         "n": pa.array([], pa.int64())})
+    head = head.sort_values(["n", "term"], ascending=[False, True]).head(size)
+    head = head.reset_index(drop=True)
+    return pa.table({"term": pa.array(head["term"], pa.string()),
+                     "id": pa.array(np.arange(len(head), dtype=np.int32)),
+                     "n": pa.array(head["n"].to_numpy(np.int64))})
+
+
+class TokenizeToIds:
+    """Instance-shipped map_batches stage: the vocab (built once by
+    `build_vocab`, bounded at `size` entries so the closure broadcast is
+    bounded by construction — unlike a raw dimension table) rides the
+    task closure sorted for a searchsorted lookup.  Per batch: shared
+    flat tokenize -> one np.searchsorted + equality verify -> OOV fill
+    -> ListArray rebuild on the tokenizer's own offsets.  Emits
+    (id_col, ids list<int32>, n_tokens, n_oov); empty/null docs keep an
+    empty list."""
+
+    def __init__(self, vocab: pa.Table, id_col: str = "doc_id", col: str = "text"):
+        terms = vocab["term"].to_numpy(zero_copy_only=False)
+        ids = vocab["id"].to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(terms)
+        self.sorted_terms = terms[order]
+        self.sorted_ids = ids[order]
+        self.oov_id = np.int32(len(terms))
+        self.id_col = id_col
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, offs = _tokens_flat(t[self.col])
+        if len(flat):
+            pos = np.searchsorted(self.sorted_terms, flat)
+            pos = np.minimum(pos, len(self.sorted_terms) - 1)
+            hit = self.sorted_terms[pos] == flat
+            ids = np.where(hit, self.sorted_ids[pos], self.oov_id).astype(np.int32)
+        else:
+            ids = np.array([], np.int32)
+            hit = np.array([], bool)
+        offs64 = offs.astype(np.int64)
+        lists = pa.ListArray.from_arrays(pa.array(offs64, pa.int64()).cast(pa.int32()),
+                                         pa.array(ids, pa.int32()))
+        n_tok = np.diff(offs64)
+        # per-doc OOV counts: reduceat needs non-empty slices; bincount on
+        # the doc index of each OOV token is branch-free for empty docs
+        doc_idx = np.repeat(np.arange(t.num_rows), n_tok)
+        n_oov = np.bincount(doc_idx[~hit], minlength=t.num_rows).astype(np.int64) \
+            if len(flat) else np.zeros(t.num_rows, np.int64)
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "ids": lists,
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_oov": pa.array(n_oov, pa.int64()),
+        })
+
+
+def tokenize_to_ids(ds, vocab: pa.Table, id_col: str = "doc_id", col: str = "text"):
+    """Map every document's tokens to vocabulary ids (OOV = len(vocab)):
+    the tokenize step before `pack_sequences` materializes actual
+    training sequences rather than token budgets.  Returns a Dataset of
+    (id_col, ids list<int32>, n_tokens, n_oov)."""
+    return ds.map_batches(
+        TokenizeToIds(vocab, id_col=id_col, col=col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
