@@ -1790,6 +1790,34 @@ def _docs_tokenize_ids(sf_dir):
     )
 
 
+def _docs_pack_ids(sf_dir):
+    """End of the prep chain: vocab (V=256) -> tokenize-to-ids -> packed
+    512-token training sequences materialized as id lists
+    (ops/corpus.pack_ids: thin prefix-sum layout + one token-id
+    exchange).  Rendered as comma-joined strings for the hash compare."""
+    from tg_data_connector_ray.ops.corpus import build_vocab, pack_ids
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    vocab = build_vocab(ds, size=256)
+
+    def render(t: pa.Table) -> pa.Table:
+        lst = t["ids"].combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks() if lst.num_chunks != 1 else lst.chunk(0)
+        as_str = pa.ListArray.from_arrays(
+            lst.offsets, pa.compute.cast(lst.values, pa.string())
+        )
+        return pa.table({
+            "seq_id": t["seq_id"],
+            "ids_str": pa.compute.binary_join(as_str, ","),
+            "n": t["n"],
+        })
+
+    return pack_ids(ds, vocab, budget=512).map_batches(
+        render, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _revenue_by_nation(sf_dir):
     """Four-table join breadth: lineitem JOIN orders (partitioned hash
     join) -> broadcast custkey->nation lookup -> nation revenue."""
@@ -2805,6 +2833,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_leakage_split_incremental": _docs_leakage_split_incremental,
         "docs_quality_classifier": _docs_quality_classifier,
         "docs_tokenize_ids": _docs_tokenize_ids,
+        "docs_pack_ids": _docs_pack_ids,
         # --- similarity search: brute-force baseline + the full
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
@@ -4336,6 +4365,34 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_tokens, 0) AS n_tokens,
                    coalesce(a.n_oov, 0) AS n_oov
             FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        # the packed-sequence stream: global token position = row_number
+        # over the same (doc_id, token order) total order the engine's
+        # prefix sum realizes; sequence = gpos // budget
+        "docs_pack_ids": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(l) AS term,
+                     unnest(range(1, len(l) + 1)) AS ord
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                    FROM documents)
+            ), vocab AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS id
+              FROM tok GROUP BY term
+            ), mapped AS (
+              SELECT t.doc_id, t.ord,
+                     CASE WHEN v.id < 256 THEN v.id ELSE 256 END AS id
+              FROM tok t JOIN vocab v USING (term)
+            ), g AS (
+              SELECT id, row_number() OVER (ORDER BY doc_id, ord) - 1 AS gpos
+              FROM mapped
+            )
+            SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos) AS ids_str,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY 1
         """,
         # multiplicity; tokenless (null/empty) docs score 0 and keep
         "docs_quality_classifier": """

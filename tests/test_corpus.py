@@ -580,3 +580,33 @@ def test_build_vocab_and_tokenize_to_ids_edges(ray_session):
     # degenerate: empty corpus -> empty typed vocab
     empty = build_vocab(ray.data.from_arrow(docs.slice(1, 2)), size=3)
     assert empty.num_rows == 0 and empty.column_names == ["term", "id", "n"]
+
+
+def test_pack_ids_materializes_boundary_spanning_sequences(ray_session):
+    """Docs concatenate in doc_id order regardless of input order; a doc
+    spans the budget boundary; empty docs vanish from the stream; the
+    final short sequence survives; ids use the vocab ranks with OOV."""
+    from tg_data_connector_ray.ops.corpus import build_vocab, pack_ids
+
+    docs = pa.table({
+        "doc_id": pa.array([3, 1, 2, 4], pa.int64()),
+        "text": pa.array(["e f g", "a b c d", "", "h i"], pa.string()),
+    })
+    ds = ray.data.from_arrow(docs)
+    v = build_vocab(ds, size=4)  # all counts 1 -> term asc: a b c d
+    assert v["term"].to_pylist() == ["a", "b", "c", "d"]
+
+    out = (
+        pack_ids(ds, v, budget=4)
+        .to_pandas()
+        .sort_values("seq_id")
+        .reset_index(drop=True)
+    )
+    # stream in doc order 1,2,3,4: a b c d | e f g h | i
+    assert list(out["seq_id"]) == [0, 1, 2]
+    assert [list(x) for x in out["ids"]] == [[0, 1, 2, 3], [4, 4, 4, 4], [4]]
+    assert list(out["n"]) == [4, 4, 1]
+
+    # budget beyond the whole stream -> one short sequence
+    one = pack_ids(ds, v, budget=100).to_pandas()
+    assert list(one["seq_id"]) == [0] and list(one["n"]) == [9]

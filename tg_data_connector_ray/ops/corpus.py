@@ -1164,3 +1164,80 @@ def tokenize_to_ids(ds, vocab: pa.Table, id_col: str = "doc_id", col: str = "tex
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def pack_ids(ds, vocab: pa.Table, budget: int = 2048, id_col: str = "doc_id",
+             col: str = "text", num_buckets: int = 32):
+    """Materialize actual fixed-`budget` training sequences of vocabulary
+    ids — the end of the prep chain (vocab -> tokenize_to_ids ->
+    pack-layout -> sequence rows): documents concatenate in `id_col`
+    order and the global id stream cuts every `budget` tokens (docs span
+    boundaries; the final sequence may be short).  Returns a Dataset of
+    (seq_id, ids list<int32>, n).
+
+    Shape: tokenize once (ids ride as list<int32>) -> thin
+    (doc, n_tok) rows through `pack_sequences_thin`'s distributed
+    ordered prefix sum -> hash_join layout back onto the tokenized rows
+    (both sides thin; the ids lists are the only payload) -> explode to
+    (seq_id, pos, id) and exchange by seq_id -> per-bucket lexsort +
+    run-length ListArray assembly.  The exchange necessarily carries
+    every token id ONCE (4 B + key — that IS the materialization, same
+    volume as the training shards being written); all other stages move
+    thin rows.  seq_id buckets by value (each sequence is exactly
+    `budget` tokens, so value skew cannot exist)."""
+    from ..pipelines.relational import hash_join
+
+    tok = tokenize_to_ids(ds, vocab, id_col=id_col, col=col)
+
+    def thin_rows(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], "n_tok": t["n_tokens"]})
+
+    tok = tok.materialize()  # consumed twice: thin pass + the join below
+    layout = pack_sequences_thin(
+        tok.map_batches(thin_rows, batch_format="pyarrow", zero_copy_batch=True),
+        budget=budget, id_col=id_col,
+    )
+    joined = hash_join(
+        tok.select_columns([id_col, "ids"]),
+        layout.select_columns([id_col, "tok_start"]),
+        on=id_col, right_unique=True,
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        lst = t["ids"].combine_chunks()
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks() if lst.num_chunks != 1 else lst.chunk(0)
+        n_tok = np.diff(lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        start = _i64(t["tok_start"])
+        gpos = np.repeat(start, n_tok) + (
+            np.arange(len(lst.values)) - np.repeat(np.cumsum(n_tok) - n_tok, n_tok)
+        )
+        seq = gpos // budget
+        return pa.table({
+            "seq_id": pa.array(seq, pa.int64()),
+            "pos": pa.array(gpos % budget, pa.int64()),
+            "id": lst.values,
+            "_b": pa.array(seq % num_buckets, pa.int64()),
+        })
+
+    def assemble(g: pa.Table) -> pa.Table:
+        seq = _i64(g["seq_id"])
+        pos = _i64(g["pos"])
+        ids = g["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, seq))
+        seq, ids = seq[order], ids[order].astype(np.int32)
+        first = np.concatenate([[True], seq[1:] != seq[:-1]])
+        offs = np.concatenate([np.nonzero(first)[0], [len(seq)]]).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                         pa.array(ids, pa.int32()))
+        return pa.table({
+            "seq_id": pa.array(seq[first], pa.int64()),
+            "ids": lists,
+            "n": pa.array(np.diff(offs).astype(np.int64), pa.int64()),
+        })
+
+    return (
+        joined.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_b")
+        .map_groups(assemble, batch_format="pyarrow")
+    )
