@@ -1759,28 +1759,33 @@ def _docs_pack_sequences(sf_dir):
     return pack_sequences(_docs(sf_dir).select_columns(["doc_id", "text"]), budget=2048)
 
 
+def _ids_column_to_str(col) -> "pa.Array":
+    """Render a list<int32> ids column as comma-joined strings for the
+    driver's hash compare — vectorized (one flat cast + binary_join), no
+    per-row Python."""
+    lst = col.combine_chunks()
+    if isinstance(lst, pa.ChunkedArray):  # pyarrow-version tolerance
+        lst = lst.combine_chunks() if lst.num_chunks != 1 else lst.chunk(0)
+    as_str = pa.ListArray.from_arrays(
+        lst.offsets, pa.compute.cast(lst.values, pa.string())
+    )
+    return pa.compute.binary_join(as_str, ",")
+
+
 def _docs_tokenize_ids(sf_dir):
     """Vocabulary build (V=256, count DESC / term ASC rank ids) +
     tokenize-to-ids over documents — the id-mapping step between token
     counting and sequence packing (ops/corpus.build_vocab /
-    tokenize_to_ids).  The ids list<int32> column renders as a
-    comma-joined string for the driver's hash compare (vectorized
-    pc.binary_join, no per-row Python); OOV id = 256."""
+    tokenize_to_ids).  OOV id = 256."""
     from tg_data_connector_ray.ops.corpus import build_vocab, tokenize_to_ids
 
     ds = _docs(sf_dir).select_columns(["doc_id", "text"])
     vocab = build_vocab(ds, size=256)
 
     def render(t: pa.Table) -> pa.Table:
-        lst = t["ids"].combine_chunks()
-        if isinstance(lst, pa.ChunkedArray):  # pyarrow-version tolerance
-            lst = lst.combine_chunks() if lst.num_chunks != 1 else lst.chunk(0)
-        as_str = pa.ListArray.from_arrays(
-            lst.offsets, pa.compute.cast(lst.values, pa.string())
-        )
         return pa.table({
             "doc_id": t["doc_id"],
-            "ids_str": pa.compute.binary_join(as_str, ","),
+            "ids_str": _ids_column_to_str(t["ids"]),
             "n_tokens": t["n_tokens"],
             "n_oov": t["n_oov"],
         })
@@ -1801,15 +1806,9 @@ def _docs_pack_ids(sf_dir):
     vocab = build_vocab(ds, size=256)
 
     def render(t: pa.Table) -> pa.Table:
-        lst = t["ids"].combine_chunks()
-        if isinstance(lst, pa.ChunkedArray):
-            lst = lst.combine_chunks() if lst.num_chunks != 1 else lst.chunk(0)
-        as_str = pa.ListArray.from_arrays(
-            lst.offsets, pa.compute.cast(lst.values, pa.string())
-        )
         return pa.table({
             "seq_id": t["seq_id"],
-            "ids_str": pa.compute.binary_join(as_str, ","),
+            "ids_str": _ids_column_to_str(t["ids"]),
             "n": t["n"],
         })
 
@@ -2661,6 +2660,62 @@ def _docs_prep_v3(sf_dir):
     return pack_sequences_thin(thin, budget=2048, extra_cols=("rep",))
 
 
+def _docs_prep_v4(sf_dir):
+    """Capstone v4 — the training set MATERIALIZED: v3's classifier
+    filter -> leakage-safe split chain, then a vocabulary fit on the
+    TRAIN split only (V=256, the no-test-leakage convention) and the
+    train documents packed into actual 512-token id sequences
+    (ops/corpus.pack_ids).  v3 stops at the pack LAYOUT (thin rows); v4
+    emits the id sequences a trainer consumes.  Same scale shape: text
+    passes stream (classifier, shingles, tokenize); everything that
+    shuffles is thin ids except the one unavoidable token-id exchange
+    inside pack_ids."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.corpus import build_vocab, pack_ids
+    from tg_data_connector_ray.ops.sampling import leakage_safe_split
+    from tg_data_connector_ray.ops.text import QualityClassifier
+    from tg_data_connector_ray.pipelines.relational import hash_join
+    from tg_data_connector_ray.util import sized_read_parquet, spool_checkpoint
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    docs = sized_read_parquet(
+        path, columns=["doc_id", "text"], small_block_bytes=256 << 10
+    )
+    clf = QualityClassifier()
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        return t.filter(clf(t)["keep"])
+
+    kept = spool_checkpoint(
+        docs.map_batches(keep_filter, batch_format="pyarrow", zero_copy_batch=True),
+        "prep4_kept",
+        size_hint_bytes=os.path.getsize(path),
+    )
+    split = leakage_safe_split(kept(["doc_id", "text"]))
+
+    def train_ids(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["split"], "train")).select(["doc_id"])
+
+    train = split.map_batches(train_ids, batch_format="pyarrow", zero_copy_batch=True)
+    # pinned: consumed twice below (vocab fit + the pack's tokenize pass)
+    train_docs = hash_join(
+        kept(["doc_id", "text"]), train, on="doc_id", how="inner", right_unique=True
+    ).materialize()
+    vocab = build_vocab(train_docs, size=256)
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq_id": t["seq_id"],
+            "ids_str": _ids_column_to_str(t["ids"]),
+            "n": t["n"],
+        })
+
+    return pack_ids(train_docs, vocab, budget=512).map_batches(
+        render, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _docs_prep_v2(sf_dir):
     """Corpus-prep v2 — the round-3 stages composed end-to-end the way a
     pretraining job runs them: token-count floor -> repetition filter
@@ -2858,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_by_revenue": R.top_orders_by_revenue,
         "docs_prep_v2": _docs_prep_v2,
         "docs_prep_v3": _docs_prep_v3,
+        "docs_prep_v4": _docs_prep_v4,
         # --- the strongest window ops (sessionize, as-of) ---
         "events_sessionize": R.events_sessionize,
         "events_asof_prior_view": R.events_asof_prior_view,
@@ -3284,6 +3340,54 @@ _CC_CTE = """edges AS (
               SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
             ), rep AS (
               SELECT src AS doc_id, min(dst) AS rep FROM reach GROUP BY src
+            )"""
+
+
+_PREP_TRAIN_CTES = f"""
+            WITH RECURSIVE ctoks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
+              FROM documents
+            ), cth AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
+              FROM ctoks
+            ), cwt AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*i) AS UBIGINT))) % 2001 AS BIGINT) - 1000 AS w
+              FROM cth
+            ), csc AS (
+              SELECT doc_id, sum(w) AS s FROM cwt GROUP BY doc_id
+            ), kept AS (
+              SELECT d.doc_id, d.text
+              FROM documents d LEFT JOIN csc USING (doc_id)
+              WHERE coalesce(csc.s, 0) >= 0
+            ), sh AS ({_SHINGLES_KEPT_CTE}
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), {_CC_CTE}
+            , r AS (
+              SELECT k.doc_id, coalesce(rep.rep, k.doc_id) AS rep
+              FROM kept k LEFT JOIN rep USING (doc_id)
+            ), sp AS (
+              SELECT doc_id, rep,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM r
+            ), train AS (
+              SELECT doc_id, rep FROM sp WHERE b < 9000
             )"""
 
 
@@ -4366,6 +4470,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(a.n_oov, 0) AS n_oov
             FROM documents d LEFT JOIN agg a USING (doc_id)
         """,
+        # v4 = v3's classifier->split chain, then vocab fit on TRAIN only
+        # and the train docs packed into actual 512-token id sequences
+        "docs_prep_v4": _PREP_TRAIN_CTES + """
+            , ttok AS (
+              SELECT x.doc_id, unnest(x.l) AS term,
+                     unnest(range(1, len(x.l) + 1)) AS ord
+              FROM (SELECT k.doc_id,
+                           regexp_extract_all(lower(k.text), '[a-z0-9_]+') AS l
+                    FROM kept k JOIN train USING (doc_id)) x
+            ), tvocab AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS id
+              FROM ttok GROUP BY term
+            ), tmapped AS (
+              SELECT t.doc_id, t.ord,
+                     CASE WHEN v.id < 256 THEN v.id ELSE 256 END AS id
+              FROM ttok t JOIN tvocab v USING (term)
+            ), tg AS (
+              SELECT id, row_number() OVER (ORDER BY doc_id, ord) - 1 AS gpos
+              FROM tmapped
+            )
+            SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos) AS ids_str,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM tg GROUP BY 1
+        """,
         # the packed-sequence stream: global token position = row_number
         # over the same (doc_id, token order) total order the engine's
         # prefix sum realizes; sequence = gpos // budget
@@ -4426,52 +4556,7 @@ def oracle_sql() -> dict[str, str]:
         # capstone v3: classifier filter -> kept-corpus leakage split ->
         # train-split sequence packing; every fragment is a proven oracle
         # (docs_quality_classifier, docs_leakage_split, docs_pack_sequences)
-        "docs_prep_v3": f"""
-            WITH RECURSIVE ctoks AS (
-              SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok
-              FROM documents
-            ), cth AS (
-              SELECT doc_id,
-                list_sum(list_transform(range(0, 8), i ->
-                  CAST((strpos('0123456789abcdef', substr(md5(tok), 2*i+1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef', substr(md5(tok), 2*i+2, 1)) - 1) AS UBIGINT)
-                  * CAST(power(2, 8*i) AS UBIGINT))) AS h
-              FROM ctoks
-            ), cwt AS (
-              SELECT doc_id,
-                CAST(list_sum(list_transform(range(0, 8), i ->
-                  CAST((strpos('0123456789abcdef',
-                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+1, 1)) - 1) * 16
-                     + (strpos('0123456789abcdef',
-                        substr(md5('w:' || CAST(h % 512 AS VARCHAR)), 2*i+2, 1)) - 1) AS UBIGINT)
-                  * CAST(power(2, 8*i) AS UBIGINT))) % 2001 AS BIGINT) - 1000 AS w
-              FROM cth
-            ), csc AS (
-              SELECT doc_id, sum(w) AS s FROM cwt GROUP BY doc_id
-            ), kept AS (
-              SELECT d.doc_id, d.text
-              FROM documents d LEFT JOIN csc USING (doc_id)
-              WHERE coalesce(csc.s, 0) >= 0
-            ), sh AS ({_SHINGLES_KEPT_CTE}
-            ), pairs AS (
-              SELECT a.doc_id AS a, b.doc_id AS b
-              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
-            ), {_CC_CTE}
-            , r AS (
-              SELECT k.doc_id, coalesce(rep.rep, k.doc_id) AS rep
-              FROM kept k LEFT JOIN rep USING (doc_id)
-            ), sp AS (
-              SELECT doc_id, rep,
-                list_sum(list_transform(range(0, 8), i ->
-                  CAST((strpos('0123456789abcdef',
-                        substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
-                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
-              FROM r
-            ), train AS (
-              SELECT doc_id, rep FROM sp WHERE b < 9000
-            ), t AS (
+        "docs_prep_v3": _PREP_TRAIN_CTES + """, t AS (
               SELECT k.doc_id, tr.rep,
                 CAST(len(regexp_extract_all(k.text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tok
               FROM kept k JOIN train tr USING (doc_id)
