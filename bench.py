@@ -239,6 +239,11 @@ def run_query_bench() -> "tuple[dict, dict]":
         # (fixture-scale)
         "cdc_ivm_turn_context",
         "transcript_validate",
+        # round 5 final session: vocab/id-mapping + materialized training
+        # sequences + the v4 capstone
+        "docs_tokenize_ids",
+        "docs_pack_ids",
+        "docs_prep_v4",
     ]
     def once(name: str) -> float:
         t0 = time.monotonic()
