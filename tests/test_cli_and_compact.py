@@ -682,3 +682,52 @@ def test_cli_plan_verb(t1, tmp_path):
     assert rep["events"] > 0 and rep["events_estimated"] is False
     assert rep["recommended"]["num_partitions"] % 4 == 0
     assert rep["state"]["partitions"] == 4
+
+
+def test_cli_pack_verb(tmp_path):
+    """`pack` CLI: vocab.parquet + sequence shards (parquet and jsonl),
+    sequences exactly cover the token stream, ids bounded by oov_id."""
+    import contextlib
+    import io
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from tg_data_connector_ray.__main__ import main
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "packed")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["pack", "--docs", docs, "--out", out,
+                   "--vocab-size", "16", "--budget", "256"])
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert rep["vocab_terms"] <= 16 and rep["oov_id"] == rep["vocab_terms"]
+
+    vocab = pq.read_table(os.path.join(out, "vocab.parquet"))
+    assert vocab["id"].to_pylist() == list(range(vocab.num_rows))
+    seqs = pads.dataset(os.path.join(out, "shards"), format="parquet").to_table()
+    assert seqs.num_rows == rep["sequences"]
+    n = seqs["n"].to_pylist()
+    ids = seqs["ids"].to_pylist()
+    assert all(len(i) == k for i, k in zip(ids, n))
+    # every sequence except (at most) the last is exactly budget tokens
+    assert sorted(n, reverse=True)[: max(len(n) - 1, 0)] == [256] * max(len(n) - 1, 0)
+    flat = [x for l in ids for x in l]
+    assert max(flat) <= rep["oov_id"] and min(flat) >= 0
+
+    # jsonl flavor: same sequence count by line total
+    out2 = str(tmp_path / "packed_j")
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        rc = main(["pack", "--docs", docs, "--out", out2,
+                   "--vocab-size", "16", "--budget", "256",
+                   "--format", "jsonl"])
+    assert rc == 0
+    shard_dir = os.path.join(out2, "shards")
+    lines = 0
+    for f in os.listdir(shard_dir):
+        with open(os.path.join(shard_dir, f)) as fh:
+            lines += sum(1 for _ in fh)
+    assert lines == seqs.num_rows

@@ -298,6 +298,21 @@ def main(argv=None) -> int:
     ixp.add_argument("--nprobe", type=int, default=None,
                      help="default: all centroids (exact)")
 
+    pk = sub.add_parser(
+        "pack",
+        help="produce training shards: vocab build + tokenize-to-ids + "
+        "fixed-budget sequence packing over a documents parquet; shards "
+        "land as parquet or JSONL with vocab.parquet beside them",
+    )
+    pk.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    pk.add_argument("--out", required=True, help="output directory")
+    pk.add_argument("--vocab-size", type=int, default=32768)
+    pk.add_argument("--budget", type=int, default=2048)
+    pk.add_argument("--format", dest="fmt", default="parquet",
+                    choices=["parquet", "jsonl"])
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--col", default="text")
+
     con = sub.add_parser(
         "consistent",
         help="cross-table transactionally-consistent export of a "
@@ -387,6 +402,42 @@ def main(argv=None) -> int:
                 args.conv,
             )
             out = {"rows": t.num_rows, "turns": t.to_pylist()}
+        elif args.cmd == "pack":
+            import pyarrow.parquet as _pq
+
+            from .ops.corpus import build_vocab, pack_ids
+            from .util import sized_read_parquet
+
+            ds = sized_read_parquet(args.docs, columns=[args.id_col, args.col])
+            vocab = build_vocab(ds, size=args.vocab_size, col=args.col)
+            os.makedirs(args.out, exist_ok=True)
+            _pq.write_table(vocab, os.path.join(args.out, "vocab.parquet"))
+            seqs = pack_ids(ds, vocab, budget=args.budget,
+                            id_col=args.id_col, col=args.col)
+            shards = os.path.join(args.out, "shards")
+            if args.fmt == "jsonl":
+                from .sinks.files import write_jsonl
+
+                write_jsonl(seqs, shards)
+                n_seq = None  # counting would re-run the pipeline
+                n_shards = len(os.listdir(shards))
+            else:
+                seqs.write_parquet(shards)
+                import pyarrow.dataset as _pads
+
+                frags = list(_pads.dataset(shards, format="parquet").get_fragments())
+                n_seq = sum(f.metadata.num_rows if f.metadata is not None
+                            else f.count_rows() for f in frags)
+                n_shards = len(frags)
+            out = {
+                "out": args.out,
+                "vocab_terms": vocab.num_rows,
+                "oov_id": vocab.num_rows,
+                "budget": args.budget,
+                "format": args.fmt,
+                "shards": n_shards,
+                "sequences": n_seq,
+            }
         elif args.cmd == "consistent":
             from .cdc.pipeline import multi_table_tx_log, read_consistent
 
