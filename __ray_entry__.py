@@ -1812,7 +1812,8 @@ def _docs_pack_ids(sf_dir):
             "n": t["n"],
         })
 
-    return pack_ids(ds, vocab, budget=512).map_batches(
+    hint = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    return pack_ids(ds, vocab, budget=512, size_hint_bytes=hint).map_batches(
         render, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -2698,11 +2699,17 @@ def _docs_prep_v4(sf_dir):
         return t.filter(pc.equal(t["split"], "train")).select(["doc_id"])
 
     train = split.map_batches(train_ids, batch_format="pyarrow", zero_copy_batch=True)
-    # pinned: consumed twice below (vocab fit + the pack's tokenize pass)
-    train_docs = hash_join(
-        kept(["doc_id", "text"]), train, on="doc_id", how="inner", right_unique=True
-    ).materialize()
-    vocab = build_vocab(train_docs, size=256)
+    # checkpointed: consumed twice below (vocab fit + the pack's tokenize
+    # pass) — bounded spool, not an unbounded materialize pin
+    train_docs = spool_checkpoint(
+        hash_join(
+            kept(["doc_id", "text"]), train, on="doc_id", how="inner",
+            right_unique=True,
+        ),
+        "prep4_train",
+        size_hint_bytes=os.path.getsize(path),
+    )
+    vocab = build_vocab(train_docs(["doc_id", "text"]), size=256)
 
     def render(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -2711,9 +2718,10 @@ def _docs_prep_v4(sf_dir):
             "n": t["n"],
         })
 
-    return pack_ids(train_docs, vocab, budget=512).map_batches(
-        render, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return pack_ids(
+        train_docs(["doc_id", "text"]), vocab, budget=512,
+        size_hint_bytes=os.path.getsize(path),
+    ).map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _docs_prep_v2(sf_dir):

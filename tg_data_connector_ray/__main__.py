@@ -412,8 +412,10 @@ def main(argv=None) -> int:
             vocab = build_vocab(ds, size=args.vocab_size, col=args.col)
             os.makedirs(args.out, exist_ok=True)
             _pq.write_table(vocab, os.path.join(args.out, "vocab.parquet"))
+            hint = os.path.getsize(args.docs) if os.path.isfile(args.docs) else None
             seqs = pack_ids(ds, vocab, budget=args.budget,
-                            id_col=args.id_col, col=args.col)
+                            id_col=args.id_col, col=args.col,
+                            size_hint_bytes=hint)
             shards = os.path.join(args.out, "shards")
             if args.fmt == "jsonl":
                 from .sinks.files import write_jsonl

@@ -1167,7 +1167,8 @@ def tokenize_to_ids(ds, vocab: pa.Table, id_col: str = "doc_id", col: str = "tex
 
 
 def pack_ids(ds, vocab: pa.Table, budget: int = 2048, id_col: str = "doc_id",
-             col: str = "text", num_buckets: int = 32):
+             col: str = "text", num_buckets: int = 32,
+             size_hint_bytes: "int | None" = None):
     """Materialize actual fixed-`budget` training sequences of vocabulary
     ids — the end of the prep chain (vocab -> tokenize_to_ids ->
     pack-layout -> sequence rows): documents concatenate in `id_col`
@@ -1184,21 +1185,34 @@ def pack_ids(ds, vocab: pa.Table, budget: int = 2048, id_col: str = "doc_id",
     every token id ONCE (4 B + key — that IS the materialization, same
     volume as the training shards being written); all other stages move
     thin rows.  seq_id buckets by value (each sequence is exactly
-    `budget` tokens, so value skew cannot exist)."""
-    from ..pipelines.relational import hash_join
+    `budget` tokens, so value skew cannot exist).
 
-    tok = tokenize_to_ids(ds, vocab, id_col=id_col, col=col)
+    The tokenized stream has two consumers (thin layout pass + the join)
+    and is the size of the corpus' token ids, so it checkpoints through
+    the bounded spool, NOT materialize (an unbounded object-store pin at
+    10^10 tokens); `size_hint_bytes` (the source parquet size) lets
+    small inputs skip the disk round trip — the spool_checkpoint dual
+    path.  Per-consumer spool reads are column-pruned: the layout pass
+    never re-reads the ids lists."""
+    from ..pipelines.relational import hash_join
+    from ..util import spool_checkpoint
+
+    tok = spool_checkpoint(
+        tokenize_to_ids(ds, vocab, id_col=id_col, col=col),
+        "pack_ids_tok", size_hint_bytes=size_hint_bytes,
+    )
 
     def thin_rows(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t[id_col], "n_tok": t["n_tokens"]})
 
-    tok = tok.materialize()  # consumed twice: thin pass + the join below
     layout = pack_sequences_thin(
-        tok.map_batches(thin_rows, batch_format="pyarrow", zero_copy_batch=True),
+        tok([id_col, "n_tokens"]).map_batches(
+            thin_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
         budget=budget, id_col=id_col,
     )
     joined = hash_join(
-        tok.select_columns([id_col, "ids"]),
+        tok([id_col, "ids"]),
         layout.select_columns([id_col, "tok_start"]),
         on=id_col, right_unique=True,
     )
