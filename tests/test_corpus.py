@@ -610,3 +610,37 @@ def test_pack_ids_materializes_boundary_spanning_sequences(ray_session):
     # budget beyond the whole stream -> one short sequence
     one = pack_ids(ds, v, budget=100).to_pandas()
     assert list(one["seq_id"]) == [0] and list(one["n"]) == [9]
+
+
+def test_build_vocab_under_size_pressure_matches_reference(ray_session):
+    """The fixture corpus has ~31 distinct tokens, so the sf sweeps never
+    stress top-V selection; this pins it against a numpy reference on a
+    1000-term vocabulary with heavy count ties across many blocks."""
+    from tg_data_connector_ray.ops.corpus import build_vocab
+
+    rng = np.random.RandomState(7)
+    terms = [f"tk{i:04d}" for i in range(1000)]
+    # zipf-ish counts with LOTS of ties (counts drawn from a tiny range)
+    counts = rng.randint(1, 6, size=1000) * (1 + (np.arange(1000) % 7))
+    texts, flat = [], []
+    for t, c in zip(terms, counts):
+        flat.extend([t] * int(c))
+    rng.shuffle(flat)
+    # split the token stream into 40 documents across 8 blocks
+    docs = ["" for _ in range(40)]
+    for i, tok in enumerate(flat):
+        docs[i % 40] += tok + " "
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(docs, pa.string()),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(8)
+
+    got = build_vocab(ds, size=100)
+    # reference: exact global counts, rank by (count desc, term asc)
+    import collections
+    ref_counts = collections.Counter(flat)
+    ref = sorted(ref_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    assert got["term"].to_pylist() == [t for t, _ in ref]
+    assert got["n"].to_pylist() == [c for _, c in ref]
+    assert got["id"].to_pylist() == list(range(100))
