@@ -1818,6 +1818,30 @@ def _docs_pack_ids(sf_dir):
     )
 
 
+def _docs_pack_ids_shuffled(sf_dir):
+    """pack_ids in reproducible SHUFFLED document order (seed 'pk1'):
+    the stream concatenates documents by seeded_shuffle_rank instead of
+    id order — epoch order as a pure function of (seed, ids).  The
+    oracle replays the md5-u64 rank (docs_shuffle_seeded's idiom) and
+    re-derives the same sequence cut."""
+    from tg_data_connector_ray.ops.corpus import build_vocab, pack_ids_shuffled
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    vocab = build_vocab(ds, size=256)
+
+    def render(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "seq_id": t["seq_id"],
+            "ids_str": _ids_column_to_str(t["ids"]),
+            "n": t["n"],
+        })
+
+    hint = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    return pack_ids_shuffled(
+        ds, vocab, seed="pk1", budget=512, size_hint_bytes=hint
+    ).map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _revenue_by_nation(sf_dir):
     """Four-table join breadth: lineitem JOIN orders (partitioned hash
     join) -> broadcast custkey->nation lookup -> nation revenue."""
@@ -2897,6 +2921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_classifier": _docs_quality_classifier,
         "docs_tokenize_ids": _docs_tokenize_ids,
         "docs_pack_ids": _docs_pack_ids,
+        "docs_pack_ids_shuffled": _docs_pack_ids_shuffled,
         # --- similarity search: brute-force baseline + the full
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
@@ -4503,6 +4528,44 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos) AS ids_str,
                    CAST(count(*) AS BIGINT) AS n
             FROM tg GROUP BY 1
+        """,
+        # shuffled packing: the md5-u64 rank (docs_shuffle_seeded's
+        # idiom, unsigned ascending + doc_id ties) replaces doc_id as
+        # the stream order; everything else is the docs_pack_ids oracle
+        "docs_pack_ids_shuffled": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(l) AS term,
+                     unnest(range(1, len(l) + 1)) AS ord
+              FROM (SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9_]+') AS l
+                    FROM documents)
+            ), vocab AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS id
+              FROM tok GROUP BY term
+            ), mapped AS (
+              SELECT t.doc_id, t.ord,
+                     CASE WHEN v.id < 256 THEN v.id ELSE 256 END AS id
+              FROM tok t JOIN vocab v USING (term)
+            ), k AS (
+              SELECT doc_id,
+                list_sum(list_transform(range(0, 8), j ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('pk1:' || CAST(doc_id AS VARCHAR)), 2*j+1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                        substr(md5('pk1:' || CAST(doc_id AS VARCHAR)), 2*j+2, 1)) - 1) AS UBIGINT)
+                  * CAST(power(2, 8*j) AS UBIGINT))) AS hu
+              FROM documents
+            ), g AS (
+              SELECT m.id,
+                     row_number() OVER (ORDER BY k.hu, m.doc_id, m.ord) - 1 AS gpos
+              FROM mapped m JOIN k USING (doc_id)
+            )
+            SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+                   string_agg(CAST(id AS VARCHAR), ',' ORDER BY gpos) AS ids_str,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM g GROUP BY 1
         """,
         # the packed-sequence stream: global token position = row_number
         # over the same (doc_id, token order) total order the engine's

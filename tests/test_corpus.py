@@ -644,3 +644,31 @@ def test_build_vocab_under_size_pressure_matches_reference(ray_session):
     assert got["term"].to_pylist() == [t for t, _ in ref]
     assert got["n"].to_pylist() == [c for _, c in ref]
     assert got["id"].to_pylist() == list(range(100))
+
+
+def test_pack_ids_shuffled_is_layout_independent_and_seed_sensitive(ray_session):
+    """The shuffled pack is a pure function of (seed, ids): repartitioning
+    the input changes nothing; a different seed gives a different stream
+    over the SAME multiset of tokens."""
+    from tg_data_connector_ray.ops.corpus import build_vocab, pack_ids_shuffled
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(12, dtype=np.int64)),
+        "text": pa.array([f"w{i} w{i} common" for i in range(12)], pa.string()),
+    })
+    ds1 = ray.data.from_arrow(docs)
+    ds2 = ray.data.from_arrow(docs).repartition(5)
+    v = build_vocab(ds1, size=8)
+
+    def norm(ds):
+        df = ds.to_pandas().sort_values("seq_id").reset_index(drop=True)
+        return [(int(r.seq_id), list(r.ids), int(r.n)) for r in df.itertuples()]
+
+    a = norm(pack_ids_shuffled(ds1, v, seed="s1", budget=7))
+    b = norm(pack_ids_shuffled(ds2, v, seed="s1", budget=7))
+    assert a == b  # block layout cannot matter
+    c = norm(pack_ids_shuffled(ds1, v, seed="s2", budget=7))
+    assert a != c  # another seed = another permutation
+    # same token multiset either way
+    flat = sorted(x for _, ids, _ in a for x in ids)
+    assert flat == sorted(x for _, ids, _ in c for x in ids)

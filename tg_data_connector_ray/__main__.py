@@ -312,6 +312,9 @@ def main(argv=None) -> int:
                     choices=["parquet", "jsonl"])
     pk.add_argument("--id-col", default="doc_id")
     pk.add_argument("--col", default="text")
+    pk.add_argument("--shuffle-seed", default=None,
+                    help="pack in reproducible seeded-shuffle document "
+                    "order (epoch order = f(seed, ids)) instead of id order")
 
     con = sub.add_parser(
         "consistent",
@@ -413,9 +416,16 @@ def main(argv=None) -> int:
             os.makedirs(args.out, exist_ok=True)
             _pq.write_table(vocab, os.path.join(args.out, "vocab.parquet"))
             hint = os.path.getsize(args.docs) if os.path.isfile(args.docs) else None
-            seqs = pack_ids(ds, vocab, budget=args.budget,
-                            id_col=args.id_col, col=args.col,
-                            size_hint_bytes=hint)
+            if args.shuffle_seed is not None:
+                from .ops.corpus import pack_ids_shuffled
+
+                seqs = pack_ids_shuffled(ds, vocab, seed=args.shuffle_seed,
+                                         budget=args.budget, id_col=args.id_col,
+                                         col=args.col, size_hint_bytes=hint)
+            else:
+                seqs = pack_ids(ds, vocab, budget=args.budget,
+                                id_col=args.id_col, col=args.col,
+                                size_hint_bytes=hint)
             shards = os.path.join(args.out, "shards")
             if args.fmt == "jsonl":
                 from .sinks.files import write_jsonl

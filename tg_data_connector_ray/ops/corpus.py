@@ -1255,3 +1255,31 @@ def pack_ids(ds, vocab: pa.Table, budget: int = 2048, id_col: str = "doc_id",
         .groupby("_b")
         .map_groups(assemble, batch_format="pyarrow")
     )
+
+
+def pack_ids_shuffled(ds, vocab: pa.Table, seed: str, budget: int = 2048,
+                      id_col: str = "doc_id", col: str = "text",
+                      size_hint_bytes: "int | None" = None):
+    """`pack_ids` in reproducible SHUFFLED document order: the stream
+    concatenates documents by `seeded_shuffle_rank(seed)` instead of id
+    order, so epoch N's sequences are a pure function of (seed, ids) —
+    byte-identical across runs, cluster sizes and block layouts, and a
+    new seed gives an independent permutation (what a resumable
+    pretraining job needs from its shard producer).
+
+    Composition: thin (id, rank) pairs from seeded_shuffle_rank join
+    onto the documents (hash_join; the only payload is text), then
+    pack_ids runs with the RANK as its ordering key — every scale
+    property of both parents carries over unchanged."""
+    from ..pipelines.relational import hash_join
+
+    ranks = seeded_shuffle_rank(ds.select_columns([id_col]), seed, id_col=id_col)
+    joined = hash_join(
+        ds.select_columns([id_col, col]),
+        ranks.select_columns([id_col, "shuffle_rank"]),
+        on=id_col, right_unique=True,
+    )
+    return pack_ids(
+        joined.select_columns(["shuffle_rank", col]), vocab, budget=budget,
+        id_col="shuffle_rank", col=col, size_hint_bytes=size_hint_bytes,
+    )
