@@ -1167,7 +1167,7 @@ def tokenize_to_ids(ds, vocab: pa.Table, id_col: str = "doc_id", col: str = "tex
 
 
 def pack_ids(ds, vocab: pa.Table, budget: int = 2048, id_col: str = "doc_id",
-             col: str = "text", num_buckets: int = 32,
+             col: str = "text", num_buckets: "int | None" = None,
              size_hint_bytes: "int | None" = None):
     """Materialize actual fixed-`budget` training sequences of vocabulary
     ids — the end of the prep chain (vocab -> tokenize_to_ids ->
@@ -1193,9 +1193,20 @@ def pack_ids(ds, vocab: pa.Table, budget: int = 2048, id_col: str = "doc_id",
     10^10 tokens); `size_hint_bytes` (the source parquet size) lets
     small inputs skip the disk round trip — the spool_checkpoint dual
     path.  Per-consumer spool reads are column-pruned: the layout pass
-    never re-reads the ids lists."""
-    from ..pipelines.relational import hash_join
+    never re-reads the ids lists.
+
+    `num_buckets` sizes the assembly exchange; with None it derives from
+    `size_hint_bytes` at ~128 MB of token rows per bucket (the hash_join
+    rule) — a STATIC count would put tokens/B in one task's memory at
+    10^10 tokens."""
+    from ..pipelines.relational import _derive_num_buckets, hash_join
     from ..util import spool_checkpoint
+
+    if num_buckets is None:
+        # token-id rows ≈ 20 B each vs ~6 B/token of source text, so the
+        # source-size hint is the right order of magnitude; floor of 32
+        # keeps test-scale assembly parallel
+        num_buckets = max(32, _derive_num_buckets(size_hint_bytes and size_hint_bytes * 3))
 
     tok = spool_checkpoint(
         tokenize_to_ids(ds, vocab, id_col=id_col, col=col),
