@@ -1818,6 +1818,57 @@ def _docs_pack_ids(sf_dir):
     )
 
 
+def _docs_split_token_stats(sf_dir):
+    """Per-split corpus report under the TRAIN vocabulary: docs, tokens
+    and OOV tokens for train/val/test (leakage_safe_split assignment,
+    vocab V=256 fit on train only) — the hand-off summary published with
+    a training set; val/test OOV measures vocabulary generalization.
+    Thin rows everywhere except the two text passes (shingles, tokenize);
+    the final aggregate is 3 groups of int64 partials."""
+    import pyarrow.compute as pc
+
+    from tg_data_connector_ray.ops.corpus import build_vocab, tokenize_to_ids
+    from tg_data_connector_ray.ops.sampling import leakage_safe_split
+    from tg_data_connector_ray.pipelines.relational import hash_join
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    split = leakage_safe_split(docs)
+
+    def split_thin(t: pa.Table) -> pa.Table:
+        return t.select(["doc_id", "split"])
+
+    thin = split.map_batches(split_thin, batch_format="pyarrow", zero_copy_batch=True)
+    train = thin.map_batches(
+        lambda t: t.filter(pc.equal(t["split"], "train")).select(["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    train_docs = hash_join(docs, train, on="doc_id", how="inner", right_unique=True)
+    vocab = build_vocab(train_docs, size=256)
+
+    tok = tokenize_to_ids(docs, vocab).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "n_oov"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hash_join(tok, thin, on="doc_id", how="inner", right_unique=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("split").aggregate(
+            [("doc_id", "count"), ("n_tokens", "sum"), ("n_oov", "sum")]
+        )
+        return g.rename_columns(["split", "n_docs", "n_tokens", "n_oov"])
+
+    parts = joined.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    out = (
+        parts.groupby("split", as_index=False)[["n_docs", "n_tokens", "n_oov"]]
+        .sum()
+        .sort_values("split")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _docs_pack_ids_shuffled(sf_dir):
     """pack_ids in reproducible SHUFFLED document order (seed 'pk1'):
     the stream concatenates documents by seeded_shuffle_rank instead of
@@ -2922,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tokenize_ids": _docs_tokenize_ids,
         "docs_pack_ids": _docs_pack_ids,
         "docs_pack_ids_shuffled": _docs_pack_ids_shuffled,
+        "docs_split_token_stats": _docs_split_token_stats,
         # --- similarity search: brute-force baseline + the full
         # IVF+PQ scale path (ivf/pq variants stay in the sweep tail) ---
         "ann_topk": _ann_topk,
@@ -4409,6 +4461,58 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 9500 THEN 'val'
                         ELSE 'test' END AS split
             FROM h
+        """,
+        # per-split report under the train vocab: split chain = the
+        # docs_leakage_split oracle; vocab ranks only train-doc tokens;
+        # OOV = absent from the train vocab OR ranked past V
+        "docs_split_token_stats": f"""
+            WITH RECURSIVE sh AS ({_SHINGLES_CTE}
+            ), pairs AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                      / greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) >= 0.8
+            ), {_CC_CTE}
+            , r AS (
+              SELECT d.doc_id, coalesce(rep.rep, d.doc_id) AS rep
+              FROM documents d LEFT JOIN rep USING (doc_id)
+            ), h AS (
+              SELECT doc_id, rep,
+                list_sum(list_transform(range(0, 8), i ->
+                  CAST((strpos('0123456789abcdef',
+                        substr(md5('split:' || CAST(rep AS VARCHAR)), i+1, 1)) - 1)
+                    AS BIGINT) * CAST(power(16, 7 - i) AS BIGINT))) % 10000 AS b
+              FROM r
+            ), s AS (
+              SELECT doc_id,
+                     CASE WHEN b < 9000 THEN 'train'
+                          WHEN b < 9500 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM h
+            ), tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS term
+              FROM documents
+            ), tvocab AS (
+              SELECT term,
+                     row_number() OVER (ORDER BY count(*) DESC, term ASC) - 1 AS id
+              FROM tok t JOIN s USING (doc_id)
+              WHERE s.split = 'train' GROUP BY term
+            ), m AS (
+              SELECT t.doc_id,
+                     CASE WHEN v.id IS NOT NULL AND v.id < 256 THEN 0 ELSE 1 END AS oov
+              FROM tok t LEFT JOIN tvocab v USING (term)
+            ), per_doc AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                     CAST(sum(oov) AS BIGINT) AS n_oov
+              FROM m GROUP BY doc_id
+            )
+            SELECT s.split,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(p.n_tok), 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(sum(p.n_oov), 0) AS BIGINT) AS n_oov
+            FROM s LEFT JOIN per_doc p USING (doc_id)
+            GROUP BY s.split
         """,
         # streaming split stability: batch 1 (ids < 250) = the batch CC;
         # batch 2 edges include ATTACHMENTS to batch-1 reps as plain
